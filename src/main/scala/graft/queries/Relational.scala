@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Core relational operator inventory (SURVEY.md §2.1–§2.7) expressed over
+  * the driver's synthetic tables, one named query per operator family, each
+  * paired with ANSI SQL for the DuckDB oracle.
+  *
+  * Design rules for oracle parity (see Tables.MoneyDec):
+  *  - every query ends in a deterministic ORDER BY on a unique key set;
+  *  - money/double aggregates go double-arithmetic → decimal cast → exact
+  *    sum → round(2) → double render, identical in both engines;
+  *  - every computed column is aliased identically in Spark and SQL.
+  *
+  * Scale notes are attached per query: these run at sf0.01 for the gate but
+  * are written for the 100 TB plan shape (broadcast dims, partial aggs,
+  * anti-join instead of collected sets).
+  */
+object Relational {
+
+  /** A1/A2/A4/A8 + F6 (`/root/reference/tripletex.py:107-114`,
+    * `setup.sql:301`): grouped exact-decimal money aggregation with
+    * map-side partial aggregation. Scale: pure hash-agg, one shuffle on the
+    * (tiny-cardinality) group key — optimal at any SF.
+    */
+  def aggSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity".cast(MoneyDec)), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast(MoneyDec)), 2).cast("double").as("sum_base_price"),
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2)
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggSumSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+      | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+      | COUNT(*) AS count_order,
+      | COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S4/F7/P4 (`/root/reference/db.py:81-113`): date-range filtered scan
+    * with projection. Scale: filter + column pruning push to the parquet
+    * scan (verified via explain: PushedFilters on o_orderdate); with a
+    * date-partitioned layout this becomes partition pruning.
+    */
+  def filterDates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp") &&
+              $"o_orderstatus".isin("O", "F"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_orderkey")
+  }
+
+  val filterDatesSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderstatus IN ('O','F')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** J1/J2 + A2 (`/root/reference/setup.sql:239-242`): fact ⟕ dim ⟕ dim with
+    * explicit broadcast of the small dimensions, then grouped money agg.
+    * Scale: lineitem⨝orders is the one real shuffle (co-partition on
+    * orderkey); customer is broadcast so it never shuffles the fact table.
+    */
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir)
+    val o  = orders(spark, dir)
+    val c  = customer(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
+  val joinAggSql: String =
+    """SELECT c_mktsegment, o_orderstatus,
+      | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderstatus
+      |ORDER BY c_mktsegment, o_orderstatus""".stripMargin
+
+  /** W1 (`/root/reference/setup.sql:196-205`): rank-1-per-group via
+    * row_number over a CASE significance ordering, with a deterministic
+    * tiebreak (SURVEY §7.4 risk 4). Scale: single shuffle on the partition
+    * key; rank=1 filter is applied immediately after the window so no
+    * superfluous rows survive the exchange.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = when($"o_orderstatus" === "O", 1)
+      .when($"o_orderstatus" === "F", 2)
+      .otherwise(10)
+    val w = Window.partitionBy($"o_custkey").orderBy(sig.asc, $"o_orderdate".asc, $"o_orderkey".asc)
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderstatus", $"o_orderdate")
+      .orderBy($"o_custkey")
+  }
+
+  val windowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 10 END,
+      |             o_orderdate, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** U1 (`/root/reference/setup.sql:378-390`): multi-branch UNION with
+    * load-bearing distinct — branches are built union-compatible and the
+    * dedup collapses deliberately duplicated rows. Scale: distinct() is a
+    * hash-agg shuffle over the (narrow, 3-col) union schema; branches are
+    * pre-projected so the shuffle payload stays minimal.
+    */
+  def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir)
+    val b1 = o.select($"o_orderkey".as("id"), lit("order").as("src"), $"o_orderstatus".as("tag"))
+    val b2 = lineitem(spark, dir)
+      .select($"l_orderkey".as("id"), lit("line").as("src"), $"l_returnflag".as("tag"))
+    val b3 = o.filter($"o_orderstatus" === "F")   // duplicates of part of b1 → dedup is load-bearing
+      .select($"o_orderkey".as("id"), lit("order").as("src"), $"o_orderstatus".as("tag"))
+    b1.unionByName(b2).unionByName(b3).distinct()
+      .orderBy($"id", $"src", $"tag")
+  }
+
+  val unionDistinctSql: String =
+    """SELECT o_orderkey AS id, 'order' AS src, o_orderstatus AS tag FROM orders
+      |UNION
+      |SELECT l_orderkey AS id, 'line' AS src, l_returnflag AS tag FROM lineitem
+      |UNION
+      |SELECT o_orderkey AS id, 'order' AS src, o_orderstatus AS tag FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY id, src, tag""".stripMargin
+
+  /** U2 (`/root/reference/tripletex.py:73-76`): sequence-gap detection as a
+    * distributed anti-join of `spark.range(lo,hi)` against observed keys —
+    * never a collected set. Scale: range is generated partition-parallel;
+    * the anti-join shuffles once on the key.
+    */
+  def gapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // The synthetic orderkeys are dense; drop every 7th to exercise real gaps
+    // (the reference's sequences genuinely have holes: refund-only orders).
+    val observed = orders(spark, dir).filter($"o_orderkey" % 7 =!= 0)
+    val Array(lo: Long, hi: Long) =
+      observed.agg(min($"o_orderkey"), max($"o_orderkey")).head().toSeq.map(_.asInstanceOf[Long]).toArray
+    spark.range(lo, hi + 1).toDF("id")
+      .join(observed.select($"o_orderkey".as("id")), Seq("id"), "left_anti")
+      .orderBy($"id")
+  }
+
+  val gapDetectSql: String =
+    """WITH obs AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 0),
+      |b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM obs)
+      |SELECT gs.id FROM (SELECT unnest(generate_series(lo, hi)) AS id FROM b) gs
+      |WHERE gs.id NOT IN (SELECT o_orderkey FROM obs)
+      |ORDER BY gs.id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_sum"        -> aggSum,
+    "q02_filter_dates"   -> filterDates,
+    "q03_join_agg"       -> joinAgg,
+    "q04_window_rank"    -> windowRank,
+    "q05_union_distinct" -> unionDistinct,
+    "q06_gap_detect"     -> gapDetect,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_sum"        -> aggSumSql,
+    "q02_filter_dates"   -> filterDatesSql,
+    "q03_join_agg"       -> joinAggSql,
+    "q04_window_rank"    -> windowRankSql,
+    "q05_union_distinct" -> unionDistinctSql,
+    "q06_gap_detect"     -> gapDetectSql,
+  )
+}

@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared access to the driver's synthetic parquet tables (TESTDATA.md).
+  *
+  * Every `SparkEntry.queries` entry receives `(spark, sfDir)` and reads the
+  * tables it needs through here, so the scan setup (and any future layout
+  * choice: partitioning, bucketing) is centralized.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** Deterministic money arithmetic for oracle parity: do the row-level
+    * arithmetic in IEEE double (bit-identical in Spark and DuckDB), cast the
+    * per-row result to an exact decimal, sum exactly (order-independent),
+    * round to cents, and render as double. Mirrors SURVEY.md §7.4 "decimal
+    * discipline" (`/root/reference/setup.sql:301` ROUND(x::numeric,2)).
+    */
+  val MoneyDec = "decimal(38,6)"
+}
