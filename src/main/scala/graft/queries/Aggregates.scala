@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Aggregation inventory (SURVEY.md §2.4 A1–A9). */
+object Aggregates {
+
+  /** A1 (`db.py:466`): distinct composite pairs via groupBy-no-aggs. */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .select($"o_custkey", $"o_orderstatus").distinct()
+      .orderBy($"o_custkey", $"o_orderstatus")
+  }
+
+  val distinctPairsSql: String =
+    """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin
+
+  /** A2/A3 (`tripletex.py:111-114,152-155`): deterministic first-row-per-
+    * group — the reference's pandas `first`/`groupby().first()` with the
+    * frame-order nondeterminism replaced by an explicit min-key pick
+    * (SURVEY §7.4 risk 4).
+    */
+  def firstPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        min($"o_orderkey").as("first_orderkey"),
+        min_by($"o_totalprice", $"o_orderkey").as("first_price"),
+        min_by($"o_orderstatus", $"o_orderkey").as("first_status"))
+      .orderBy($"o_custkey")
+  }
+
+  val firstPerGroupSql: String =
+    """SELECT o_custkey,
+      | MIN(o_orderkey) AS first_orderkey,
+      | MIN_BY(o_totalprice, o_orderkey) AS first_price,
+      | MIN_BY(o_orderstatus, o_orderkey) AS first_status
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  /** A6/A7 (`tripletex.py:74,93`, `utils.py:16`): global min/max bounds and
+    * mean. The mean divides an exact decimal sum (as double) by the count —
+    * IEEE-deterministic in both engines, no rounding step to disagree on.
+    */
+  def minMaxAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).agg(
+      min($"l_shipdate").as("min_ship"),
+      max($"l_shipdate").as("max_ship"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"),
+      (sum($"l_quantity".cast(MoneyDec)).cast("double") / count(lit(1))).as("avg_qty"),
+      count(lit(1)).as("n"))
+  }
+
+  val minMaxAvgSql: String =
+    """SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+      | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | COUNT(*) AS n
+      |FROM lineitem""".stripMargin
+
+  /** A9 (`tripletex.py:214-219`): multiple filtered distinct-counts in one
+    * aggregation pass (refund-only vs ordinary orders shape).
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir).agg(
+      countDistinct(when($"l_returnflag" === "R", $"l_orderkey")).as("n_returned_orders"),
+      countDistinct(when($"l_returnflag" =!= "R", $"l_orderkey")).as("n_kept_orders"),
+      countDistinct($"l_orderkey").as("n_orders"),
+      sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned_lines"))
+  }
+
+  val conditionalAggSql: String =
+    """SELECT
+      | COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_orderkey END) AS n_returned_orders,
+      | COUNT(DISTINCT CASE WHEN l_returnflag <> 'R' THEN l_orderkey END) AS n_kept_orders,
+      | COUNT(DISTINCT l_orderkey) AS n_orders,
+      | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned_lines
+      |FROM lineitem""".stripMargin
+
+  /** A5 (`tripletex.py:36,54`): small distinct value collection — kept
+    * distributed (distinct + sort) rather than a driver-side set; the
+    * reference collects for warning text, which happens after this plan.
+    */
+  def distinctValues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type").distinct()
+      .orderBy($"event_type")
+  }
+
+  val distinctValuesSql: String =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_distinct_pairs"  -> distinctPairs,
+    "q18_first_per_group" -> firstPerGroup,
+    "q19_minmax_avg"      -> minMaxAvg,
+    "q20_conditional_agg" -> conditionalAgg,
+    "q21_distinct_values" -> distinctValues,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_distinct_pairs"  -> distinctPairsSql,
+    "q18_first_per_group" -> firstPerGroupSql,
+    "q19_minmax_avg"      -> minMaxAvgSql,
+    "q20_conditional_agg" -> conditionalAggSql,
+    "q21_distinct_values" -> distinctValuesSql,
+  )
+}

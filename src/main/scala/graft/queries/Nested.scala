@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Semi-structured / nested-data inventory (SURVEY.md §2.9 N1–N8) over the
+  * JSON-bearing `events.props` column and array-shaped token data derived
+  * from `documents.text`.
+  */
+object Nested {
+
+  /** N1/N7 (`shopify.py:230,283`, deep paths `shopify.py:312`): JSON field
+    * extraction + typed cast, then a grouped rollup. `get_json_object` is a
+    * codegen'd built-in; with a fixed schema `from_json` + dot-paths is the
+    * bulk-ingest shape (used in graft.ingest.Normalize).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"),
+        (sum($"k").cast("double") / count(lit(1))).as("avg_k"))
+      .orderBy($"event_type")
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n,
+      | CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      |FROM (SELECT event_type, CAST(props->>'k' AS INTEGER) AS k FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** N2–N4 (`shopify.py:303-315,338-354,512-513`): array explosion to rows
+    * with the parent key carried alongside, then per-(parent,element)
+    * aggregation. Scale: explode is pipelined (no shuffle); the groupBy is
+    * the only exchange.
+    */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"doc_id", $"token")
+  }
+
+  val explodeTokensSql: String =
+    """SELECT doc_id, t.token AS token, COUNT(*) AS cnt
+      |FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |GROUP BY doc_id, t.token
+      |ORDER BY doc_id, token""".stripMargin
+
+  /** N6/N8 (`shopify.py:309-313,448`): first/last-element-or-default and
+    * array length — `element_at` yields null out-of-bounds, mirroring the
+    * reference's `tax_lines[0] or default` pattern.
+    */
+  def arrayOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .withColumn("toks", split($"text", " "))
+      .select(
+        $"doc_id",
+        coalesce(element_at($"toks", 1), lit("<empty>")).as("first_token"),
+        element_at($"toks", -1).as("last_token"),
+        size($"toks").cast("long").as("n_tokens"),
+        array_contains($"toks", "spark").as("mentions_spark"))
+      .orderBy($"doc_id")
+  }
+
+  val arrayOpsSql: String =
+    """SELECT doc_id,
+      | COALESCE(string_split(text, ' ')[1], '<empty>') AS first_token,
+      | string_split(text, ' ')[-1] AS last_token,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | list_contains(string_split(text, ' '), 'spark') AS mentions_spark
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_json_extract"   -> jsonExtract,
+    "q23_explode_tokens" -> explodeTokens,
+    "q24_array_ops"      -> arrayOps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_json_extract"   -> jsonExtractSql,
+    "q23_explode_tokens" -> explodeTokensSql,
+    "q24_array_ops"      -> arrayOpsSql,
+  )
+}

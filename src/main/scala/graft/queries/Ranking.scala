@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Sorts, top-k, window arithmetic, and the remaining join shapes
+  * (SURVEY.md §2.3 J5–J8, §2.5 W3–W4, §2.7).
+  */
+object Ranking {
+
+  /** W2-style top-k-per-group (`setup.sql:351`): rank within supplier by
+    * price with full deterministic tiebreak, keep top 3. Scale: one
+    * shuffle on l_suppkey; rank filter applied before any further ops so
+    * only k rows per group survive.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+    lineitem(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"l_suppkey", $"rk", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_suppkey", $"rk")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 3
+      |ORDER BY l_suppkey, rk""".stripMargin
+
+  /** O1 multi-key sort + top-k (`setup.sql:392-393`): global sort with a
+    * unique tiebreak and LIMIT — planned as TakeOrderedAndProject (no full
+    * sort materialization), the right shape at any scale.
+    */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".asc)
+      .limit(100)
+  }
+
+  val sortLimitSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+      |FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** J8 orphan audit as left_anti (SURVEY §2.3): customers with no orders.
+    * Scale: anti-join shuffles both sides once on the key; no collected
+    * id sets.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // "customers with no order since 2001" — non-empty, unlike the plain
+    // orphan check (every synthetic customer has at least one order).
+    val recent = orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      .select($"o_custkey".as("c_custkey"))
+    customer(spark, dir)
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J7 right join (`db.py:459-469`): per-customer order counts where the
+    * right side (all customers) dominates — rows with no match keep nulls
+    * → counted as 0.
+    */
+  def rightJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_orders"),
+        round(sum(coalesce($"o_totalprice", lit(0.0)).cast(MoneyDec)), 2)
+          .cast("double").as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  val rightJoinSql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      | CAST(ROUND(SUM(CAST(COALESCE(o_totalprice, 0.0) AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_spend
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J5 composite-key join (`setup.sql:325-326`): self-join lineitem on
+    * (orderkey, linenumber)=(orderkey, linenumber+1) — adjacent line pairs,
+    * the 2-key equi-join shape. Scale: equal partitioning on l_orderkey on
+    * both sides; AQE picks sort-merge vs hash by size.
+    */
+  def compositeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir).select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    val cur = li.as("cur")
+    val nxt = li.select($"l_orderkey", ($"l_linenumber" - 1).as("l_linenumber"),
+      $"l_extendedprice".as("next_price")).as("nxt")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    // full column set joins the ORDER BY for cross-engine row-order parity.
+    cur.join(nxt, Seq("l_orderkey", "l_linenumber"), "inner")
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"next_price")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"next_price")
+  }
+
+  val compositeJoinSql: String =
+    """SELECT cur.l_orderkey, cur.l_linenumber, cur.l_extendedprice, nxt.l_extendedprice AS next_price
+      |FROM lineitem cur
+      |JOIN lineitem nxt ON cur.l_orderkey = nxt.l_orderkey
+      |               AND cur.l_linenumber = nxt.l_linenumber - 1
+      |ORDER BY cur.l_orderkey, cur.l_linenumber, cur.l_extendedprice, next_price""".stripMargin
+
+  /** W3+W4 (`db.py:458-469`): global sequence assignment with an imposed
+    * deterministic order and a start-offset — the invoice-numbering shape.
+    * Scale note: a global row_number has a single-partition window; at
+    * 100 TB this becomes zipWithIndex-style two-phase numbering (per-
+    * partition counts + offsets). Cardinality here is the grouped key set
+    * (small), so the single partition holds.
+    */
+  def globalNumbering(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val startId = 10000L
+    val pairs = orders(spark, dir).select($"o_custkey", $"o_orderstatus").distinct()
+    pairs
+      .withColumn("seq_no",
+        row_number().over(Window.orderBy($"o_custkey", $"o_orderstatus")) + lit(startId) - 1)
+      .orderBy($"o_custkey", $"o_orderstatus")
+  }
+
+  val globalNumberingSql: String =
+    """SELECT o_custkey, o_orderstatus,
+      | ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderstatus) + 10000 - 1 AS seq_no
+      |FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t
+      |ORDER BY o_custkey, o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_topk_per_group"   -> topkPerGroup,
+    "q12_sort_limit"       -> sortLimit,
+    "q13_anti_join"        -> antiJoin,
+    "q14_right_join"       -> rightJoin,
+    "q15_composite_join"   -> compositeJoin,
+    "q16_global_numbering" -> globalNumbering,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_topk_per_group"   -> topkPerGroupSql,
+    "q12_sort_limit"       -> sortLimitSql,
+    "q13_anti_join"        -> antiJoinSql,
+    "q14_right_join"       -> rightJoinSql,
+    "q15_composite_join"   -> compositeJoinSql,
+    "q16_global_numbering" -> globalNumberingSql,
+  )
+}

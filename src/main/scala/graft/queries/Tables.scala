@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared access to the driver's synthetic parquet tables (TESTDATA.md).
   *
@@ -19,7 +20,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "events")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * every session builder). Normalize here: nanos-long → microsecond
+    * TimestampType with integer division (the values are micro-aligned;
+    * double division would lose precision above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 

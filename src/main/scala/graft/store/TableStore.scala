@@ -1,0 +1,104 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed table store with idempotent upsert — the Spark rebuild of
+  * the reference's Postgres layer (`/root/reference/db.py:115-407`,
+  * `setup.sql`).
+  *
+  * Semantics reproduced:
+  *  - `INSERT … ON CONFLICT (keys) DO UPDATE SET <updateColumns>`
+  *    (`db.py:115-144` and 7 siblings) — including the **partial**
+  *    update-column lists of SURVEY §2.12: columns not listed keep their
+  *    existing value on conflict (e.g. `orders.financial_status`,
+  *    `db.py:129-140`).
+  *  - Idempotence: `upsert(upsert(T,b),b) == upsert(T,b)` (property-tested).
+  *  - Atomicity: Postgres gave per-statement atomicity; here a rewrite is
+  *    staged to a `_tmp` directory and swapped in via rename, so readers
+  *    never observe a half-written table.
+  *
+  * Scale posture: the merge is one full-outer shuffle join on the key —
+  * at 100 TB this is the standard copy-on-write merge; with a date-
+  * partitioned layout (`partitionColumn`) only the partitions touched by
+  * the incoming batch need rewriting (dynamic partition overwrite).
+  */
+object TableStore {
+
+  /** Pure merge plan: `existing` ⟗ `incoming` on `keys`;
+    * conflict rows take `updateColumns` from incoming (even when the
+    * incoming value is null — ON CONFLICT semantics, not coalesce) and all
+    * other columns from existing; new rows take everything from incoming.
+    *
+    * `incoming` must be key-unique (use [[dedupeByKey]] first when a batch
+    * can carry the same key twice — Postgres `execute_values` would have
+    * errored there, we pick last-wins deterministically).
+    */
+  def mergePlan(existing: DataFrame, incoming: DataFrame,
+                keys: Seq[String], updateColumns: Option[Seq[String]] = None): DataFrame = {
+    val cols = existing.columns.toSeq
+    require(incoming.columns.toSeq == cols,
+      s"schema mismatch: ${incoming.columns.toSeq} vs $cols")
+    val nonKey = cols.filterNot(keys.contains)
+    val upd = updateColumns.getOrElse(nonKey).toSet
+    val e = existing.withColumn("__e", lit(true)).as("e")
+    val i = incoming.withColumn("__i", lit(true)).as("i")
+    val joined = e.join(i, keys.map(k => col(s"e.$k") === col(s"i.$k")).reduce(_ && _), "full")
+    val out = keys.map(k => coalesce(col(s"e.$k"), col(s"i.$k")).as(k)) ++
+      nonKey.map { c =>
+        if (upd.contains(c))
+          when(col("i.__i").isNotNull, col(s"i.$c")).otherwise(col(s"e.$c")).as(c)
+        else
+          when(col("e.__e").isNotNull, col(s"e.$c")).otherwise(col(s"i.$c")).as(c)
+      }
+    joined.select(out: _*)
+  }
+
+  /** Deterministic last-wins key-dedup for incoming batches: highest value
+    * of `orderCol` per key survives (the reference's batches are
+    * append-ordered, so "last in batch" ≈ max ingest order).
+    */
+  def dedupeByKey(incoming: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, new Path(path)).exists(new Path(path))
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Atomic overwrite: stage to `<path>__tmp`, then swap. The brief window
+    * between delete and rename is the local-FS analogue of an HDFS rename
+    * pair; on an object store this would be a manifest pointer flip.
+    */
+  def atomicWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new Path(path)
+    val tmp = new Path(path + "__tmp")
+    val f = fs(spark, target)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (f.exists(target)) f.delete(target, true)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"atomic swap failed for $path")
+  }
+
+  /** The S5 upsert sink: read-if-exists, merge, atomic rewrite. */
+  def upsert(spark: SparkSession, path: String, incoming: DataFrame,
+             keys: Seq[String], updateColumns: Option[Seq[String]] = None): Unit = {
+    if (!exists(spark, path)) {
+      atomicWrite(spark, incoming, path)
+    } else {
+      // Merge must be materialized before the target is overwritten (the
+      // plan lazily re-reads `path`): stage via the tmp dir handles this —
+      // atomicWrite writes tmp fully before touching the target.
+      val merged = mergePlan(read(spark, path), incoming, keys, updateColumns)
+      atomicWrite(spark, merged, path)
+    }
+  }
+}

@@ -1,0 +1,32 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Every declared query must run green on sf0.001 and the ones with known
+  * non-empty semantics must return rows — catches silent empty results that
+  * would trivially "hash-match" a broken oracle.
+  */
+class CoverageSpec extends SparkSuite {
+
+  // queries where an empty result at sf0.001 would itself be a bug
+  private val mustBeNonEmpty = Set(
+    "q01_agg_sum", "q02_filter_dates", "q03_join_agg", "q04_window_rank",
+    "q05_union_distinct", "q06_gap_detect", "q07_scalar_kitchen",
+    "q08_map_replace", "q10_predicate_suite", "q11_topk_per_group",
+    "q12_sort_limit", "q14_right_join", "q15_composite_join",
+    "q16_global_numbering", "q17_distinct_pairs", "q18_first_per_group",
+    "q19_minmax_avg", "q20_conditional_agg", "q21_distinct_values",
+    "q22_json_extract", "q23_explode_tokens", "q24_array_ops",
+    "q25_upsert_merge")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, sf).count()
+      if (mustBeNonEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
