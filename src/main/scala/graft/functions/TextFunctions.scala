@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis building blocks for the training-data pipeline surface
+  * (BASELINE.json north star): token counting, quality scoring, stopword /
+  * language scoring, fingerprinting, and shingling. Everything is Spark
+  * built-ins (codegen'd); no UDFs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the documents corpus is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-boundary token count: whitespace pieces plus intra-word
+    * transitions (letter↔digit), approximating subword splits without a
+    * vocab. Uses only regexp built-ins.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(split(regexp_replace(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])", " "), "\\s+"))
+      .cast("long")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Count of tokens inside a fixed stopword list — lambda-filtered, stays
+    * inside codegen.
+    */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*))).cast("long")
+
+  /** Punctuation-character count (quality-scoring ingredient). */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("long")
+
+  /** Composite quality score in [0,1]: shorter-than-minimum docs and
+    * stopword-free docs are penalized; all-double IEEE arithmetic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text).cast("double")
+    val uniq = uniqueTokenCount(text).cast("double")
+    val sw = stopwordCount(text, stopwords).cast("double")
+    val lengthTerm = least(n / lit(50.0), lit(1.0))          // saturating length credit
+    val diversityTerm = uniq / greatest(n, lit(1.0))         // vocabulary diversity
+    val stopwordTerm = least(sw / greatest(n, lit(1.0)) * lit(10.0), lit(1.0))
+    (lengthTerm * lit(0.4) + diversityTerm * lit(0.4) + stopwordTerm * lit(0.2))
+  }
+
+  /** Content fingerprint: md5 (cross-engine-stable hex). A rolling-hash
+    * variant lives in [[rollingFingerprint]] for locality-sensitive use.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Polynomial rolling hash over tokens (base 1000003, mod 2^61-1-ish via
+    * long wraparound): locality-sensitive to token order, built from
+    * `aggregate` so it stays an expression.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Per-language stopword vote scores; the language with the max vote (ties
+    * broken by list order) is the n-gram-heuristic language id.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de"),
+    "es" -> Seq("el", "la", "los", "y", "de"),
+    "zh" -> Seq("de", "le", "he", "shi", "zai"),
+  )
+
+  def langScore(text: Column, lang: String): Column =
+    stopwordCount(text, langStopwords.toMap.apply(lang))
+
+  /** Argmax language by stopword votes with deterministic tie-break (first
+    * in langStopwords order wins; 'und' default when all-zero).
+    */
+  def langId(text: Column): Column = {
+    val scored = langStopwords.map { case (l, sw) => (l, stopwordCount(text, sw)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Distinct token n-gram shingles per document, via lead() windows — ONE
+    * shuffle on the doc key rather than n-1 self-joins. Returns
+    * (idCol, shingle) rows.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    // materialize the window expressions before filtering — a raw
+    // window Column inside WHERE is illegal
+    toks
+      .withColumn("last_tok", parts.last)
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      .filter(col("last_tok").isNotNull)
+      .select(col(idCol), col("shingle"))
+      .distinct()
+  }
+}

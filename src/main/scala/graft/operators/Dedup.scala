@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * n-gram-Jaccard, MinHash+LSH, and SimHash near-dup.
+  *
+  * Scale design: exact dedup is a single hash-agg; Jaccard ground truth is
+  * quadratic in the candidate neighborhood (shingle-join prunes to docs
+  * sharing ≥1 shingle); MinHash LSH is the 100 TB path — signatures are a
+  * single shuffle, candidate pairs come from band buckets, and the exact
+  * Jaccard re-check runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum id per content fingerprint. One
+    * hash-aggregate; at scale, partial aggregation makes this map-side
+    * cheap when duplicates co-locate.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("fp"), col("n_copies"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all doc pairs sharing at least one
+    * shingle. Output columns: d1, d2 (d1 < d2), inter, n1, n2, jaccard.
+    * Integer set arithmetic with a final IEEE division — deterministic
+    * cross-engine.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minJaccard: Double): DataFrame = {
+    val sh = TextFunctions.shingles(df, idCol, textCol, n).cache()
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("d1"), col("shingle"))
+    val b = sh.select(col(idCol).as("d2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(cnt.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+  }
+
+  /** MinHash signature column: k independent permutation-min hashes of the
+    * document's shingle set, as `sig: array<bigint>` (one row per doc).
+    *
+    * Permutations are `(a_i * xxhash64(shingle) + b_i) mod p` with fixed
+    * odd multipliers derived deterministically from the index — stable
+    * across runs and partitionings. One groupBy(doc) shuffle total.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+    // 31-bit hash space: a*h+b stays under 2^63 (ANSI-safe, no overflow)
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+    def aCoef(i: Int): Long = 2L * (1103515245L * (i + 1) % (p / 4)) + 1L
+    def bCoef(i: Int): Long = 472882027L * (i + 7) % p
+    val sh = TextFunctions.shingles(df, idCol, textCol, shingleN)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val mins = (0 until numHashes).map { i =>
+      min(pmod(col("h") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: split each signature into `bands` bands of
+    * `numHashes/bands` rows, bucket docs by (band index, band hash), emit
+    * candidate pairs from same-bucket co-occurrence. Probability a pair
+    * with Jaccard s becomes a candidate: 1-(1-s^r)^b.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val banded = sigs
+      .select(col(idCol), posexplode(bandArray(col("sig"), bands)).as(Seq("band", "bandSig")))
+      .withColumn("bandHash", xxhash64(col("band"), col("bandSig").cast("string")))
+    val l = banded.select(col(idCol).as("d1"), col("band"), col("bandHash"))
+    val r = banded.select(col(idCol).as("d2"), col("band"), col("bandHash"))
+    l.join(r, Seq("band", "bandHash"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Split sig array into `bands` contiguous slices rendered as strings. */
+  private def bandArray(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * (size(sig) / lit(bands)) + 1, size(sig) / lit(bands))))
+
+  /** Full MinHash near-dup pipeline: signatures → banded candidates → exact
+    * Jaccard verification on candidates only. This is the 100 TB shape: the
+    * quadratic step touches only bucket collisions.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 64, bands: Int = 16,
+                          shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cand = minhashCandidates(sigs, idCol, bands)
+    val exactJ = ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard)
+    cand.join(exactJ, Seq("d1", "d2"))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token hashes: for each bit, sum ±1 across token
+    * occurrences (term-frequency weighted — set-based simhash collapses on
+    * small vocabularies where every doc contains every word) and take the
+    * sign. One shuffle on the doc key.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    toks.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on byte-bands (8 bands of 8 bits);
+    * two docs within Hamming distance 8 share ≥1 identical byte-band with
+    * high probability (pigeonhole guarantees it for distance ≤ 7).
+    * Candidates are then filtered by exact Hamming distance.
+    */
+  def simhashNearDupPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    val banded = sim.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band", "bandVal")))
+    val l = banded.select(col(idCol).as("d1"), col("simhash").as("s1"), col("band"), col("bandVal"))
+    val r = banded.select(col(idCol).as("d2"), col("simhash").as("s2"), col("band"), col("bandVal"))
+    l.join(r, Seq("band", "bandVal"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus partition-parallel feature extraction.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs — see [[MediaCodec.decode]]); everything Spark-side — schema,
+  * batch shape, partitioning, the mapPartitions contract — is real and
+  * tested. On a real cluster the stub body is replaced by the codec call
+  * with zero plan changes.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the multimodal schema). */
+  case class MediaRow(media_id: Long, modality: String, payload: Array[Byte],
+                      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features per media row. */
+  case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
+                           byte_mean: Double, byte_entropy: Double, frames_sampled: Int)
+
+  /** The codec seam. `decode` is the single stub: deterministic fake that
+    * "decodes" a payload into raw bytes (identity). Swap for a real codec
+    * (JPEG/PNG/PCM) in production — the seam is the only change point.
+    */
+  object MediaCodec {
+    /** STUB: real impl would decode JPEG/PNG/audio frames. Deterministic
+      * identity keeps the pipeline testable offline.
+      */
+    def decode(modality: String, payload: Array[Byte]): Array[Byte] = payload
+
+    /** STUB: frame sampling — real impl samples video frames at a stride;
+      * the fake derives a deterministic count from payload size.
+      */
+    def sampleFrames(modality: String, payload: Array[Byte], stride: Int): Int =
+      if (modality == "video") math.max(1, payload.length / math.max(1, stride)) else 1
+  }
+
+  /** Synthesize a media table from the documents corpus: payload = UTF-8
+    * bytes (deterministic), modality round-robins image/audio/video, with
+    * plausible metadata. This is the fixture generator for offline tests.
+    */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int").as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0).as("sample_rate"),
+    ).as[MediaRow]
+  }
+
+  /** Partition-parallel feature extraction — the Scala analogue of a
+    * pandas-batch UDF: one pass per partition, no driver collection, the
+    * decode stub invoked per row inside executors.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = MediaCodec.decode(r.modality, r.payload)
+        val n = decoded.length.toLong
+        val mean = if (n == 0) 0.0 else decoded.map(b => (b & 0xff).toDouble).sum / n
+        val hist = new Array[Long](256)
+        decoded.foreach(b => hist(b & 0xff) += 1)
+        val entropy = if (n == 0) 0.0 else hist.filter(_ > 0).map { c =>
+          val p = c.toDouble / n
+          -p * math.log(p) / math.log(2)
+        }.sum
+        MediaFeatures(r.media_id, r.modality, n, mean, entropy,
+          MediaCodec.sampleFrames(r.modality, decoded, 1024))
+      }
+    }
+  }
+
+  /** Resize plumbing stub: real impl reshapes decoded pixel buffers; the
+    * fake carries the metadata transform (dims change, payload untouched)
+    * so downstream schema logic is exercised.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map(r => if (r.modality == "image") r.copy(width = w, height = h) else r)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exactness baseline and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * All vector math uses `zip_with`/`aggregate` higher-order functions over
+  * the array column — no UDFs, single pass, codegen-compatible.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-fold — deterministic evaluation order; elements are
+    * widened to double BEFORE the multiply (float×float would round at
+    * float precision).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k for every vector against the corpus.
+    *
+    * Scale: O(n·m) — correct baseline and oracle for the LSH variant. For a
+    * big corpus the right physical shape is exactly this plan with the
+    * QUERY side small (broadcast), so Spark executes it as a broadcast
+    * nested-loop with no shuffle of the corpus; top-k folds into a
+    * window-rank per query.
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = broadcast(q).join(c, col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a value in [-1,1) derived from xxhash64 — stable across runs, no RNG
+    * state to ship.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+
+  /** Random-hyperplane signature: bit i = sign(v · plane_i). Returns
+    * `bucket` (long with `planes` bits). Cosine-similar vectors agree on
+    * most bits, so same-bucket collision probability grows with cosine.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { pIdx =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(pIdx, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << pIdx)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: signature → band buckets → exact cosine only within
+    * buckets → top-k. Multi-band (bandBits-sized slices of the signature)
+    * gives OR-amplification like MinHash LSH.
+    *
+    * Scale: replaces the O(n·m) scan with per-bucket joins; recall depends
+    * on the cosine concentration of the corpus (documented: near-uniform
+    * random vectors have weak LSH gain, planted near-dups are caught with
+    * high probability).
+    */
+  def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, planes: Int = 16, bandBits: Int = 4): DataFrame = {
+    require(planes % bandBits == 0)
+    val bands = planes / bandBits
+    // Bucket on ids only — the banded self-join never shuffles the vectors;
+    // they are joined back onto the (much smaller) candidate pair set.
+    val sig = corpus.select(col(idCol),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val banded = sig.select(col(idCol),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("bucket"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)).as(Seq("band", "bandVal")))
+    val cand = banded.select(col(idCol).as("query_id"), col("band"), col("bandVal"))
+      .join(banded.select(col(idCol).as("nbr_id"), col("band"), col("bandVal")),
+        Seq("band", "bandVal"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"))
+      .distinct()
+    val vecs = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"))
+    val scored = cand
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("vnorm").as("q_norm")), Seq("query_id"))
+      .join(vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+        col("vnorm").as("nbr_norm")), Seq("nbr_id"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal}
+import Tables._
+
+/** Training-data text pipeline queries over `documents` (BASELINE.json
+  * north star): stats/quality, language-ID, fingerprints, exact dedup,
+  * n-gram Jaccard near-dup, MinHash LSH, SimHash, multimodal metadata.
+  *
+  * Oracle-SQL-expressible ops carry oracles; the hash-seeded ops (MinHash,
+  * SimHash — xxhash64 has no DuckDB twin) are rows-only here and verified
+  * against brute-force ground truth in DedupSpec instead.
+  */
+object TextOps {
+
+  private val stopEn = Seq("the", "a", "of", "and", "to")
+
+  /** Token counting + quality scoring (all-builtin arithmetic). */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select(
+      $"doc_id",
+      $"lang",
+      length($"text").as("n_chars_obs"),
+      TextFunctions.tokenCount($"text").as("n_tokens"),
+      TextFunctions.uniqueTokenCount($"text").as("n_uniq"),
+      TextFunctions.stopwordCount($"text", stopEn).as("n_stop"),
+      TextFunctions.fingerprint($"text").as("fp"),
+    ).orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    """SELECT doc_id, lang,
+      | length(text) AS n_chars_obs,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      | len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to'))) AS n_stop,
+      | md5(text) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by stopword vote (deterministic argmax, ties by list
+    * order) — the SQL mirror encodes the same vote with CASE/greatest.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select(
+      $"doc_id",
+      $"lang".as("lang_true"),
+      TextFunctions.langScore($"text", "en").as("score_en"),
+      TextFunctions.langScore($"text", "de").as("score_de"),
+      TextFunctions.langId($"text").as("lang_pred"),
+    ).orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    // Mirror TextFunctions.langStopwords / langId: greatest + first-wins tie
+    def score(inList: String) =
+      s"len(list_filter(string_split(text,' '), x -> x IN $inList))"
+    val lists = TextFunctions.langStopwords.map { case (l, sw) =>
+      l -> sw.map(s => s"'$s'").mkString("(", ",", ")")
+    }
+    val scoreCols = lists.map { case (l, inList) => s"${score(inList)} AS score_$l" }.mkString(", ")
+    val best = lists.map { case (_, inList) => score(inList) }.mkString("greatest(", ", ", ")")
+    val pick = lists.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang_true, score_en, score_de,
+       | CASE $pick ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang AS lang_true, $scoreCols, $best AS best, text
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact dedup by content fingerprint (min-id representative). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exact(documents(spark, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact 3-gram Jaccard near-dup pairs (jaccard ≥ 0.5) — the ground truth
+    * that the MinHash path must recover. Integer set sizes + one IEEE
+    * division keep it oracle-stable.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", 3, 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |sh AS (SELECT DISTINCT doc_id, s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) i
+      |  FROM sh a JOIN sh b USING(s) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT d1, d2, i AS inter, c1.n AS n1, c2.n AS n2,
+      |       CAST(i AS DOUBLE)/(c1.n+c2.n-i) AS jaccard
+      |FROM inter JOIN cnt c1 ON d1=c1.doc_id JOIN cnt c2 ON d2=c2.doc_id
+      |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  /** MinHash LSH near-dup pipeline (rows-only: xxhash64 seeds have no
+    * DuckDB equivalent; DedupSpec asserts recall vs the exact pairs).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.minhashNearDupPairs(documents(spark, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, minJaccard = 0.5)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** SimHash near-dup (rows-only, same reason). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sim = Dedup.simhash(documents(spark, dir), "doc_id", "text")
+    // hamming ≤ 10: covers the planted near-dups (max observed 9) while
+    // cutting the word-soup noise floor that grows steeply from 11+
+    Dedup.simhashNearDupPairs(sim, "doc_id", maxHamming = 10)
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Multimodal metadata over binary payloads: byte length + content hash
+    * of the payload column — oracle-checkable binary plumbing; the full
+    * feature extraction (entropy etc.) is spec-tested in MultimodalSpec.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.syntheticMedia(spark, documents(spark, dir)).toDF()
+      .select(
+        $"media_id",
+        $"modality",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("payload_md5"),
+        $"width", $"height")
+      .orderBy($"media_id")
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id AS media_id,
+      | ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+      | octet_length(CAST(text AS BLOB)) AS n_bytes,
+      | md5(text) AS payload_md5,
+      | CAST(doc_id % 16 * 64 + 256 AS INTEGER) AS width,
+      | CAST(doc_id % 9 * 64 + 256 AS INTEGER) AS height
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_text_stats"      -> textStats,
+    "q27_lang_id"         -> langId,
+    "q28_dedup_exact"     -> dedupExact,
+    "q29_ngram_jaccard"   -> ngramJaccard,
+    "q30_minhash_pairs"   -> minhashPairs,
+    "q31_simhash_pairs"   -> simhashPairs,
+    "q32_multimodal_meta" -> multimodalMeta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q26_text_stats"      -> textStatsSql,
+    "q27_lang_id"         -> langIdSql,
+    "q28_dedup_exact"     -> dedupExactSql,
+    "q29_ngram_jaccard"   -> ngramJaccardSql,
+    "q32_multimodal_meta" -> multimodalMetaSql,
+  )
+}

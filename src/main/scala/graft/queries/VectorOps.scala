@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import Tables._
+
+/** Embedding / similarity-search queries over `embeddings` (64-dim float
+  * vectors). Vector norms are oracle-checked via exact-decimal sums of
+  * squares (order-independent, unlike float folds); the cosine top-k and
+  * LSH paths are rows-only (verified against driver-side brute force in
+  * SimilaritySpec).
+  */
+object VectorOps {
+
+  /** Per-vector stats with exact-decimal sum of squares: cross-engine
+    * deterministic because decimal addition commutes (a double fold would
+    * depend on summation order).
+    */
+  def vecStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    // exact-decimal sum of squares via explode + decimal SUM (order-
+    // independent; a double fold would depend on summation order, and a
+    // decimal fold can't reach a type fixpoint under Spark's precision
+    // promotion rules)
+    val sq = emb
+      .select($"vec_id", explode($"embedding").as("x"))
+      .groupBy($"vec_id")
+      // exact decimal sum, then round through int64-backed decimal(18,9):
+      // DECIMAL(38,*)→DOUBLE conversion differs across engines in the last
+      // ulp (int128 path), DECIMAL(18,9)→DOUBLE is a single correctly-
+      // rounded int64/1e9 division in both
+      .agg(sum(($"x".cast("double") * $"x".cast("double")).cast("decimal(38,15)"))
+        .cast("decimal(18,9)").cast("double").as("sumsq"))
+    emb.select(
+        $"vec_id",
+        $"label",
+        size($"embedding").cast("long").as("dim"),
+        element_at($"embedding", 1).cast("double").as("first_dim"))
+      .join(sq, Seq("vec_id"))
+      .select($"vec_id", $"label", $"dim", $"sumsq", $"first_dim")
+      .orderBy($"vec_id")
+  }
+
+  val vecStatsSql: String =
+    """SELECT vec_id, label,
+      | len(embedding) AS dim,
+      | CAST(CAST(ROUND(list_sum(list_transform(embedding,
+      |   x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,15)))), 9) AS DECIMAL(18,9)) AS DOUBLE) AS sumsq,
+      | CAST(embedding[1] AS DOUBLE) AS first_dim
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** Brute-force exact cosine top-5 for a 1-in-50 query subset against the
+    * full corpus — the ANN baseline. Broadcast-nested-loop: the corpus
+    * never shuffles.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** LSH-bucketed ANN over the whole corpus (16 hyperplanes, 8-bit bands).
+    * Rows-only: recall properties are spec-tested; on the near-uniform
+    * synthetic vectors LSH candidates are sparse by design.
+    */
+  def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.lshCosineTopK(embeddings(spark, dir), "vec_id", "embedding",
+        k = 5, planes = 16, bandBits = 8)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_vec_stats"   -> vecStats,
+    "q34_cosine_topk" -> cosineTopK,
+    "q35_cosine_lsh"  -> cosineLsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_vec_stats" -> vecStatsSql,
+  )
+}

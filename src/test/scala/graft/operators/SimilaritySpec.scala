@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  /** Driver-side brute-force cosine — independent reference implementation. */
+  private def refTopK(vecs: Map[Long, Array[Float]], qid: Long, k: Int): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(qid)
+    vecs.toSeq.filter(_._1 != qid)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+  }
+
+  test("cosineTopK matches driver-side brute force for every query") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val got = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rk")
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, nbrs) =>
+      assert(nbrs == refTopK(vecs, qid, 5), s"query $qid")
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(1)
+    val self = one.select(Similarity.cosine($"embedding", $"embedding").as("c")).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-9)
+  }
+
+  test("LSH top-k returns only true-cosine-ranked subsets (precision vs brute force)") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val lsh = Similarity.lshCosineTopK(emb, "vec_id", "embedding", k = 5, planes = 16, bandBits = 8)
+      .select("query_id", "nbr_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // every reported cosine must equal the true cosine (re-ranking is exact)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    lsh.take(200).foreach { case (q, n, c) =>
+      assert(math.abs(c - cos(vecs(q), vecs(n))) < 1e-9)
+    }
+  }
+
+  test("LSH bucketing is deterministic across partitionings") {
+    val a = Similarity.lshCosineTopK(emb, "vec_id", "embedding", 5, 16, 8)
+      .orderBy("query_id", "rk").collect()
+    val b = Similarity.lshCosineTopK(emb.repartition(7), "vec_id", "embedding", 5, 16, 8)
+      .orderBy("query_id", "rk").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}

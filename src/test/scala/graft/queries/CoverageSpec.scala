@@ -17,7 +17,10 @@ class CoverageSpec extends SparkSuite {
     "q16_global_numbering", "q17_distinct_pairs", "q18_first_per_group",
     "q19_minmax_avg", "q20_conditional_agg", "q21_distinct_values",
     "q22_json_extract", "q23_explode_tokens", "q24_array_ops",
-    "q25_upsert_merge")
+    "q25_upsert_merge", "q26_text_stats", "q27_lang_id", "q28_dedup_exact",
+    "q29_ngram_jaccard", "q30_minhash_pairs", "q31_simhash_pairs",
+    "q32_multimodal_meta", "q33_vec_stats", "q34_cosine_topk",
+    "q35_cosine_lsh")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
