@@ -1,0 +1,128 @@
+package graft.ingest
+
+import scala.annotation.tailrec
+
+/** Paginated/retrying Shopify REST client (S1/S2 —
+  * `/root/reference/shopify.py:96-203`) with an injectable [[Transport]]
+  * so the offline environment runs against fixtures (SURVEY §7.4 risk 8).
+  *
+  * Reference constants reproduced: 10 retries, 4 s base wait, ×1.5 backoff
+  * (`shopify.py:9-11`); page limit 250; `status=any` unless disabled
+  * (`shopify.py:131-141`).
+  *
+  * Fixed reference bug (documented): `fetch_single` hardcodes the store
+  * URL (`shopify.py:175-177`) — here every request uses the configured
+  * base URL.
+  */
+object ShopifyClient {
+
+  final case class HttpResponse(status: Int, reason: String,
+                                headers: Map[String, String], body: String)
+
+  /** The seam between the client and the network. Implementations must be
+    * Serializable so fan-outs can run inside executors (mapPartitions).
+    */
+  trait Transport extends Serializable {
+    def get(url: String, params: Map[String, String]): HttpResponse
+  }
+
+  /** Deterministic fixture transport: exact-match on (url, params-subset). */
+  final class FixtureTransport(fixtures: Map[String, String]) extends Transport {
+    def get(url: String, params: Map[String, String]): HttpResponse = {
+      val key = url + params.get("page_info").map("?page_info=" + _).getOrElse("")
+      fixtures.get(key) match {
+        case Some(body) => HttpResponse(200, "OK", linkHeaderFor(key), body)
+        case None       => HttpResponse(404, "Not Found", Map.empty, "{}")
+      }
+    }
+    private def linkHeaderFor(key: String): Map[String, String] =
+      fixtures.get(key + "::next") match {
+        case Some(next) => Map("Link" -> s"""<$next>; rel="next"""")
+        case None       => Map.empty
+      }
+  }
+
+  /** `pagination_links` (`shopify.py:96-109`): extract rel links from the
+    * `Link` header, then the `page_info` cursor of the `next` link.
+    */
+  def nextPageCursor(linkHeader: Option[String]): Option[String] = {
+    linkHeader.flatMap { h =>
+      val relRe = """<([^>]*)>;\s*rel="([a-z]+)"""".r
+      val next = relRe.findAllMatchIn(h).collectFirst {
+        case m if m.group(2) == "next" => m.group(1)
+      }
+      next.flatMap { url =>
+        """(?<=page_info=)[^&>]*""".r.findFirstIn(url)
+      }
+    }
+  }
+}
+
+final class ShopifyClient(
+    transport: ShopifyClient.Transport,
+    baseUrl: String,
+    retryLimit: Int = 10,
+    retryWaitMs: Long = 4000,
+    retryIncrease: Double = 1.5,
+    sleeper: Long => Unit = Thread.sleep,
+) extends Serializable {
+  import ShopifyClient._
+
+  /** `fetch_all` (`shopify.py:112-163`): GET with retry/backoff, returning
+    * (body, nextCursor).
+    */
+  def fetchPage(endpoint: String, fields: Seq[String], limit: Int = 250,
+                createdAtMin: Option[String] = None, createdAtMax: Option[String] = None,
+                filterOnStatus: Boolean = true,
+                pageInfo: Option[String] = None): (String, Option[String]) = {
+    // When paging with page_info, Shopify forbids most other params
+    val params: Map[String, String] = pageInfo match {
+      case Some(p) => Map("limit" -> limit.toString, "page_info" -> p)
+      case None =>
+        Map("limit" -> limit.toString, "fields" -> fields.mkString(",")) ++
+          (if (filterOnStatus) Map("status" -> "any") else Map.empty) ++
+          createdAtMin.map("created_at_min" -> _) ++
+          createdAtMax.map("created_at_max" -> _)
+    }
+    val resp = getWithRetry(s"$baseUrl$endpoint", params)
+    (resp.body, nextPageCursor(resp.headers.get("Link")))
+  }
+
+  /** Full page loop: bodies of every page, in order. */
+  def fetchAll(endpoint: String, fields: Seq[String], limit: Int = 250,
+               createdAtMin: Option[String] = None, createdAtMax: Option[String] = None,
+               filterOnStatus: Boolean = true): Seq[String] = {
+    @tailrec def loop(cursor: Option[String], acc: Vector[String]): Vector[String] = {
+      val (body, next) = fetchPage(endpoint, fields, limit, createdAtMin,
+        createdAtMax, filterOnStatus, cursor)
+      val acc2 = acc :+ body
+      next match {
+        case Some(_) => loop(next, acc2)
+        case None    => acc2
+      }
+    }
+    loop(None, Vector.empty)
+  }
+
+  /** `fetch_single` (`shopify.py:166-203`): per-order sub-resource. */
+  def fetchOrderResource(orderId: Long, resource: String, fields: Seq[String]): String =
+    getWithRetry(s"$baseUrl" + s"orders/$orderId/$resource.json",
+      Map("fields" -> fields.mkString(","))).body
+
+  private def getWithRetry(url: String, params: Map[String, String]): HttpResponse = {
+    var waitMs = retryWaitMs
+    var attempt = 0
+    while (true) {
+      val resp = transport.get(url, params)
+      if (resp.status == 200) return resp
+      attempt += 1
+      if (attempt >= retryLimit)
+        throw new RuntimeException(
+          s"$attempt unsuccessful requests from $url. " +
+            s"Error code ${resp.status}, reason: ${resp.reason}")
+      sleeper(waitMs)
+      waitMs = (waitMs * retryIncrease).toLong
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import graft.ingest.{IngestPipeline, ShopifyClient}
+import graft.io.InvoiceCsv
+import graft.queries.{InvoiceNumbers, InvoiceView}
+import graft.store.ShopifyStore
+import graft.verify.Checks
+
+/** SURVEY §5 golden end-to-end: fixture JSON → ingest (E1) → tables →
+  * tripletex_invoice → numbered invoices (E2) → verification checks → CSV
+  * round-trip — the reference's flagship pipeline with zero network.
+  */
+class GoldenE2ESpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val storeDir =
+    java.nio.file.Files.createTempDirectory("golden-store").toString
+
+  private lazy val store: ShopifyStore = {
+    val s = new ShopifyStore(spark, storeDir)
+    val client = new ShopifyClient(
+      new ShopifyClient.FixtureTransport(Fixtures.transportFixtures), Fixtures.base)
+    IngestPipeline.shopifyUpdate(spark, s, client,
+      createdAtMin = Some("2021-05-01"), createdAtMax = Some("2021-05-31"))
+    s
+  }
+
+  private lazy val view = InvoiceView.tripletexInvoice(store.invoiceTables).cache()
+
+  private lazy val numbered = InvoiceNumbers.replaceInvoiceGateway(
+    InvoiceNumbers.numberInvoices(view,
+      LocalDate.parse("2021-05-01"), LocalDate.parse("2021-05-31"), 100),
+    Map("vipps" -> "Vipps", "stripe" -> "Stripe")).cache()
+
+  test("ingest populates all tables with upserted rows") {
+    assert(store.read("customers").count() == 2) // both pages of the cursor loop
+    assert(store.read("orders").count() == 3)
+    assert(store.read("products").count() == 3)
+    assert(store.read("product_variants").count() == 3)
+    assert(store.read("line_item_products").count() == 4)
+    assert(store.read("shipping").count() == 3)
+    assert(store.read("transactions").count() == 7)
+    assert(store.read("refunds").count() == 1)
+    assert(store.read("line_item_product_refunds").count() == 1)
+    assert(store.read("discounts").count() == 0) // dead path stays empty
+  }
+
+  test("invoice view: 7 rows — dedup, shipping rank-1, refund, gift card") {
+    val rows = view.collect()
+    assert(rows.length == 7, view.select("ORDER NO", "ORDER LINE - PROD NO").collect().mkString("; "))
+    def byOrder(no: String) = rows.filter(_.getAs[String]("ORDER NO") == no)
+    // #1042: duplicate Sweater line items collapsed by union-distinct + ONE
+    // shipping row (W2 picked s.id 8000000001 → price 149)
+    val o1042 = byOrder("#1042")
+    assert(o1042.length == 2)
+    val ship1042 = o1042.filter(_.getAs[String]("ORDER LINE - PROD NO") == "SHIPPING")
+    assert(ship1042.length == 1)
+    assert(ship1042.head.getAs[java.math.BigDecimal]("ORDER LINE - UNIT PRICE")
+      .compareTo(new java.math.BigDecimal("149.00")) == 0)
+    // #1043: product + shipping; #1043-1: refund line
+    assert(byOrder("#1043").length == 2)
+    val refund = byOrder("#1043-1")
+    assert(refund.length == 1)
+    val r = refund.head
+    assert(r.getAs[String]("payment_tag") == "refund")
+    assert(r.getAs[java.math.BigDecimal]("PAID AMOUNT")
+      .compareTo(new java.math.BigDecimal("-798.00")) == 0)
+    assert(r.getAs[Int]("ORDER LINE - COUNT") == -2)
+    assert(r.getAs[String]("ORDER LINE - PROD NAME") == "T-shirt - L")
+    assert(r.getAs[java.math.BigDecimal]("ORDER LINE - UNIT PRICE")
+      .compareTo(new java.math.BigDecimal("399.00")) == 0)
+    assert(r.getAs[String]("ORDER LINE - DESCRIPTION") == "damaged item")
+    // #1044: Mug product line (no variant → bare title, 10% discount) + gift card
+    val o1044 = byOrder("#1044")
+    assert(o1044.length == 2)
+    val mug = o1044.filter(_.getAs[String]("ORDER LINE - PROD NO") == "MUG-1").head
+    assert(mug.getAs[String]("ORDER LINE - PROD NAME") == "Mug")
+    assert(mug.getAs[java.math.BigDecimal]("ORDER LINE - DISCOUNT")
+      .compareTo(new java.math.BigDecimal("10.00")) == 0)
+    val gift = o1044.filter(_.getAs[String]("ORDER LINE - PROD NO") == "GIFTCARD").head
+    assert(gift.getAs[String]("ORDER LINE - PROD NAME") == "Gift card")
+    assert(gift.getAs[java.math.BigDecimal]("ORDER LINE - UNIT PRICE")
+      .compareTo(new java.math.BigDecimal("-100.00")) == 0)
+    assert(gift.getAs[java.math.BigDecimal]("PAID AMOUNT")
+      .compareTo(new java.math.BigDecimal("99.00")) == 0)
+    // CUSTOMER NO = 9-digit tripletex id (F1)
+    assert(rows.forall(r0 => r0.getAs[Int]("CUSTOMER NO") == 1 || r0.getAs[Int]("CUSTOMER NO") == 2))
+  }
+
+  test("numbering: dense from start id, ordered by (ORDER NO, payment_tag)") {
+    val nums = numbered.select("ORDER NO", "INVOICE NO").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(nums == Map("#1042" -> 100L, "#1043" -> 101L, "#1043-1" -> 102L, "#1044" -> 103L))
+  }
+
+  test("gateway rename applied with identity fallback") {
+    val types = numbered.select("PAYMENT TYPE").distinct().as[String].collect().toSet
+    assert(types == Set("Vipps", "Stripe"))
+  }
+
+  test("verification checks reproduce the reference's findings") {
+    val findings = Checks.verifyInvoices(numbered, Some(Seq("Vipps", "Stripe")))
+    val byName = findings.map(f => f.check -> f).toMap
+    assert(!byName("refunds").passed)
+    assert(byName("refunds").warnings.head.contains("#1043-1"))
+    assert(!byName("gift_cards").passed)
+    assert(byName("gift_cards").warnings.head.contains("#1044"))
+    assert(byName("order_no").passed)     // 1042..1044 dense
+    assert(byName("invoice_no").passed)   // 100..103 dense
+    assert(byName("none_values").passed)
+    assert(byName("description_or_sku").passed)
+    assert(!byName("price").passed)       // #1044: paid 99 vs lines 79.10
+    assert(byName("price").warnings.exists(_.contains("#1044")))
+    assert(byName("unknown_gateway").passed)
+  }
+
+  test("CSV round-trip preserves the 17-column contract") {
+    val out = java.nio.file.Files.createTempDirectory("inv").toString + "/invoices.csv"
+    InvoiceCsv.write(numbered, out)
+    assert(new java.io.File(out).isFile)
+    val back = InvoiceCsv.read(spark, out)
+    assert(back.columns.toSeq == graft.model.Schemas.invoiceCsvColumns)
+    assert(back.count() == numbered.count())
+    // re-verify on the round-tripped frame (tripletex-verify path, S7)
+    val findings = Checks.verifyInvoices(back, Some(Seq("Vipps", "Stripe")))
+    assert(findings.map(_.check).toSet.size == 8)
+    assert(findings.find(_.check == "invoice_no").get.passed)
+  }
+
+  test("re-running the ingest is idempotent (upsert self-heals)") {
+    val before = store.read("transactions").orderBy("id").collect().toSeq
+    val client = new ShopifyClient(
+      new ShopifyClient.FixtureTransport(Fixtures.transportFixtures), Fixtures.base)
+    IngestPipeline.shopifyUpdate(spark, store, client,
+      createdAtMin = Some("2021-05-01"), createdAtMax = Some("2021-05-31"))
+    val after = store.read("transactions").orderBy("id").collect().toSeq
+    assert(before == after)
+    assert(store.read("orders").count() == 3)
+  }
+
+  test("customer map view (F1 id derivation)") {
+    val m = InvoiceView.tripletexCustomerMap(store.read("customers"))
+      .orderBy("shopify_id").collect()
+    assert(m.length == 2)
+    assert(m(0).getAs[Long]("shopify_id") == 9000000001L)
+    assert(m(0).getAs[Int]("tripletex_id") == 1) // right-9 of 9000000001 = 000000001
+    assert(m(0).getAs[String]("name") == "Ola Nordmann")
+  }
+}
