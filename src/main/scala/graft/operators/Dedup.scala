@@ -58,17 +58,22 @@ object Dedup {
     * across runs and partitionings. One groupBy(doc) shuffle total.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(
+      TextFunctions.shingles(df, idCol, textCol, shingleN), idCol, numHashes)
+
+  /** Signature computation over a pre-built (idCol, shingle) table. */
+  def minhashSignaturesFromShingles(sh: DataFrame, idCol: String,
+                                    numHashes: Int): DataFrame = {
     // 31-bit hash space: a*h+b stays under 2^63 (ANSI-safe, no overflow)
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     def aCoef(i: Int): Long = 2L * (1103515245L * (i + 1) % (p / 4)) + 1L
     def bCoef(i: Int): Long = 472882027L * (i + 7) % p
-    val sh = TextFunctions.shingles(df, idCol, textCol, shingleN)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+    val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
     val mins = (0 until numHashes).map { i =>
       min(pmod(col("h") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
     }
-    sh.groupBy(col(idCol))
+    hashed.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -95,18 +100,39 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat_ws(",", slice(sig, b * (size(sig) / lit(bands)) + 1, size(sig) / lit(bands))))
 
-  /** Full MinHash near-dup pipeline: signatures → banded candidates → exact
-    * Jaccard verification on candidates only. This is the 100 TB shape: the
-    * quadratic step touches only bucket collisions.
+  /** Exact Jaccard computed ONLY for the given candidate pairs: the pair
+    * set is broadcast against the shingle table, so the quadratic
+    * shingle-join never materializes — this is what makes LSH the scale
+    * path.
+    */
+  def jaccardOnPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col(idCol).as("d1"), col("shingle"))
+      .join(broadcast(pairs), Seq("d1"))
+      .join(sh.select(col(idCol).as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(cnt.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Full MinHash near-dup pipeline: shingles (computed once, cached) →
+    * signatures → banded candidates → exact Jaccard verification on
+    * candidates only. This is the 100 TB shape: the quadratic step touches
+    * only bucket collisions.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val sh = TextFunctions.shingles(df, idCol, textCol, shingleN).cache()
+    val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
     val cand = minhashCandidates(sigs, idCol, bands)
-    val exactJ = ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard)
-    cand.join(exactJ, Seq("d1", "d2"))
-      .select(col("d1"), col("d2"), col("jaccard"))
+    jaccardOnPairs(sh, idCol, cand)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** 64-bit SimHash over token hashes: for each bit, sum ±1 across token

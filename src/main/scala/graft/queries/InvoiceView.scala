@@ -230,17 +230,26 @@ object InvoiceView {
     * branches (load-bearing dedup), outer rank filter, money rounding,
     * final projection + sort. `priority` participates in the sort only.
     */
-  def tripletexInvoice(t: Tables): DataFrame = {
+  /** `sorted = false` skips the view's trailing ORDER BY
+    * (`setup.sql:392-393`) for consumers that immediately re-sort (the
+    * numbering pipeline): a global range sort below a persist() would be
+    * materialized, not optimized away.
+    */
+  def tripletexInvoice(t: Tables, sorted: Boolean = true): DataFrame = {
     val stp = successTransactionPayments(t.transactions)
-    val pl = productLines(t, stp)
-    val unioned = aligned(pl)
+    // product_lines feeds both the union and shipping_lines — persist so
+    // its join+window subtree is computed once per action
+    val pl = productLines(t, stp).persist()
+    val deduped = aligned(pl)
       .unionByName(aligned(refundLines(t)))
       .unionByName(aligned(shippingLines(t, pl)))
       .unionByName(aligned(giftCardLines(t, stp)))
       .distinct()
       .filter(col("rank") === 1)
-      .orderBy(col("INVOICE DATE").desc, col("order_id").asc,
+    val unioned =
+      if (sorted) deduped.orderBy(col("INVOICE DATE").desc, col("order_id").asc,
         col("CUSTOMER NAME").asc, col("priority").asc)
+      else deduped
     unioned.select(
       col("transaction_id"), col("order_id"), col("payment_tag"),
       col("CUSTOMER NO"), col("CUSTOMER NAME"), col("ORDER NO"),

@@ -20,7 +20,7 @@ class CoverageSpec extends SparkSuite {
     "q25_upsert_merge", "q26_text_stats", "q27_lang_id", "q28_dedup_exact",
     "q29_ngram_jaccard", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_multimodal_meta", "q33_vec_stats", "q34_cosine_topk",
-    "q35_cosine_lsh")
+    "q35_cosine_lsh", "q36_invoice_pipeline")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
