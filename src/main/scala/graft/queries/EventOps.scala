@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables._
+
+/** Event/time-series queries over `events` — the batch twins of the
+  * streaming operators (tumbling buckets) plus lead/lag-style session
+  * analysis, all oracle-checked.
+  */
+object EventOps {
+
+  /** Tumbling 5-minute event-time buckets (epoch-aligned integer division
+    * — identical bucketing to Structured Streaming's `window()`), grouped
+    * counts + exact-decimal value sums.
+    */
+  def timeBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .withColumn("bucket", expr("unix_micros(ts) div 300000000"))
+      .groupBy($"bucket", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast(MoneyDec)), 2).cast("double").as("total_value"))
+      .withColumn("window_start", timestamp_micros($"bucket" * 300000000L))
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  val timeBucketsSql: String =
+    """SELECT make_timestamp(bucket * 300000000) AS window_start, event_type,
+      | COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM (SELECT *, epoch_us(ts) // 300000000 AS bucket FROM events) t
+      |GROUP BY bucket, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Per-user event gaps via lag(): the session-boundary analysis that
+    * feeds gap-based sessionization (new session when gap > 30 min).
+    */
+  def sessionGaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("gap_sec",
+        when($"prev_ts".isNull, lit(null).cast("long"))
+          .otherwise(expr("unix_micros(ts) div 1000000") - expr("unix_micros(prev_ts) div 1000000")))
+      .withColumn("new_session", coalesce($"gap_sec" > 1800, lit(true)))
+      .select($"user_id", $"event_id", $"ts", $"gap_sec", $"new_session")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val sessionGapsSql: String =
+    """SELECT user_id, event_id, ts,
+      | CASE WHEN prev_ts IS NULL THEN NULL
+      |      ELSE epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 END AS gap_sec,
+      | COALESCE((CASE WHEN prev_ts IS NULL THEN NULL
+      |      ELSE epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 END) > 1800, TRUE) AS new_session
+      |FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events) t
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  /** Session counts per user: running session ids from the boundary flags
+    * (sum-over-window of new_session markers), rolled up.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull, 1)
+          .when(expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800L * 1000000, 1)
+          .otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  val sessionCountsSql: String =
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_ts IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events) t1) t2
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_time_buckets"   -> timeBuckets,
+    "q38_session_gaps"   -> sessionGaps,
+    "q39_session_counts" -> sessionCounts,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_time_buckets"   -> timeBucketsSql,
+    "q38_session_gaps"   -> sessionGapsSql,
+    "q39_session_counts" -> sessionCountsSql,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.store.TableStore
+
+/** Structured Streaming layer (SURVEY §2.10): the reference's incremental
+  * model is date-bounded refetch + idempotent upsert; this module is the
+  * capability superset — event-time windowed aggregation with watermarks,
+  * stateful sessionization, and a streaming upsert sink via foreachBatch,
+  * exercised against the driver's `events` table shape.
+  *
+  * Scale posture: watermark bounds state; windowed aggs shuffle on
+  * (window, key); `Trigger.AvailableNow` gives batch-incremental replays
+  * identical to the reference's refetch semantics.
+  */
+object EventStream {
+
+  /** Event row (events.parquet shape, ts normalized to micros). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class SessionSummary(user_id: Long, n_events: Int, first_ts: Long,
+                            last_ts: Long, total_value: Double)
+
+  /** Event-time tumbling-window counts with a watermark: the streaming
+    * twin of the q37 batch bucket aggregation.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMs` of user inactivity (event-time, driven by processing
+    * order within AvailableNow batches). Emits one summary per closed
+    * session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[Event]]) =>
+          val sortedNew = rows.toList.sortBy(_.ts.getTime)
+          val all = (state.getOption.getOrElse(Nil) ++ sortedNew).sortBy(_.ts.getTime)
+          // split into sessions on gaps
+          val sessions = all.foldLeft(List.empty[List[Event]]) {
+            case (Nil, e) => List(List(e))
+            case (cur :: done, e) if e.ts.getTime - cur.head.ts.getTime <= gapMs =>
+              (e :: cur) :: done
+            case (acc, e) => List(e) :: acc
+          }
+          sessions match {
+            case Nil => Iterator.empty
+            case open :: closed =>
+              state.update(open.reverse)
+              closed.reverse.map { s =>
+                val es = s.reverse
+                SessionSummary(userId, es.length, es.head.ts.getTime,
+                  es.last.ts.getTime, es.map(_.value).sum)
+              }.iterator
+          }
+      }
+  }
+
+  /** Streaming upsert sink: every micro-batch merges into the parquet
+    * table with the same partial-update semantics as the batch path — the
+    * reference's idempotent-upsert incrementality, as a stream.
+    */
+  def upsertSink(stream: DataFrame, targetPath: String, keys: Seq[String],
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try {
+          if (!TableStore.exists(spark, targetPath))
+            TableStore.atomicWrite(spark, materialized, targetPath)
+          else
+            TableStore.upsert(spark, targetPath, materialized, keys)
+        } finally materialized.unpersist()
+      }
+      .start()
+}
