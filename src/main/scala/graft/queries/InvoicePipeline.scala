@@ -198,7 +198,7 @@ object InvoicePipeline {
       |    AND t.gateway != 'gift_card'),
       |gift_card_lines AS (
       |  SELECT t.id AS transaction_id, o.id AS order_id, 'payment' AS payment_tag,
-      |    CAST(TRIM(RIGHT(LPAD(CAST(c.id AS VARCHAR),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
+      |    TRY_CAST(TRIM(RIGHT(RPAD(SUBSTRING(CAST(c.id AS VARCHAR),1,12),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
       |    c.name AS "CUSTOMER NAME", o.name AS "ORDER NO",
       |    stp.amount AS "PAID AMOUNT", 1 AS "ORDER LINE - COUNT",
       |    'Gift card' AS "ORDER LINE - PROD NAME",
@@ -216,7 +216,7 @@ object InvoicePipeline {
       |  WHERE t.gateway='gift_card' AND stp.transaction_rank=1),
       |product_lines AS (
       |  SELECT t.id AS transaction_id, o.id AS order_id, 'payment' AS payment_tag,
-      |    CAST(TRIM(RIGHT(LPAD(CAST(c.id AS VARCHAR),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
+      |    TRY_CAST(TRIM(RIGHT(RPAD(SUBSTRING(CAST(c.id AS VARCHAR),1,12),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
       |    c.name AS "CUSTOMER NAME", o.name AS "ORDER NO",
       |    t.amount AS "PAID AMOUNT", lip.quantity AS "ORDER LINE - COUNT",
       |    CASE
@@ -238,7 +238,7 @@ object InvoicePipeline {
       |  WHERE t.transaction_rank = 1),
       |refund_lines AS (
       |  SELECT t.id AS transaction_id, o.id AS order_id, 'refund' AS payment_tag,
-      |    CAST(TRIM(RIGHT(LPAD(CAST(c.id AS VARCHAR),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
+      |    TRY_CAST(TRIM(RIGHT(RPAD(SUBSTRING(CAST(c.id AS VARCHAR),1,12),12,' '),9)) AS INTEGER) AS "CUSTOMER NO",
       |    c.name AS "CUSTOMER NAME",
       |    COALESCE(o.name,'') || '-1' AS "ORDER NO",
       |    CAST(-COALESCE(lipr.refund_amount, t.amount) AS DECIMAL(38,9)) AS "PAID AMOUNT",

@@ -30,12 +30,19 @@ object InvoiceView {
                     lineItemProducts: DataFrame, shipping: DataFrame, refunds: DataFrame,
                     lineItemProductRefunds: DataFrame)
 
-  /** F1 (`setup.sql:220`): CAST(RIGHT(CAST(id AS CHAR(12)), 9) AS INT) —
-    * CHAR(12) right-pads with spaces; RIGHT(…,9) keeps them; the int cast
-    * trims. trim+cast matches for every real id (property-tested).
+  /** F1 (`setup.sql:220`): CAST(RIGHT(CAST(id AS CHAR(12)), 9) AS INT).
+    * PG CHAR(12) RIGHT-pads the decimal text with spaces (truncating past
+    * 12 chars), so RIGHT(…,9) keeps characters 4..12 — digits 4 onward,
+    * NOT the last nine digits. Property-tested against a driver-side PG
+    * model across magnitudes. Divergence: ids shorter than 4 digits make
+    * the slice blank — PG's int cast errors there; we yield null (no real
+    * Shopify id is that short).
     */
-  def tripletexId(id: Column): Column =
-    trim(substring(format_string("%12d", id), -9, 9)).cast("int")
+  def tripletexId(id: Column): Column = {
+    val char12 = rpad(substring(id.cast("string"), 1, 12), 12, " ")
+    val right9 = trim(substring(char12, -9, 9))
+    when(right9 === "", lit(null).cast("int")).otherwise(right9.cast("int"))
+  }
 
   /** PG `CONCAT`: null arguments are treated as empty strings. */
   private def pgConcat(cols: Column*): Column =
