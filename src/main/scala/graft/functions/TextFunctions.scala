@@ -16,11 +16,14 @@ object TextFunctions {
 
   /** BPE-ish subword-boundary token count: whitespace pieces plus intra-word
     * transitions (letter↔digit), approximating subword splits without a
-    * vocab. Uses only regexp built-ins.
+    * vocab. Two capture-group passes instead of lookarounds so the same
+    * regexes run under RE2 engines (DuckDB oracle parity).
     */
-  def bpeishTokenCount(text: Column): Column =
-    size(split(regexp_replace(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])", " "), "\\s+"))
-      .cast("long")
+  def bpeishTokenCount(text: Column): Column = {
+    val p1 = regexp_replace(text, "([a-zA-Z])([0-9])", "$1 $2")
+    val p2 = regexp_replace(p1, "([0-9])([a-zA-Z])", "$1 $2")
+    size(split(p2, " ")).cast("long")
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.SkewJoin
+import Tables._
+
+/** Scale-technique queries: salting for skew (oracle = the equivalent
+  * plain join — salting must be semantically invisible) and composite
+  * text-quality scoring.
+  */
+object ScaleOps {
+
+  /** Salted skewed join: lineitem (fact, skew on orderkey irrelevant — the
+    * salt spreads any hot key) ⋈ orders (dim) ×8 salt, aggregated back.
+    * The oracle is the UNsalted join: identical results prove the rewrite
+    * is semantics-preserving.
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount",
+      $"l_linenumber", $"l_partkey")
+    val o = orders(spark, dir).select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+    SkewJoin.saltedJoin(li, o, "l_orderkey", factor = 8,
+        saltSource = Seq("l_orderkey", "l_linenumber", "l_partkey"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT o_orderstatus,
+      | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+      | COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Composite quality scoring + BPE-ish token counting over documents —
+    * all-IEEE double arithmetic, exactly mirrored in SQL.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    documents(spark, dir).select(
+      $"doc_id",
+      TextFunctions.bpeishTokenCount($"text").as("bpeish_tokens"),
+      TextFunctions.punctCount($"text").as("n_punct"),
+      TextFunctions.qualityScore($"text", stop).as("quality"),
+    ).orderBy($"doc_id")
+  }
+
+  val textQualitySql: String = {
+    val toks = "string_split(text, ' ')"
+    val n = s"CAST(len($toks) AS DOUBLE)"
+    val uniq = s"CAST(len(list_distinct($toks)) AS DOUBLE)"
+    val sw = s"CAST(len(list_filter($toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)"
+    s"""SELECT doc_id,
+       | len(string_split(regexp_replace(regexp_replace(text, '([a-zA-Z])([0-9])', '\\1 \\2', 'g'), '([0-9])([a-zA-Z])', '\\1 \\2', 'g'), ' ')) AS bpeish_tokens,
+       | length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+       | least($n / 50.0, 1.0) * 0.4
+       |   + $uniq / greatest($n, 1.0) * 0.4
+       |   + least($sw / greatest($n, 1.0) * 10.0, 1.0) * 0.2 AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_salted_join"  -> saltedJoinAgg,
+    "q41_text_quality" -> textQuality,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_salted_join"  -> saltedJoinAggSql,
+    "q41_text_quality" -> textQualitySql,
+  )
+}
