@@ -101,4 +101,42 @@ object TableStore {
       atomicWrite(spark, merged, path)
     }
   }
+
+  /** Scale-path upsert over a partitioned layout: only the partitions
+    * present in the incoming batch are read, merged, and rewritten
+    * (dynamic partition overwrite); untouched partitions' files are never
+    * opened. This is the 100 TB shape of S5 — a date-bounded refetch
+    * touches a handful of date partitions out of thousands.
+    *
+    * Constraint (documented): `partitionCol` must be immutable under
+    * updates — a conflict row arriving with a DIFFERENT partition value
+    * than its stored copy would leave the stale copy in the old partition.
+    * The reference's natural partition column (`DATE(created_at)`) is
+    * immutable, satisfying this.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
+                        keys: Seq[String], partitionCol: String,
+                        updateColumns: Option[Seq[String]] = None): Unit = {
+    if (!exists(spark, path)) {
+      incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+    } else {
+      val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      val existingAffected = read(spark, path)
+        .filter(col(partitionCol).isin(parts.toSeq: _*))   // partition pruning
+        .select(incoming.columns.map(col).toSeq: _*)       // align field order
+      val merged = mergePlan(existingAffected, incoming, keys, updateColumns)
+      // Stage the merged partitions, then swap ONLY those partition dirs —
+      // untouched partitions are never read or rewritten.
+      val tmp = path + "__ptmp"
+      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+      val f = fs(spark, new Path(path))
+      f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
+        val target = new Path(path, st.getPath.getName)
+        if (f.exists(target)) f.delete(target, true)
+        if (!f.rename(st.getPath, target))
+          throw new java.io.IOException(s"partition swap failed for $target")
+      }
+      f.delete(new Path(tmp), true)
+    }
+  }
 }
