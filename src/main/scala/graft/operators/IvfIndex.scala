@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Similarity.{cosine, norm, dot}
+
+/** IVF-flat approximate nearest neighbor: a coarse quantizer partitions
+  * the corpus into K inverted lists; queries probe only the `nprobe`
+  * nearest lists and run exact cosine inside them.
+  *
+  * The coarse centroids are `k` deterministically-seeded corpus vectors
+  * (lowest ids), optionally refined by Lloyd iterations computed as
+  * grouped averages — fully DataFrame-native, no RNG, rerun-stable.
+  *
+  * Scale: assignment is a broadcast join against K centroids (no corpus
+  * shuffle beyond one groupBy); a probe touches nprobe/K of the corpus.
+  * Recall depends on how clustered the data is (same caveat as LSH,
+  * documented in SimilaritySpec).
+  */
+object IvfIndex {
+
+  /** Pick the K seed centroids: the lowest-id corpus vectors. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("centroid_id"))) - 1)
+
+  /** One Lloyd refinement: reassign + recompute means (element-wise
+    * grouped averages via posexplode/groupBy/collect-ordered).
+    */
+  def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val assigned = assign(corpus, idCol, vecCol, centroids)
+    val byDim = corpus.join(assigned, Seq(idCol))
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+    byDim
+      .groupBy(col("centroid_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dims"))
+      .select(col("centroid_id"),
+        transform(col("dims"), d => d.getField("m").cast("float")).as("centroid"))
+  }
+
+  /** Nearest-centroid assignment: broadcast the K centroids, rank by
+    * cosine with centroid_id tie-break.
+    */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("c").desc, col("centroid_id").asc)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c", cosine(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Full IVF search: build lists, probe the `nprobe` nearest lists per
+    * query, exact cosine + top-k within the probed subset.
+    */
+  def search(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, numCentroids: Int, nprobe: Int, lloydIters: Int = 1): DataFrame = {
+    var centroids = seedCentroids(corpus, idCol, vecCol, numCentroids)
+    (0 until lloydIters).foreach { _ =>
+      centroids = lloydStep(corpus, idCol, vecCol, centroids)
+    }
+    centroids = centroids.cache()
+    val lists = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+      .withColumn("nbr_norm", norm(col("nbr_vec")))
+      .join(assign(corpus, idCol, vecCol, centroids)
+        .select(col(idCol).as("nbr_id"), col("centroid_id")), Seq("nbr_id"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("centroid_id").asc)
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c", cosine(col("q_vec"), col("centroid")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = probes.join(lists, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+    val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
+    scored
+      .select(col("query_id"), col("nbr_id"), col("cos")).distinct()
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("nbr_id"), col("cos"))
+  }
+}
