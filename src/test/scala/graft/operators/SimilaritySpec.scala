@@ -58,6 +58,24 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("cosine near-dup pairs match driver-side brute force") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      c = cos(vecs(i), vecs(j)) if c >= 0.4
+    } yield (i, j)).toSet
+    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus contains at least one pair above 0.4")
+  }
+
   test("LSH bucketing is deterministic across partitionings") {
     val a = Similarity.lshCosineTopK(emb, "vec_id", "embedding", 5, 16, 8)
       .orderBy("query_id", "rk").collect()
