@@ -26,6 +26,41 @@ object ShopifyClient {
     def get(url: String, params: Map[String, String]): HttpResponse
   }
 
+  /** Production transport over java.net.http (JDK built-in, no extra
+    * dependency). Untestable in the zero-egress build environment —
+    * exercised only via its compile contract; the seam is identical to
+    * FixtureTransport's.
+    */
+  final class UrlTransport(apiKey: String, apiPass: String,
+                           timeoutMs: Long = 30000) extends Transport {
+    @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+    def get(url: String, params: Map[String, String]): HttpResponse = {
+      val qs = params.map { case (k, v) =>
+        java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&")
+      val sep = if (url.contains("?")) "&" else "?"
+      val full = if (qs.isEmpty) url else s"$url$sep$qs"
+      val auth = java.util.Base64.getEncoder.encodeToString(
+        s"$apiKey:$apiPass".getBytes("UTF-8"))
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(full))
+        .timeout(java.time.Duration.ofMillis(timeoutMs))
+        .header("Authorization", s"Basic $auth")
+        .GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val headers = resp.headers().map().entrySet().iterator()
+      val b = Map.newBuilder[String, String]
+      while (headers.hasNext) {
+        val e = headers.next()
+        if (!e.getValue.isEmpty) b += (e.getKey -> e.getValue.get(0))
+      }
+      // normalize the Link header casing (HTTP/2 lowercases field names)
+      val hm = b.result()
+      val withLink = hm.get("link").map(v => hm + ("Link" -> v)).getOrElse(hm)
+      HttpResponse(resp.statusCode(), "", withLink, resp.body())
+    }
+  }
+
   /** Deterministic fixture transport: exact-match on (url, params-subset). */
   final class FixtureTransport(fixtures: Map[String, String]) extends Transport {
     def get(url: String, params: Map[String, String]): HttpResponse = {

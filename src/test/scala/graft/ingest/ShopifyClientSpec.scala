@@ -1,0 +1,81 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import ShopifyClient._
+
+/** Unit coverage for the S1/S2 client semantics: Link-header cursor
+  * parsing, the 10×/4s/×1.5 retry policy, page-loop termination, and the
+  * page_info parameter switch. No Spark needed.
+  */
+class ShopifyClientSpec extends AnyFunSuite {
+
+  test("nextPageCursor parses the reference Link header shape") {
+    val h = """<https://x.myshopify.com/admin/api/2021-07/orders.json?page_info=abc123&limit=250>; rel="next", <https://x.myshopify.com/admin?page_info=zzz>; rel="previous""""
+    assert(nextPageCursor(Some(h)).contains("abc123"))
+    assert(nextPageCursor(Some("""<https://x/a?page_info=only>; rel="previous"""")).isEmpty)
+    assert(nextPageCursor(None).isEmpty)
+  }
+
+  /** Transport scripted to fail n times then succeed. */
+  private final class Flaky(failures: Int, body: String = "{}") extends Transport {
+    var calls = 0
+    def get(url: String, params: Map[String, String]): HttpResponse = {
+      calls += 1
+      if (calls <= failures) HttpResponse(429, "Too Many Requests", Map.empty, "")
+      else HttpResponse(200, "OK", Map.empty, body)
+    }
+  }
+
+  test("retry policy: backoff sequence 4s ×1.5, success after transient failures") {
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val t = new Flaky(3)
+    val c = new ShopifyClient(t, "https://base/", sleeper = waits.append(_))
+    val (body, next) = c.fetchPage("orders.json", Seq("id"))
+    assert(body == "{}" && next.isEmpty)
+    assert(t.calls == 4)
+    assert(waits.toSeq == Seq(4000L, 6000L, 9000L))
+  }
+
+  test("retry policy: gives up after the limit with the reference message") {
+    val t = new Flaky(100)
+    val c = new ShopifyClient(t, "https://base/", retryLimit = 3, sleeper = _ => ())
+    val e = intercept[RuntimeException](c.fetchPage("orders.json", Seq("id")))
+    assert(e.getMessage.contains("3 unsuccessful requests"))
+    assert(e.getMessage.contains("429"))
+  }
+
+  test("page loop follows cursors and passes page_info instead of filters") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse = {
+        seen += params
+        params.get("page_info") match {
+          case None =>
+            HttpResponse(200, "OK", Map("Link" -> """<https://x/o.json?page_info=p2>; rel="next""""), """{"orders":[1]}""")
+          case Some("p2") =>
+            HttpResponse(200, "OK", Map.empty, """{"orders":[2]}""")
+          case other => fail(s"unexpected cursor $other")
+        }
+      }
+    }
+    val c = new ShopifyClient(t, "https://base/")
+    val pages = c.fetchAll("orders.json", Seq("id", "name"),
+      createdAtMin = Some("2021-05-01"))
+    assert(pages == Seq("""{"orders":[1]}""", """{"orders":[2]}"""))
+    assert(seen(0).contains("fields") && seen(0).contains("created_at_min") &&
+      seen(0)("status") == "any")
+    // cursor page: only limit + page_info (Shopify rejects other params)
+    assert(seen(1).keySet == Set("limit", "page_info"))
+  }
+
+  test("fetchOrderResource hits the configured base url (reference bug fixed)") {
+    var urls = List.empty[String]
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse = {
+        urls ::= url; HttpResponse(200, "OK", Map.empty, """{"refunds":[]}""")
+      }
+    }
+    new ShopifyClient(t, "https://mystore.example/api/").fetchOrderResource(42L, "refunds", Seq("id"))
+    assert(urls.head == "https://mystore.example/api/orders/42/refunds.json")
+  }
+}
