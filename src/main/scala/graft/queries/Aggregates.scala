@@ -99,15 +99,69 @@ object Aggregates {
   val distinctValuesSql: String =
     "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
+  /** Hierarchical ROLLUP with grouping ids — beyond the reference's
+    * operator set (SURVEY §2.4 notes its absence); included for engine
+    * completeness. GROUPING() bit semantics match DuckDB's.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val rollupAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
+      | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** The SQL-text frontend: the engine's queries are equally expressible
+    * through `spark.sql` over registered views — identical semantics to
+    * the DataFrame build, same Catalyst plan.
+    */
+  def sqlApi(spark: SparkSession, dir: String): DataFrame = {
+    lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT o_orderpriority,
+        | COUNT(DISTINCT o_orderkey) AS n_orders,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS gross
+        |FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag <> 'R'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val sqlApiSql: String =
+    """SELECT o_orderpriority,
+      | COUNT(DISTINCT o_orderkey) AS n_orders,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS gross
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_returnflag <> 'R'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_distinct_pairs"  -> distinctPairs,
     "q18_first_per_group" -> firstPerGroup,
     "q19_minmax_avg"      -> minMaxAvg,
     "q20_conditional_agg" -> conditionalAgg,
     "q21_distinct_values" -> distinctValues,
+    "q44_rollup"          -> rollupAgg,
+    "q45_sql_api"         -> sqlApi,
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_rollup"          -> rollupAggSql,
+    "q45_sql_api"         -> sqlApiSql,
     "q17_distinct_pairs"  -> distinctPairsSql,
     "q18_first_per_group" -> firstPerGroupSql,
     "q19_minmax_avg"      -> minMaxAvgSql,
