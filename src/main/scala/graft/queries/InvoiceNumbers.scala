@@ -59,6 +59,44 @@ object InvoiceNumbers {
       .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
   }
 
+  /** Single-pass equivalent of [[numberInvoices]]: instead of building the
+    * grouped index and right-joining the view back onto it (which consumes
+    * the view twice — `db.py:459-469`'s literal shape), keep rows whose
+    * ("ORDER NO", payment_tag) pair has ≥1 in-range INVOICE DATE via a
+    * pair-partitioned window, and number with dense_rank over the same
+    * pair order — the identical result (spec-asserted) computed in ONE
+    * traversal. Preserves the join-based range semantics exactly: a pair
+    * whose dates straddle the range keeps ALL its rows, matching the right
+    * join.
+    *
+    * Scale note: the dense_rank's single-partition window runs over the
+    * line-level rows rather than the pair index — the right trade when
+    * recomputing/caching the whole view is the alternative. Both forms are
+    * exposed; callers pick per workload.
+    */
+  def numberInvoicesSinglePass(view: DataFrame, fromDate: LocalDate, toDate: LocalDate,
+                               invoiceStartId: Long): DataFrame = {
+    val pairW = Window.partitionBy(col("ORDER NO"), col("payment_tag"))
+    val anyInRange = max(
+      when(col("INVOICE DATE").between(lit(fromDate.toString).cast("date"),
+        lit(toDate.toString).cast("date")), 1).otherwise(0)).over(pairW)
+    view
+      .withColumn("__keep", anyInRange)
+      .filter(col("__keep") === 1)
+      .withColumn("INVOICE NO",
+        dense_rank().over(Window.orderBy(col("ORDER NO"), col("payment_tag")))
+          .cast("long") + lit(invoiceStartId) - 1)
+      .select(
+        col("transaction_id"), col("order_id"), col("CUSTOMER NO"), col("CUSTOMER NAME"),
+        col("ORDER NO"), col("PAID AMOUNT"), col("PAYMENT TYPE"),
+        col("ORDER LINE - COUNT"), col("ORDER LINE - PROD NAME"),
+        col("ORDER LINE - UNIT PRICE"), col("ORDER LINE - DISCOUNT"),
+        col("ORDER LINE - VAT CODE"), col("ORDER LINE - DESCRIPTION"),
+        col("ORDER LINE - PROD NO"), col("INVOICE DATE"), col("DELIVERY DATE"),
+        col("ORDER DATE"), col("DUE DATE"), col("INVOICE NO"))
+      .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
+  }
+
   /** F15 (`tripletex.py:194-201`): map-driven gateway rename with identity
     * fallback.
     */

@@ -113,11 +113,13 @@ object InvoicePipeline {
     * deterministic row order.
     */
   def invoicePipeline(spark: SparkSession, dir: String): DataFrame = {
-    // The numbering consumes the view twice (index + right join): persist
-    // so the 4-branch union/distinct pipeline is computed once. sorted=false:
-    // the numbering re-sorts, the view's ORDER BY would be dead weight.
-    val view = InvoiceView.tripletexInvoice(buildTables(spark, dir), sorted = false).persist()
-    val numbered = InvoiceNumbers.numberInvoices(view,
+    // sorted=false: the numbering re-sorts, the view's ORDER BY would be
+    // dead weight. Single-pass numbering consumes the view exactly once
+    // (equivalence to the join-based form is spec-asserted), so nothing
+    // needs caching: columnar cache construction for the wide view costs
+    // more than the whole computation (measured in tools.ProfileInvoice).
+    val view = InvoiceView.tripletexInvoice(buildTables(spark, dir), sorted = false)
+    val numbered = InvoiceNumbers.numberInvoicesSinglePass(view,
       LocalDate.parse("1996-01-01"), LocalDate.parse("1998-12-31"), 5000L)
     val money = Seq("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
     val out = money.foldLeft(numbered)((d, c) => d.withColumn(c, col(c).cast("double")))

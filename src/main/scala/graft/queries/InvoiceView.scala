@@ -243,9 +243,12 @@ object InvoiceView {
     * materialized, not optimized away.
     */
   def tripletexInvoice(t: Tables, sorted: Boolean = true): DataFrame = {
-    val stp = successTransactionPayments(t.transactions)
-    // product_lines feeds both the union and shipping_lines — persist so
-    // its join+window subtree is computed once per action
+    // stp feeds product_lines and gift_card_lines; product_lines feeds the
+    // union and shipping_lines — persisting both roughly halves the
+    // pipeline's cold time (measured in tools.ProfileInvoice). The final
+    // view is NOT persisted: its consumers traverse it once, and columnar
+    // cache construction for the wide result costs more than recomputing.
+    val stp = successTransactionPayments(t.transactions).persist()
     val pl = productLines(t, stp).persist()
     val deduped = aligned(pl)
       .unionByName(aligned(refundLines(t)))

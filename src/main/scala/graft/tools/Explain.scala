@@ -29,6 +29,7 @@ object Explain {
     println(s"=== $name plan ===")
     df.explain("formatted")
     (1 to runs).foreach { i =>
+      spark.catalog.clearCache() // cold-data timing: per-query persists must not carry over
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       println(f"run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")

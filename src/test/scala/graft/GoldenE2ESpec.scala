@@ -140,6 +140,25 @@ class GoldenE2ESpec extends SparkSuite {
     assert(store.read("orders").count() == 3)
   }
 
+  test("single-pass numbering is equivalent to the join-based form") {
+    import org.apache.spark.sql.functions.col
+    val joined = InvoiceNumbers.numberInvoices(view,
+      LocalDate.parse("2021-05-01"), LocalDate.parse("2021-05-31"), 100)
+    val single = InvoiceNumbers.numberInvoicesSinglePass(view,
+      LocalDate.parse("2021-05-01"), LocalDate.parse("2021-05-31"), 100)
+    assert(joined.columns.toSeq == single.columns.toSeq)
+    val key = joined.columns.map(col).toSeq
+    assert(joined.orderBy(key: _*).collect().toSeq ==
+      single.orderBy(key: _*).collect().toSeq)
+    // and on a range that splits a pair's dates: both keep the whole pair
+    val narrowJ = InvoiceNumbers.numberInvoices(view,
+      LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)
+    val narrowS = InvoiceNumbers.numberInvoicesSinglePass(view,
+      LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)
+    assert(narrowJ.orderBy(key: _*).collect().toSeq ==
+      narrowS.orderBy(key: _*).collect().toSeq)
+  }
+
   test("customer map view (F1 id derivation)") {
     val m = InvoiceView.tripletexCustomerMap(store.read("customers"))
       .orderBy("shopify_id").collect()
