@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import Similarity.{cosine, norm, dot}
+import Similarity.{ndot, nnorm, registerNative}
+
+import org.apache.spark.sql.Column
 
 /** IVF-flat approximate nearest neighbor: a coarse quantizer partitions
   * the corpus into K inverted lists; queries probe only the `nprobe`
@@ -19,6 +21,9 @@ import Similarity.{cosine, norm, dot}
   * documented in SimilaritySpec).
   */
 object IvfIndex {
+
+  private def ncos(a: Column, b: Column): Column =
+    ndot(a, b) / (nnorm(a) * nnorm(b))
 
   /** Pick the K seed centroids: the lowest-id corpus vectors. */
   def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
@@ -48,10 +53,11 @@ object IvfIndex {
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
+    registerNative(corpus.sparkSession)
     val w = Window.partitionBy(col(idCol)).orderBy(col("c").desc, col("centroid_id").asc)
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids))
-      .withColumn("c", cosine(col(vecCol), col("centroid")))
+      .withColumn("c", ncos(col(vecCol), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("centroid_id"))
@@ -62,26 +68,27 @@ object IvfIndex {
     */
   def search(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, numCentroids: Int, nprobe: Int, lloydIters: Int = 1): DataFrame = {
+    registerNative(corpus.sparkSession)
     var centroids = seedCentroids(corpus, idCol, vecCol, numCentroids)
     (0 until lloydIters).foreach { _ =>
       centroids = lloydStep(corpus, idCol, vecCol, centroids)
     }
     centroids = centroids.cache()
     val lists = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-      .withColumn("nbr_norm", norm(col("nbr_vec")))
+      .withColumn("nbr_norm", nnorm(col("nbr_vec")))
       .join(assign(corpus, idCol, vecCol, centroids)
         .select(col(idCol).as("nbr_id"), col("centroid_id")), Seq("nbr_id"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("centroid_id").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("c", cosine(col("q_vec"), col("centroid")))
+      .withColumn("c", ncos(col("q_vec"), col("centroid")))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("centroid_id"))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", nnorm(col("q_vec")))
     val scored = probes.join(lists, Seq("centroid_id"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+      .withColumn("cos", ndot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
     val rankW = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored
       .select(col("query_id"), col("nbr_id"), col("cos")).distinct()

@@ -25,6 +25,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // Native-expression kernel (graft.functions.expressions.DotProduct):
+  // same accumulation order as the HOF fold → bit-identical doubles, ~3×
+  // faster (codegen'd primitive loop). Requires registerNative(session).
+  def registerNative(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.expressions.DotProduct.register(spark)
+
+  def ndot(a: Column, b: Column): Column =
+    graft.functions.expressions.DotProduct.dot(a, b)
+
+  def nnorm(a: Column): Column = sqrt(ndot(a, a))
+
   /** Brute-force exact cosine top-k for every vector against the corpus.
     *
     * Scale: O(n·m) — correct baseline and oracle for the LSH variant. For a
@@ -35,12 +46,13 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    registerNative(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
-      .withColumn("nbr_norm", norm(col("nbr_vec")))
+      .withColumn("nbr_norm", nnorm(col("nbr_vec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", nnorm(col("q_vec")))
     val scored = broadcast(q).join(c, col("query_id") =!= col("nbr_id"))
-      .withColumn("cos", dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+      .withColumn("cos", ndot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -135,14 +147,15 @@ object Similarity {
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
       .distinct()
-    val vecs = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("vnorm"))
+    registerNative(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol), col(vecCol), nnorm(col(vecCol)).as("vnorm"))
     val scored = cand
       .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         col("vnorm").as("q_norm")), Seq("query_id"))
       .join(vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
         col("vnorm").as("nbr_norm")), Seq("nbr_id"))
       .withColumn("cos",
-        dot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
+        ndot(col("q_vec"), col("nbr_vec")) / (col("q_norm") * col("nbr_norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("nbr_id").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

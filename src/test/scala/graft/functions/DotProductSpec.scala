@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.queries.Tables
+import graft.functions.expressions.DotProduct
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = {
+    DotProduct.register(spark)
+    Tables.embeddings(spark, sf).cache()
+  }
+
+  test("native expression equals the HOF dot bit-for-bit") {
+    val both = emb.select(
+      DotProduct.dot($"embedding", $"embedding").as("native"),
+      Similarity.dot($"embedding", $"embedding").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("reachable from SQL text after registration") {
+    emb.createOrReplaceTempView("v_emb")
+    val n = spark.sql(
+      "SELECT graft_dot(embedding, embedding) AS d FROM v_emb WHERE vec_id = 0")
+      .head().getDouble(0)
+    val ref = emb.filter($"vec_id" === 0)
+      .select(Similarity.dot($"embedding", $"embedding")).head().getDouble(0)
+    assert(n == ref)
+  }
+
+  test("participates in whole-stage codegen (no CodegenFallback)") {
+    val plan = emb.select(DotProduct.dot($"embedding", $"embedding").as("d"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks a WholeStageCodegen stage; the projection
+    // containing graft_dot must carry it
+    assert(plan.linesIterator.exists(l => l.contains("graft_dot") && l.contains("*(")),
+      plan.take(500))
+  }
+
+  test("null arrays yield null") {
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val r = df.select(DotProduct.dot($"a", $"b")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("native kernel is faster than the HOF path on a widened workload") {
+    val wide = emb.crossJoin(emb.limit(200).select($"embedding".as("e2")))
+    def timed(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      wide.select(sum(c)).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timed(DotProduct.dot($"embedding", $"e2")) // warm both paths
+    timed(Similarity.dot($"embedding", $"e2"))
+    val native = timed(DotProduct.dot($"embedding", $"e2"))
+    val hof = timed(Similarity.dot($"embedding", $"e2"))
+    info(f"native $native%.2fs vs HOF $hof%.2fs on ${emb.count() * 200} dots")
+    assert(native <= hof * 1.5, "native kernel must not be slower than interpreted HOFs")
+  }
+}
