@@ -57,13 +57,17 @@ object Multimodal {
   }
 
   /** Partition-parallel feature extraction — the Scala analogue of a
-    * pandas-batch UDF: one pass per partition, no driver collection, the
-    * decode stub invoked per row inside executors.
+    * pandas-batch UDF (`mapInPandas`): rows are processed in fixed-size
+    * batches per partition (the Arrow-batch shape — a real codec would
+    * amortize model/decoder setup per batch), no driver collection, the
+    * decode stub invoked inside executors.
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.map { r =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup seam (codec/model init would live here)
+        batch.iterator.map { r =>
         val decoded = MediaCodec.decode(r.modality, r.payload)
         val n = decoded.length.toLong
         val mean = if (n == 0) 0.0 else decoded.map(b => (b & 0xff).toDouble).sum / n
@@ -75,6 +79,7 @@ object Multimodal {
         }.sum
         MediaFeatures(r.media_id, r.modality, n, mean, entropy,
           MediaCodec.sampleFrames(r.modality, decoded, 1024))
+        }
       }
     }
   }

@@ -24,18 +24,35 @@ object EventStream {
   case class SessionSummary(user_id: Long, n_events: Int, first_ts: Long,
                             last_ts: Long, total_value: Double)
 
-  /** Event-time tumbling-window counts with a watermark: the streaming
-    * twin of the q37 batch bucket aggregation.
+  /** Event-time windowed counts with a watermark: tumbling by default,
+    * sliding when `slide` differs from `windowLength` (each event lands in
+    * windowLength/slide windows). The tumbling form is the streaming twin
+    * of the q37 batch bucket aggregation.
     */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
-                     watermark: String = "10 minutes"): DataFrame =
+                     watermark: String = "10 minutes",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .groupBy(window(col("ts"), windowLength, slide.getOrElse(windowLength)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Built-in gap-based session windows (event-time): the declarative twin
+    * of [[sessionize]]'s explicit state machine.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("total_value"))
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * after `gapMs` of user inactivity (event-time, driven by processing

@@ -20,6 +20,9 @@ class MultimodalSpec extends SparkSuite {
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media.repartition(5)).orderBy("media_id").collect()
     assert(f1.toSeq == f2.toSeq)
+    // batch size is a pure chunking knob — results identical
+    val f3 = Multimodal.extractFeatures(media, batchSize = 7).orderBy("media_id").collect()
+    assert(f1.toSeq == f3.toSeq)
     assert(f1.forall(_.n_bytes > 0))
     // entropy of ASCII text payloads: bounded by log2(alphabet)
     assert(f1.forall(f => f.byte_entropy >= 0 && f.byte_entropy <= 8))

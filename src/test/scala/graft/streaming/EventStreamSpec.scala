@@ -35,6 +35,29 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sliding windows multiply coverage windowLength/slide times") {
+    val q = EventStream.windowedCounts(eventsStream, "10 minutes", "20 minutes",
+        slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("slide_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val slid = spark.table("slide_out")
+    val total = slid.agg(sum($"n")).head().getLong(0)
+    val nEvents = Tables.events(spark, sf).count()
+    assert(total == 2 * nEvents, "every event falls in exactly 2 sliding windows")
+  }
+
+  test("built-in session windows agree with the lag-based session counts (q39)") {
+    val q = EventStream.sessionWindowCounts(eventsStream, "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .groupBy($"user_id").agg(count($"session_start").as("n_sessions"))
+      .orderBy($"user_id").as[(Long, Long)].collect().toSeq
+    val batch = graft.queries.EventOps.sessionCounts(spark, sf)
+      .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("sessionize emits closed sessions with correct bounds") {
     val events = Seq(
       EventStream.Event(1, ts(0), 1, "click", 1.0, "{}"),
