@@ -57,11 +57,17 @@ object TableStore {
 
   /** Deterministic last-wins key-dedup for incoming batches: highest value
     * of `orderCol` per key survives (the reference's batches are
-    * append-ordered, so "last in batch" ≈ max ingest order).
+    * append-ordered, so "last in batch" ≈ max ingest order). The remaining
+    * columns join the ordering as tie-breaks so two DIFFERENT rows with
+    * the same key resolve deterministically even when `orderCol` ties
+    * (Postgres `execute_values` would have errored on that batch).
     */
   def dedupeByKey(incoming: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    val tiebreaks = incoming.columns.filterNot(c => keys.contains(c) || c == orderCol)
+      .map(c => col(c).desc_nulls_last).toSeq
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc +: tiebreaks: _*)
     incoming.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
