@@ -121,11 +121,12 @@ object Main {
     // Parse with Spark's bundled Jackson (already on the classpath)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(body)
-    val it = node.fields()
+    val names = node.fieldNames()
     val b = Map.newBuilder[String, String]
-    while (it.hasNext) {
-      val e = it.next()
-      b += (e.getKey -> (if (e.getValue.isTextual) e.getValue.asText else e.getValue.toString))
+    while (names.hasNext) {
+      val k = names.next()
+      val v = node.get(k)
+      b += (k -> (if (v.isTextual) v.asText else v.toString))
     }
     b.result()
   }
