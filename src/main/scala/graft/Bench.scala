@@ -16,12 +16,13 @@ object Bench {
     // generated code and JIT-warms the executor paths on DIFFERENT data,
     // then the cache is cleared so no results can leak into the timed runs.
     val warmDir = "/root/testdata/sf0.001"
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
     if (warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -30,7 +31,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

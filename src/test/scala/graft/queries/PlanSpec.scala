@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Plan-shape regression guards: the physical properties the 100 TB
+  * posture depends on must survive refactors — filter/column pushdown to
+  * the parquet scan, broadcast dimension joins, map-side partial
+  * aggregation, and whole-stage codegen participation.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // let AQE finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q02: date + status filters push down to the parquet scan") {
+    val plan = formatted(Relational.filterDates(spark, sf))
+    assert(plan.contains("PushedFilters"), plan.take(400))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), "date lower bound pushed")
+    assert(plan.contains("In(o_orderstatus"), "status IN pushed")
+  }
+
+  test("q02: scan schema pruned to the projected columns") {
+    val plan = formatted(Relational.filterDates(spark, sf))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("o_orderpriority"), s"unused column not pruned: $read")
+  }
+
+  test("q03: dimension joins are broadcast, aggregation is partial+final") {
+    val plan = executed(Relational.joinAgg(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no SMJ for broadcastable dims at this SF")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial + final hash agg")
+  }
+
+  test("q07: scalar kitchen stays inside whole-stage codegen") {
+    val plan = executed(Scalar.scalarKitchen(spark, sf))
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      "projection must be codegen'd")
+  }
+
+  test("q12: sort+limit plans as TakeOrderedAndProject (no full sort)") {
+    val plan = executed(Ranking.sortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("flagship: broadcasts present, no cartesian products") {
+    val df = InvoicePipeline.invoicePipeline(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"), "no unintended cross joins")
+    spark.catalog.clearCache()
+  }
+}
