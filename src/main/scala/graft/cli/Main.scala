@@ -32,7 +32,9 @@ object Main {
     while (rest.nonEmpty) {
       rest match {
         case "--gateway" +: v +: tail =>
-          val Array(f, t) = v.split("=", 2)
+          // the reference pairs with ':' (`shopifydb.py` arghandler);
+          // '=' accepted too
+          val Array(f, t) = v.split("[:=]", 2)
           gateways :+= (f -> t); rest = tail
         case k +: v +: tail if k.startsWith("--") =>
           flags += (k.stripPrefix("--") -> v); rest = tail

@@ -187,33 +187,37 @@ object Schemas {
 
   val byName: Map[String, TableMeta] = tables.map(t => t.name -> t).toMap
 
-  /** Invoice CSV contract: 17 columns in export order
-    * (`shopifydb.py:144`, `tripletex.py:6-27`).
+  /** Invoice CSV contract: 17 columns in the reference's export order —
+    * REQUIRED fields then OPTIONAL fields
+    * (`shopifydb.py:144` exports `INVOICE_REQUIRED_FIELDS +
+    * INVOICE_OPTIONAL_FIELDS`, lists at `tripletex.py:6-27`).
     */
   val invoiceCsvColumns: Seq[String] = Seq(
-    "CUSTOMER NO", "CUSTOMER NAME", "ORDER NO", "PAID AMOUNT",
-    "ORDER LINE - COUNT", "ORDER LINE - PROD NAME", "ORDER LINE - UNIT PRICE",
-    "ORDER LINE - DISCOUNT", "ORDER LINE - VAT CODE",
-    "ORDER LINE - DESCRIPTION", "ORDER LINE - PROD NO", "PAYMENT TYPE",
-    "INVOICE DATE", "DELIVERY DATE", "ORDER DATE", "DUE DATE", "INVOICE NO")
+    // required (tripletex.py:6-19)
+    "CUSTOMER NO", "ORDER NO", "PAID AMOUNT", "ORDER LINE - COUNT",
+    "ORDER LINE - UNIT PRICE", "ORDER LINE - VAT CODE", "PAYMENT TYPE",
+    "INVOICE DATE", "DELIVERY DATE", "ORDER DATE", "DUE DATE", "INVOICE NO",
+    // optional (tripletex.py:21-27)
+    "CUSTOMER NAME", "ORDER LINE - PROD NAME", "ORDER LINE - DISCOUNT",
+    "ORDER LINE - DESCRIPTION", "ORDER LINE - PROD NO")
 
   val invoiceCsv: StructType = StructType(Seq(
     StructField("CUSTOMER NO", IntegerType),
-    StructField("CUSTOMER NAME", StringType),
     StructField("ORDER NO", StringType),
     StructField("PAID AMOUNT", DecimalType(38, 2)),
     StructField("ORDER LINE - COUNT", IntegerType),
-    StructField("ORDER LINE - PROD NAME", StringType),
     StructField("ORDER LINE - UNIT PRICE", DecimalType(38, 2)),
-    StructField("ORDER LINE - DISCOUNT", DecimalType(38, 2)),
     StructField("ORDER LINE - VAT CODE", IntegerType),
-    StructField("ORDER LINE - DESCRIPTION", StringType),
-    StructField("ORDER LINE - PROD NO", StringType),
     StructField("PAYMENT TYPE", StringType),
     StructField("INVOICE DATE", DateType),
     StructField("DELIVERY DATE", DateType),
     StructField("ORDER DATE", DateType),
     StructField("DUE DATE", DateType),
     StructField("INVOICE NO", LongType),
+    StructField("CUSTOMER NAME", StringType),
+    StructField("ORDER LINE - PROD NAME", StringType),
+    StructField("ORDER LINE - DISCOUNT", DecimalType(38, 2)),
+    StructField("ORDER LINE - DESCRIPTION", StringType),
+    StructField("ORDER LINE - PROD NO", StringType),
   ))
 }
