@@ -129,6 +129,20 @@ class GoldenE2ESpec extends SparkSuite {
     assert(findings.find(_.check == "invoice_no").get.passed)
   }
 
+  test("CSV output matches the checked-in golden file") {
+    val out = java.nio.file.Files.createTempDirectory("golden-cmp").toString + "/inv.csv"
+    InvoiceCsv.write(numbered, out)
+    def lines(p: String) =
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))).asScala.toSeq
+    val got = lines(out)
+    val golden = lines("src/test/resources/golden_invoices.csv")
+    assert(got.head == golden.head, "header must match exactly")
+    // body compared as sorted multisets: within-invoice tie order is not
+    // part of the contract (the reference is nondeterministic there too)
+    assert(got.tail.sorted == golden.tail.sorted)
+  }
+
   test("re-running the ingest is idempotent (upsert self-heals)") {
     val before = store.read("transactions").orderBy("id").collect().toSeq
     val client = new ShopifyClient(
