@@ -20,7 +20,10 @@ class CoverageSpec extends SparkSuite {
     "q25_upsert_merge", "q26_text_stats", "q27_lang_id", "q28_dedup_exact",
     "q29_ngram_jaccard", "q30_minhash_pairs", "q31_simhash_pairs",
     "q32_multimodal_meta", "q33_vec_stats", "q34_cosine_topk",
-    "q35_cosine_lsh", "q36_invoice_pipeline")
+    "q35_cosine_lsh", "q36_invoice_pipeline", "q37_time_buckets",
+    "q38_session_gaps", "q39_session_counts", "q40_salted_join",
+    "q41_text_quality", "q42_cosine_ivf", "q43_embedding_neardup",
+    "q44_rollup", "q45_sql_api")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
