@@ -32,7 +32,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses the JSON line out of the run's output; sbt's logger
+    // may prefix stdout lines, so ALSO persist the result to a plain file
+    // (cwd and /tmp) where it can be read back verbatim.
+    println(json)
+    for (p <- Seq("bench_out.json", "/tmp/bench_out.json"))
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

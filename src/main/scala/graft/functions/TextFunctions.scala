@@ -58,13 +58,18 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(text)
 
-  /** Polynomial rolling hash over tokens (base 1000003, mod 2^61-1-ish via
-    * long wraparound): locality-sensitive to token order, built from
-    * `aggregate` so it stays an expression.
+  /** Polynomial rolling hash over tokens (base 1000003, explicitly reduced
+    * mod the Mersenne prime 2^31-1 each step): sensitive to token order,
+    * built from `aggregate` so it stays an expression. The explicit pmod
+    * keeps every intermediate below 2^52 — ANSI-mode safe (silent long
+    * wraparound would throw ARITHMETIC_OVERFLOW under Spark 4's default
+    * ANSI dialect).
     */
-  def rollingFingerprint(text: Column): Column =
+  def rollingFingerprint(text: Column): Column = {
+    val p = 2147483647L // 2^31 - 1
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
 
   /** Per-language stopword vote scores; the language with the max vote (ties
     * broken by list order) is the n-gram-heuristic language id.

@@ -31,6 +31,11 @@ object InvoiceCsv {
     if (fs.exists(target)) fs.delete(target, false)
     fs.rename(part, target)
     fs.delete(new Path(tmp), true)
+    // Drop the ChecksumFileSystem sidecar the rename carried along: a stale
+    // .<name>.crc breaks any later Hadoop-FS read of a hand-edited export
+    // (the format exists to be hand-edited, ChecksumException otherwise).
+    val crc = new Path(target.getParent, "." + target.getName + ".crc")
+    if (fs.exists(crc)) fs.delete(crc, false)
   }
 
   /** Schema-pinned read of a (possibly hand-edited) invoice CSV. */

@@ -176,7 +176,9 @@ object Schemas {
     TableMeta("discounts", discounts, Seq("id")),
     TableMeta("products", products, Seq("id")),
     TableMeta("product_variants", productVariants, Seq("id")),
-    TableMeta("line_item_products", lineItemProducts, Seq("id")),
+    TableMeta("line_item_products", lineItemProducts, Seq("id"),
+      // db.py:296-315 — ON CONFLICT SET omits `tax_title` (insert-only)
+      Some(lineItemProducts.fieldNames.toSeq.filterNot(Set("id", "tax_title")))),
     TableMeta("transactions", transactions, Seq("id"),
       // db.py:185-193 — `amount` is insert-only
       Some(transactions.fieldNames.toSeq.filterNot(Set("id", "amount")))),

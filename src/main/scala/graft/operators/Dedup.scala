@@ -64,18 +64,28 @@ object Dedup {
 
   /** Signature computation over a pre-built (idCol, shingle) table. */
   def minhashSignaturesFromShingles(sh: DataFrame, idCol: String,
-                                    numHashes: Int): DataFrame = {
+                                    numHashes: Int): DataFrame =
+    minhashSignaturesAndCounts(sh, idCol, numHashes).select(col(idCol), col("sig"))
+
+  /** One-pass per-doc aggregate over the shingle table: the shingle COUNT
+    * and all k permutation minima from a single groupBy — one shuffle where
+    * computing signatures and counts separately pays two passes over the
+    * (large) shingle table. Output: (idCol, n_sh, sig).
+    */
+  def minhashSignaturesAndCounts(sh: DataFrame, idCol: String,
+                                 numHashes: Int): DataFrame = {
     // 31-bit hash space: a*h+b stays under 2^63 (ANSI-safe, no overflow)
     val p = 2147483647L // 2^31 - 1 (Mersenne prime)
     def aCoef(i: Int): Long = 2L * (1103515245L * (i + 1) % (p / 4)) + 1L
     def bCoef(i: Int): Long = 472882027L * (i + 7) % p
     val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
-    val mins = (0 until numHashes).map { i =>
+    val aggs = count(lit(1)).as("n_sh") +: (0 until numHashes).map { i =>
       min(pmod(col("h") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
     }
     hashed.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), col("n_sh"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH banding: split each signature into `bands` bands of
@@ -100,15 +110,24 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat_ws(",", slice(sig, b * (size(sig) / lit(bands)) + 1, size(sig) / lit(bands))))
 
-  /** Exact Jaccard computed ONLY for the given candidate pairs: the pair
-    * set is broadcast against the shingle table, so the quadratic
-    * shingle-join never materializes — this is what makes LSH the scale
-    * path.
+  /** Exact Jaccard computed ONLY for the given candidate pairs. The pair
+    * set joins the shingle table with a PLAIN equi-join on d1: candidates
+    * are data-dependent and unbounded on a skewed corpus (one hot shingle
+    * bucket), so no broadcast hint — AQE size-gates any broadcast choice
+    * and the fallback is a well-distributed shuffle join. The quadratic
+    * shingle self-join never materializes — this is what makes LSH the
+    * scale path.
+    *
+    * `counts` is the per-doc shingle count (idCol, n_sh); pass the output
+    * of [[minhashSignaturesAndCounts]] to avoid an extra pass over `sh`.
     */
-  def jaccardOnPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+  def jaccardOnPairs(sh: DataFrame, idCol: String, pairs: DataFrame,
+                     counts: Option[DataFrame] = None): DataFrame = {
+    val cnt = counts.getOrElse(
+      sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
+      .select(col(idCol), col("n_sh"))
     val inter = sh.select(col(idCol).as("d1"), col("shingle"))
-      .join(broadcast(pairs), Seq("d1"))
+      .join(pairs, Seq("d1"))
       .join(sh.select(col(idCol).as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
@@ -121,17 +140,21 @@ object Dedup {
   }
 
   /** Full MinHash near-dup pipeline: shingles (computed once, cached) →
-    * signatures → banded candidates → exact Jaccard verification on
-    * candidates only. This is the 100 TB shape: the quadratic step touches
+    * one combined signatures+counts pass → banded candidates → exact
+    * Jaccard verification on candidates only. This is the 100 TB shape:
+    * one shuffle over the shingle table, and the quadratic step touches
     * only bucket collisions.
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     val sh = TextFunctions.shingles(df, idCol, textCol, shingleN).cache()
-    val sigs = minhashSignaturesFromShingles(sh, idCol, numHashes)
-    val cand = minhashCandidates(sigs, idCol, bands)
-    jaccardOnPairs(sh, idCol, cand)
+    // per-doc rows are tiny (65 longs/doc) — persisting decouples the
+    // candidate branch from the count branch without re-aggregating sh
+    val sc = minhashSignaturesAndCounts(sh, idCol, numHashes).persist()
+    val cand = minhashCandidates(sc.select(col(idCol), col("sig")), idCol, bands)
+    jaccardOnPairs(sh, idCol, cand,
+        counts = Some(sc.select(col(idCol), col("n_sh"))))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -59,23 +59,16 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("nbr_id"), col("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (the fifth dedup method of the
-    * training-data pipeline): all pairs with cosine ≥ threshold, plus the
-    * keep-min-id representative for each duplicate — brute force over the
-    * pair space (exact ground truth; swap the candidate generator for
-    * [[lshCosineTopK]] buckets or IvfIndex lists at scale).
+  /** Unit-normalize vectors once (linear pass) so any downstream pair
+    * kernel is a bare dot product. Typed primitive loop: the numeric
+    * kernels here are the documented mapPartitions-tier exception
+    * (guide: "(d) as a last resort") — interpreted HOF eval per element
+    * is ~10× slower than a JIT-compiled loop.
     */
-  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                         minCosine: Double): DataFrame = {
+  private def unitVectors(corpus: DataFrame, idCol: String, vecCol: String) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // The pair space is all-scan quadratic with a tight numeric kernel —
-    // expression trees (interpreted HOF eval per element) are ~10× slower
-    // here than a JIT-compiled primitive loop, so this is the documented
-    // mapPartitions-tier exception (guide: "(d) as a last resort").
-    // unit-normalize once per vector (linear pass) so the quadratic kernel
-    // is a bare dot product
-    val v = corpus.select(col(idCol).cast("long"), col(vecCol))
+    corpus.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, vec) =>
         var n = 0.0; var i = 0
@@ -86,6 +79,63 @@ object Similarity {
         while (i < vec.length) { u(i) = vec(i) * inv; i += 1 }
         (id, u)
       }
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup method of the
+    * training-data pipeline): ALL pairs with cosine ≥ threshold — exact,
+    * via a BLOCKED self-join.
+    *
+    * An exact all-pairs similarity join is Ω(n²) work no matter the plan;
+    * the scale question is the physical SHAPE of that work. Here vectors
+    * hash into `blocks` blocks and every unordered block pair (p ≤ q)
+    * becomes one equi-join key, so the pair space executes as
+    * B(B+1)/2 independent shuffle-join partitions: work spreads evenly
+    * across executors, per-task memory is bounded by 2n/B vectors,
+    * nothing is broadcast, no nested-loop/cartesian operator appears in
+    * the plan (PlanSpec-asserted), and replication is B× per side. Pick
+    * blocks ≈ √(cluster cores) upward until a block fits a task.
+    * (LSH/IVF candidate generation — [[lshCosineTopK]], IvfIndex — stays
+    * the approximate route for high thresholds where missing a pair is
+    * acceptable; at threshold 0.4 no hash family gives recall 1.)
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, blocks: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = blocks
+    val v = unitVectors(corpus, idCol, vecCol)
+      .map { case (id, u) => (id, u, (((id % b) + b) % b).toInt) }
+    // left role: block p joins into keys (p, q) for q ≥ p; right role:
+    // block q joins into keys (p, q) for p ≤ q — every unordered
+    // cross-block pair lands on exactly one key, the diagonal key holds
+    // the within-block pairs (filtered to d1 < d2 below).
+    val lhs = v.flatMap { case (id, u, blk) =>
+      (blk until b).map(q => (blk * b + q, id, u, blk)) }
+      .toDF("bk", "d1", "v1", "b1")
+    val rhs = v.flatMap { case (id, u, blk) =>
+      (0 to blk).map(p => (p * b + blk, id, u, blk)) }
+      .toDF("bk", "d2", "v2", "b2")
+    lhs.join(rhs, "bk")
+      .filter(col("b1") =!= col("b2") || col("d1") < col("d2"))
+      .select(col("d1"), col("v1"), col("d2"), col("v2"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .flatMap { case (d1, v1, d2, v2) =>
+        var d = 0.0; var i = 0
+        while (i < v1.length) { d += v1(i) * v2(i); i += 1 }
+        if (d >= minCosine) Some((math.min(d1, d2), math.max(d1, d2), d)) else None
+      }
+      .toDF("d1", "d2", "cos")
+  }
+
+  /** Single-task brute-force twin of [[cosineNearDupPairs]] (d1 < d2
+    * nested loop): the spec oracle the blocked join is verified against.
+    * Never the production path.
+    */
+  def cosineNearDupPairsBrute(corpus: DataFrame, idCol: String, vecCol: String,
+                              minCosine: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = unitVectors(corpus, idCol, vecCol)
     val a = v.toDF("d1", "v1")
     val b = v.toDF("d2", "v2")
     a.join(b, col("d1") < col("d2"))

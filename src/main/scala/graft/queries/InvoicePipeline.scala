@@ -319,11 +319,38 @@ object InvoicePipeline {
       |RIGHT JOIN ind ON ti."ORDER NO" = ind."ORDER NO" AND ti.payment_tag = ind.payment_tag
       |ORDER BY ALL NULLS FIRST""".stripMargin
 
+  /** q46: view tripletex_customer_map (`setup.sql:396-404`) over the
+    * derived customers table (phone/email synthesized deterministically
+    * from the key/name — the synthetic customer table has no contact
+    * columns — so all five output columns are exercised).
+    */
+  def customerMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = customer(spark, dir).select(
+      $"c_custkey".as("id"), $"c_name".as("name"),
+      concat(lit("+47-"),
+        lpad(($"c_custkey" * 7919 % 100000000).cast("string"), 8, "0")).as("phone"),
+      concat(regexp_replace(lower($"c_name"), "[^a-z0-9]", "."),
+        lit("@example.com")).as("email"))
+    InvoiceView.tripletexCustomerMap(c).orderBy($"shopify_id")
+  }
+
+  val customerMapSql: String =
+    """SELECT c_custkey AS shopify_id,
+      |  TRY_CAST(TRIM(RIGHT(RPAD(SUBSTRING(CAST(c_custkey AS VARCHAR),1,12),12,' '),9)) AS INTEGER) AS tripletex_id,
+      |  c_name AS name,
+      |  '+47-' || LPAD(CAST(c_custkey * 7919 % 100000000 AS VARCHAR), 8, '0') AS phone,
+      |  regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g') || '@example.com' AS email
+      |FROM customer
+      |ORDER BY shopify_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_invoice_pipeline" -> invoicePipeline,
+    "q46_customer_map"     -> customerMap,
   )
 
   val oracles: Map[String, String] = Map(
     "q36_invoice_pipeline" -> invoicePipelineSql,
+    "q46_customer_map"     -> customerMapSql,
   )
 }

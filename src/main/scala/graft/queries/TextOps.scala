@@ -201,6 +201,12 @@ object TextOps {
       |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
+  /** q31 is deliberately un-oracled: SimHash bit-sums are built from
+    * xxhash64 token hashes and xxhash64 has no DuckDB twin, so no SQL can
+    * reproduce the signatures. DedupSpec instead verifies q31's output
+    * against exact n-gram Jaccard (planted near-dups recovered, Hamming
+    * bound respected) and partitioning-determinism.
+    */
   val oracles: Map[String, String] = Map(
     "q26_text_stats"      -> textStatsSql,
     "q27_lang_id"         -> langIdSql,

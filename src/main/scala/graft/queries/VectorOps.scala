@@ -92,27 +92,92 @@ object VectorOps {
       .orderBy($"query_id", $"rk")
   }
 
-  /** IVF-flat ANN (rows-only; recall measured against brute force in
-    * IvfIndexSpec — 0.88 recall@5 with K=8, nprobe=4 on the synthetic
-    * corpus).
+  /** IVF-flat ANN (K=8, nprobe=4, one Lloyd iteration; recall also
+    * measured against brute force in IvfIndexSpec — 0.88 recall@5).
+    * Ids-only output: every IVF stage is hash-free (lowest-id seeds,
+    * grouped-average Lloyd, cosine-argmax assignment), so the whole
+    * index build + probe is mirrored in DuckDB SQL below.
     */
   def cosineIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = embeddings(spark, dir)
     graft.operators.IvfIndex.search(emb, emb.filter($"vec_id" % 50 === 0),
         "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 4)
+      .select($"query_id", $"rk", $"nbr_id")
       .orderBy($"query_id", $"rk")
   }
 
-  /** Embedding-cosine near-dup pairs (rows-only; threshold 0.4 — the
-    * synthetic corpus's max off-diagonal cosine is ~0.51, so the result is
-    * small but non-empty).
+  /** The full IVF pipeline in DuckDB: seeds → one Lloyd step (per-dim
+    * grouped averages, re-rounded through REAL like the Spark float
+    * centroids) → assignment → nprobe probing → exact cosine top-5.
+    */
+  val cosineIvfSql: String =
+    """WITH seeds AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+      |         embedding AS centroid
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) t),
+      |a0 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, s.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, s.centroid) DESC, s.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+      |cmeans AS (
+      |  SELECT centroid_id, dim, AVG(x) AS m FROM (
+      |    SELECT a0.centroid_id,
+      |      unnest(range(1, len(e.embedding)+1)) AS dim,
+      |      unnest(CAST(e.embedding AS DOUBLE[])) AS x
+      |    FROM embeddings e JOIN a0 USING (vec_id)) t
+      |  GROUP BY centroid_id, dim),
+      |c1 AS (
+      |  SELECT centroid_id, CAST(list(m ORDER BY dim) AS REAL[]) AS centroid
+      |  FROM cmeans GROUP BY centroid_id),
+      |a1 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, centroid_id FROM (
+      |    SELECT e.vec_id AS query_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id % 50 = 0) t WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, n.vec_id AS nbr_id,
+      |    list_cosine_similarity(q.embedding, n.embedding) AS cos
+      |  FROM probes p
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  JOIN a1 ON a1.centroid_id = p.centroid_id
+      |  JOIN embeddings n ON n.vec_id = a1.vec_id
+      |  WHERE n.vec_id <> p.query_id),
+      |r AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** Embedding-cosine near-dup pairs via the blocked exact self-join
+    * (threshold 0.4 — the synthetic corpus's max off-diagonal cosine is
+    * ~0.51, so the result is small but non-empty). Output is ids-only so
+    * the DuckDB oracle (list_cosine_similarity, the q34 trick) compares
+    * set membership, not float renderings; the cosine VALUES are asserted
+    * against a driver-side double reference in SimilaritySpec.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.cosineNearDupPairs(embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .select($"d1", $"d2")
       .orderBy($"d1", $"d2")
   }
+
+  val embeddingNearDupSql: String =
+    """SELECT a.vec_id AS d1, b.vec_id AS d2
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+      |ORDER BY d1, d2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_vec_stats"   -> vecStats,
@@ -122,8 +187,15 @@ object VectorOps {
     "q43_embedding_neardup" -> embeddingNearDup,
   )
 
+  /** q35 is deliberately un-oracled: its buckets come from xxhash64-derived
+    * hyperplanes, and xxhash64 has no DuckDB twin — no SQL can reproduce
+    * the candidate set. Its exactness properties (exact re-rank inside
+    * buckets, determinism) are spec-asserted in SimilaritySpec instead.
+    */
   val oracles: Map[String, String] = Map(
     "q33_vec_stats"   -> vecStatsSql,
     "q34_cosine_topk" -> cosineTopKSql,
+    "q42_cosine_ivf"  -> cosineIvfSql,
+    "q43_embedding_neardup" -> embeddingNearDupSql,
   )
 }

@@ -127,18 +127,26 @@ object Checks {
   }
 
   /** `tripletex.py:102-125`: per-order Σ(count×unit×(100−disc)/100) vs the
-    * order's PAID AMOUNT (A2 `first` — constant per order by construction,
-    * made deterministic with min_by on a stable key), flag >1% deviation.
+    * order's PAID AMOUNT (A2 `first`, made deterministic with min_by), flag
+    * >1% deviation. A null DISCOUNT propagates null through the product and
+    * `sum` skips it — exactly pandas' NaN-skipping sum, so null-discount
+    * lines contribute nothing to lineitems_total. min_by keys on a stable
+    * composite ending in PAID AMOUNT itself, so the selected VALUE is
+    * deterministic even when every other column ties (multi-line refunds
+    * carry per-line PAID AMOUNTs under one ORDER NO).
     */
   def price(df: DataFrame): Finding = {
     val lineTotal = col("ORDER LINE - COUNT") * col("ORDER LINE - UNIT PRICE") *
-      (lit(100) - coalesce(col("ORDER LINE - DISCOUNT"), lit(0))) / lit(100)
+      (lit(100) - col("ORDER LINE - DISCOUNT")) / lit(100)
     val grouped = df
       .withColumn("price_after_discount", lineTotal)
       .groupBy(col("ORDER NO"))
       .agg(
-        min_by(col("PAID AMOUNT"), col("INVOICE NO")).as("paid_amount"),
-        sum(col("price_after_discount")).as("lineitems_total"))
+        min_by(col("PAID AMOUNT"),
+          struct(col("INVOICE NO"), col("ORDER LINE - PROD NO"),
+            col("ORDER LINE - UNIT PRICE"), col("PAID AMOUNT"))).as("paid_amount"),
+        // pandas sum(skipna) of an all-NaN group is 0.0, Spark's is NULL
+        coalesce(sum(col("price_after_discount")), lit(0)).as("lineitems_total"))
       .withColumn("diff", abs(col("paid_amount") - col("lineitems_total")))
       .filter(col("diff") > abs(col("paid_amount")) * 0.01)
       .orderBy(col("ORDER NO"))

@@ -65,6 +65,11 @@ object Heatmap {
        |    ctx.fillStyle = g;
        |    ctx.beginPath(); ctx.arc(px(lon),py(lat),12,0,2*Math.PI); ctx.fill();
        |  }
+       |  // center-of-mass crosshair (utils.py:16's map center)
+       |  ctx.strokeStyle = 'rgba(255,255,255,0.8)';
+       |  const cx = px(center[1]), cy = py(center[0]);
+       |  ctx.beginPath(); ctx.moveTo(cx-8,cy); ctx.lineTo(cx+8,cy);
+       |  ctx.moveTo(cx,cy-8); ctx.lineTo(cx,cy+8); ctx.stroke();
        |}
        |</script></body></html>""".stripMargin
   }

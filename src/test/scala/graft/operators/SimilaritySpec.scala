@@ -76,6 +76,17 @@ class SimilaritySpec extends SparkSuite {
     assert(got.nonEmpty, "corpus contains at least one pair above 0.4")
   }
 
+  test("blocked near-dup join equals the single-task brute-force twin") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "cos").as[(Long, Long, Double)].collect().toSet
+    val blocked = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4))
+    val brute = pairs(Similarity.cosineNearDupPairsBrute(emb, "vec_id", "embedding", 0.4))
+    assert(blocked == brute, "block decomposition must not change the pair set")
+    // block count must not matter either (coverage of the diagonal keys)
+    val b3 = pairs(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4, blocks = 3))
+    assert(b3 == brute)
+  }
+
   test("LSH bucketing is deterministic across partitionings") {
     val a = Similarity.lshCosineTopK(emb, "vec_id", "embedding", 5, 16, 8)
       .orderBy("query_id", "rk").collect()

@@ -58,4 +58,12 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), "no unintended cross joins")
     spark.catalog.clearCache()
   }
+
+  test("q43: blocked near-dup join has no nested-loop/cartesian operator") {
+    val plan = executed(VectorOps.embeddingNearDup(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the O(n²) scan must not be the executed shape")
+    assert(!plan.contains("CartesianProduct"),
+      "the O(n²) scan must not be the executed shape")
+  }
 }
