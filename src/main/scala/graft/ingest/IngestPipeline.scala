@@ -72,15 +72,10 @@ object IngestPipeline {
     store.upsert("shipping", Normalize.shipping(orderPages))
     orderPages.unpersist()
 
-    // stage 4: re-read orders from the store, date-bounded (S4 — db.py:81-113)
-    val stored = store.read("orders")
-    val bounded = (createdAtMin, createdAtMax) match {
-      case (Some(lo), Some(hi)) => stored.filter(
-        to_date(col("created_at")).between(lit(lo).cast("date"), lit(hi).cast("date")))
-      case (Some(lo), None) => stored.filter(to_date(col("created_at")) >= lit(lo).cast("date"))
-      case (None, Some(hi)) => stored.filter(to_date(col("created_at")) <= lit(hi).cast("date"))
-      case _ => stored
-    }
+    // stage 4: re-read orders from the store, date-bounded (S4 —
+    // db.py:81-113). The store's partitioned layout turns the bounds into
+    // partition pruning: untouched day partitions are never opened.
+    val bounded = store.readBounded("orders", createdAtMin, createdAtMax)
 
     // stage 5: transactions fan-out — parallel inside executors
     val allIds = bounded.select(col("id")).as[Long]

@@ -162,9 +162,13 @@ object Schemas {
 
   /** Upsert key + partial update-column metadata per table (SURVEY §2.12;
     * `db.py:115-407`). `updateColumns = None` ⇒ all non-key columns.
+    * `dayPartitioned` ⇒ the store lays the table out partitioned by
+    * `to_date(created_at)` (SURVEY §4's scale layout: the date-bounded
+    * refetch and the S4 re-read prune to the touched day partitions).
     */
   final case class TableMeta(name: String, schema: StructType, keys: Seq[String],
-                             updateColumns: Option[Seq[String]] = None)
+                             updateColumns: Option[Seq[String]] = None,
+                             dayPartitioned: Boolean = false)
 
   val tables: Seq[TableMeta] = Seq(
     TableMeta("customers", customers, Seq("id"),
@@ -172,7 +176,8 @@ object Schemas {
       Some(customers.fieldNames.toSeq.filterNot(Set("id", "note")))),
     TableMeta("orders", orders, Seq("id"),
       // db.py:129-140 — financial_status & currency stay stale on conflict
-      Some(orders.fieldNames.toSeq.filterNot(Set("id", "financial_status", "currency")))),
+      Some(orders.fieldNames.toSeq.filterNot(Set("id", "financial_status", "currency"))),
+      dayPartitioned = true),
     TableMeta("discounts", discounts, Seq("id")),
     TableMeta("products", products, Seq("id")),
     TableMeta("product_variants", productVariants, Seq("id")),
@@ -181,9 +186,10 @@ object Schemas {
       Some(lineItemProducts.fieldNames.toSeq.filterNot(Set("id", "tax_title")))),
     TableMeta("transactions", transactions, Seq("id"),
       // db.py:185-193 — `amount` is insert-only
-      Some(transactions.fieldNames.toSeq.filterNot(Set("id", "amount")))),
+      Some(transactions.fieldNames.toSeq.filterNot(Set("id", "amount"))),
+      dayPartitioned = true),
     TableMeta("shipping", shipping, Seq("id")),
-    TableMeta("refunds", refunds, Seq("id")),
+    TableMeta("refunds", refunds, Seq("id"), dayPartitioned = true),
     TableMeta("line_item_product_refunds", lineItemProductRefunds, Seq("id")),
   )
 

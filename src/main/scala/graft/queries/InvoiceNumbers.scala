@@ -97,6 +97,49 @@ object InvoiceNumbers {
       .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
   }
 
+  /** Scale-safe form of the numbering: same result as [[numberInvoices]] /
+    * [[numberInvoicesSinglePass]] (spec-asserted), but no global window
+    * ever sees line-level rows and the view is traversed ONCE.
+    *
+    * Shape: one hash shuffle of the view on the pair key feeds (a) the
+    * pair-partitioned keep-flag window (join-based range semantics: a pair
+    * with ≥1 in-range date keeps ALL its rows) and (b) a partial+final
+    * count aggregate on the SAME keys — no second exchange, and the
+    * shuffle below both consumers is deduplicated by ReuseExchange, so the
+    * expensive view subtree executes once. The single-partition
+    * row_number then runs over the grouped PAIR INDEX (orders × tags —
+    * thousands of rows where the view has millions), and the numbered
+    * index broadcasts back onto the kept rows. At 1000 executors the only
+    * serialized data is the index, never the view.
+    */
+  def numberInvoicesTwoPhase(view: DataFrame, fromDate: LocalDate, toDate: LocalDate,
+                             invoiceStartId: Long): DataFrame = {
+    val pairW = Window.partitionBy(col("ORDER NO"), col("payment_tag"))
+    val anyInRange = max(
+      when(col("INVOICE DATE").between(lit(fromDate.toString).cast("date"),
+        lit(toDate.toString).cast("date")), 1).otherwise(0)).over(pairW)
+    val kept = view
+      .withColumn("__keep", anyInRange)
+      .filter(col("__keep") === 1)
+      .drop("__keep")
+    val ind = kept
+      .groupBy(col("ORDER NO"), col("payment_tag")).agg(count(lit(1)).as("__n")).drop("__n")
+      .withColumn("INVOICE NO",
+        row_number().over(Window.orderBy(col("ORDER NO"), col("payment_tag"))).cast("long") +
+          lit(invoiceStartId) - 1)
+    kept
+      .join(broadcast(ind), Seq("ORDER NO", "payment_tag"))
+      .select(
+        col("transaction_id"), col("order_id"), col("CUSTOMER NO"), col("CUSTOMER NAME"),
+        col("ORDER NO"), col("PAID AMOUNT"), col("PAYMENT TYPE"),
+        col("ORDER LINE - COUNT"), col("ORDER LINE - PROD NAME"),
+        col("ORDER LINE - UNIT PRICE"), col("ORDER LINE - DISCOUNT"),
+        col("ORDER LINE - VAT CODE"), col("ORDER LINE - DESCRIPTION"),
+        col("ORDER LINE - PROD NO"), col("INVOICE DATE"), col("DELIVERY DATE"),
+        col("ORDER DATE"), col("DUE DATE"), col("INVOICE NO"))
+      .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
+  }
+
   /** F15 (`tripletex.py:194-201`): map-driven gateway rename with identity
     * fallback.
     */

@@ -112,19 +112,31 @@ object InvoicePipeline {
   /** q36: full view + numbering, money rendered as double, fully
     * deterministic row order.
     */
+  /** Deterministic output order on a structural SUPERKEY of the result
+    * instead of all 19 columns: within one (INVOICE NO, transaction_id)
+    * every other output column is a function of (PROD NO, PROD NAME,
+    * UNIT PRICE, COUNT) after the union-distinct, so these six keys
+    * totally order the rows (verified distinct-count == row-count). Must
+    * stay textually in sync with the oracle's ORDER BY (NULLS FIRST —
+    * Spark's ascending default).
+    */
+  private val orderKeys = Seq("INVOICE NO", "transaction_id",
+    "ORDER LINE - PROD NO", "ORDER LINE - PROD NAME",
+    "ORDER LINE - UNIT PRICE", "ORDER LINE - COUNT")
+
   def invoicePipeline(spark: SparkSession, dir: String): DataFrame = {
     // sorted=false: the numbering re-sorts, the view's ORDER BY would be
-    // dead weight. Single-pass numbering consumes the view exactly once
-    // (equivalence to the join-based form is spec-asserted), so nothing
-    // needs caching: columnar cache construction for the wide view costs
-    // more than the whole computation (measured in tools.ProfileInvoice).
+    // dead weight. Two-phase numbering consumes the view exactly once
+    // (ReuseExchange below its two consumers; equivalence to the
+    // join-based form is spec-asserted) and never runs a global window
+    // over line-level rows.
     val view = InvoiceView.tripletexInvoice(buildTables(spark, dir), sorted = false)
-    val numbered = InvoiceNumbers.numberInvoicesSinglePass(view,
+    val numbered = InvoiceNumbers.numberInvoicesTwoPhase(view,
       LocalDate.parse("1996-01-01"), LocalDate.parse("1998-12-31"), 5000L)
     val money = Seq("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
     val out = money.foldLeft(numbered)((d, c) => d.withColumn(c, col(c).cast("double")))
       .withColumn("INVOICE NO", col("INVOICE NO").cast("long"))
-    out.orderBy(out.columns.map(col).toSeq: _*)
+    out.orderBy(orderKeys.map(col): _*)
   }
 
   /** DuckDB mirror: the same derivation CTEs + a faithful translation of
@@ -317,7 +329,9 @@ object InvoicePipeline {
       |  CAST(ind."INVOICE NO" AS BIGINT) AS "INVOICE NO"
       |FROM view_out ti
       |RIGHT JOIN ind ON ti."ORDER NO" = ind."ORDER NO" AND ti.payment_tag = ind.payment_tag
-      |ORDER BY ALL NULLS FIRST""".stripMargin
+      |ORDER BY "INVOICE NO" NULLS FIRST, ti.transaction_id NULLS FIRST,
+      |  ti."ORDER LINE - PROD NO" NULLS FIRST, ti."ORDER LINE - PROD NAME" NULLS FIRST,
+      |  ti."ORDER LINE - UNIT PRICE" NULLS FIRST, ti."ORDER LINE - COUNT" NULLS FIRST""".stripMargin
 
   /** q46: view tripletex_customer_map (`setup.sql:396-404`) over the
     * derived customers table (phone/email synthesized deterministically

@@ -227,7 +227,7 @@ object InvoiceView {
   /** Align a branch to the canonical 21-column shape with unified types
     * (PG's set-op type resolution made the branches union-compatible).
     */
-  private def aligned(df: DataFrame): DataFrame = {
+  private[graft] def aligned(df: DataFrame): DataFrame = {
     val money = Seq("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
     val typed = money.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("decimal(38,9)")))
     typed.select(branchCols.map(col): _*)
@@ -242,14 +242,17 @@ object InvoiceView {
     * numbering pipeline): a global range sort below a persist() would be
     * materialized, not optimized away.
     */
-  def tripletexInvoice(t: Tables, sorted: Boolean = true): DataFrame = {
+  def tripletexInvoice(t: Tables, sorted: Boolean = true,
+                       persist: Boolean = true): DataFrame = {
     // stp feeds product_lines and gift_card_lines; product_lines feeds the
     // union and shipping_lines — persisting both roughly halves the
     // pipeline's cold time (measured in tools.ProfileInvoice). The final
     // view is NOT persisted: its consumers traverse it once, and columnar
     // cache construction for the wide result costs more than recomputing.
-    val stp = successTransactionPayments(t.transactions).persist()
-    val pl = productLines(t, stp).persist()
+    val stp0 = successTransactionPayments(t.transactions)
+    val stp = if (persist) stp0.persist() else stp0
+    val pl0 = productLines(t, stp)
+    val pl = if (persist) pl0.persist() else pl0
     val deduped = aligned(pl)
       .unionByName(aligned(refundLines(t)))
       .unionByName(aligned(shippingLines(t, pl)))

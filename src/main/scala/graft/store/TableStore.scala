@@ -108,6 +108,23 @@ object TableStore {
     }
   }
 
+  /** Atomic overwrite in a partitioned layout: stage the partitionBy write
+    * to `<path>__tmp`, then swap the whole directory (used for one-time
+    * flat→partitioned migrations; steady-state upserts go through
+    * [[upsertPartitioned]] and swap only the touched partition dirs).
+    */
+  def atomicWritePartitioned(spark: SparkSession, df: DataFrame, path: String,
+                             partitionCol: String): Unit = {
+    val target = new Path(path)
+    val tmp = new Path(path + "__tmp")
+    val f = fs(spark, target)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    if (f.exists(target)) f.delete(target, true)
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"atomic swap failed for $path")
+  }
+
   /** Scale-path upsert over a partitioned layout: only the partitions
     * present in the incoming batch are read, merged, and rewritten
     * (dynamic partition overwrite); untouched partitions' files are never
@@ -127,8 +144,15 @@ object TableStore {
       incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
     } else {
       val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      // isin() is null-rejecting: a null partition value in the batch must
+      // still pull the stored null partition into the merge, or the swap
+      // below would replace it with incoming-only rows (data loss)
+      val nonNull = parts.filter(_ != null).toSeq
+      val touched =
+        if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+        else col(partitionCol).isin(nonNull: _*)
       val existingAffected = read(spark, path)
-        .filter(col(partitionCol).isin(parts.toSeq: _*))   // partition pruning
+        .filter(touched)                                   // partition pruning
         .select(incoming.columns.map(col).toSeq: _*)       // align field order
       val merged = mergePlan(existingAffected, incoming, keys, updateColumns)
       // Stage the merged partitions, then swap ONLY those partition dirs —

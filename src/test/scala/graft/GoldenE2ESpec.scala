@@ -47,6 +47,26 @@ class GoldenE2ESpec extends SparkSuite {
     assert(store.read("discounts").count() == 0) // dead path stays empty
   }
 
+  test("day-partitioned layout: orders on disk by __day, bounded read prunes") {
+    // physical layout: orders/transactions/refunds live under __day= dirs
+    for (t <- Seq("orders", "transactions", "refunds")) {
+      val dirs = new java.io.File(s"$storeDir/$t").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("__day=")),
+        s"$t layout: ${dirs.mkString(",")}")
+    }
+    // and the declared schema is unchanged for consumers
+    assert(!store.read("orders").columns.contains("__day"))
+    // the S4 bounded read prunes on the partition column, not a data filter
+    val bounded = store.readBounded("orders", Some("2021-05-01"), Some("2021-05-31"))
+    val scan = bounded.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("__day")),
+      s"partition filters: ${scan.partitionFilters}")
+    assert(bounded.count() == 3)
+  }
+
   test("invoice view: 7 rows — dedup, shipping rank-1, refund, gift card") {
     val rows = view.collect()
     assert(rows.length == 7, view.select("ORDER NO", "ORDER LINE - PROD NO").collect().mkString("; "))
@@ -164,13 +184,22 @@ class GoldenE2ESpec extends SparkSuite {
     val key = joined.columns.map(col).toSeq
     assert(joined.orderBy(key: _*).collect().toSeq ==
       single.orderBy(key: _*).collect().toSeq)
-    // and on a range that splits a pair's dates: both keep the whole pair
+    val twoPhase = InvoiceNumbers.numberInvoicesTwoPhase(view,
+      LocalDate.parse("2021-05-01"), LocalDate.parse("2021-05-31"), 100)
+    assert(twoPhase.columns.toSeq == joined.columns.toSeq)
+    assert(joined.orderBy(key: _*).collect().toSeq ==
+      twoPhase.orderBy(key: _*).collect().toSeq)
+    // and on a range that splits a pair's dates: all forms keep the whole pair
     val narrowJ = InvoiceNumbers.numberInvoices(view,
       LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)
     val narrowS = InvoiceNumbers.numberInvoicesSinglePass(view,
       LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)
+    val narrowT = InvoiceNumbers.numberInvoicesTwoPhase(view,
+      LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)
     assert(narrowJ.orderBy(key: _*).collect().toSeq ==
       narrowS.orderBy(key: _*).collect().toSeq)
+    assert(narrowJ.orderBy(key: _*).collect().toSeq ==
+      narrowT.orderBy(key: _*).collect().toSeq)
   }
 
   test("customer map view (F1 id derivation)") {

@@ -59,6 +59,33 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("flagship: no single-partition exchange ever carries the line-level view") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    // static plan (AQE off) so ShuffleExchange nodes are directly visible
+    // rather than hidden inside materialized query-stage leaves
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = InvoicePipeline.invoicePipeline(spark, sf)
+        .queryExecution.executedPlan
+      val singleExchanges = plan.collectWithSubqueries {
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singleExchanges.nonEmpty, "the pair-index numbering exchange exists")
+      // every SinglePartition exchange must sit ABOVE an aggregation (the
+      // pair index), i.e. its input subtree contains a grouped aggregate —
+      // the dense_rank-over-the-whole-view shape has none
+      singleExchanges.foreach { e =>
+        val hasAgg = e.child.collect {
+          case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => a }
+        assert(hasAgg.nonEmpty,
+          s"SinglePartition exchange over non-aggregated data:\n${e.child.treeString.take(2000)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.catalog.clearCache()
+  }
+
   test("q43: blocked near-dup join has no nested-loop/cartesian operator") {
     val plan = executed(VectorOps.embeddingNearDup(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
