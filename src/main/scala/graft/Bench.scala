@@ -12,10 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JIT/codegen warmup at the smallest SF: compiles each query's
-    // generated code and JIT-warms the executor paths on DIFFERENT data,
-    // then the cache is cleared so no results can leak into the timed runs.
-    val warmDir = "/root/testdata/sf0.001"
+    // JIT/codegen warmup on DIFFERENT (10× smaller) data, then the cache
+    // is cleared so no results can leak into the timed runs. sf0.01 rather
+    // than sf0.001: AQE join/codegen decisions at sf0.001 diverge from the
+    // timed SF's, leaving the real code paths JIT-cold — measured 2-3× on
+    // the flagship's first run (tools.ProfileQ).
+    val warmDir =
+      if (sfDir.endsWith("sf0.01")) "/root/testdata/sf0.001"
+      else "/root/testdata/sf0.01"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
     if (warmDir != sfDir)
       ordered.foreach { case (_, fn) =>

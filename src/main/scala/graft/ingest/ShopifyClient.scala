@@ -77,6 +77,18 @@ object ShopifyClient {
       }
   }
 
+  /** Mutable token-bucket state (guarded by its own monitor in acquire). */
+  private final class TokenBucket(capacity: Double) {
+    var tokens: Double = capacity // start full: first burst is immediate
+    var last: Long = Long.MinValue
+    def refill(now: Long, ratePerSec: Double): Unit = {
+      if (last == Long.MinValue) last = now
+      val elapsed = (now - last) / 1e9
+      tokens = math.min(capacity, tokens + elapsed * ratePerSec)
+      last = now
+    }
+  }
+
   /** `pagination_links` (`shopify.py:96-109`): extract rel links from the
     * `Link` header, then the `page_info` cursor of the `next` link.
     */
@@ -100,8 +112,34 @@ final class ShopifyClient(
     retryWaitMs: Long = 4000,
     retryIncrease: Double = 1.5,
     sleeper: Long => Unit = Thread.sleep,
+    maxRequestsPerSec: Double = 0.0,
+    nanoTime: () => Long = () => System.nanoTime(),
 ) extends Serializable {
   import ShopifyClient._
+
+  /** Token bucket honoring Shopify's REST leaky bucket (`shopify.py:9-11`
+    * context): burst capacity = one second's worth of tokens, refilled at
+    * `maxRequestsPerSec` (0 disables). The bucket is `@transient lazy`, so
+    * every deserialized client copy — one per mapPartitions task in the
+    * fan-outs — gets its OWN bucket: with P partitions, configure
+    * `maxRequestsPerSec = shopTotalRate / P`. `sleeper`/`nanoTime` are
+    * injectable as a consistent pair for fake-clock testing.
+    */
+  @transient private lazy val bucket = new ShopifyClient.TokenBucket(
+    math.max(1.0, maxRequestsPerSec))
+
+  private def acquire(): Unit = if (maxRequestsPerSec > 0) bucket.synchronized {
+    var acquired = false
+    while (!acquired) {
+      val now = nanoTime()
+      bucket.refill(now, maxRequestsPerSec)
+      if (bucket.tokens >= 1.0) { bucket.tokens -= 1.0; acquired = true }
+      else {
+        val needMs = math.ceil((1.0 - bucket.tokens) / maxRequestsPerSec * 1000).toLong
+        sleeper(needMs)
+      }
+    }
+  }
 
   /** `fetch_all` (`shopify.py:112-163`): GET with retry/backoff, returning
     * (body, nextCursor).
@@ -148,6 +186,7 @@ final class ShopifyClient(
     var waitMs = retryWaitMs
     var attempt = 0
     while (true) {
+      acquire() // rate limit covers first tries AND retries
       val resp = transport.get(url, params)
       if (resp.status == 200) return resp
       attempt += 1

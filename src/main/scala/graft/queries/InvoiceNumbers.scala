@@ -140,6 +140,40 @@ object InvoiceNumbers {
       .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
   }
 
+  /** The flagship's production form: the pair index is built from
+    * `pairDates` — a NARROW source of (ORDER NO, payment_tag,
+    * INVOICE DATE) rows with the same pair/date content as the view
+    * (InvoiceView.tripletexInvoicePairDates) — so the wide view is
+    * traversed exactly ONCE, by the final join. Identical output to
+    * [[numberInvoices]] (spec-asserted): the inner join reproduces the
+    * reference's RIGHT join because every index pair has ≥1 view row by
+    * construction. The only single-partition work is the row_number over
+    * the distinct pair index (orders × tags), and the numbered index
+    * broadcasts back onto the view.
+    */
+  def numberInvoicesIndexed(view: DataFrame, pairDates: DataFrame,
+                            fromDate: LocalDate, toDate: LocalDate,
+                            invoiceStartId: Long): DataFrame = {
+    val ind = pairDates
+      .filter(col("INVOICE DATE").between(lit(fromDate.toString).cast("date"),
+        lit(toDate.toString).cast("date")))
+      .select(col("ORDER NO"), col("payment_tag")).distinct()
+      .withColumn("INVOICE NO",
+        row_number().over(Window.orderBy(col("ORDER NO"), col("payment_tag"))).cast("long") +
+          lit(invoiceStartId) - 1)
+    view
+      .join(broadcast(ind), Seq("ORDER NO", "payment_tag"))
+      .select(
+        col("transaction_id"), col("order_id"), col("CUSTOMER NO"), col("CUSTOMER NAME"),
+        col("ORDER NO"), col("PAID AMOUNT"), col("PAYMENT TYPE"),
+        col("ORDER LINE - COUNT"), col("ORDER LINE - PROD NAME"),
+        col("ORDER LINE - UNIT PRICE"), col("ORDER LINE - DISCOUNT"),
+        col("ORDER LINE - VAT CODE"), col("ORDER LINE - DESCRIPTION"),
+        col("ORDER LINE - PROD NO"), col("INVOICE DATE"), col("DELIVERY DATE"),
+        col("ORDER DATE"), col("DUE DATE"), col("INVOICE NO"))
+      .orderBy(col("INVOICE NO"), col("CUSTOMER NAME"))
+  }
+
   /** F15 (`tripletex.py:194-201`): map-driven gateway rename with identity
     * fallback.
     */

@@ -126,12 +126,14 @@ object InvoicePipeline {
 
   def invoicePipeline(spark: SparkSession, dir: String): DataFrame = {
     // sorted=false: the numbering re-sorts, the view's ORDER BY would be
-    // dead weight. Two-phase numbering consumes the view exactly once
-    // (ReuseExchange below its two consumers; equivalence to the
-    // join-based form is spec-asserted) and never runs a global window
-    // over line-level rows.
-    val view = InvoiceView.tripletexInvoice(buildTables(spark, dir), sorted = false)
-    val numbered = InvoiceNumbers.numberInvoicesTwoPhase(view,
+    // dead weight. Indexed numbering traverses the wide view exactly once:
+    // the pair index comes from the narrow 3-column twin (pruned scans;
+    // stp/pl served from the view's persisted subplans), and no global
+    // window ever sees line-level rows (equivalence spec-asserted).
+    val tables = buildTables(spark, dir)
+    val view = InvoiceView.tripletexInvoice(tables, sorted = false)
+    val numbered = InvoiceNumbers.numberInvoicesIndexed(view,
+      InvoiceView.tripletexInvoicePairDates(tables),
       LocalDate.parse("1996-01-01"), LocalDate.parse("1998-12-31"), 5000L)
     val money = Seq("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
     val out = money.foldLeft(numbered)((d, c) => d.withColumn(c, col(c).cast("double")))

@@ -278,6 +278,27 @@ object InvoiceView {
       col("INVOICE DATE"), col("DELIVERY DATE"), col("ORDER DATE"), col("DUE DATE"))
   }
 
+  /** Narrow 3-column twin of the view for pair-index building: the branch
+    * union WITHOUT the trailing distinct. Safe because (a) the distinct
+    * dedups WHOLE rows, so it cannot change the set of
+    * (ORDER NO, payment_tag) pairs nor the set of INVOICE DATEs within a
+    * pair, and (b) the rank filter is vacuous (`rank` ≡ 1 in every
+    * branch, reproducing the reference's no-op). This gives the numbering
+    * a plan Catalyst prunes to 3 columns end-to-end — the wide
+    * union-distinct is never re-run for the index. The stp/product_lines
+    * subplans are canonically identical to the ones [[tripletexInvoice]]
+    * persists, so the cache serves both passes.
+    */
+  def tripletexInvoicePairDates(t: Tables): DataFrame = {
+    val stp = successTransactionPayments(t.transactions)
+    val pl = productLines(t, stp)
+    val cols = Seq("ORDER NO", "payment_tag", "INVOICE DATE").map(col)
+    pl.select(cols: _*)
+      .unionByName(refundLines(t).select(cols: _*))
+      .unionByName(shippingLines(t, pl).select(cols: _*))
+      .unionByName(giftCardLines(t, stp).select(cols: _*))
+  }
+
   /** View tripletex_customer_map (`setup.sql:396-404`). */
   def tripletexCustomerMap(customers: DataFrame): DataFrame =
     customers.select(

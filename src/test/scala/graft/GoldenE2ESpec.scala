@@ -189,6 +189,12 @@ class GoldenE2ESpec extends SparkSuite {
     assert(twoPhase.columns.toSeq == joined.columns.toSeq)
     assert(joined.orderBy(key: _*).collect().toSeq ==
       twoPhase.orderBy(key: _*).collect().toSeq)
+    val indexed = InvoiceNumbers.numberInvoicesIndexed(view,
+      InvoiceView.tripletexInvoicePairDates(store.invoiceTables),
+      LocalDate.parse("2021-05-01"), LocalDate.parse("2021-05-31"), 100)
+    assert(indexed.columns.toSeq == joined.columns.toSeq)
+    assert(joined.orderBy(key: _*).collect().toSeq ==
+      indexed.orderBy(key: _*).collect().toSeq)
     // and on a range that splits a pair's dates: all forms keep the whole pair
     val narrowJ = InvoiceNumbers.numberInvoices(view,
       LocalDate.parse("2021-05-04"), LocalDate.parse("2021-05-31"), 1)

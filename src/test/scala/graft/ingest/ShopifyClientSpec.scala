@@ -78,4 +78,38 @@ class ShopifyClientSpec extends AnyFunSuite {
     new ShopifyClient(t, "https://mystore.example/api/").fetchOrderResource(42L, "refunds", Seq("id"))
     assert(urls.head == "https://mystore.example/api/orders/42/refunds.json")
   }
+
+  test("token bucket: N calls sleep at least (N-1)/rate with a fake clock") {
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse =
+        HttpResponse(200, "OK", Map.empty, "{}")
+    }
+    var clockNs = 0L
+    var sleptMs = 0L
+    val rate = 2.0 // req/s → bucket capacity 2 (one second's burst)
+    val c = new ShopifyClient(t, "https://base/",
+      sleeper = ms => { sleptMs += ms; clockNs += ms * 1000000L },
+      maxRequestsPerSec = rate,
+      nanoTime = () => clockNs)
+    val n = 9
+    (1 to n).foreach(i => c.fetchOrderResource(i.toLong, "transactions", Seq("id")))
+    // capacity 2 burst is free; the remaining n-2 calls each wait 1/rate
+    val minMs = (((n - 2) / rate) * 1000).toLong
+    assert(sleptMs >= minMs, s"slept ${sleptMs}ms < ${minMs}ms")
+    // and not pathologically more than (n-1)/rate (bucket refills properly)
+    assert(sleptMs <= (((n - 1) / rate) * 1000).toLong + 1000)
+  }
+
+  test("token bucket disabled by default: no sleeps, no clock reads") {
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse =
+        HttpResponse(200, "OK", Map.empty, "{}")
+    }
+    var slept = false
+    val c = new ShopifyClient(t, "https://base/",
+      sleeper = _ => slept = true,
+      nanoTime = () => fail("clock must not be read when rate is unset"))
+    (1 to 5).foreach(i => c.fetchOrderResource(i.toLong, "transactions", Seq("id")))
+    assert(!slept)
+  }
 }

@@ -88,5 +88,26 @@ class EventStreamSpec extends SparkSuite {
     assert(n1 == Tables.events(spark, sf).count())
   }
 
+  test("streaming upsert replay equals the batch upsert row-for-row") {
+    val events = Tables.events(spark, sf)
+    // streaming: sink the stream, then replay it from a fresh checkpoint
+    val streamTarget = Files.createTempDirectory("stream-eq").toString + "/t"
+    for (_ <- 1 to 2) {
+      val cp = Files.createTempDirectory("cp-eq").toString
+      EventStream.upsertSink(eventsStream, streamTarget, Seq("event_id"), cp)
+        .awaitTermination()
+    }
+    // batch: the reference-style idempotent upsert of the same rows, twice
+    val batchTarget = Files.createTempDirectory("batch-eq").toString + "/t"
+    TableStore.upsert(spark, batchTarget, events, Seq("event_id"))
+    TableStore.upsert(spark, batchTarget, events, Seq("event_id"))
+    val cols = events.columns.map(col).toSeq
+    val a = TableStore.read(spark, streamTarget).select(cols: _*)
+      .orderBy($"event_id").collect().toSeq
+    val b = TableStore.read(spark, batchTarget).select(cols: _*)
+      .orderBy($"event_id").collect().toSeq
+    assert(a == b, "streamed replay state must equal the batch upsert state")
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
 }
