@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From near-duplicate PAIRS to deduplicated CORPORA: connected components
+  * over the pair graph, a keep-min-id representative per component, and
+  * the filtered corpus. Composes with any pair generator — exact n-gram
+  * Jaccard (oracle-able), MinHash/LSH, SimHash, or embedding-cosine pairs.
+  *
+  * Scale design: min-label propagation — per round, every vertex adopts
+  * the smallest label among itself and its neighbors; rounds = component
+  * diameter. Near-dup components are overwhelmingly tiny (pairs of
+  * re-posts, small mirror clusters), so 2-4 rounds converge; each round is
+  * one shuffle join on vertex id + one aggregate, all map-side-combinable.
+  * The driver only checks the per-round convergence COUNT (a scalar), and
+  * per-round results are persisted then unpersisted so lineage stays flat
+  * (no exponential recompute under lazy evaluation).
+  */
+object DedupGroups {
+
+  /** Connected components of the undirected pair graph restricted to
+    * `vertices`. Returns (idCol, rep) where rep is the component's minimum
+    * id; singleton vertices are their own rep.
+    *
+    * @param pairs     (d1, d2) edges, any orientation, duplicates fine
+    * @param maxRounds safety bound on propagation rounds (components wider
+    *                  than this would be left partially merged — throw
+    *                  instead so the caller learns the graph is pathological)
+    */
+  def connectedComponents(vertices: DataFrame, idCol: String,
+                          pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // undirected: keep each edge in both orientations
+    val e = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"component diameter exceeds $maxRounds propagation rounds")
+      // smallest neighbor label per vertex, then min with own label
+      val fromNbrs = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rep")).as("nbrRep"))
+      val next = labels.join(fromNbrs, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    e.unpersist()
+    labels.select(col("id").as(idCol), col("rep"))
+  }
+
+  /** The deduplicated corpus: keep one representative (minimum id) per
+    * component plus every untouched document — i.e. drop exactly the
+    * non-representative members of each near-dup group.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    val drop = comps.filter(col(idCol) =!= col("rep")).select(col(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}

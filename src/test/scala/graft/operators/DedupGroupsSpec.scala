@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class DedupGroupsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Driver-side union-find — independent reference implementation. */
+  private def refComponents(n: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(n.map(x => x -> x): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    n.map(x => x -> find(x)).toMap
+  }
+
+  test("connected components match driver-side union-find on a chain+clique graph") {
+    val ids = (1L to 12L).toSeq
+    // chain 1-2-3-4 (diameter 3), triangle 5-6-7, pair 8-9, singletons 10-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L), (5L, 7L), (9L, 8L))
+    val got = DedupGroups.connectedComponents(
+        ids.toDF("id"), "id", edges.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refComponents(ids, edges))
+  }
+
+  test("dedupCorpus keeps exactly the min-id representative per group") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "payload")
+    val pairs = Seq((2L, 1L), (3L, 2L)).toDF("d1", "d2") // {1,2,3} one group
+    val out = DedupGroups.dedupCorpus(df, "id", pairs)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("components over MinHash pairs equal components over exact Jaccard pairs") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val exact = Dedup.ngramJaccardPairs(
+      Tables.documents(spark, sf), "doc_id", "text", 3, 0.8).select("d1", "d2")
+    val mh = Dedup.minhashNearDupPairs(
+      Tables.documents(spark, sf), "doc_id", "text", 64, 16, 3, 0.8).select("d1", "d2")
+    val a = DedupGroups.connectedComponents(docs, "doc_id", exact)
+      .as[(Long, Long)].collect().toSet
+    val b = DedupGroups.connectedComponents(docs, "doc_id", mh)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b, "the scale pair generator must produce the same groups here")
+    spark.catalog.clearCache() // minhash caches its shingle table
+  }
+
+  test("propagation round bound throws instead of under-merging") {
+    val ids = (1L to 30L).toDF("id")
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2") // diameter 29
+    intercept[IllegalStateException] {
+      DedupGroups.connectedComponents(ids, "id", chain, maxRounds = 3).collect()
+    }
+  }
+}
