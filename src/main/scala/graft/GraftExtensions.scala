@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import graft.functions.expressions.DotProduct
+
+/** Library entry point at the Spark-extensions altitude: makes the graft
+  * native functions available to ANY session — including pure-SQL users —
+  * via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Injected functions:
+  *  - `graft_dot(a, b)`    — codegen'd Σ aᵢ·bᵢ over float arrays
+  *  - `graft_cosine(a, b)` — cosine similarity composed from the same
+  *    native kernel (dot / (‖a‖·‖b‖)), one expression tree, no UDF
+  *
+  * Per-session registration for an already-running session stays available
+  * through [[graft.functions.expressions.DotProduct.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier(DotProduct.FunctionName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotProduct.FunctionName),
+      GraftExtensions.dotBuilder))
+    ext.injectFunction((FunctionIdentifier(GraftExtensions.CosineName),
+      new ExpressionInfo(classOf[DotProduct].getName, GraftExtensions.CosineName),
+      GraftExtensions.cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  val CosineName = "graft_cosine"
+
+  private[graft] val dotBuilder: Seq[Expression] => Expression =
+    exprs => DotProduct(exprs(0), exprs(1))
+
+  private[graft] val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    val (a, b) = (exprs(0), exprs(1))
+    Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+  }
+}

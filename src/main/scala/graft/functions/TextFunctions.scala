@@ -96,6 +96,17 @@ object TextFunctions {
     }
   }
 
+  /** PII redaction for training corpora: emails then phone-like digit runs
+    * replaced by typed placeholders. Both patterns are RE2-safe (plain
+    * char classes, no lookarounds) so the same regex text runs identically
+    * under Java regex and DuckDB/RE2 — oracle parity by construction.
+    */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe: String = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
   /** Distinct token n-gram shingles per document, via lead() windows — ONE
     * shuffle on the doc key rather than n-1 self-joins. Returns
     * (idCol, shingle) rows.

@@ -66,12 +66,16 @@ object DotProduct {
   val FunctionName = "graft_dot"
 
   /** Register in the session's function registry (idempotent) so the
-    * expression is reachable from both the Column API (via
-    * `call_function`) and SQL text.
+    * expressions are reachable from both the Column API (via
+    * `call_function`) and SQL text. New sessions can instead load
+    * [[graft.GraftExtensions]] via `spark.sql.extensions`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FunctionName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      FunctionName, graft.GraftExtensions.dotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      graft.GraftExtensions.CosineName, graft.GraftExtensions.cosineBuilder, "built-in")
+  }
 
   /** Column-API entry point; requires [[register]] on the session first. */
   def dot(a: Column, b: Column): Column = call_function(FunctionName, a, b)

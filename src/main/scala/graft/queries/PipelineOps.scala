@@ -144,11 +144,109 @@ object PipelineOps {
       |WHERE rn <= 20
       |ORDER BY label, vec_id""".stripMargin
 
+  /** q51: symmetric per-vector int8 quantization with reconstruction
+    * error. The int8 array crosses the oracle as a comma-joined string
+    * (array column renderings differ between engines; the string is
+    * byte-stable).
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Quantize.report(embeddings(spark, dir), "vec_id", "embedding")
+      .select($"vec_id", $"scale",
+        concat_ws(",", $"q8").as("q8_str"), $"max_err")
+      .orderBy($"vec_id")
+  }
+
+  val quantizeSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(GREATEST(-127.0, LEAST(127.0,
+      |        ROUND(CAST(x AS DOUBLE)/scale, 0))) AS INTEGER) END) AS q8
+      |  FROM s)
+      |SELECT vec_id, scale, array_to_string(q8, ',') AS q8_str,
+      |  list_max(list_transform(range(1, len(embedding)+1),
+      |    i -> abs(CAST(embedding[i] AS DOUBLE) - q8[i]*scale))) AS max_err
+      |FROM q
+      |ORDER BY vec_id""".stripMargin
+
+  /** q52: within-document repetition ratio — 1 − distinct/total trigrams,
+    * the boilerplate/repetition quality signal.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val total = docs.select($"doc_id",
+      greatest(graft.functions.TextFunctions.tokenCount($"text") - 2, lit(0L))
+        .as("n_trigrams"))
+    val distinctSh = graft.functions.TextFunctions.shingles(docs, "doc_id", "text", 3)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_distinct"))
+    total.join(distinctSh, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_trigrams",
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"))
+      .withColumn("rep_frac",
+        when($"n_trigrams" === 0, lit(0.0))
+          .otherwise(lit(1.0) - $"n_distinct".cast("double") / $"n_trigrams"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |d AS (SELECT doc_id, COUNT(DISTINCT s) AS n_distinct FROM tri GROUP BY doc_id),
+      |t AS (SELECT doc_id, GREATEST(len(string_split(text,' ')) - 2, 0) AS n_trigrams
+      |      FROM documents)
+      |SELECT t.doc_id, CAST(t.n_trigrams AS BIGINT) AS n_trigrams,
+      |  CAST(COALESCE(d.n_distinct, 0) AS BIGINT) AS n_distinct,
+      |  CASE WHEN t.n_trigrams = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE)/t.n_trigrams END AS rep_frac
+      |FROM t LEFT JOIN d USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** q53: PII scrubbing — emails/phones injected deterministically into
+    * the doc text, then redacted; the scrubbed text crosses the oracle as
+    * an md5. Proves the redaction regexes behave identically under Java
+    * regex and RE2.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val salted = documents(spark, dir).select($"doc_id",
+      concat($"text", lit(" contact user"), $"doc_id",
+        lit("@mail.example or call +47 22 33 44 55.")).as("t"))
+    salted.select($"doc_id", md5(TextFunctions.redactPii($"t")).as("scrubbed_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String =
+    """SELECT doc_id, md5(
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example or call +47 22 33 44 55.',
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_dedup_groups"      -> dedupGroups,
     "q48_dedup_corpus"      -> dedupCorpus,
     "q49_contamination"     -> contamination,
     "q50_stratified_sample" -> stratifiedSample,
+    "q51_quantize_int8"     -> quantize,
+    "q52_repetition"        -> repetition,
+    "q53_pii_scrub"         -> piiScrub,
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +254,8 @@ object PipelineOps {
     "q48_dedup_corpus"      -> dedupCorpusSql,
     "q49_contamination"     -> contaminationSql,
     "q50_stratified_sample" -> stratifiedSampleSql,
+    "q51_quantize_int8"     -> quantizeSql,
+    "q52_repetition"        -> repetitionSql,
+    "q53_pii_scrub"         -> piiScrubSql,
   )
 }

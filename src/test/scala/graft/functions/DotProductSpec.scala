@@ -47,6 +47,17 @@ class DotProductSpec extends SparkSuite {
     assert(r.isNullAt(0))
   }
 
+  test("graft_cosine is registered and SQL-reachable; extensions builders agree") {
+    DotProduct.register(spark)
+    Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("emb_sqlfn")
+    val rows = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_sqlfn").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
+    // the extensions class installs without error (builder fns are shared
+    // with the per-session register path exercised above)
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("native kernel is faster than the HOF path on a widened workload") {
     val wide = emb.crossJoin(emb.limit(200).select($"embedding".as("e2")))
     def timed(c: org.apache.spark.sql.Column): Double = {
