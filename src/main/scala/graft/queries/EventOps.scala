@@ -91,15 +91,87 @@ object EventOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q54: as-of join — every event annotated with the user's most recent
+    * purchase at or before it (id + value). Purchases are pre-deduped to
+    * one per (user, ts) — max event_id wins — matching the operator's
+    * uniqueness contract; the oracle is DuckDB's native ASOF JOIN.
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("__pid"))
+      .join(ev.select($"event_id".as("__pid"), $"value".as("ref_value")), "__pid")
+      .select($"user_id", $"ts", $"__pid".as("ref_id"), $"ref_value")
+    graft.operators.AsofJoin.asofLeft(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        purchases, Seq("user_id"), "ts", Seq("ref_id", "ref_value"))
+      .select($"event_id", $"ref_id", $"ref_value")
+      .orderBy($"event_id")
+  }
+
+  val asofPurchaseSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, MAX(event_id) AS ref_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts),
+      |pr AS (
+      |  SELECT p.user_id, p.ts, p.ref_id, e.value AS ref_value
+      |  FROM p JOIN events e ON e.event_id = p.ref_id)
+      |SELECT l.event_id, pr.ref_id, pr.ref_value
+      |FROM events l
+      |ASOF LEFT JOIN pr ON l.user_id = pr.user_id AND l.ts >= pr.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  /** q55: point-in-interval range join — events counted into half-hour
+    * maintenance windows starting at each even hour, via the bucketed
+    * equi-join form (raw inequality joins plan as nested loops). Windows
+    * derive from the event time span so every SF exercises matches.
+    */
+  def rangeJoinWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+    val hourUs = 3600L * 1000000L
+    val windows = ev
+      .select(floor(unix_micros($"ts") / (2 * hourUs)).as("h2"))
+      .distinct()
+      .select(
+        timestamp_micros($"h2" * 2 * hourUs).as("w_start"),
+        timestamp_micros($"h2" * 2 * hourUs + hourUs / 2).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev.select($"event_id", $"ts"), windows,
+        keyCols = Nil, tsCol = "ts", startCol = "w_start", endCol = "w_end",
+        payload = Nil, bucketMs = 30 * 60 * 1000L)
+      .groupBy($"w_start")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"w_start")
+  }
+
+  val rangeJoinWindowsSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT
+      |    epoch_ms((epoch_us(ts) // 7200000000) * 7200000) AS w_start,
+      |    epoch_ms((epoch_us(ts) // 7200000000) * 7200000 + 1800000) AS w_end
+      |  FROM events)
+      |SELECT w.w_start, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events e JOIN w ON w.w_start <= e.ts AND e.ts < w.w_end
+      |GROUP BY w.w_start
+      |ORDER BY w.w_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
     "q39_session_counts" -> sessionCounts,
+    "q54_asof_join"      -> asofPurchase,
+    "q55_range_join"     -> rangeJoinWindows,
   )
 
   val oracles: Map[String, String] = Map(
     "q37_time_buckets"   -> timeBucketsSql,
     "q38_session_gaps"   -> sessionGapsSql,
     "q39_session_counts" -> sessionCountsSql,
+    "q54_asof_join"      -> asofPurchaseSql,
+    "q55_range_join"     -> rangeJoinWindowsSql,
   )
 }
