@@ -92,4 +92,66 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map(r => if (r.modality == "image") r.copy(width = w, height = h) else r)
   }
+
+  /** REAL-format media table: image payloads are valid binary PPMs, audio
+    * payloads are valid PCM16 WAVs (both built + parsed by
+    * [[MediaFormats]] with no codec dependency); video stays an opaque
+    * stub payload. Dims/rates/sample counts derive from doc_id so the
+    * decode output is oracle-computable.
+    */
+  def realMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val modality = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val w = ((id % 16) * 4 + 16).toInt
+      val h = ((id % 9) * 4 + 16).toInt
+      val nSamples = (400 + id % 100).toInt
+      val payload = modality match {
+        case "image" => MediaFormats.buildPpm(id, w, h)
+        case "audio" => MediaFormats.buildWav(id, 16000, nSamples)
+        case _       => text.getBytes("UTF-8") // video: stubbed opaque payload
+      }
+      MediaRow(id, modality, payload,
+        if (modality == "image") w else 0,
+        if (modality == "image") h else 0,
+        if (modality == "audio") 16000 else 0)
+    }
+  }
+
+  /** Decoded per-row features (the REAL decode path): dimensions, sample
+    * counts and signal means come from PARSING the binary payload inside
+    * executors, never from the metadata columns. Exact integer sums with
+    * one final division keep the means cross-engine deterministic.
+    */
+  case class DecodedFeatures(media_id: Long, modality: String,
+                             parsed_width: Int, parsed_height: Int,
+                             n_samples: Int, duration_ms: Double,
+                             signal_mean: Double)
+
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 256): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          r.modality match {
+            case "image" =>
+              val p = MediaFormats.parsePpm(r.payload)
+              var s = 0L; var i = 0
+              while (i < p.pixels.length) { s += (p.pixels(i) & 0xff); i += 1 }
+              DecodedFeatures(r.media_id, r.modality, p.width, p.height, 0, 0.0,
+                s.toDouble / p.pixels.length)
+            case "audio" =>
+              val wv = MediaFormats.parseWav(r.payload)
+              var s = 0L; var i = 0
+              while (i < wv.samples.length) { s += wv.samples(i); i += 1 }
+              DecodedFeatures(r.media_id, r.modality, 0, 0, wv.samples.length,
+                wv.samples.length * 1000.0 / wv.sampleRate,
+                s.toDouble / wv.samples.length)
+            case _ => // video: decode stubbed (no codec in container)
+              DecodedFeatures(r.media_id, r.modality, 0, 0, 0, 0.0, 0.0)
+          }
+        }
+      }
+    }
+  }
 }

@@ -170,6 +170,52 @@ object TextOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** q56: REAL multimodal decode — image payloads are valid binary PPMs
+    * and audio payloads valid PCM16 WAVs (built+parsed dependency-free in
+    * executors); dims, sample counts and signal means come from parsing
+    * the bytes, and the oracle recomputes them from the deterministic
+    * generator formulas. Video decode stays stubbed (zeros) — no codec in
+    * the container.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.decodeFeatures(
+        Multimodal.realMedia(spark, documents(spark, dir))).toDF()
+      .orderBy($"media_id")
+  }
+
+  val multimodalDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+      |    CAST(doc_id % 16 * 4 + 16 AS INTEGER) AS w,
+      |    CAST(doc_id % 9 * 4 + 16 AS INTEGER) AS h,
+      |    CAST(400 + doc_id % 100 AS INTEGER) AS n_samp
+      |  FROM documents),
+      |img AS (
+      |  SELECT media_id,
+      |    CAST(CAST(SUM((media_id*31 + g.i*7) % 256) AS BIGINT) AS DOUBLE)
+      |      / (w*h*3) AS signal_mean
+      |  FROM m JOIN generate_series(0, 11000) g(i) ON g.i < CAST(w AS BIGINT)*h*3
+      |  WHERE modality = 'image'
+      |  GROUP BY media_id, w, h),
+      |aud AS (
+      |  SELECT media_id,
+      |    CAST(CAST(SUM((media_id*13 + g.i*11) % 65536 - 32768) AS BIGINT) AS DOUBLE)
+      |      / n_samp AS signal_mean
+      |  FROM m JOIN generate_series(0, 500) g(i) ON g.i < n_samp
+      |  WHERE modality = 'audio'
+      |  GROUP BY media_id, n_samp)
+      |SELECT m.media_id, m.modality,
+      |  CASE WHEN modality = 'image' THEN w ELSE 0 END AS parsed_width,
+      |  CASE WHEN modality = 'image' THEN h ELSE 0 END AS parsed_height,
+      |  CASE WHEN modality = 'audio' THEN n_samp ELSE 0 END AS n_samples,
+      |  CASE WHEN modality = 'audio' THEN CAST(n_samp AS DOUBLE) * 1000 / 16000
+      |       ELSE 0.0 END AS duration_ms,
+      |  COALESCE(img.signal_mean, aud.signal_mean, 0.0) AS signal_mean
+      |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_text_stats"      -> textStats,
     "q27_lang_id"         -> langId,
@@ -178,6 +224,7 @@ object TextOps {
     "q30_minhash_pairs"   -> minhashPairs,
     "q31_simhash_pairs"   -> simhashPairs,
     "q32_multimodal_meta" -> multimodalMeta,
+    "q56_multimodal_decode" -> multimodalDecode,
   )
 
   val minhashPairsSql: String =
@@ -214,5 +261,6 @@ object TextOps {
     "q29_ngram_jaccard"   -> ngramJaccardSql,
     "q30_minhash_pairs"   -> minhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
+    "q56_multimodal_decode" -> multimodalDecodeSql,
   )
 }

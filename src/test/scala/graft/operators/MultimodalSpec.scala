@@ -52,4 +52,31 @@ class MultimodalSpec extends SparkSuite {
       assert(java.util.Arrays.equals(r.payload, in(r.media_id).payload))
     }
   }
+
+  test("PPM and WAV round-trip: build → parse recovers dims/rate/signal") {
+    val ppm = MediaFormats.buildPpm(42L, 20, 12)
+    val img = MediaFormats.parsePpm(ppm)
+    assert(img.width == 20 && img.height == 12 && img.pixels.length == 20 * 12 * 3)
+    (0 until 10).foreach(i =>
+      assert((img.pixels(i) & 0xff) == MediaFormats.pixelByte(42L, i)))
+    val wav = MediaFormats.buildWav(7L, 16000, 123)
+    val aud = MediaFormats.parseWav(wav)
+    assert(aud.sampleRate == 16000 && aud.samples.length == 123)
+    (0 until 10).foreach(i =>
+      assert(aud.samples(i) == MediaFormats.pcmSample(7L, i)))
+  }
+
+  test("decodeFeatures parses REAL payloads in executors (dims from bytes)") {
+    val rm = Multimodal.realMedia(spark, Tables.documents(spark, sf))
+    val feats = Multimodal.decodeFeatures(rm).collect()
+    assert(feats.nonEmpty)
+    feats.filter(_.modality == "image").take(20).foreach { f =>
+      assert(f.parsed_width == (f.media_id % 16) * 4 + 16)
+      assert(f.parsed_height == (f.media_id % 9) * 4 + 16)
+    }
+    feats.filter(_.modality == "audio").take(20).foreach { f =>
+      assert(f.n_samples == 400 + f.media_id % 100)
+      assert(math.abs(f.duration_ms - f.n_samples * 1000.0 / 16000) < 1e-9)
+    }
+  }
 }
