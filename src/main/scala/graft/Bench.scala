@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 56 queries × several codegen stages far exceed the 100-entry
+      // default generated-class cache; evictions between the warmup and
+      // the timed run force slow Janino recompiles inside the timings
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // JIT/codegen warmup on DIFFERENT (10× smaller) data, then the cache

@@ -36,19 +36,25 @@ object DedupGroups {
       .distinct()
       .persist()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    // one propagation step: every vertex adopts the min label among itself
+    // and its neighbors
+    def step(ls: DataFrame): DataFrame = {
+      val fromNbrs = e.join(ls.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rep")).as("nbrRep"))
+      ls.join(fromNbrs, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
+    }
     var round = 0
     var converged = false
     while (!converged) {
       if (round >= maxRounds)
         throw new IllegalStateException(
-          s"component diameter exceeds $maxRounds propagation rounds")
-      // smallest neighbor label per vertex, then min with own label
-      val fromNbrs = e.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("rep")).as("nbrRep"))
-      val next = labels.join(fromNbrs, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nbrRep"), col("rep"))).as("rep"))
-        .persist()
+          s"component diameter exceeds ${2 * maxRounds} propagation steps")
+      // TWO steps per convergence probe: the probe is a driver round-trip
+      // as expensive as a step, and near-dup components have tiny
+      // diameters, so most inputs converge with a single probe
+      val next = step(step(labels)).persist()
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
       labels.unpersist()
