@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(GraftExtensions.CosineName),
       new ExpressionInfo(classOf[DotProduct].getName, GraftExtensions.CosineName),
       GraftExtensions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.KmvSketch.FunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.KmvSketch].getName,
+        graft.functions.expressions.KmvSketch.FunctionName),
+      graft.functions.expressions.KmvSketch.builder))
   }
 }
 

@@ -216,6 +216,30 @@ object TextOps {
       |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
       |ORDER BY media_id""".stripMargin
 
+  /** q57: per-language distinct-document counts through the KMV sketch
+    * aggregate (custom TypedImperativeAggregate). k=16384 exceeds every
+    * per-group distinct count in the test corpus, so the sketch runs its
+    * full path (hash, bounded buffer, partial-aggregate merge) yet the
+    * answer is EXACT — which is what makes COUNT(DISTINCT) a valid
+    * oracle (the q30 trick). Estimation accuracy at small k is
+    * spec-verified in KmvSketchSpec.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.expressions.KmvSketch
+    KmvSketch.register(spark)
+    documents(spark, dir)
+      .groupBy($"lang")
+      .agg(KmvSketch.kmvDistinct($"text", 16384).as("n_distinct"))
+      .orderBy($"lang")
+  }
+
+  val kmvDistinctSql: String =
+    """SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_text_stats"      -> textStats,
     "q27_lang_id"         -> langId,
@@ -225,6 +249,7 @@ object TextOps {
     "q31_simhash_pairs"   -> simhashPairs,
     "q32_multimodal_meta" -> multimodalMeta,
     "q56_multimodal_decode" -> multimodalDecode,
+    "q57_kmv_distinct"    -> kmvDistinct,
   )
 
   val minhashPairsSql: String =
@@ -262,5 +287,6 @@ object TextOps {
     "q30_minhash_pairs"   -> minhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
+    "q57_kmv_distinct"    -> kmvDistinctSql,
   )
 }
