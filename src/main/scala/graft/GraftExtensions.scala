@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.expressions.KmvSketch].getName,
         graft.functions.expressions.KmvSketch.FunctionName),
       graft.functions.expressions.KmvSketch.builder))
+    // whole-operator tier: two-phase exact top-k-per-group planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
   }
 }
 

@@ -35,6 +35,33 @@ object Ranking {
       |WHERE rk <= 3
       |ORDER BY l_suppkey, rk""".stripMargin
 
+  /** q58: the same top-3-per-supplier selection as q11, but through the
+    * CUSTOM two-phase TopK operator (graft.plans.TopKPerGroup) — partial
+    * bounded heaps before the exchange, only survivors shuffle, no full
+    * per-partition sort. The oracle is the window-rank form, proving the
+    * operator's exactness; plan shape (GraftTopKPartial below the
+    * exchange) is asserted in TopKPerGroupSpec.
+    */
+  def topkCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.plans.TopKPerGroup.topK(
+        lineitem(spark, dir)
+          .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+        groupCols = Seq("l_suppkey"),
+        orderBy = Seq($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc),
+        k = 3)
+      .orderBy($"l_suppkey", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+  }
+
+  val topkCustomSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+      |  FROM lineitem) t
+      |WHERE rk <= 3
+      |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
+
   /** O1 multi-key sort + top-k (`setup.sql:392-393`): global sort with a
     * unique tiebreak and LIMIT — planned as TakeOrderedAndProject (no full
     * sort materialization), the right shape at any scale.
@@ -155,6 +182,7 @@ object Ranking {
     "q14_right_join"       -> rightJoin,
     "q15_composite_join"   -> compositeJoin,
     "q16_global_numbering" -> globalNumbering,
+    "q58_topk_custom"      -> topkCustom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +192,6 @@ object Ranking {
     "q14_right_join"       -> rightJoinSql,
     "q15_composite_join"   -> compositeJoinSql,
     "q16_global_numbering" -> globalNumberingSql,
+    "q58_topk_custom"      -> topkCustomSql,
   )
 }
