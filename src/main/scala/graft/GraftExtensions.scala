@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.expressions.KmvSketch.builder))
     // whole-operator tier: two-phase exact top-k-per-group planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
+    // optimizer-rule tier: rewrite discarded row_number()<=k rank filters
+    // into the TopK operator transparently
+    ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 
