@@ -93,4 +93,18 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       "the O(n²) scan must not be the executed shape")
   }
+
+  test("q54: as-of join runs as ONE keyed window, no range join") {
+    val plan = executed(EventOps.asofPurchase(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "the per-key range-join encoding must not appear")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      "carry-forward window expected")
+  }
+
+  test("q58: custom TopK executes as the partial/final pair") {
+    val plan = executed(Ranking.topkCustom(spark, sf))
+    assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"),
+      plan.take(600))
+  }
 }
