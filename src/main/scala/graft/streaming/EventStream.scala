@@ -87,6 +87,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
+    * re-deliveries of the same key. `withinWatermark = true` bounds the
+    * dedup state to the watermark horizon (the 100 TB posture — state for
+    * a key is dropped once the watermark passes it, so only duplicates
+    * arriving within the lateness budget are caught, which is exactly the
+    * at-least-once-redelivery case); `false` keeps exact dedup with
+    * unbounded state (documented: only for bounded replays).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String], watermark: String = "1 hour",
+                  withinWatermark: Boolean = true): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (withinWatermark) wm.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else wm.dropDuplicates(keys)
+  }
+
   /** Streaming upsert sink: every micro-batch merges into the parquet
     * table with the same partial-update semantics as the batch path — the
     * reference's idempotent-upsert incrementality, as a stream.

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** End-to-end proof that `spark.sql.extensions=graft.GraftExtensions`
+  * wires every tier into a FRESH session (this main runs in its own JVM,
+  * so the builder genuinely applies the extensions — unlike a shared test
+  * session):
+  *
+  *   sbt "runMain graft.tools.ExtensionsCheck"
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // function tier: graft_cosine from pure SQL
+    val c = spark.sql(
+      "SELECT graft_cosine(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9, s"graft_cosine: $c")
+
+    // aggregate tier: KMV sketch, exact regime
+    spark.sql("SELECT explode(sequence(1, 100)) AS v").createOrReplaceTempView("ec_t")
+    val d = spark.sql("SELECT graft_kmv_distinct(v, 256) FROM ec_t").head().getLong(0)
+    assert(d == 100, s"graft_kmv_distinct: $d")
+
+    // optimizer-rule + planner-strategy tiers: the discarded rank filter
+    // plans as the custom TopK pair
+    spark.sql(
+      "SELECT CAST(id % 7 AS INT) AS g, CAST(id AS INT) AS v FROM range(1000)")
+      .createOrReplaceTempView("ec_src")
+    val topk = spark.sql(
+      """SELECT g, v FROM (
+        |  SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) AS rk
+        |  FROM ec_src) t
+        |WHERE rk <= 2""".stripMargin)
+    assert(topk.count() == 14)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKFinal"), s"rewrite did not fire:\n${plan.take(600)}")
+
+    println("extensions OK: function + aggregate + rule + strategy tiers live via spark.sql.extensions")
+    spark.stop()
+  }
+}

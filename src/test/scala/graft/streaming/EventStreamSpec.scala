@@ -109,5 +109,26 @@ class EventStreamSpec extends SparkSuite {
     assert(a == b, "streamed replay state must equal the batch upsert state")
   }
 
+  test("streaming dedup drops re-delivered events (both state modes)") {
+    // stage the events TWICE (two files) — a full at-least-once redelivery
+    val dir = Files.createTempDirectory("events-dup").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val schema = ev.schema
+    def run(within: Boolean, name: String): Long = {
+      val q = EventStream.dedupStream(
+          spark.readStream.schema(schema).parquet(dir), Seq("event_id"),
+          withinWatermark = within)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(name).count()
+    }
+    val exact = ev.count()
+    assert(run(within = false, "dedup_exact_out") == exact)
+    // duplicates land in the same batch window, well within the watermark
+    assert(run(within = true, "dedup_wm_out") == exact)
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
 }
