@@ -22,8 +22,8 @@ object Bench {
     // timed SF's, leaving the real code paths JIT-cold — measured 2-3× on
     // the flagship's first run (tools.ProfileQ).
     val warmDir =
-      if (sfDir.endsWith("sf0.01")) "/root/testdata/sf0.001"
-      else "/root/testdata/sf0.01"
+      if (sfDir.contains("sf0.1")) "/root/testdata/sf0.01"
+      else "/root/testdata/sf0.001"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
     if (warmDir != sfDir)
       ordered.foreach { case (_, fn) =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Expression, ExpressionInfo, Multiply, Sqrt}
 import graft.functions.expressions.DotProduct
 
 /** Library entry point at the Spark-extensions altitude: makes the graft
@@ -50,7 +50,9 @@ object GraftExtensions {
 
   private[graft] val cosineBuilder: Seq[Expression] => Expression = { exprs =>
     val (a, b) = (exprs(0), exprs(1))
+    // LEGACY division: a zero-norm vector yields null (undefined cosine)
+    // instead of throwing DIVIDE_BY_ZERO under Spark 4's ANSI default
     Divide(DotProduct(a, b),
-      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))), EvalMode.LEGACY)
   }
 }

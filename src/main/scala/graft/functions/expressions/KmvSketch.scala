@@ -3,7 +3,7 @@ package graft.functions.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -44,11 +44,13 @@ case class KmvSketch(child: Expression, k: Int,
   // onto (0,1]; flip the sign bit to get unsigned order from signed order
   private def ord(h: Long): Long = h ^ Long.MinValue
 
-  @transient private lazy val hashExpr = XxHash64(Seq(child), 42L)
-
   override def update(buf: java.util.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[Long] = {
-    if (child.eval(input) != null) {
-      val h = ord(hashExpr.eval(input).asInstanceOf[Long])
+    val v = child.eval(input)
+    if (v != null) {
+      // hash the already-evaluated datum directly (same algorithm as the
+      // XxHash64 expression) — evaluating the child once per row
+      val h = ord(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(v, child.dataType, 42L))
       add(buf, h)
     }
     buf

@@ -26,6 +26,13 @@ object AsofJoin {
   /** Left outer as-of join. Output: all left columns plus `rightCols`
     * (null where no right row precedes the left row). `rightCols` must
     * not collide with left column names.
+    *
+    * The right payload travels as ONE struct column: a right row
+    * contributes a non-null struct even when every payload FIELD is null,
+    * so the carry-forward always adopts the latest right ROW atomically —
+    * per-column `last(ignoreNulls)` would resurrect an older row's value
+    * for a field the newest row holds as null (a cross-row mix DuckDB's
+    * ASOF JOIN would never produce).
     */
   def asofLeft(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, rightCols: Seq[String]): DataFrame = {
@@ -33,19 +40,21 @@ object AsofJoin {
     require(rightCols.intersect(left.columns.toSeq).isEmpty,
       s"right columns ${rightCols.intersect(left.columns.toSeq)} collide with left")
     val common = keyCols.map(col) :+ col(tsCol)
-    val l = left.select(common ++ leftPayload.map(col) ++
-      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
-      lit(1).as("__side"): _*)
+    val payloadStruct = struct(rightCols.map(col): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c))))
+    val l = left.select(common ++ leftPayload.map(col) :+
+      nullStruct.as("__r") :+ lit(1).as("__side"): _*)
     val r = right.select(common ++
-      leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rightCols.map(col) :+ lit(0).as("__side"): _*)
+      leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+      payloadStruct.as("__r") :+ lit(0).as("__side"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
-      .select(left.columns.map(col).toSeq ++ rightCols.map(col): _*)
+    l.unionByName(r)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

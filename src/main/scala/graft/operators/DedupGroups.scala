@@ -63,7 +63,12 @@ object DedupGroups {
       round += 1
     }
     e.unpersist()
-    labels.select(col("id").as(idCol), col("rep"))
+    // cut the iterative lineage and free the loop's cache deterministically:
+    // the checkpointed blocks belong to the returned frame and are released
+    // with it, instead of one leaked persisted RDD per call
+    val result = labels.localCheckpoint(eager = true)
+    labels.unpersist()
+    result.select(col("id").as(idCol), col("rep"))
   }
 
   /** The deduplicated corpus: keep one representative (minimum id) per

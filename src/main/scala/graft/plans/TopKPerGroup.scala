@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator extension tier (custom LogicalPlan + Strategy +
@@ -90,8 +90,10 @@ object TopKPerGroup extends Serializable {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning: Partitioning = child.outputPartitioning
     override def nodeName: String = "GraftTopKFinal"
+    // global top-k (no groups) must see ALL partial survivors in one
+    // place — UnspecifiedDistribution would leave k rows PER PARTITION
     override def requiredChildDistribution: Seq[Distribution] =
-      if (groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+      if (groupExprs.isEmpty) Seq(AllTuples)
       else Seq(ClusteredDistribution(groupExprs))
     override protected def doExecute(): RDD[InternalRow] = {
       val (g, s, kk, out) = (groupExprs, sortOrders, k, child.output)

@@ -84,10 +84,15 @@ final class ShopifyStore(spark: SparkSession, dir: String) {
       else
         TableStore.upsert(spark, path(table), deduped, meta.keys, meta.updateColumns)
     } else {
-      // __day follows created_at on conflict iff created_at itself is
-      // updatable (partial lists excluding created_at keep both stale)
-      val updCols = meta.updateColumns.map(cs =>
-        if (cs.contains("created_at")) cs :+ DayCol else cs)
+      // __day is pinned at first insert (never an update column — made
+      // explicit for the updateColumns=None "all non-key" default too):
+      // the partitioned merge only reads the batch's touched partitions,
+      // so a conflict row whose created_at moved to a different day could
+      // never find its stored copy anyway — upsertPartitioned's documented
+      // partition-immutability constraint. Shopify's created_at is
+      // set-once, so the pinned day and created_at agree in practice.
+      val allNonKey = meta.schema.fieldNames.toSeq.filterNot(meta.keys.contains)
+      val updCols = Some(meta.updateColumns.getOrElse(allNonKey).filterNot(_ == DayCol))
       // upsert of an empty batch is the identity — and an empty partitionBy
       // write would leave an unreadable (schema-less) directory behind
       if (deduped.isEmpty) { init(); return }

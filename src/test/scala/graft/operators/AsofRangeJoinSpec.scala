@@ -24,6 +24,19 @@ class AsofRangeJoinSpec extends SparkSuite {
       "c" -> None))           // key 2 has no right rows
   }
 
+  test("asofLeft: a newer right row with a NULL payload field shadows older values") {
+    val left = Seq((1L, t(10), "x")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, t(3), Some(3L), Some(7.0)),
+      (1L, t(5), Some(5L), None: Option[Double])) // newest: ref_value null
+      .toDF("k", "ts", "ref_id", "ref_value")
+    val out = AsofJoin.asofLeft(left, right, Seq("k"), "ts", Seq("ref_id", "ref_value"))
+      .select($"ref_id", $"ref_value").as[(Option[Long], Option[Double])].head()
+    // per-column carry-forward would produce the frankenrow (5, Some(7.0));
+    // the row must come from the single latest right row: (5, null)
+    assert(out == (Some(5L), None), s"got $out")
+  }
+
   test("asofLeft is deterministic across partitionings") {
     val left = (1 to 200).map(i => ((i % 7).toLong, t(i), i)).toDF("k", "ts", "n")
     val right = (1 to 50).map(i => ((i % 7).toLong, t(i * 3), i * 1.0)).toDF("k", "ts", "v")

@@ -34,6 +34,13 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(fi < ex && ex < pa, s"unexpected operator order: $fi/$ex/$pa\n${plan.take(800)}")
   }
 
+  test("GLOBAL top-k (no groups) returns k rows total, not k per partition") {
+    val df = (1 to 1000).map(i => (i, s"p-$i")).toDF("v", "tag").repartition(8)
+    val out = TopKPerGroup.topK(df, Nil, Seq($"v".desc, $"tag".asc), 5)
+      .select($"v").as[Int].collect().sorted.toSeq
+    assert(out == Seq(996, 997, 998, 999, 1000), s"got $out")
+  }
+
   test("deterministic across partitionings; groups smaller than k kept whole") {
     val df = Seq((1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "d"))
       .toDF("g", "v", "tag")
