@@ -149,6 +149,67 @@ object Aggregates {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q59: pivot — long→wide reshape of per-user event counts plus an
+    * exact-decimal value sum per pivoted column. Spark's pivot with an
+    * EXPLICIT value list is a single partial+final aggregate (no extra
+    * distinct pass), mirrored as conditional aggregation in the oracle.
+    */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast(MoneyDec)), 2).cast("double").as("val"))
+      .na.fill(0L, types.map(t => s"${t}_n"))
+      .orderBy($"user_id")
+  }
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+      | CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'click'), 2) AS DOUBLE) AS click_val,
+      | CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'error'), 2) AS DOUBLE) AS error_val,
+      | CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'purchase'), 2) AS DOUBLE) AS purchase_val,
+      | CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'signup'), 2) AS DOUBLE) AS signup_val,
+      | CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = 'view'), 2) AS DOUBLE) AS view_val
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q60: exact interpolated percentiles per event_type — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the same definition
+    * ((1−g)·lower + g·upper over the sorted values); validated to agree
+    * bit-for-bit on this data.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        expr("percentile(value, array(0.25, 0.75))").as("iqr"))
+      .select($"event_type", $"p50", $"p95",
+        $"iqr".getItem(0).as("p25"), $"iqr".getItem(1).as("p75"))
+      .orderBy($"event_type")
+  }
+
+  val percentilesSql: String =
+    """SELECT event_type,
+      | quantile_cont(value, 0.5) AS p50,
+      | quantile_cont(value, 0.95) AS p95,
+      | quantile_cont(value, 0.25) AS p25,
+      | quantile_cont(value, 0.75) AS p75
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_distinct_pairs"  -> distinctPairs,
     "q18_first_per_group" -> firstPerGroup,
@@ -157,6 +218,8 @@ object Aggregates {
     "q21_distinct_values" -> distinctValues,
     "q44_rollup"          -> rollupAgg,
     "q45_sql_api"         -> sqlApi,
+    "q59_pivot"           -> pivotCounts,
+    "q60_percentiles"     -> percentiles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +230,7 @@ object Aggregates {
     "q19_minmax_avg"      -> minMaxAvgSql,
     "q20_conditional_agg" -> conditionalAggSql,
     "q21_distinct_values" -> distinctValuesSql,
+    "q59_pivot"           -> pivotCountsSql,
+    "q60_percentiles"     -> percentilesSql,
   )
 }

@@ -23,7 +23,11 @@ class CoverageSpec extends SparkSuite {
     "q35_cosine_lsh", "q36_invoice_pipeline", "q37_time_buckets",
     "q38_session_gaps", "q39_session_counts", "q40_salted_join",
     "q41_text_quality", "q42_cosine_ivf", "q43_embedding_neardup",
-    "q44_rollup", "q45_sql_api")
+    "q44_rollup", "q45_sql_api", "q46_customer_map", "q47_dedup_groups",
+    "q48_dedup_corpus", "q49_contamination", "q50_stratified_sample",
+    "q51_quantize_int8", "q52_repetition", "q53_pii_scrub", "q54_asof_join",
+    "q55_range_join", "q56_multimodal_decode", "q57_kmv_distinct",
+    "q58_topk_custom", "q59_pivot", "q60_percentiles")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
