@@ -43,29 +43,74 @@ object TopKPerGroup extends Serializable {
       copy(child = newChild)
   }
 
-  /** Shared heap pass: keep the k smallest rows per group under `ord`. */
+  /** Groups resident per task before the PARTIAL phase flushes its heaps:
+    * flushing emits a superset (≤ flushed-segments × k rows per group) and
+    * clears state, so partial memory is bounded regardless of key
+    * cardinality — the final phase stays exact because it re-selects from
+    * all survivors. The FINAL phase must never flush (its output IS the
+    * answer); its memory is groups-per-reduce-partition × k, tuned by the
+    * shuffle partition count like any hash aggregate.
+    */
+  private[plans] var partialFlushGroups = 1 << 17 // var: spec shrinks it to force the flush path
+
+  /** Shared heap pass: keep the k smallest rows per group under `ord`.
+    * With `maxGroups > 0` the pass runs SEGMENTED: whenever a new group
+    * would exceed the bound, the current heaps stream out and state
+    * resets — memory stays ≤ maxGroups × k rows while the output remains
+    * a valid survivor superset. `maxGroups = 0` disables segmentation
+    * (final phase — must hold every resident group to be exact).
+    */
   private def topKPartition(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
                             sortOrders: Seq[SortOrder], k: Int,
-                            childOutput: Seq[Attribute]): Iterator[InternalRow] = {
+                            childOutput: Seq[Attribute],
+                            maxGroups: Int): Iterator[InternalRow] = {
     val groupProj = UnsafeProjection.create(groupExprs, childOutput)
     // SortOrder already encodes direction: "best" = smallest under ord.
     // PriorityQueue dequeues its MAX, so the head is the worst kept row.
     implicit val ord: Ordering[InternalRow] =
       new LazilyGeneratedOrdering(sortOrders, childOutput)
-    val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      val key = groupProj(row)
-      heaps.get(key) match {
-        case None =>
-          val h = mutable.PriorityQueue.empty[InternalRow]
-          h.enqueue(row.copy())
-          heaps.put(key.copy(), h)
-        case Some(h) =>
-          if (h.size < k) h.enqueue(row.copy())
-          else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+
+    new Iterator[InternalRow] {
+      private var pending: InternalRow = null // first row of the next segment
+      private var cur: Iterator[InternalRow] = Iterator.empty
+
+      private def insert(heaps: mutable.HashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]],
+                         row: InternalRow, key: UnsafeRow): Boolean =
+        heaps.get(key) match {
+          case None =>
+            if (maxGroups > 0 && heaps.size >= maxGroups) false
+            else {
+              val h = mutable.PriorityQueue.empty[InternalRow]
+              h.enqueue(row.copy())
+              heaps.put(key.copy(), h)
+              true
+            }
+          case Some(h) =>
+            if (h.size < k) h.enqueue(row.copy())
+            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+            true
+        }
+
+      private def fill(): Unit = {
+        if (pending == null && !iter.hasNext) return
+        val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        if (pending != null) {
+          insert(heaps, pending, groupProj(pending).copy()); pending = null
+        }
+        var segmentFull = false
+        while (!segmentFull && iter.hasNext) {
+          val row = iter.next()
+          if (!insert(heaps, row, groupProj(row))) {
+            pending = row.copy() // opens the next segment
+            segmentFull = true
+          }
+        }
+        cur = heaps.valuesIterator.flatMap(_.iterator)
       }
+
+      override def hasNext: Boolean = { if (!cur.hasNext) fill(); cur.hasNext }
+      override def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); cur.next() }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
   }
 
   /** Map-side phase: per-partition bounded heaps, no distribution demand. */
@@ -76,7 +121,8 @@ object TopKPerGroup extends Serializable {
     override def nodeName: String = "GraftTopKPartial"
     override protected def doExecute(): RDD[InternalRow] = {
       val (g, s, kk, out) = (groupExprs, sortOrders, k, child.output)
-      child.execute().mapPartitions(it => topKPartition(it, g, s, kk, out))
+      val mg = partialFlushGroups
+      child.execute().mapPartitions(it => topKPartition(it, g, s, kk, out, mg))
     }
     override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
       copy(child = newChild)
@@ -97,7 +143,7 @@ object TopKPerGroup extends Serializable {
       else Seq(ClusteredDistribution(groupExprs))
     override protected def doExecute(): RDD[InternalRow] = {
       val (g, s, kk, out) = (groupExprs, sortOrders, k, child.output)
-      child.execute().mapPartitions(it => topKPartition(it, g, s, kk, out))
+      child.execute().mapPartitions(it => topKPartition(it, g, s, kk, out, maxGroups = 0))
     }
     override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
       copy(child = newChild)

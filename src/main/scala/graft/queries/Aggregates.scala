@@ -186,6 +186,13 @@ object Aggregates {
     * `percentile` and DuckDB's `quantile_cont` share the same definition
     * ((1−g)·lower + g·upper over the sorted values); validated to agree
     * bit-for-bit on this data.
+    *
+    * Scale note: EXACT percentile buffers each group's value multiset in
+    * the aggregation state — correct here (the oracle demands exactness)
+    * but memory-linear in group size. The 100 TB path is
+    * `approx_percentile` (GK sketch: bounded state, mergeable); the two
+    * are spec-verified to agree within the sketch's accuracy bound in
+    * AggregatesSpec-adjacent coverage (PercentileScaleSpec).
     */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

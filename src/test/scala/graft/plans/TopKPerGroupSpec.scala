@@ -34,6 +34,20 @@ class TopKPerGroupSpec extends SparkSuite {
     assert(fi < ex && ex < pa, s"unexpected operator order: $fi/$ex/$pa\n${plan.take(800)}")
   }
 
+  test("partial-phase heap flush keeps results exact under a tiny group bound") {
+    val saved = TopKPerGroup.partialFlushGroups
+    try {
+      TopKPerGroup.partialFlushGroups = 2 // every third group forces a segment flush
+      val df = (1 to 2000).map(i => (i % 97, i)).toDF("g", "v").repartition(3)
+      val got = TopKPerGroup.topK(df, Seq("g"), Seq($"v".desc), 3)
+        .orderBy("g", "v").as[(Int, Int)].collect().toSeq
+      val expected = (1 to 2000).groupBy(_ % 97).toSeq.flatMap { case (g, vs) =>
+        vs.sorted.takeRight(3).map(v => (g, v))
+      }.sorted
+      assert(got == expected)
+    } finally TopKPerGroup.partialFlushGroups = saved
+  }
+
   test("GLOBAL top-k (no groups) returns k rows total, not k per partition") {
     val df = (1 to 1000).map(i => (i, s"p-$i")).toDF("v", "tag").repartition(8)
     val out = TopKPerGroup.topK(df, Nil, Seq($"v".desc, $"tag".asc), 5)
