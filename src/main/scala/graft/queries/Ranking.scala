@@ -62,6 +62,36 @@ object Ranking {
       |WHERE rk <= 3
       |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin
 
+  /** q61: the analytic window-function family over a deterministic total
+    * order (value, event_id): ntile / percent_rank / cume_dist / lag /
+    * lead — rank-arithmetic and IEEE division are formula-identical in
+    * DuckDB, so the whole family oracles exactly. One shuffle on the
+    * window key.
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".asc, $"event_id".asc)
+    events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("next_value", lead($"value", 1).over(w))
+      .orderBy($"event_type", $"value", $"event_id")
+  }
+
+  val windowSuiteSql: String =
+    """SELECT event_id, event_type, value,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(value, 1) OVER w AS next_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, value, event_id""".stripMargin
+
   /** O1 multi-key sort + top-k (`setup.sql:392-393`): global sort with a
     * unique tiebreak and LIMIT — planned as TakeOrderedAndProject (no full
     * sort materialization), the right shape at any scale.
@@ -183,6 +213,7 @@ object Ranking {
     "q15_composite_join"   -> compositeJoin,
     "q16_global_numbering" -> globalNumbering,
     "q58_topk_custom"      -> topkCustom,
+    "q61_window_suite"     -> windowSuite,
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,5 +224,6 @@ object Ranking {
     "q15_composite_join"   -> compositeJoinSql,
     "q16_global_numbering" -> globalNumberingSql,
     "q58_topk_custom"      -> topkCustomSql,
+    "q61_window_suite"     -> windowSuiteSql,
   )
 }
