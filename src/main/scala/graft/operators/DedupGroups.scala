@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * diameter. Near-dup components are overwhelmingly tiny (pairs of
   * re-posts, small mirror clusters), so 2-4 rounds converge; each round is
   * one shuffle join on vertex id + one aggregate, all map-side-combinable.
-  * The driver only checks the per-round convergence COUNT (a scalar), and
-  * per-round results are persisted then unpersisted so lineage stays flat
-  * (no exponential recompute under lazy evaluation).
+  * Crucially the loop runs over the EDGE-INDUCED SUBGRAPH only: a vertex
+  * with no incident pair can never change its label, so the untouched bulk
+  * of the corpus (the overwhelming majority at any scale) is stitched back
+  * AFTER convergence with one left join instead of being shuffled every
+  * round. The driver only checks the per-round convergence COUNT (a
+  * scalar), and per-round results are persisted then unpersisted so
+  * lineage stays flat (no exponential recompute under lazy evaluation).
   */
 object DedupGroups {
 
@@ -30,12 +34,22 @@ object DedupGroups {
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // undirected: keep each edge in both orientations
+    val vs = vertices.select(col(idCol).as("id"))
+    // undirected: keep each edge in both orientations, restricted to the
+    // vertex set (edges referencing unknown ids never influenced labels in
+    // the all-vertices formulation either — the src side fell out of the
+    // label join and the dst side fell out of the left join)
     val e = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
+      .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .persist()
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    // only vertices incident to an edge can ever change label — iterate
+    // over that induced subgraph; everyone else is their own rep, stitched
+    // back after the loop
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep")).persist()
     // one propagation step: every vertex adopts the min label among itself
     // and its neighbors
     def step(ls: DataFrame): DataFrame = {
@@ -66,9 +80,11 @@ object DedupGroups {
     // cut the iterative lineage and free the loop's cache deterministically:
     // the checkpointed blocks belong to the returned frame and are released
     // with it, instead of one leaked persisted RDD per call
-    val result = labels.localCheckpoint(eager = true)
+    val sub = labels.localCheckpoint(eager = true)
     labels.unpersist()
-    result.select(col("id").as(idCol), col("rep"))
+    // untouched vertices (no incident edge) are their own representative
+    vs.join(sub, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
   }
 
   /** The deduplicated corpus: keep one representative (minimum id) per

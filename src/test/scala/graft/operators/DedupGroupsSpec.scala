@@ -50,6 +50,16 @@ class DedupGroupsSpec extends SparkSuite {
     spark.catalog.clearCache() // minhash caches its shingle table
   }
 
+  test("edges referencing ids outside the vertex set do not merge or leak") {
+    val ids = Seq(1L, 2L, 3L).toDF("id")
+    // 99 is not a vertex: (2,99) must not link anything, (99,3) must not
+    // surface 99 as a rep, and the valid (1,2) edge still merges
+    val pairs = Seq((1L, 2L), (2L, 99L), (99L, 3L)).toDF("d1", "d2")
+    val got = DedupGroups.connectedComponents(ids, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("propagation round bound throws instead of under-merging") {
     val ids = (1L to 30L).toDF("id")
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2") // diameter 29
