@@ -37,10 +37,14 @@ object Bench {
       spark.catalog.clearCache() // per-query persist()s must not help successors
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times: full precision makes the line ~2.9 KB, which
+    // overflowed the driver's output tail window in rounds 1-2 (the line
+    // was clipped mid-JSON and recorded as parsed:null). ~1.7 KB fits.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver parses the JSON line out of the run's output; sbt's logger
     // may prefix stdout lines, so ALSO persist the result to a plain file
     // (cwd and /tmp) where it can be read back verbatim.

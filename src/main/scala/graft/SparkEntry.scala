@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Aggregates, EventOps, InvoicePipeline, MergeOps, Nested, PipelineOps, Ranking, Relational, Scalar, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Aggregates, CorpusOps, EventOps, InvoicePipeline, MergeOps, Nested, PipelineOps, Ranking, Relational, Scalar, ScaleOps, TextOps, VectorOps}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -11,12 +11,14 @@ object SparkEntry {
     Relational.queries ++ Scalar.queries ++ Ranking.queries ++
       Aggregates.queries ++ Nested.queries ++ MergeOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ InvoicePipeline.queries ++
-      EventOps.queries ++ ScaleOps.queries ++ PipelineOps.queries
+      EventOps.queries ++ ScaleOps.queries ++ PipelineOps.queries ++
+      CorpusOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalar.oracles ++ Ranking.oracles ++
       Aggregates.oracles ++ Nested.oracles ++ MergeOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ InvoicePipeline.oracles ++
-      EventOps.oracles ++ ScaleOps.oracles ++ PipelineOps.oracles
+      EventOps.oracles ++ ScaleOps.oracles ++ PipelineOps.oracles ++
+      CorpusOps.oracles
 }

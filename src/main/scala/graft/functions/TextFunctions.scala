@@ -58,6 +58,16 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Cross-engine 60-bit hash: the first 15 hex chars of the md5 digest as
+    * a non-negative long. Exactly reproducible in DuckDB as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`, which is what makes the
+    * hash-seeded operators (SimHash, hyperplane LSH) DuckDB-oracle-able —
+    * xxhash64 has no DuckDB twin. 15 hex chars (60 bits) keeps the value
+    * clear of the sign bit in both engines; quality is md5's.
+    */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Polynomial rolling hash over tokens (base 1000003, explicitly reduced
     * mod the Mersenne prime 2^31-1 each step): sensitive to token order,
     * built from `aggregate` so it stays an expression. The explicit pmod

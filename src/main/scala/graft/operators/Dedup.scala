@@ -158,34 +158,43 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** 64-bit SimHash over token hashes: for each bit, sum ±1 across token
+  /** SimHash bit width: 60, the width of [[TextFunctions.portableHash60]].
+    * 60 bits (vs the classic 64) costs nothing in near-dup quality and
+    * makes every signature bit reproducible in DuckDB SQL — the q31
+    * correctness oracle recomputes the full pipeline from `md5`.
+    */
+  val simhashBits = 60
+
+  /** 60-bit SimHash over token hashes: for each bit, sum ±1 across token
     * occurrences (term-frequency weighted — set-based simhash collapses on
     * small vocabularies where every doc contains every word) and take the
-    * sign. One shuffle on the doc key.
+    * sign. One shuffle on the doc key. Token hashes are the portable
+    * md5-derived 60-bit hash so the whole signature has a DuckDB twin.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h", TextFunctions.portableHash60(col("tok")))
+    val bitSums = (0 until simhashBits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
     }
     toks.groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until simhashBits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: block on byte-bands (8 bands of 8 bits);
-    * two docs within Hamming distance 8 share ≥1 identical byte-band with
-    * high probability (pigeonhole guarantees it for distance ≤ 7).
-    * Candidates are then filtered by exact Hamming distance.
+  /** SimHash near-dup candidates: block on 6 bands of 10 bits; two docs
+    * within Hamming distance 6 share ≥1 identical band by pigeonhole
+    * (distance ≤ 5 guaranteed), larger distances with probability falling
+    * off geometrically. Candidates are then filtered by exact Hamming
+    * distance.
     */
   def simhashNearDupPairs(sim: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
     val banded = sim.select(col(idCol), col("simhash"),
-        posexplode(array((0 until 8).map(b =>
-          shiftrightunsigned(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        posexplode(array((0 until 6).map(b =>
+          shiftrightunsigned(col("simhash"), b * 10).bitwiseAND(lit(1023L))): _*))
           .as(Seq("band", "bandVal")))
     val l = banded.select(col(idCol).as("d1"), col("simhash").as("s1"), col("band"), col("bandVal"))
     val r = banded.select(col(idCol).as("d2"), col("simhash").as("s2"), col("band"), col("bandVal"))

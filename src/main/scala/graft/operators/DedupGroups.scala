@@ -35,16 +35,22 @@ object DedupGroups {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val vs = vertices.select(col(idCol).as("id"))
+    // Materialize the pair generator ONCE with flat lineage before anything
+    // else touches it: the two union orientations below would otherwise
+    // each carry the full (expensive — quadratic shingle join or LSH
+    // pipeline) lineage, and the loop's persists would re-anchor it every
+    // round. One eager job here, tiny rows thereafter.
+    val pr = pairs.select(col("d1"), col("d2")).localCheckpoint(eager = true)
     // undirected: keep each edge in both orientations, restricted to the
     // vertex set (edges referencing unknown ids never influenced labels in
     // the all-vertices formulation either — the src side fell out of the
-    // label join and the dst side fell out of the left join)
-    val e = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
+    // label join and the dst side fell out of the left join). Duplicate
+    // edges are harmless under the min-aggregate, so no distinct() pass.
+    val e = pr.toDF("src", "dst")
+      .unionByName(pr.select(col("d2").as("src"), col("d1").as("dst")))
       .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .persist()
+      .localCheckpoint(eager = true)
     // only vertices incident to an edge can ever change label — iterate
     // over that induced subgraph; everyone else is their own rep, stitched
     // back after the loop
@@ -76,7 +82,6 @@ object DedupGroups {
       converged = changed == 0
       round += 1
     }
-    e.unpersist()
     // cut the iterative lineage and free the loop's cache deterministically:
     // the checkpointed blocks belong to the returned frame and are released
     // with it, instead of one leaked persisted RDD per call

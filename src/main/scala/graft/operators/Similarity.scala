@@ -149,21 +149,42 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a value in [-1,1) derived from xxhash64 — stable across runs, no RNG
-    * state to ship.
+    * a value in [-1,1) derived from the portable md5-based 60-bit hash of
+    * the canonical string "plane|dim" — stable across runs, no RNG state
+    * to ship, and exactly reproducible in DuckDB SQL (q35's oracle
+    * recomputes the full hyperplane family from md5). Computed DRIVER-SIDE
+    * and shipped as plan literals: the family is data-independent, so
+    * evaluating md5 per row (planes × dims digests per vector) would be
+    * pure waste — this is the same value the SQL mirror derives, pinned
+    * by SimilaritySpec against the in-engine expression.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
+  private[operators] def planeComponentValue(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane|$dim".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (h % 2000001L).toDouble / 1000000.0 - 1.0
+  }
+
+  /** The same component as an in-engine expression — exists only so the
+    * spec can pin literal/engine/oracle agreement; never in a hot path.
+    */
+  private[operators] def planeComponentExpr(plane: Int, dim: Column): Column =
+    (pmod(graft.functions.TextFunctions.portableHash60(
+        concat_ws("|", lit(plane), dim)),
+      lit(2000001L)).cast("double") / lit(1000000.0)) - lit(1.0)
 
   /** Random-hyperplane signature: bit i = sign(v · plane_i). Returns
     * `bucket` (long with `planes` bits). Cosine-similar vectors agree on
     * most bits, so same-bucket collision probability grows with cosine.
+    * `dims` must equal the vector length (the hyperplane family is a
+    * fixed-size literal matrix in the plan).
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
+  def hyperplaneBucket(vec: Column, planes: Int, dims: Int = 64): Column = {
     val bits = (0 until planes).map { pIdx =>
+      val comps = array((0 until dims).map(d => lit(planeComponentValue(pIdx, d))): _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(pIdx, i)),
+        zip_with(vec, comps, (x, c) => x * c),
         lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, lit(1L << pIdx)).otherwise(lit(0L))
     }

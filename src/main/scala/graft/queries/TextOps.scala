@@ -10,9 +10,10 @@ import Tables._
   * north star): stats/quality, language-ID, fingerprints, exact dedup,
   * n-gram Jaccard near-dup, MinHash LSH, SimHash, multimodal metadata.
   *
-  * Oracle-SQL-expressible ops carry oracles; the hash-seeded ops (MinHash,
-  * SimHash — xxhash64 has no DuckDB twin) are rows-only here and verified
-  * against brute-force ground truth in DedupSpec instead.
+  * Every query carries a DuckDB oracle. MinHash (q30) is oracled against
+  * exact Jaccard (proven coincident on this corpus); SimHash (q31) is
+  * oracled bit-for-bit — its signatures are built from the portable
+  * md5-derived 60-bit hash, which DuckDB reproduces exactly.
   */
 object TextOps {
 
@@ -134,14 +135,56 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
-  /** SimHash near-dup (rows-only, same reason). */
+  /** SimHash near-dup pairs. Fully DuckDB-oracled: the signature is built
+    * from the portable md5-derived 60-bit token hash
+    * ([[graft.functions.TextFunctions.portableHash60]]), so the oracle SQL
+    * below recomputes the ENTIRE pipeline — token hashes, 60 per-bit ±1
+    * sums, sign bits, 6×10-bit banding, candidate join, exact Hamming
+    * filter — from first principles in DuckDB. All-integer arithmetic:
+    * hash-stable across engines.
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sim = Dedup.simhash(documents(spark, dir), "doc_id", "text")
-    // hamming ≤ 10: covers the planted near-dups (max observed 9) while
-    // cutting the word-soup noise floor that grows steeply from 11+
+    // hamming ≤ 10: covers the planted near-dups while cutting the
+    // word-soup noise floor that grows steeply from 11+
     Dedup.simhashNearDupPairs(sim, "doc_id", maxHamming = 10)
       .orderBy($"d1", $"d2")
+  }
+
+  /** The full SimHash pipeline in DuckDB, mirroring [[Dedup.simhash]] +
+    * [[Dedup.simhashNearDupPairs]] bit for bit (60 generated per-bit sum
+    * columns).
+    */
+  val simhashPairsSql: String = {
+    val bits = Dedup.simhashBits
+    val bitSums = (0 until bits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n    ")
+    val sigExpr = (0 until bits)
+      .map(b => s"CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM bits),
+       |banded AS (
+       |  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 10)) & 1023 AS bandval
+       |  FROM sig CROSS JOIN generate_series(0, 5) AS b(band)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+       |  FROM banded l JOIN banded r ON l.band = r.band AND l.bandval = r.bandval
+       |  WHERE l.doc_id < r.doc_id)
+       |SELECT d1, d2, CAST(bit_count(xor(s1.simhash, s2.simhash)) AS INTEGER) AS hamming
+       |FROM cand JOIN sig s1 ON s1.doc_id = cand.d1
+       |          JOIN sig s2 ON s2.doc_id = cand.d2
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 10
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** Multimodal metadata over binary payloads: byte length + content hash
@@ -273,18 +316,13 @@ object TextOps {
       |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
       |ORDER BY d1, d2""".stripMargin
 
-  /** q31 is deliberately un-oracled: SimHash bit-sums are built from
-    * xxhash64 token hashes and xxhash64 has no DuckDB twin, so no SQL can
-    * reproduce the signatures. DedupSpec instead verifies q31's output
-    * against exact n-gram Jaccard (planted near-dups recovered, Hamming
-    * bound respected) and partitioning-determinism.
-    */
   val oracles: Map[String, String] = Map(
     "q26_text_stats"      -> textStatsSql,
     "q27_lang_id"         -> langIdSql,
     "q28_dedup_exact"     -> dedupExactSql,
     "q29_ngram_jaccard"   -> ngramJaccardSql,
     "q30_minhash_pairs"   -> minhashPairsSql,
+    "q31_simhash_pairs"   -> simhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,

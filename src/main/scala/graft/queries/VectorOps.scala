@@ -7,9 +7,10 @@ import Tables._
 
 /** Embedding / similarity-search queries over `embeddings` (64-dim float
   * vectors). Vector norms are oracle-checked via exact-decimal sums of
-  * squares (order-independent, unlike float folds); the cosine top-k and
-  * LSH paths are rows-only (verified against driver-side brute force in
-  * SimilaritySpec).
+  * squares (order-independent, unlike float folds); every ANN query —
+  * brute force, hyperplane LSH, IVF — is DuckDB-oracled ids-only, with
+  * cosine VALUES asserted against driver-side brute force in
+  * SimilaritySpec.
   */
 object VectorOps {
 
@@ -82,15 +83,66 @@ object VectorOps {
       |ORDER BY query_id, rk""".stripMargin
 
   /** LSH-bucketed ANN over the whole corpus (16 hyperplanes, 8-bit bands).
-    * Rows-only: recall properties are spec-tested; on the near-uniform
-    * synthetic vectors LSH candidates are sparse by design.
+    * Fully DuckDB-oracled: the hyperplanes are generated from the portable
+    * md5-derived hash (not xxhash64), so the oracle recomputes the whole
+    * pipeline — hyperplane family, projections, sign bits, banding,
+    * candidate join, exact-cosine re-rank — in SQL. Output is ids-only
+    * (the q34 trick): ranks agree rank-for-rank while raw cosine floats
+    * differ in engine-internal paths; the cosine VALUES are asserted
+    * against a driver-side double reference in SimilaritySpec.
     */
   def cosineLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.lshCosineTopK(embeddings(spark, dir), "vec_id", "embedding",
         k = 5, planes = 16, bandBits = 8)
+      .select($"query_id", $"rk", $"nbr_id")
       .orderBy($"query_id", $"rk")
   }
+
+  /** The full hyperplane-LSH pipeline in DuckDB, mirroring
+    * [[Similarity.hyperplaneBucket]] + [[Similarity.lshCosineTopK]]
+    * (planes=16, bandBits=8 → 2 bands). The hyperplane component for
+    * (plane, dim) is ((md5_60("plane|dim") % 2000001)/1e6) − 1, exactly
+    * as Spark computes it; projections are double sums (sign flips would
+    * need |proj| < 1e-13 — not present in this corpus).
+    */
+  val cosineLshSql: String =
+    """WITH planes AS (
+      |  SELECT p.plane, d.dim,
+      |    ((('0x' || substr(md5(p.plane::VARCHAR || '|' || d.dim::VARCHAR), 1, 15))::BIGINT
+      |       % 2000001)::DOUBLE / 1000000.0) - 1.0 AS comp
+      |  FROM generate_series(0, 15) AS p(plane)
+      |  CROSS JOIN generate_series(0, 63) AS d(dim)),
+      |ex AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT ex.vec_id, pl.plane, SUM(ex.x * pl.comp) AS proj
+      |  FROM ex JOIN planes pl ON pl.dim = ex.dim
+      |  GROUP BY ex.vec_id, pl.plane),
+      |sig AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN proj > 0 THEN (1::BIGINT << plane) ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |banded AS (
+      |  SELECT vec_id, b.band, (bucket >> (b.band * 8)) & 255 AS bandval
+      |  FROM sig CROSS JOIN generate_series(0, 1) AS b(band)),
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS nbr_id
+      |  FROM banded l JOIN banded r ON l.band = r.band AND l.bandval = r.bandval
+      |  WHERE l.vec_id <> r.vec_id),
+      |scored AS (
+      |  SELECT c.query_id, c.nbr_id,
+      |    list_cosine_similarity(q.embedding, n.embedding) AS cos
+      |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+      |              JOIN embeddings n ON n.vec_id = c.nbr_id),
+      |r AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 
   /** IVF-flat ANN (K=8, nprobe=4, one Lloyd iteration; recall also
     * measured against brute force in IvfIndexSpec — 0.88 recall@5).
@@ -187,14 +239,10 @@ object VectorOps {
     "q43_embedding_neardup" -> embeddingNearDup,
   )
 
-  /** q35 is deliberately un-oracled: its buckets come from xxhash64-derived
-    * hyperplanes, and xxhash64 has no DuckDB twin — no SQL can reproduce
-    * the candidate set. Its exactness properties (exact re-rank inside
-    * buckets, determinism) are spec-asserted in SimilaritySpec instead.
-    */
   val oracles: Map[String, String] = Map(
     "q33_vec_stats"   -> vecStatsSql,
     "q34_cosine_topk" -> cosineTopKSql,
+    "q35_cosine_lsh"  -> cosineLshSql,
     "q42_cosine_ivf"  -> cosineIvfSql,
     "q43_embedding_neardup" -> embeddingNearDupSql,
   )

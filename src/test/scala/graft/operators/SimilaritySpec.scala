@@ -36,6 +36,20 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("driver-side hyperplane components equal the in-engine md5 expression") {
+    // the literal matrix shipped in the plan must be the exact value the
+    // q35 DuckDB oracle (and the pinned expression) derives from md5
+    val pairs = for (p <- 0 until 16; d <- Seq(0, 1, 31, 63)) yield (p, d)
+    val exprVals = pairs.map { case (p, d) =>
+      spark.range(1)
+        .select(Similarity.planeComponentExpr(p, lit(d)).as("c"))
+        .head().getDouble(0)
+    }
+    pairs.zip(exprVals).foreach { case ((p, d), ev) =>
+      assert(Similarity.planeComponentValue(p, d) == ev, s"plane $p dim $d")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
     val self = one.select(Similarity.cosine($"embedding", $"embedding").as("c")).head().getDouble(0)

@@ -27,7 +27,9 @@ class CoverageSpec extends SparkSuite {
     "q48_dedup_corpus", "q49_contamination", "q50_stratified_sample",
     "q51_quantize_int8", "q52_repetition", "q53_pii_scrub", "q54_asof_join",
     "q55_range_join", "q56_multimodal_decode", "q57_kmv_distinct",
-    "q58_topk_custom", "q59_pivot", "q60_percentiles", "q61_window_suite")
+    "q58_topk_custom", "q59_pivot", "q60_percentiles", "q61_window_suite",
+    "q62_tfidf_top", "q63_vocabulary", "q64_sequence_pack",
+    "q65_passage_dedup")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
