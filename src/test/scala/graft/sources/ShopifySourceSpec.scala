@@ -1,0 +1,148 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import graft.{Fixtures, SparkSuite}
+import graft.ingest.ShopifyClient
+import org.apache.spark.sql.functions._
+
+/** DSv2 source: schema, pagination, server-side projection (fields param),
+  * created_at pushdown (created_at_min/max params), and disjoint
+  * window-split parallel scans.
+  */
+class ShopifySourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Wraps the fixture transport, recording every (url, params) request
+    * AND honoring created_at_min/max server-side for the orders fixture —
+    * so window splits return disjoint row sets like the real API.
+    */
+  private final class RecordingTransport extends ShopifyClient.Transport {
+    val requests = new ConcurrentLinkedQueue[(String, Map[String, String])]()
+    private val inner = new ShopifyClient.FixtureTransport(Fixtures.transportFixtures)
+    // fixture order ids by created_at, for server-side windowing
+    private val orderDates = Seq(
+      4000000001L -> "2021-05-02T09:00:00Z",
+      4000000002L -> "2021-05-03T10:00:00Z",
+      4000000003L -> "2021-05-04T12:00:00Z")
+
+    /** Split the inner of a JSON array into top-level elements by brace
+      * depth (regexes can't — order objects nest ids in line_items etc.).
+      */
+    private def topLevelElements(arrayBody: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; var start = 0; var inStr = false; var esc = false
+      for (i <- arrayBody.indices) {
+        val c = arrayBody(i)
+        if (inStr) {
+          if (esc) esc = false
+          else if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"'       => inStr = true
+          case '{' | '[' => depth += 1
+          case '}' | ']' => depth -= 1
+          case ',' if depth == 0 => out += arrayBody.substring(start, i); start = i + 1
+          case _         =>
+        }
+      }
+      if (start < arrayBody.length) out += arrayBody.substring(start)
+      out.result().filter(_.nonEmpty)
+    }
+
+    def get(url: String, params: Map[String, String]): ShopifyClient.HttpResponse = {
+      requests.add((url, params))
+      val resp = inner.get(url, params)
+      if (url.endsWith("orders.json") && resp.status == 200) {
+        val keep = orderDates.filter { case (_, ts) =>
+          params.get("created_at_min").forall(_ <= ts) &&
+            params.get("created_at_max").forall(ts <= _)
+        }.map(_._1).toSet
+        val elems = topLevelElements(
+          resp.body.stripPrefix("{\"orders\":[").stripSuffix("]}"))
+        val filtered = elems.filter { o =>
+          keep.exists(id => o.startsWith(s"""{"id":$id,"""))
+        }
+        resp.copy(body = filtered.mkString("{\"orders\":[", ",", "]}"))
+      } else resp
+    }
+  }
+
+  private def register(name: String): RecordingTransport = {
+    val t = new RecordingTransport
+    ShopifySource.registerTransport(name, t)
+    t
+  }
+
+  private def read(name: String) = spark.read.format("shopify")
+    .option("resource", "orders")
+    .option("transport", name)
+    .option("baseurl", Fixtures.base)
+
+  test("reads orders with the declared payload schema, short name resolves") {
+    register("t-basic")
+    val df = read("t-basic").load()
+    assert(df.schema == graft.ingest.Normalize.orderPayload)
+    assert(df.count() == 3)
+    assert(df.select("name").as[String].collect().sorted.toSeq ==
+      Seq("#1042", "#1043", "#1044"))
+  }
+
+  test("pagination follows Link cursors (customers fixture has 2 pages)") {
+    register("t-page")
+    val df = spark.read.format("shopify")
+      .option("resource", "customers")
+      .option("transport", "t-page")
+      .option("baseurl", Fixtures.base).load()
+    assert(df.count() == 2)
+  }
+
+  test("column pruning reaches the REST fields parameter (P1 server-side projection)") {
+    val t = register("t-prune")
+    val got = read("t-prune").load().select("id", "name").as[(Long, String)].collect()
+    assert(got.length == 3)
+    val fieldsParams = t.requests.asScala.toSeq.flatMap(_._2.get("fields"))
+    assert(fieldsParams.nonEmpty)
+    assert(fieldsParams.forall(_ == "id,name"),
+      s"server should only be asked for pruned columns, got: $fieldsParams")
+  }
+
+  test("created_at range predicates push down to created_at_min/max params") {
+    val t = register("t-filter")
+    val got = read("t-filter").load()
+      .filter($"created_at" >= lit("2021-05-03T00:00:00Z").cast("timestamp"))
+      .select("id").as[Long].collect()
+    assert(got.sorted.toSeq == Seq(4000000002L, 4000000003L),
+      "residual Spark filter must agree with the server-side window")
+    val mins = t.requests.asScala.toSeq.flatMap(_._2.get("created_at_min"))
+    assert(mins.nonEmpty && mins.forall(_.startsWith("2021-05-03T00:00:00")),
+      s"created_at_min param missing or wrong: $mins")
+  }
+
+  test("bounded windows split into disjoint parallel partitions") {
+    val t = register("t-split")
+    val df = read("t-split")
+      .option("created_at_min", "2021-05-01")
+      .option("created_at_max", "2021-05-05")
+      .option("splits", "2").load()
+    assert(df.rdd.getNumPartitions == 2)
+    // disjoint windows ⇒ no duplicates across partitions
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(4000000001L, 4000000002L, 4000000003L))
+    val windows = t.requests.asScala.toSeq
+      .filter(_._1.endsWith("orders.json"))
+      .map(r => (r._2.get("created_at_min"), r._2.get("created_at_max")))
+      .distinct
+    assert(windows.size == 2, s"expected 2 distinct scan windows, got $windows")
+  }
+
+  test("plan description advertises pushed projection and window") {
+    register("t-desc")
+    val df = read("t-desc").load()
+      .filter($"created_at" >= lit("2021-05-03T00:00:00Z").cast("timestamp"))
+      .select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShopifyScan"), plan)
+  }
+}
