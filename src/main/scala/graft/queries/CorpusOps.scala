@@ -198,17 +198,119 @@ object CorpusOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q66: data-mixture construction — each source contributes docs up to a
+    * fixed token budget, picked in a deterministic pseudo-random order (the
+    * portable md5 hash of doc_id), the reproducible stand-in for seeded
+    * sampling. One window per source; all-integer cumulative arithmetic.
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 800L
+    val h = TextFunctions.portableHash60($"doc_id".cast("string"))
+    val w = Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select($"doc_id", $"source", TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum")
+      .orderBy($"doc_id")
+  }
+
+  val mixtureSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+      |    SUM(len(string_split(text, ' '))) OVER (
+      |      PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(cum AS BIGINT) AS cum
+      |FROM t WHERE cum <= 800
+      |ORDER BY doc_id""".stripMargin
+
+  /** q67: per-source quality gate — keep the top half of each source by
+    * composite quality score. percent_rank over a strict total order
+    * ((score desc, doc_id)) so the rank fractions are exact rationals,
+    * identical across engines.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    val w = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    documents(spark, dir)
+      .select($"doc_id", $"source",
+        TextFunctions.qualityScore($"text", stop).as("q"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter($"pr" <= 0.5)
+      .select($"doc_id", $"source", $"q", $"pr")
+      .orderBy($"doc_id")
+  }
+
+  val qualityFilterSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    LEAST(len(string_split(text,' '))/50.0, 1.0) * 0.4
+      |    + (len(list_distinct(string_split(text,' ')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)) * 0.4
+      |    + LEAST(len(list_filter(string_split(text,' '),
+      |        x -> x IN ('the','a','of','and','to')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.2
+      |      AS q
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, q,
+      |    PERCENT_RANK() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr
+      |  FROM q)
+      |SELECT doc_id, source, q, pr FROM r WHERE pr <= 0.5
+      |ORDER BY doc_id""".stripMargin
+
+  /** q68: deterministic train/val/test assignment by content-independent
+    * id hash (80/10/10) with per-split-per-language corpus stats — the
+    * reproducible split every training pipeline needs (no RNG state, any
+    * engine can recompute membership).
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod(TextFunctions.portableHash60($"doc_id".cast("string")), lit(100L))
+    documents(spark, dir)
+      .select($"doc_id", $"lang",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val hashSplitSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM documents)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      |FROM t
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q62_tfidf_top"     -> tfidfTop,
-    "q63_vocabulary"    -> vocabulary,
-    "q64_sequence_pack" -> sequencePack,
-    "q65_passage_dedup" -> passageDedup,
+    "q62_tfidf_top"      -> tfidfTop,
+    "q63_vocabulary"     -> vocabulary,
+    "q64_sequence_pack"  -> sequencePack,
+    "q65_passage_dedup"  -> passageDedup,
+    "q66_mixture"        -> mixture,
+    "q67_quality_filter" -> qualityFilter,
+    "q68_hash_split"     -> hashSplit,
   )
 
   val oracles: Map[String, String] = Map(
-    "q62_tfidf_top"     -> tfidfTopSql,
-    "q63_vocabulary"    -> vocabularySql,
-    "q64_sequence_pack" -> sequencePackSql,
-    "q65_passage_dedup" -> passageDedupSql,
+    "q62_tfidf_top"      -> tfidfTopSql,
+    "q63_vocabulary"     -> vocabularySql,
+    "q64_sequence_pack"  -> sequencePackSql,
+    "q65_passage_dedup"  -> passageDedupSql,
+    "q66_mixture"        -> mixtureSql,
+    "q67_quality_filter" -> qualityFilterSql,
+    "q68_hash_split"     -> hashSplitSql,
   )
 }
