@@ -86,6 +86,25 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("q63: vocabulary ids come from range partitions, not a single-partition window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the ranking subplan (before the cosmetic final orderBy) must hold
+      // no SinglePartition exchange — globalRank's whole point
+      val vocab = CorpusOps.vocabulary(spark, sf)
+      val ranked = vocab.queryExecution.executedPlan
+      val singles = ranked.collectWithSubqueries {
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+      }
+      assert(singles.isEmpty,
+        s"global rank must not serialize through one task:\n${singles.map(_.treeString.take(800))}")
+      assert(ranked.toString.contains("rangepartitioning"),
+        "range repartition expected in the ranking subplan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q43: blocked near-dup join has no nested-loop/cartesian operator") {
     val plan = executed(VectorOps.embeddingNearDup(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
