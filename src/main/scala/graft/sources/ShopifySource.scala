@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,7 +96,7 @@ final class ShopifyTable(tableSchema: StructType, properties: Map[String, String
   override def name(): String = s"shopify.${properties.getOrElse("resource", "?")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShopifyScanBuilder(tableSchema, options.asCaseSensitiveMap().asScala.toMap)
 }
@@ -172,6 +173,68 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShopifyReaderFactory(required, opts)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ShopifyMicroBatchStream(required, opts, minBound)
+}
+
+/** Stream offset: the `created_at` high-watermark (ISO instant). */
+final case class ShopifyOffset(watermark: String) extends Offset {
+  override def json(): String = s"""{"watermark":"$watermark"}"""
+}
+
+/** Micro-batch streaming over the REST API: each batch reads the
+  * `created_at` window (prevWatermark, nowWatermark], so incremental
+  * ingestion (§2.10's date-bounded refetch) becomes a Structured Streaming
+  * source — offsets checkpoint/restart like any other stream, and the
+  * downstream upsert sink absorbs the API's inclusive-bound boundary
+  * duplicates idempotently.
+  *
+  * The batch end is wall-clock now minus `streamlagseconds` (late-arrival
+  * slack, default 0); tests pin it with the `streamend` option for
+  * determinism.
+  */
+final class ShopifyMicroBatchStream(required: StructType, opts: Map[String, String],
+                                    minBound: Option[String]) extends MicroBatchStream {
+
+  private def nowWatermark: String = opts.get("streamend").getOrElse {
+    val lag = opts.getOrElse("streamlagseconds", "0").toLong
+    Instant.now().minusSeconds(lag).toString
+  }
+
+  override def initialOffset(): Offset =
+    ShopifyOffset(minBound.map(ShopifySource.parseInstant(_, endOfDay = false).toString)
+      .getOrElse(Instant.EPOCH.toString))
+
+  override def latestOffset(): Offset = {
+    val now = nowWatermark
+    // never move backwards (a pinned streamend below the initial offset)
+    ShopifyOffset(Seq(now, initialOffset().asInstanceOf[ShopifyOffset].watermark).max)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"watermark\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
+    ShopifyOffset(m.map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(s"bad offset: $json")))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[ShopifyOffset].watermark
+    val hi = end.asInstanceOf[ShopifyOffset].watermark
+    if (lo >= hi) Array.empty
+    else {
+      // (lo, hi]: advance the inclusive API lower bound by 1ms past the
+      // previous watermark; exact-boundary re-reads are upsert-idempotent
+      val min = Instant.parse(lo).plusMillis(1).toString
+      Array(ShopifyWindow(Some(min), Some(hi)))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShopifyReaderFactory(required, opts)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class ShopifyReaderFactory(required: StructType, opts: Map[String, String])

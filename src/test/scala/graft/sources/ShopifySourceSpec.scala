@@ -137,6 +137,46 @@ class ShopifySourceSpec extends SparkSuite {
     assert(windows.size == 2, s"expected 2 distinct scan windows, got $windows")
   }
 
+  test("micro-batch stream drains the created_at window and honors the offset floor") {
+    val t = register("t-stream")
+    val q = spark.readStream.format("shopify")
+      .option("resource", "orders")
+      .option("transport", "t-stream")
+      .option("baseurl", Fixtures.base)
+      .option("created_at_min", "2021-05-01")
+      .option("streamend", "2021-05-10T00:00:00Z")
+      .load()
+      .writeStream.format("memory").queryName("shopify_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("shopify-stream-ckpt").toString)
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT id FROM shopify_stream").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(4000000001L, 4000000002L, 4000000003L))
+    // the batch window started strictly after the configured floor
+    val mins = t.requests.asScala.toSeq.flatMap(_._2.get("created_at_min"))
+    assert(mins.nonEmpty && mins.forall(_ > "2021-05-01T00:00:00"), mins.toString)
+  }
+
+  test("micro-batch stream with a pre-data watermark window reads nothing") {
+    register("t-stream-empty")
+    val q = spark.readStream.format("shopify")
+      .option("resource", "orders")
+      .option("transport", "t-stream-empty")
+      .option("baseurl", Fixtures.base)
+      .option("created_at_min", "2021-01-01")
+      .option("streamend", "2021-02-01T00:00:00Z")
+      .load()
+      .writeStream.format("memory").queryName("shopify_stream_empty")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("shopify-stream-ckpt2").toString)
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT * FROM shopify_stream_empty").count() == 0)
+  }
+
   test("plan description advertises pushed projection and window") {
     register("t-desc")
     val df = read("t-desc").load()
