@@ -188,7 +188,17 @@ object Similarity {
         lit(0.0d), (acc, x) => acc + x)
       when(proj > 0, lit(1L << pIdx)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // loud failure on a dims mismatch: zip_with would null-pad the shorter
+    // side, null-poison every projection, and silently collapse all
+    // signatures into bucket 0 (a full-cartesian candidate set downstream).
+    // assert_true returns NULL when the predicate holds, so the coalesce
+    // contributes 0 to the bucket and stays inside codegen.
+    val guard = coalesce(
+      assert_true(size(vec) === dims,
+        concat(lit(s"hyperplaneBucket: expected $dims dims, got "),
+          size(vec).cast("string"))).cast("long"),
+      lit(0L))
+    bits.reduce((a, b) => a.bitwiseOR(b)) + guard
   }
 
   /** LSH-bucketed ANN: signature → band buckets → exact cosine only within
@@ -201,13 +211,14 @@ object Similarity {
     * high probability).
     */
   def lshCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, planes: Int = 16, bandBits: Int = 4): DataFrame = {
+                    k: Int, planes: Int = 16, bandBits: Int = 4,
+                    dims: Int = 64): DataFrame = {
     require(planes % bandBits == 0)
     val bands = planes / bandBits
     // Bucket on ids only — the banded self-join never shuffles the vectors;
     // they are joined back onto the (much smaller) candidate pair set.
     val sig = corpus.select(col(idCol),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      hyperplaneBucket(col(vecCol), planes, dims).as("bucket"))
     val banded = sig.select(col(idCol),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("bucket"), b * bandBits)

@@ -26,16 +26,24 @@ object CorpusOps {
     */
   def globalRank(df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
     val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // MATERIALIZE the range partitioning before counting: repartitionByRange
+    // samples its input per execution (seed varies with the RDD id), so the
+    // counts job and the ranking job would otherwise compute different
+    // boundaries and misalign offsets — duplicate/skipped global ranks.
+    // localCheckpoint pins one concrete partitioning both jobs share.
     val ranged = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     // per-partition row counts: tiny (≤ one row per partition) — the only
     // driver-side step, and it scales with partition count, not data
     val counts = ranged.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
-    val offsetCol = (0 until parts).foldLeft(lit(0L)) { (acc, p) =>
-      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
+    // flat pid→offset map literal: a foldLeft CaseWhen chain would be
+    // O(parts) deep — analyzer recursion + codegen size blow up at the
+    // partition counts this helper exists for
+    val offsetCol = element_at(
+      typedLit((0 until parts).map(p => p -> offsets(p)).toMap), col("__pid"))
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     ranged
       .withColumn(rankCol, row_number().over(w).cast("long") + offsetCol)
@@ -183,10 +191,13 @@ object CorpusOps {
 
   val passageDedupSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pre AS (
+      |  SELECT doc_id, unnest(range(0, (len(t)+9)//10)) AS chunk_idx, t
+      |  FROM toks),
       |chunks AS (
-      |  SELECT doc_id, g.i AS chunk_idx,
-      |    array_to_string(t[g.i*10+1 : g.i*10+10], ' ') AS chunk
-      |  FROM toks JOIN generate_series(0, 50) g(i) ON g.i*10 < len(t)),
+      |  SELECT doc_id, chunk_idx,
+      |    array_to_string(t[chunk_idx*10+1 : chunk_idx*10+10], ' ') AS chunk
+      |  FROM pre),
       |marked AS (
       |  SELECT doc_id, chunk_idx, chunk,
       |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn

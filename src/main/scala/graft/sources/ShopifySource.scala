@@ -74,6 +74,15 @@ object ShopifySource {
       (if (endOfDay) d.plusDays(1).atStartOfDay(ZoneOffset.UTC).minusNanos(1000000)
        else d.atStartOfDay(ZoneOffset.UTC)).toInstant
     }
+
+  /** Options reach the scan through several java maps with inconsistent
+    * case handling (inferSchema sees a CaseInsensitiveStringMap, getTable
+    * gets raw properties) — normalize every key to lowercase once so a
+    * mixed-case `.option("Resource", …)` can't validate the schema yet be
+    * silently ignored by the reader.
+    */
+  private[sources] def normalizeOpts(m: java.util.Map[String, String]): Map[String, String] =
+    m.asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
 }
 
 class ShopifySource extends TableProvider with DataSourceRegister {
@@ -88,7 +97,7 @@ class ShopifySource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new ShopifyTable(schema, properties.asScala.toMap)
+    new ShopifyTable(schema, ShopifySource.normalizeOpts(properties))
 }
 
 final class ShopifyTable(tableSchema: StructType, properties: Map[String, String])
@@ -98,7 +107,8 @@ final class ShopifyTable(tableSchema: StructType, properties: Map[String, String
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShopifyScanBuilder(tableSchema, options.asCaseSensitiveMap().asScala.toMap)
+    new ShopifyScanBuilder(tableSchema,
+      ShopifySource.normalizeOpts(options.asCaseSensitiveMap()))
 }
 
 final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String])
@@ -120,12 +130,26 @@ final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String]
     case other                 => other.toString
   }
 
+  // INTERSECT with any option-configured bound (max of mins, min of maxes):
+  // a query filter looser than the option must not widen the configured
+  // window — options are never re-applied by Spark, only filters are
+  private def tightenMin(v: String): Unit = minBound = Some(minBound match {
+    case Some(cur) if ShopifySource.parseInstant(cur, endOfDay = false)
+      .isAfter(ShopifySource.parseInstant(v, endOfDay = false)) => cur
+    case _ => v
+  })
+  private def tightenMax(v: String): Unit = maxBound = Some(maxBound match {
+    case Some(cur) if ShopifySource.parseInstant(cur, endOfDay = true)
+      .isBefore(ShopifySource.parseInstant(v, endOfDay = true)) => cur
+    case _ => v
+  })
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.filter {
-      case GreaterThanOrEqual("created_at", v) => minBound = Some(render(v)); true
-      case GreaterThan("created_at", v)        => minBound = Some(render(v)); true
-      case LessThanOrEqual("created_at", v)    => maxBound = Some(render(v)); true
-      case LessThan("created_at", v)           => maxBound = Some(render(v)); true
+      case GreaterThanOrEqual("created_at", v) => tightenMin(render(v)); true
+      case GreaterThan("created_at", v)        => tightenMin(render(v)); true
+      case LessThanOrEqual("created_at", v)    => tightenMax(render(v)); true
+      case LessThan("created_at", v)           => tightenMax(render(v)); true
       case _                                   => false
     }
     // everything stays residual: the API bounds are inclusive and coarse,
@@ -155,19 +179,21 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val splits = opts.getOrElse("splits", "1").toInt
-    (minBound, maxBound) match {
-      case (Some(mn), Some(mx)) if splits > 1 =>
-        val lo = ShopifySource.parseInstant(mn, endOfDay = false)
-        val hi = ShopifySource.parseInstant(mx, endOfDay = true)
-        val totalMs = math.max(hi.toEpochMilli - lo.toEpochMilli, 0L)
+    // normalize BOTH paths through parseInstant so a date-only
+    // created_at_max means end-of-day regardless of the splits setting
+    val lo = minBound.map(ShopifySource.parseInstant(_, endOfDay = false))
+    val hi = maxBound.map(ShopifySource.parseInstant(_, endOfDay = true))
+    (lo, hi) match {
+      case (Some(l), Some(h)) if splits > 1 =>
+        val totalMs = math.max(h.toEpochMilli - l.toEpochMilli, 0L)
         val step = math.max(totalMs / splits, 1L)
         (0 until splits).map { i =>
-          val wLo = lo.plusMillis(i * step)
-          val wHi = if (i == splits - 1) hi else lo.plusMillis((i + 1) * step - 1)
+          val wLo = l.plusMillis(i * step)
+          val wHi = if (i == splits - 1) h else l.plusMillis((i + 1) * step - 1)
           ShopifyWindow(Some(wLo.toString), Some(wHi.toString)): InputPartition
         }.toArray
       case _ =>
-        Array(ShopifyWindow(minBound, maxBound))
+        Array(ShopifyWindow(lo.map(_.toString), hi.map(_.toString)))
     }
   }
 
@@ -197,19 +223,28 @@ final case class ShopifyOffset(watermark: String) extends Offset {
 final class ShopifyMicroBatchStream(required: StructType, opts: Map[String, String],
                                     minBound: Option[String]) extends MicroBatchStream {
 
-  private def nowWatermark: String = opts.get("streamend").getOrElse {
-    val lag = opts.getOrElse("streamlagseconds", "0").toLong
-    Instant.now().minusSeconds(lag).toString
-  }
+  private def nowWatermark: Instant = opts.get("streamend")
+    .map(ShopifySource.parseInstant(_, endOfDay = false))
+    .getOrElse {
+      val lag = opts.getOrElse("streamlagseconds", "0").toLong
+      Instant.now().minusSeconds(lag)
+    }
 
-  override def initialOffset(): Offset =
-    ShopifyOffset(minBound.map(ShopifySource.parseInstant(_, endOfDay = false).toString)
-      .getOrElse(Instant.EPOCH.toString))
+  // the floor sits 1ms BELOW the configured min so the first batch's
+  // (floor, hi] window starts the API's inclusive min bound exactly AT the
+  // configured instant — batch and stream agree on the floor record
+  private def floor: Instant =
+    minBound.map(ShopifySource.parseInstant(_, endOfDay = false).minusMillis(1))
+      .getOrElse(Instant.EPOCH)
+
+  override def initialOffset(): Offset = ShopifyOffset(floor.toString)
 
   override def latestOffset(): Offset = {
+    // never move backwards (a pinned streamend below the initial offset);
+    // compare as INSTANTS — ISO strings with different fractional-second
+    // precision do not order lexicographically
     val now = nowWatermark
-    // never move backwards (a pinned streamend below the initial offset)
-    ShopifyOffset(Seq(now, initialOffset().asInstanceOf[ShopifyOffset].watermark).max)
+    ShopifyOffset((if (now.isAfter(floor)) now else floor).toString)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -219,14 +254,13 @@ final class ShopifyMicroBatchStream(required: StructType, opts: Map[String, Stri
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[ShopifyOffset].watermark
-    val hi = end.asInstanceOf[ShopifyOffset].watermark
-    if (lo >= hi) Array.empty
+    val lo = Instant.parse(start.asInstanceOf[ShopifyOffset].watermark)
+    val hi = Instant.parse(end.asInstanceOf[ShopifyOffset].watermark)
+    if (!lo.isBefore(hi)) Array.empty
     else {
       // (lo, hi]: advance the inclusive API lower bound by 1ms past the
       // previous watermark; exact-boundary re-reads are upsert-idempotent
-      val min = Instant.parse(lo).plusMillis(1).toString
-      Array(ShopifyWindow(Some(min), Some(hi)))
+      Array(ShopifyWindow(Some(lo.plusMillis(1).toString), Some(hi.toString)))
     }
   }
 
@@ -267,7 +301,6 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
 
   private var cursor: Option[String] = None
   private var done = false
-  private var fetchedFirst = false
   private var iter: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -292,7 +325,6 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
         createdAtMin = window.min, createdAtMax = window.max,
         filterOnStatus = resource == "orders",
         pageInfo = cursor)
-      fetchedFirst = true
       iter = parsePage(body)
       cursor = nxt
       if (cursor.isEmpty) done = true

@@ -50,6 +50,15 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hyperplaneBucket fails loudly on a dims mismatch (no silent bucket collapse)") {
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.hyperplaneBucket($"embedding", 4, dims = 64)).collect()
+    }
+    assert(ex.getMessage.contains("expected 64 dims") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 64 dims")), ex.getMessage)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(1)
     val self = one.select(Similarity.cosine($"embedding", $"embedding").as("c")).head().getDouble(0)

@@ -137,6 +137,21 @@ class ShopifySourceSpec extends SparkSuite {
     assert(windows.size == 2, s"expected 2 distinct scan windows, got $windows")
   }
 
+  test("a looser query filter cannot widen an option-configured window") {
+    val t = register("t-tighten")
+    // option floor = May 3; the filter asks from Jan 1 — the scan window
+    // must stay at the TIGHTER May 3 bound (options are never re-applied
+    // by Spark, so widening would leak configured-out rows)
+    val got = read("t-tighten")
+      .option("created_at_min", "2021-05-03")
+      .load()
+      .filter($"created_at" >= lit("2021-01-01T00:00:00Z").cast("timestamp"))
+      .select("id").as[Long].collect()
+    assert(got.sorted.toSeq == Seq(4000000002L, 4000000003L), got.toSeq.toString)
+    val mins = t.requests.asScala.toSeq.flatMap(_._2.get("created_at_min"))
+    assert(mins.nonEmpty && mins.forall(_.startsWith("2021-05-03")), mins.toString)
+  }
+
   test("micro-batch stream drains the created_at window and honors the offset floor") {
     val t = register("t-stream")
     val q = spark.readStream.format("shopify")
