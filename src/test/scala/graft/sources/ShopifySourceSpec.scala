@@ -174,6 +174,42 @@ class ShopifySourceSpec extends SparkSuite {
     assert(mins.nonEmpty && mins.forall(_ > "2021-05-01T00:00:00"), mins.toString)
   }
 
+  test("stream restart resumes from the committed offset, never re-reading old windows") {
+    val ckpt = java.nio.file.Files.createTempDirectory("shopify-stream-ckpt-resume").toString
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    def run(transportName: String, streamEnd: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("shopify")
+        .option("resource", "orders")
+        .option("transport", transportName)
+        .option("baseurl", Fixtures.base)
+        .option("created_at_min", "2021-05-01")
+        .option("streamend", streamEnd)
+        .load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => got.add(r.getLong(0)))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(60000)
+      got.asScala.toSeq.sorted
+    }
+    // first run drains up to May 3; commits that watermark
+    register("t-resume-1")
+    assert(run("t-resume-1", "2021-05-03T12:00:00Z") == Seq(4000000001L, 4000000002L))
+    // second run from the SAME checkpoint with a later end: only the new
+    // window may be requested — its lower bound sits past the committed
+    // watermark, so orders #1042/#1043 are never re-fetched
+    val t2 = register("t-resume-2")
+    val ids2 = run("t-resume-2", "2021-05-10T00:00:00Z")
+    assert(ids2 == Seq(4000000003L), s"resumed batch must only see new data: $ids2")
+    val mins2 = t2.requests.asScala.toSeq.flatMap(_._2.get("created_at_min"))
+    assert(mins2.nonEmpty && mins2.forall(_ > "2021-05-03T12:00:00"),
+      s"resumed scan must start past the committed watermark: $mins2")
+  }
+
   test("micro-batch stream with a pre-data watermark window reads nothing") {
     register("t-stream-empty")
     val q = spark.readStream.format("shopify")
