@@ -123,6 +123,14 @@ object Normalize {
       .select(explode(col(s"p.$field")).as("d"))
   }
 
+  /** Adapt a payload-ROWS frame — one row per document with the payload
+    * fields top-level, e.g. `spark.read.format("shopify")` output — to the
+    * `d`-struct shape the `*FromDocs` normalizers select from. Lets the
+    * DSv2 source feed the exact same projections as the page-body path.
+    */
+  def fromPayloadRows(rows: DataFrame): DataFrame =
+    rows.select(struct(rows.columns.map(col): _*).as("d"))
+
   /** N1 (`shopify.py:230-254`): customers — default_address flatten +
     * renames, phone fallback (F14).
     */
@@ -147,7 +155,10 @@ object Normalize {
 
   /** `shopify.py:283-302`: order headers (renames F3-style). */
   def orders(pages: Dataset[String]): DataFrame =
-    docs(pages, "orders", orderPayload).select(
+    ordersFromDocs(docs(pages, "orders", orderPayload))
+
+  def ordersFromDocs(d: DataFrame): DataFrame =
+    d.select(
       col("d.id").as("id"),
       col("d.customer.id").as("customer_id"),
       col("d.name").as("name"),
@@ -167,8 +178,10 @@ object Normalize {
     * orders, tax_lines[0] defaults, deep currency path, derived total.
     */
   def lineItemProducts(pages: Dataset[String]): DataFrame =
-    docs(pages, "orders", orderPayload)
-      .select(col("d.id").as("order_id"), explode(col("d.line_items")).as("li"))
+    lineItemProductsFromDocs(docs(pages, "orders", orderPayload))
+
+  def lineItemProductsFromDocs(d: DataFrame): DataFrame =
+    d.select(col("d.id").as("order_id"), explode(col("d.line_items")).as("li"))
       .select(
         col("li.id").as("id"),
         col("order_id"),
@@ -194,8 +207,10 @@ object Normalize {
     * from the parent order.
     */
   def shipping(pages: Dataset[String]): DataFrame =
-    docs(pages, "orders", orderPayload)
-      .select(col("d.id").as("order_id"), col("d.billing_address").as("ba"),
+    shippingFromDocs(docs(pages, "orders", orderPayload))
+
+  def shippingFromDocs(d: DataFrame): DataFrame =
+    d.select(col("d.id").as("order_id"), col("d.billing_address").as("ba"),
         explode(col("d.shipping_lines")).as("sl"))
       .select(
         col("sl.id").as("id"),

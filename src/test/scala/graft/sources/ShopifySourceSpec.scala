@@ -228,6 +228,26 @@ class ShopifySourceSpec extends SparkSuite {
     assert(spark.sql("SELECT * FROM shopify_stream_empty").count() == 0)
   }
 
+  test("DSv2 rows feed the normalize→store pipeline identically to the page-body path") {
+    import graft.ingest.Normalize
+    register("t-e2e")
+    // same projections, two entry points: typed DSv2 rows vs raw page bodies
+    val viaDsv2 = Normalize.ordersFromDocs(
+      Normalize.fromPayloadRows(read("t-e2e").load()))
+    val viaPages = Normalize.orders(
+      Seq(Fixtures.transportFixtures(s"${Fixtures.base}orders.json")).toDS())
+    val a = viaDsv2.orderBy("id").collect().toSeq
+    val b = viaPages.orderBy("id").collect().toSeq
+    assert(a == b, "both ingest paths must produce identical normalized rows")
+    // and the store upsert accepts the DSv2-fed frame end-to-end
+    val dir = java.nio.file.Files.createTempDirectory("dsv2-store").toString
+    val store = new graft.store.ShopifyStore(spark, dir)
+    store.init()
+    store.upsert("orders", viaDsv2)
+    assert(store.read("orders").count() == 3)
+    assert(store.readBounded("orders", Some("2021-05-03"), None).count() == 2)
+  }
+
   test("plan description advertises pushed projection and window") {
     register("t-desc")
     val df = read("t-desc").load()
