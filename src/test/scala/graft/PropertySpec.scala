@@ -30,6 +30,26 @@ class PropertySpec extends SparkSuite {
     if (r.isEmpty) None else Some(r.toInt)
   }
 
+  test("portableHash60: Spark expression equals the JVM reference on arbitrary strings") {
+    // the q31/q35 oracle parity (and Similarity's literal hyperplanes)
+    // rests on conv(substring(md5(x),1,15),16,10) being exactly the first
+    // 60 bits of the md5 digest — pin it against a driver-side digest
+    def jvmHash60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val strs = samples(Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.oneOf("æøå", "日本", "🙂", "|", "")).map(_.mkString)), 60)
+      .filter(_ != null)
+    val df = strs.toDF("s")
+      .select($"s", graft.functions.TextFunctions.portableHash60($"s").as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == jvmHash60(r.getString(0)), s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("F1 tripletexId matches PG CHAR(12) semantics across id magnitudes") {
     val ids = samples(Gen.chooseNum(1L, 9999999999999L), 40) ++
       Seq(1L, 9L, 999L, 1000L, 999999999L, 1000000000L, 9876543210L,
