@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Divide, EvalMode, Expression, ExpressionInfo, Literal, Md5, Multiply, Sqrt, Substring}
+import org.apache.spark.sql.types.{BinaryType, LongType}
 import graft.functions.expressions.DotProduct
 
 /** Library entry point at the Spark-extensions altitude: makes the graft
@@ -34,6 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.expressions.KmvSketch].getName,
         graft.functions.expressions.KmvSketch.FunctionName),
       graft.functions.expressions.KmvSketch.builder))
+    ext.injectFunction((FunctionIdentifier(GraftExtensions.Hash60Name),
+      new ExpressionInfo(classOf[Md5].getName, GraftExtensions.Hash60Name),
+      GraftExtensions.hash60Builder))
     // whole-operator tier: two-phase exact top-k-per-group planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
     // optimizer-rule tier: rewrite discarded row_number()<=k rank filters
@@ -44,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val CosineName = "graft_cosine"
+  val Hash60Name = "graft_hash60"
+
+  /** `graft_hash60(s)` — the portable cross-engine 60-bit hash
+    * ([[graft.functions.TextFunctions.portableHash60]]) as a SQL function:
+    * first 15 hex chars of md5 as a long, reproducible in DuckDB as
+    * `('0x'||substr(md5(s),1,15))::BIGINT`. Built-in expressions only —
+    * codegen'd end to end.
+    */
+  private[graft] val hash60Builder: Seq[Expression] => Expression = { exprs =>
+    Cast(Conv(Substring(Md5(Cast(exprs(0), BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+  }
 
   private[graft] val dotBuilder: Seq[Expression] => Expression =
     exprs => DotProduct(exprs(0), exprs(1))

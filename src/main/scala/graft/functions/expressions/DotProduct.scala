@@ -75,6 +75,8 @@ object DotProduct {
       FunctionName, graft.GraftExtensions.dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       graft.GraftExtensions.CosineName, graft.GraftExtensions.cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      graft.GraftExtensions.Hash60Name, graft.GraftExtensions.hash60Builder, "built-in")
   }
 
   /** Column-API entry point; requires [[register]] on the session first. */

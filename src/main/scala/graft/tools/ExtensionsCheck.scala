@@ -25,6 +25,11 @@ object ExtensionsCheck {
         "array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))) AS c").head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-9, s"graft_cosine: $c")
 
+    // function tier: the portable 60-bit hash (DuckDB twin of
+    // ('0x'||substr(md5('abc'),1,15))::BIGINT)
+    val h = spark.sql("SELECT graft_hash60('abc') AS h").head().getLong(0)
+    assert(h == 648541476951500027L, s"graft_hash60: $h")
+
     // aggregate tier: KMV sketch, exact regime
     spark.sql("SELECT explode(sequence(1, 100)) AS v").createOrReplaceTempView("ec_t")
     val d = spark.sql("SELECT graft_kmv_distinct(v, 256) FROM ec_t").head().getLong(0)

@@ -58,6 +58,18 @@ class DotProductSpec extends SparkSuite {
     new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("graft_hash60 is SQL-reachable and equals the portable hash / DuckDB formula") {
+    DotProduct.register(spark)
+    // md5('abc') = 900150983cd24fb0…; first 15 hex chars as a long — the
+    // same value DuckDB returns for ('0x'||substr(md5('abc'),1,15))::BIGINT
+    val r = spark.sql("SELECT graft_hash60('abc') AS h").head().getLong(0)
+    assert(r == 648541476951500027L)
+    val viaColumn = spark.range(1)
+      .select(graft.functions.TextFunctions.portableHash60(lit("abc")))
+      .head().getLong(0)
+    assert(r == viaColumn)
+  }
+
   test("native kernel is faster than the HOF path on a widened workload") {
     val wide = emb.crossJoin(emb.limit(200).select($"embedding".as("e2")))
     def timed(c: org.apache.spark.sql.Column): Double = {
