@@ -94,9 +94,7 @@ object Dedup {
     * with Jaccard s becomes a candidate: 1-(1-s^r)^b.
     */
   def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = sigs
-      .select(col(idCol), posexplode(bandArray(col("sig"), bands)).as(Seq("band", "bandSig")))
-      .withColumn("bandHash", xxhash64(col("band"), col("bandSig").cast("string")))
+    val banded = bandRows(sigs, idCol, bands)
     val l = banded.select(col(idCol).as("d1"), col("band"), col("bandHash"))
     val r = banded.select(col(idCol).as("d2"), col("band"), col("bandHash"))
     l.join(r, Seq("band", "bandHash"))
@@ -104,6 +102,16 @@ object Dedup {
       .select(col("d1"), col("d2"))
       .distinct()
   }
+
+  /** Banded rows (idCol, band, bandHash) for a signatures frame — the
+    * joinable/persistable form of the LSH index, shared by the pairwise
+    * candidate join and [[IncrementalDedup]]'s corpus index.
+    */
+  def bandRows(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs
+      .select(col(idCol), posexplode(bandArray(col("sig"), bands)).as(Seq("band", "bandSig")))
+      .withColumn("bandHash", xxhash64(col("band"), col("bandSig").cast("string")))
+      .select(col(idCol), col("band"), col("bandHash"))
 
   /** Split sig array into `bands` contiguous slices rendered as strings. */
   private def bandArray(sig: Column, bands: Int): Column =

@@ -248,7 +248,50 @@ object PipelineOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q69: incremental dedup — the 1-in-5 docs (doc_id % 5 = 0) arrive as a
+    * DELTA against the already-indexed corpus (the other 4-in-5). Only the
+    * delta is hashed; only collided corpus docs are re-shingled. Oracle:
+    * exact cross-set Jaccard ≥ 0.5 (the q30 coincidence argument — the
+    * 16×4 banding recovers every such pair on this corpus).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.IncrementalDedup
+    val docs = documents(spark, dir)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text")
+    IncrementalDedup.dedupDelta(index, corpus, delta, "doc_id", "text")
+      .orderBy($"delta_id", $"corpus_id")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |sh AS (SELECT DISTINCT doc_id, s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id, count(*) i
+      |  FROM sh a JOIN sh b USING(s)
+      |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |  GROUP BY 1,2)
+      |SELECT delta_id, corpus_id,
+      |       CAST(i AS DOUBLE)/(c1.n+c2.n-i) AS jaccard
+      |FROM inter
+      |JOIN cnt c1 ON delta_id=c1.doc_id
+      |JOIN cnt c2 ON corpus_id=c2.doc_id
+      |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
+      |ORDER BY delta_id, corpus_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_incremental_dedup" -> incrementalDedup,
     "q47_dedup_groups"      -> dedupGroups,
     "q48_dedup_corpus"      -> dedupCorpus,
     "q49_contamination"     -> contamination,
@@ -259,6 +302,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_incremental_dedup" -> incrementalDedupSql,
     "q47_dedup_groups"      -> dedupGroupsSql,
     "q48_dedup_corpus"      -> dedupCorpusSql,
     "q49_contamination"     -> contaminationSql,

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, f"recall $recall%.2f < 0.9 (missed ${all -- pairs})")
   }
 
+  test("incremental dedup finds exactly the cross-set pairs of a full dedup") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text")
+    val got = IncrementalDedup.dedupDelta(index, corpus, delta, "doc_id", "text",
+        minJaccard = 0.5)
+      .select("delta_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // reference: full-corpus exact pairs, restricted to the cross-set
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val expected = full.flatMap { case (a, b) =>
+      (a % 5, b % 5) match {
+        case (0, x) if x != 0 => Some((a, b))
+        case (x, 0) if x != 0 => Some((b, a))
+        case _                => None
+      }
+    }.toSet
+    assert(expected.nonEmpty, "split must cross at least one planted pair")
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("identical docs have identical minhash signatures, jaccard-1 pairs") {
     val two = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(two, "doc_id", "text", 16, 2)
