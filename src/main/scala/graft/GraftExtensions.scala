@@ -2,8 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Divide, EvalMode, Expression, ExpressionInfo, Literal, Md5, Multiply, Sqrt, Substring}
-import org.apache.spark.sql.types.{BinaryType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EvalMode, Expression, ExpressionInfo, Multiply, Sqrt}
 import graft.functions.expressions.DotProduct
 
 /** Library entry point at the Spark-extensions altitude: makes the graft
@@ -36,7 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.KmvSketch.FunctionName),
       graft.functions.expressions.KmvSketch.builder))
     ext.injectFunction((FunctionIdentifier(GraftExtensions.Hash60Name),
-      new ExpressionInfo(classOf[Md5].getName, GraftExtensions.Hash60Name),
+      new ExpressionInfo(GraftExtensions.getClass.getName, GraftExtensions.Hash60Name),
       GraftExtensions.hash60Builder))
     // whole-operator tier: two-phase exact top-k-per-group planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
@@ -50,15 +49,17 @@ object GraftExtensions {
   val CosineName = "graft_cosine"
   val Hash60Name = "graft_hash60"
 
-  /** `graft_hash60(s)` — the portable cross-engine 60-bit hash
-    * ([[graft.functions.TextFunctions.portableHash60]]) as a SQL function:
-    * first 15 hex chars of md5 as a long, reproducible in DuckDB as
-    * `('0x'||substr(md5(s),1,15))::BIGINT`. Built-in expressions only —
-    * codegen'd end to end.
+  /** `graft_hash60(s)` — the portable cross-engine 60-bit hash as a SQL
+    * function: first 15 hex chars of md5 as a long, reproducible in DuckDB
+    * as `('0x'||substr(md5(s),1,15))::BIGINT`. DERIVED from
+    * [[graft.functions.TextFunctions.portableHash60]] (single source of
+    * truth — the SQL surface cannot drift from the Column API the q31/q35
+    * oracles are built on). Built-in expressions only — codegen'd.
     */
   private[graft] val hash60Builder: Seq[Expression] => Expression = { exprs =>
-    Cast(Conv(Substring(Md5(Cast(exprs(0), BinaryType)),
-      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+    org.apache.spark.sql.graftshim.GraftShim.expression(
+      graft.functions.TextFunctions.portableHash60(
+        org.apache.spark.sql.graftshim.GraftShim.column(exprs(0))))
   }
 
   private[graft] val dotBuilder: Seq[Expression] => Expression =

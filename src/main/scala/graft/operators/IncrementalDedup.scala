@@ -24,17 +24,29 @@ import graft.functions.TextFunctions
   */
 object IncrementalDedup {
 
-  /** The persistable corpus index: (idCol, n_sh, band, bandHash). Build
-    * once per corpus generation, append per ingested batch.
+  /** Render the hash configuration as the index's `cfg` column value —
+    * [[dedupDelta]] refuses an index built with different parameters
+    * (mismatched banding would otherwise return an EMPTY candidate set
+    * with no error, shipping duplicates into the corpus).
+    */
+  private def cfgTag(numHashes: Int, bands: Int, shingleN: Int): String =
+    s"mh$numHashes/b$bands/sh$shingleN"
+
+  /** The persistable corpus index: (idCol, n_sh, band, bandHash, cfg).
+    * Build once per corpus generation, append per ingested batch.
     */
   def buildIndex(corpus: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleN: Int = 3): DataFrame = {
     val sh = TextFunctions.shingles(corpus, idCol, textCol, shingleN)
+    // materialize the expensive shingle+65-aggregate pass ONCE: the band
+    // branch and the count branch below would otherwise each recompute it
     val sc = Dedup.minhashSignaturesAndCounts(sh, idCol, numHashes)
+      .localCheckpoint(eager = true)
     Dedup.bandRows(sc, idCol, bands)
       .join(sc.select(col(idCol), col("n_sh")), Seq(idCol))
-      .select(col(idCol), col("n_sh"), col("band"), col("bandHash"))
+      .select(col(idCol), col("n_sh"), col("band"), col("bandHash"),
+        lit(cfgTag(numHashes, bands, shingleN)).as("cfg"))
   }
 
   /** Near-dup pairs between `delta` and the indexed corpus: output
@@ -47,33 +59,44 @@ object IncrementalDedup {
                  idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
                  minJaccard: Double = 0.5): DataFrame = {
+    // refuse a config-mismatched index: different banding parameters would
+    // produce an empty candidate set SILENTLY (one driver-side first() on
+    // the tiny index head — the only eager step in this builder)
+    val expectCfg = cfgTag(numHashes, bands, shingleN)
+    index.select(col("cfg")).limit(1).collect().foreach { r =>
+      require(r.getString(0) == expectCfg,
+        s"index built with ${r.getString(0)}, dedupDelta called with $expectCfg")
+    }
     val dsh = TextFunctions.shingles(delta, idCol, textCol, shingleN).cache()
-    val dsc = Dedup.minhashSignaturesAndCounts(dsh, idCol, numHashes)
+    // delta-sized; feeds both the band branch and the n1 counts
+    val dsc = Dedup.minhashSignaturesAndCounts(dsh, idCol, numHashes).persist()
     val dBands = Dedup.bandRows(dsc, idCol, bands)
       .select(col(idCol).as("delta_id"), col("band"), col("bandHash"))
     // candidate pairs: delta bands ⨝ index bands — shuffle join on the
-    // band key, nothing corpus-sized is broadcast
+    // band key, nothing corpus-sized is broadcast. n_sh rides along so no
+    // separate corpus-wide count scan is ever needed (max() is exact: the
+    // value repeats identically on every band row of a doc).
     val cand = dBands
-      .join(index.select(col(idCol).as("corpus_id"), col("band"), col("bandHash")),
+      .join(index.select(col(idCol).as("corpus_id"), col("band"),
+          col("bandHash"), col("n_sh")),
         Seq("band", "bandHash"))
       .filter(col("delta_id") =!= col("corpus_id"))
-      .select(col("delta_id"), col("corpus_id"))
-      .distinct()
+      .groupBy(col("delta_id"), col("corpus_id"))
+      .agg(max(col("n_sh")).as("n2"))
     // re-shingle ONLY collided corpus docs
     val matchedCorpus = corpusText
       .join(cand.select(col("corpus_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val csh = TextFunctions.shingles(matchedCorpus, idCol, textCol, shingleN)
     val inter = dsh.select(col(idCol).as("delta_id"), col("shingle"))
-      .join(cand, Seq("delta_id"))
+      .join(cand.select(col("delta_id"), col("corpus_id")), Seq("delta_id"))
       .join(csh.select(col(idCol).as("corpus_id"), col("shingle")),
         Seq("corpus_id", "shingle"))
       .groupBy(col("delta_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter"))
     val dCnt = dsc.select(col(idCol).as("delta_id"), col("n_sh").as("n1"))
-    val cCnt = index.select(col(idCol).as("corpus_id"), col("n_sh").as("n2")).distinct()
     inter
       .join(dCnt, Seq("delta_id"))
-      .join(cCnt, Seq("corpus_id"))
+      .join(cand, Seq("delta_id", "corpus_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

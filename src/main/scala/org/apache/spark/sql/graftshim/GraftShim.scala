@@ -22,4 +22,11 @@ object GraftShim {
     */
   def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** The inverse bridge: wrap a catalyst Expression as a Column, so
+    * function builders can be DERIVED from the Column-API definitions
+    * instead of duplicating the expression tree by hand.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -88,6 +88,16 @@ class DedupSpec extends SparkSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("incremental dedup refuses an index built with different hash parameters") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    val index = IncrementalDedup.buildIndex(corpus, "doc_id", "text", bands = 16)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.dedupDelta(index, corpus, delta, "doc_id", "text", bands = 32)
+    }
+    assert(ex.getMessage.contains("mh64/b16/sh3"), ex.getMessage)
+  }
+
   test("identical docs have identical minhash signatures, jaccard-1 pairs") {
     val two = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(two, "doc_id", "text", 16, 2)
