@@ -305,7 +305,47 @@ object CorpusOps {
       |GROUP BY 1, 2
       |ORDER BY split, lang""".stripMargin
 
+  private val langIdx =
+    when(col("lang") === "en", 0).when(col("lang") === "de", 1)
+      .when(col("lang") === "fr", 2).when(col("lang") === "es", 3)
+      .otherwise(4)
+
+  /** q70: Z-order clustering keys — the Morton interleave of
+    * (token-count, language) each document would be clustered by in a
+    * layout-optimized corpus (see [[graft.operators.Layout]]; the actual
+    * clustered WRITE and its file-disjointness proof live in LayoutSpec —
+    * a query can only return rows). All-integer bit arithmetic, mirrored
+    * term-for-term in the oracle.
+    */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"),
+        langIdx.as("lang_idx"))
+      .withColumn("zkey",
+        graft.operators.Layout.zorderKey($"n_tokens", $"lang_idx", bits = 8))
+      .orderBy($"doc_id")
+  }
+
+  val zorderKeysSql: String = {
+    val terms = (0 until 8).flatMap { b =>
+      Seq(s"(((n_tokens >> $b) & 1) << ${2 * b})",
+          s"(((lang_idx >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |    CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1 WHEN 'fr' THEN 2
+       |              WHEN 'es' THEN 3 ELSE 4 END AS lang_idx
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(lang_idx AS INTEGER) AS lang_idx,
+       |  CAST($terms AS BIGINT) AS zkey
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
     "q63_vocabulary"     -> vocabulary,
     "q64_sequence_pack"  -> sequencePack,
@@ -316,6 +356,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q70_zorder_keys"    -> zorderKeysSql,
     "q62_tfidf_top"      -> tfidfTopSql,
     "q63_vocabulary"     -> vocabularySql,
     "q64_sequence_pack"  -> sequencePackSql,

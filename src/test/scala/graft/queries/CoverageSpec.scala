@@ -30,7 +30,7 @@ class CoverageSpec extends SparkSuite {
     "q58_topk_custom", "q59_pivot", "q60_percentiles", "q61_window_suite",
     "q62_tfidf_top", "q63_vocabulary", "q64_sequence_pack",
     "q65_passage_dedup", "q66_mixture", "q67_quality_filter",
-    "q68_hash_split", "q69_incremental_dedup")
+    "q68_hash_split", "q69_incremental_dedup", "q70_zorder_keys")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
