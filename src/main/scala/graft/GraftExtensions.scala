@@ -49,6 +49,21 @@ object GraftExtensions {
   val CosineName = "graft_cosine"
   val Hash60Name = "graft_hash60"
 
+  /** Arity guard: a wrong argument count must fail analysis with a named
+    * error, not an IndexOutOfBoundsException (zero args) or silent
+    * truncation (extra args ignored).
+    */
+  private def checkArity(name: String, expected: Int,
+                         exprs: Seq[Expression]): Unit =
+    if (exprs.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** `graft_hash60(s)` — the portable cross-engine 60-bit hash as a SQL
     * function: first 15 hex chars of md5 as a long, reproducible in DuckDB
     * as `('0x'||substr(md5(s),1,15))::BIGINT`. DERIVED from
@@ -57,15 +72,19 @@ object GraftExtensions {
     * oracles are built on). Built-in expressions only — codegen'd.
     */
   private[graft] val hash60Builder: Seq[Expression] => Expression = { exprs =>
+    checkArity(Hash60Name, 1, exprs)
     org.apache.spark.sql.graftshim.GraftShim.expression(
       graft.functions.TextFunctions.portableHash60(
         org.apache.spark.sql.graftshim.GraftShim.column(exprs(0))))
   }
 
-  private[graft] val dotBuilder: Seq[Expression] => Expression =
-    exprs => DotProduct(exprs(0), exprs(1))
+  private[graft] val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    checkArity(DotProduct.FunctionName, 2, exprs)
+    DotProduct(exprs(0), exprs(1))
+  }
 
   private[graft] val cosineBuilder: Seq[Expression] => Expression = { exprs =>
+    checkArity(CosineName, 2, exprs)
     val (a, b) = (exprs(0), exprs(1))
     // LEGACY division: a zero-norm vector yields null (undefined cosine)
     // instead of throwing DIVIDE_BY_ZERO under Spark 4's ANSI default

@@ -60,16 +60,23 @@ object IncrementalDedup {
                  numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
                  minJaccard: Double = 0.5): DataFrame = {
     // refuse a config-mismatched index: different banding parameters would
-    // produce an empty candidate set SILENTLY (one driver-side first() on
-    // the tiny index head — the only eager step in this builder)
+    // produce an empty candidate set SILENTLY. Check EVERY distinct cfg —
+    // an index appended over time may be mixed, and a single-row probe
+    // would pass validation while dropping candidates for the mismatched
+    // portion. distinct() over the cfg column is cheap relative to the join.
     val expectCfg = cfgTag(numHashes, bands, shingleN)
-    index.select(col("cfg")).limit(1).collect().foreach { r =>
-      require(r.getString(0) == expectCfg,
-        s"index built with ${r.getString(0)}, dedupDelta called with $expectCfg")
-    }
-    val dsh = TextFunctions.shingles(delta, idCol, textCol, shingleN).cache()
+    val cfgs = index.select(col("cfg")).distinct().collect().map(_.getString(0))
+    require(cfgs.forall(_ == expectCfg),
+      s"index contains cfg(s) [${cfgs.filterNot(_ == expectCfg).mkString(", ")}], " +
+        s"dedupDelta called with $expectCfg")
+    // localCheckpoint(eager): materialized once, blocks released with the
+    // returned frame — per-batch invocations in a long-lived session must
+    // not accumulate cached RDDs the way cache()/persist() would
+    val dsh = TextFunctions.shingles(delta, idCol, textCol, shingleN)
+      .localCheckpoint(eager = true)
     // delta-sized; feeds both the band branch and the n1 counts
-    val dsc = Dedup.minhashSignaturesAndCounts(dsh, idCol, numHashes).persist()
+    val dsc = Dedup.minhashSignaturesAndCounts(dsh, idCol, numHashes)
+      .localCheckpoint(eager = true)
     val dBands = Dedup.bandRows(dsc, idCol, bands)
       .select(col(idCol).as("delta_id"), col("band"), col("bandHash"))
     // candidate pairs: delta bands ⨝ index bands — shuffle join on the

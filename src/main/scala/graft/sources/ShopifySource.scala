@@ -185,11 +185,17 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     val hi = maxBound.map(ShopifySource.parseInstant(_, endOfDay = true))
     (lo, hi) match {
       case (Some(l), Some(h)) if splits > 1 =>
-        val totalMs = math.max(h.toEpochMilli - l.toEpochMilli, 0L)
-        val step = math.max(totalMs / splits, 1L)
+        // whole-second window boundaries: the API compares created_at at
+        // second granularity, so a 1ms gap between adjacent inclusive
+        // windows would let a boundary-second record satisfy both (residual
+        // filters re-apply the ORIGINAL predicate — they cannot dedup).
+        // wHi = next window start minus 1 SECOND keeps the truncated
+        // seconds of adjacent windows disjoint.
+        val totalSec = math.max(h.getEpochSecond - l.getEpochSecond, 0L)
+        val step = math.max(totalSec / splits, 1L)
         (0 until splits).map { i =>
-          val wLo = l.plusMillis(i * step)
-          val wHi = if (i == splits - 1) h else l.plusMillis((i + 1) * step - 1)
+          val wLo = l.plusSeconds(i * step)
+          val wHi = if (i == splits - 1) h else l.plusSeconds((i + 1) * step - 1)
           ShopifyWindow(Some(wLo.toString), Some(wHi.toString)): InputPartition
         }.toArray
       case _ =>
@@ -201,7 +207,7 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     new ShopifyReaderFactory(required, opts)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShopifyMicroBatchStream(required, opts, minBound)
+    new ShopifyMicroBatchStream(required, opts, minBound, maxBound)
 }
 
 /** Stream offset: the `created_at` high-watermark (ISO instant). */
@@ -221,14 +227,25 @@ final case class ShopifyOffset(watermark: String) extends Offset {
   * determinism.
   */
 final class ShopifyMicroBatchStream(required: StructType, opts: Map[String, String],
-                                    minBound: Option[String]) extends MicroBatchStream {
+                                    minBound: Option[String], maxBound: Option[String])
+    extends MicroBatchStream {
 
-  private def nowWatermark: Instant = opts.get("streamend")
-    .map(ShopifySource.parseInstant(_, endOfDay = false))
-    .getOrElse {
-      val lag = opts.getOrElse("streamlagseconds", "0").toLong
-      Instant.now().minusSeconds(lag)
-    }
+  // a configured created_at_max CAPS the stream: Spark never re-applies
+  // reader options, so without this cap rows past the configured max would
+  // leak into the stream (the batch path's tighten* logic defends the same
+  // invariant)
+  private val ceiling: Option[Instant] =
+    maxBound.map(ShopifySource.parseInstant(_, endOfDay = true))
+
+  private def nowWatermark: Instant = {
+    val now = opts.get("streamend")
+      .map(ShopifySource.parseInstant(_, endOfDay = false))
+      .getOrElse {
+        val lag = opts.getOrElse("streamlagseconds", "0").toLong
+        Instant.now().minusSeconds(lag)
+      }
+    ceiling.filter(_.isBefore(now)).getOrElse(now)
+  }
 
   // the floor sits 1ms BELOW the configured min so the first batch's
   // (floor, hi] window starts the API's inclusive min bound exactly AT the

@@ -70,6 +70,17 @@ class DotProductSpec extends SparkSuite {
     assert(r == viaColumn)
   }
 
+  test("wrong arity fails analysis with a named error, not IndexOutOfBounds") {
+    DotProduct.register(spark)
+    for (bad <- Seq("graft_hash60()", "graft_hash60('a','b')",
+                    "graft_dot(array(1.0f))", "graft_cosine(array(1.0f))")) {
+      val ex = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $bad").collect()
+      }
+      assert(ex.getMessage.toLowerCase.contains("parameter"), s"$bad → ${ex.getMessage}")
+    }
+  }
+
   test("native kernel is faster than the HOF path on a widened workload") {
     val wide = emb.crossJoin(emb.limit(200).select($"embedding".as("e2")))
     def timed(c: org.apache.spark.sql.Column): Double = {

@@ -98,6 +98,20 @@ class DedupSpec extends SparkSuite {
     assert(ex.getMessage.contains("mh64/b16/sh3"), ex.getMessage)
   }
 
+  test("incremental dedup refuses a MIXED-config index (appended batches)") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val delta = docs.filter($"doc_id" % 5 === 0)
+    // an index appended over time with drifting parameters: a single-row
+    // probe would pass (if it sampled the matching half) while candidates
+    // from the mismatched half were silently dropped
+    val mixed = IncrementalDedup.buildIndex(corpus, "doc_id", "text", bands = 16)
+      .union(IncrementalDedup.buildIndex(corpus, "doc_id", "text", bands = 32))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalDedup.dedupDelta(mixed, corpus, delta, "doc_id", "text", bands = 16)
+    }
+    assert(ex.getMessage.contains("mh64/b32/sh3"), ex.getMessage)
+  }
+
   test("identical docs have identical minhash signatures, jaccard-1 pairs") {
     val two = Seq((1L, "x y z w v"), (2L, "x y z w v")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(two, "doc_id", "text", 16, 2)

@@ -135,6 +135,35 @@ class ShopifySourceSpec extends SparkSuite {
       .map(r => (r._2.get("created_at_min"), r._2.get("created_at_max")))
       .distinct
     assert(windows.size == 2, s"expected 2 distinct scan windows, got $windows")
+    // adjacent windows are separated by a whole SECOND (the API compares
+    // created_at at second granularity — a 1ms gap would let a
+    // boundary-second record into both inclusive windows)
+    val sorted = windows.sortBy(_._1)
+    val firstHi = java.time.Instant.parse(sorted.head._2.get)
+    val secondLo = java.time.Instant.parse(sorted(1)._1.get)
+    assert(secondLo.minusSeconds(1) == firstHi,
+      s"window boundary not second-aligned: $firstHi vs $secondLo")
+  }
+
+  test("streaming honors a configured created_at_max (rows past it never leak)") {
+    register("t-stream-max")
+    val q = spark.readStream.format("shopify")
+      .option("resource", "orders")
+      .option("transport", "t-stream-max")
+      .option("baseurl", Fixtures.base)
+      .option("created_at_min", "2021-05-01")
+      .option("created_at_max", "2021-05-03") // end-of-day; #1044 is May 4
+      .option("streamend", "2021-05-10T00:00:00Z")
+      .load()
+      .writeStream.format("memory").queryName("shopify_stream_capped")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("shopify-stream-ckpt3").toString)
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.sql("SELECT id FROM shopify_stream_capped").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(4000000001L, 4000000002L),
+      s"created_at_max must cap the stream watermark: ${ids.toSeq}")
   }
 
   test("a looser query filter cannot widen an option-configured window") {
