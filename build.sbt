@@ -29,9 +29,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: 32 local executor threads shuffling wide decimal rows GC-
-  // thrash an 8g heap (override with SPARK_DRIVER_MEM)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 40g default (box has 125g): 32 local executor threads shuffling wide
+  // decimal rows GC-thrash small heaps, and localCheckpoint blocks from
+  // dedup/corpus operators live until GC — 70 warmup + 70 timed queries in
+  // one JVM need headroom (override with SPARK_DRIVER_MEM)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
   // 45+ codegen'd queries in one JVM overflow the default 240m code cache;
   // once full the JIT stops compiling and late queries run interpreted
   // (measured ~3× on the flagship inside Bench vs standalone)

@@ -30,11 +30,17 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     spark.catalog.clearCache()
+    // localCheckpoint blocks (dedup/corpus operators) are freed by the
+    // ContextCleaner only after the owning RDD is GC'd — without an explicit
+    // GC here, 70 warmup executions' worth of blocks sit in the block
+    // manager and squeeze the timed runs' shuffle memory
+    System.gc()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query persist()s must not help successors
+      System.gc()                // release this query's checkpoint blocks (untimed)
       name -> dt
     }
     // 3-decimal times: full precision makes the line ~2.9 KB, which

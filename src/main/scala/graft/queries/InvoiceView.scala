@@ -224,6 +224,17 @@ object InvoiceView {
         lit(3).as("priority"))
   }
 
+  /** The 8-column lip projection product_lines actually consumes, deduped —
+    * the pushed-down form of the view's UNION-distinct (see
+    * [[tripletexInvoice]]). One canonical definition so the view and the
+    * pair-index twin build PLAN-IDENTICAL subtrees (cache/exchange reuse).
+    */
+  private def dedupedLip(lip: DataFrame): DataFrame =
+    lip.select(
+      col("order_id"), col("quantity"), col("title"), col("variant_title"),
+      col("unit_price"), col("total_price"), col("total_discount_amount"),
+      col("sku")).distinct()
+
   /** Align a branch to the canonical 21-column shape with unified types
     * (PG's set-op type resolution made the branches union-compatible).
     */
@@ -243,21 +254,59 @@ object InvoiceView {
     * materialized, not optimized away.
     */
   def tripletexInvoice(t: Tables, sorted: Boolean = true,
-                       persist: Boolean = true): DataFrame = {
+                       persist: Boolean = true,
+                       pushedDistinct: Boolean = true): DataFrame = {
     // stp feeds product_lines and gift_card_lines; product_lines feeds the
     // union and shipping_lines — persisting both roughly halves the
     // pipeline's cold time (measured in tools.ProfileInvoice). The final
     // view is NOT persisted: its consumers traverse it once, and columnar
     // cache construction for the wide result costs more than recomputing.
+    // ── Pushed-distinct rewrite (default) ─────────────────────────────────
+    // The trailing UNION-distinct (`setup.sql:358-365`, load-bearing dedup)
+    // is a wide 21-column hash-shuffle over every line-level row. It can be
+    // pushed below the joins because:
+    //  (1) the four branches are pairwise DISJOINT row sets — each carries
+    //      its own `priority` literal (1..4) as a row column — so the
+    //      global distinct ≡ union of per-branch distincts;
+    //  (2) product_lines rows are unique once its lip input is deduped on
+    //      the 8 columns the branch projects: stp rank-1 is unique per
+    //      order (row_number), orders/customers join by PRIMARY KEY, and
+    //      t.id rides in every row — so duplicates can only originate in
+    //      the narrow lip projection;
+    //  (3) shipping_lines (ship_rank=1 per order) and gift_card_lines (one
+    //      row per gift transaction id) are structurally duplicate-free;
+    //  (4) refund_lines keeps a branch-LOCAL distinct (tiny: one row per
+    //      refund line) — two distinct lipr rows can reference different
+    //      lip rows that project identically.
+    // Equality with the literal wide distinct is spec-asserted
+    // (InvoiceViewSpec), including on inputs with planted duplicate line
+    // items. Caveat: assumes money inputs are already at ≤ (38,9) decimal
+    // scale (true for every Shopify-normalized table) — otherwise the
+    // pre-cast dedup could be finer than the post-cast one; pass
+    // pushedDistinct=false for exotic inputs.
+    // Persist policy (measured, tools.ProfileQ36Variants): persist the
+    // NARROW shared inputs — stp (one row per successful payment) and the
+    // deduped 8-column lip projection — never the wide `pl`. Caching the
+    // wide view costs more to build than its consumers save, and racing
+    // broadcast subtrees double-build it; the narrow caches are cheap to
+    // build and serve every consumer (union, shipping, pair index).
     val stp0 = successTransactionPayments(t.transactions)
     val stp = if (persist) stp0.persist() else stp0
-    val pl0 = productLines(t, stp)
-    val pl = if (persist) pl0.persist() else pl0
-    val deduped = aligned(pl)
-      .unionByName(aligned(refundLines(t)))
+    val plInput = if (pushedDistinct) {
+      val lipDedup0 = dedupedLip(t.lineItemProducts)
+      t.copy(lineItemProducts = if (persist) lipDedup0.persist() else lipDedup0)
+    } else t
+    val pl0 = productLines(plInput, stp)
+    // wide-distinct path keeps the legacy pl persist (its distinct consumes
+    // pl twice as often); pushed path reads pl straight through
+    val pl = if (persist && !pushedDistinct) pl0.persist() else pl0
+    val refunds0 = aligned(refundLines(t))
+    val refunds = if (pushedDistinct) refunds0.distinct() else refunds0
+    val unionAll = aligned(pl)
+      .unionByName(refunds)
       .unionByName(aligned(shippingLines(t, pl)))
       .unionByName(aligned(giftCardLines(t, stp)))
-      .distinct()
+    val deduped = (if (pushedDistinct) unionAll else unionAll.distinct())
       .filter(col("rank") === 1)
     val unioned =
       if (sorted) deduped.orderBy(col("INVOICE DATE").desc, col("order_id").asc,
@@ -289,9 +338,16 @@ object InvoiceView {
     * subplans are canonically identical to the ones [[tripletexInvoice]]
     * persists, so the cache serves both passes.
     */
-  def tripletexInvoicePairDates(t: Tables): DataFrame = {
+  def tripletexInvoicePairDates(t: Tables, pushedDistinct: Boolean = true): DataFrame = {
     val stp = successTransactionPayments(t.transactions)
-    val pl = productLines(t, stp)
+    // mirror tripletexInvoice's pushed-distinct lip projection so the
+    // stp/pl subplans stay canonically identical to the persisted ones
+    // (cache reuse); pair content is unaffected — dedup only collapses
+    // duplicate rows and the numbering index distincts the pairs anyway
+    val plInput = if (pushedDistinct)
+      t.copy(lineItemProducts = dedupedLip(t.lineItemProducts))
+    else t
+    val pl = productLines(plInput, stp)
     val cols = Seq("ORDER NO", "payment_tag", "INVOICE DATE").map(col)
     pl.select(cols: _*)
       .unionByName(refundLines(t).select(cols: _*))

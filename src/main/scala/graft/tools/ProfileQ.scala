@@ -25,13 +25,27 @@ object ProfileQ {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     try fn(spark, warmDir).count() catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // per-stage wall-clock accounting: surface WHERE a slow run spends time
+    val stageTimes = new scala.collection.concurrent.TrieMap[Int, (String, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dt = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
+        stageTimes(si.stageId) = (si.name.takeWhile(_ != '\n').take(60), dt)
+      }
+    })
     var df: org.apache.spark.sql.DataFrame = null
     for (i <- 1 to runs) {
+      stageTimes.clear()
       val t0 = System.nanoTime()
       df = fn(spark, dir)
       val n = df.count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+      val top = stageTimes.toSeq.sortBy(-_._2._2).take(6)
+      top.foreach { case (id, (nm, dt)) => println(f"    stage $id%4d ${dt / 1e3}%7.2fs  $nm") }
       spark.catalog.clearCache()
+      System.gc() // let the ContextCleaner release broadcasts/checkpoints (untimed)
     }
     val plan = df.queryExecution.executedPlan.toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/profq_plan.txt"), plan)

@@ -208,6 +208,29 @@ class GoldenE2ESpec extends SparkSuite {
       narrowT.orderBy(key: _*).collect().toSeq)
   }
 
+  test("pushed-distinct view rewrite equals the literal wide union-distinct") {
+    import org.apache.spark.sql.functions.col
+    val t0 = store.invoiceTables
+    // plant extra duplicates beyond the fixture's Sweater pair: a lip row
+    // identical in the 8 projected columns but with a fresh id (must still
+    // collapse), and a duplicated lipr row (exercises the refund branch's
+    // local distinct)
+    val dupLip = t0.lineItemProducts.limit(1).withColumn("id", col("id") + 77000000L)
+    val dupLipr = t0.lineItemProductRefunds.limit(1)
+      .withColumn("id", col("id") + 77000000L)
+    val t = t0.copy(
+      lineItemProducts = t0.lineItemProducts.unionByName(dupLip),
+      lineItemProductRefunds = t0.lineItemProductRefunds.unionByName(dupLipr))
+    val pushed = InvoiceView.tripletexInvoice(t, sorted = false, persist = false,
+      pushedDistinct = true)
+    val literal = InvoiceView.tripletexInvoice(t, sorted = false, persist = false,
+      pushedDistinct = false)
+    assert(pushed.columns.toSeq == literal.columns.toSeq)
+    val key = pushed.columns.map(col).toSeq
+    assert(pushed.orderBy(key: _*).collect().toSeq ==
+      literal.orderBy(key: _*).collect().toSeq)
+  }
+
   test("customer map view (F1 id derivation)") {
     val m = InvoiceView.tripletexCustomerMap(store.read("customers"))
       .orderBy("shopify_id").collect()
