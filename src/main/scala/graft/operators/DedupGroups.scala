@@ -33,7 +33,8 @@ object DedupGroups {
     *                  instead so the caller learns the graph is pathological)
     */
   def connectedComponents(vertices: DataFrame, idCol: String,
-                          pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+                          pairs: DataFrame, maxRounds: Int = 20,
+                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val vs = vertices.select(col(idCol).as("id"))
     // Materialize the pair generator ONCE with flat lineage before anything
     // else touches it: the two union orientations below would otherwise
@@ -51,6 +52,31 @@ object DedupGroups {
       .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(eager = true)
+    // Size-gated LOCAL solve — the connected-components analog of a
+    // broadcast join: near-dup edge sets are minuscule relative to the
+    // corpus (pairs of re-posts, small mirror clusters), so when the
+    // materialized edge list is driver-sized, union-find on the driver
+    // replaces ~6 shuffle jobs + convergence probes with one collect and
+    // one broadcast join back. The count is a metadata read (e is
+    // checkpointed). Numeric-id corpora only (min-rep needs an ordering);
+    // anything bigger or non-numeric takes the distributed loop below —
+    // the 100 TB path.
+    val numericIds = vs.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (numericIds && e.count() <= localSolveMaxEdges) {
+      val reps = localUnionFind(e.collect().map(r =>
+        (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())))
+      val sub = e.sparkSession
+        .createDataFrame(reps.toSeq).toDF("id", "rep")
+        .select(col("id").cast(vs.schema.head.dataType),
+          col("rep").cast(vs.schema.head.dataType).as("rep"))
+      return vs.join(broadcast(sub), Seq("id"), "left")
+        .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
+    }
     // only vertices incident to an edge can ever change label — iterate
     // over that induced subgraph; everyone else is their own rep, stitched
     // back after the loop
@@ -90,6 +116,32 @@ object DedupGroups {
     // untouched vertices (no incident edge) are their own representative
     vs.join(sub, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
+  }
+
+  /** Driver-side union-find with path compression for the size-gated local
+    * solve: returns node → component-minimum-id for every node incident to
+    * an edge. Deterministic regardless of edge order.
+    */
+  private[operators] def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    for (n <- parent.keys) {
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    parent.keys.map(n => n -> minOfRoot(find(n))).toMap
   }
 
   /** The deduplicated corpus: keep one representative (minimum id) per

@@ -64,7 +64,25 @@ class DedupGroupsSpec extends SparkSuite {
     val ids = (1L to 30L).toDF("id")
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2") // diameter 29
     intercept[IllegalStateException] {
-      DedupGroups.connectedComponents(ids, "id", chain, maxRounds = 3).collect()
+      DedupGroups.connectedComponents(ids, "id", chain, maxRounds = 3,
+        localSolveMaxEdges = 0L).collect()
     }
+  }
+
+  test("size-gated local solve equals the distributed propagation loop") {
+    val ids = (1L to 40L).toSeq
+    // mixed shapes: a long chain (tests transitive merges), two cliques, a
+    // star, reversed/duplicated edges, singletons
+    val edges = (1L until 10L).map(i => (i + 1, i)) ++
+      Seq((11L, 12L), (12L, 13L), (11L, 13L), (13L, 11L)) ++
+      (20L to 25L).map(i => (20L, i)) ++ Seq((30L, 31L), (30L, 31L))
+    val local = DedupGroups.connectedComponents(
+        ids.toDF("id"), "id", edges.toDF("d1", "d2"))
+      .as[(Long, Long)].collect().toMap
+    val dist = DedupGroups.connectedComponents(
+        ids.toDF("id"), "id", edges.toDF("d1", "d2"), localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local == refComponents(ids, edges))
   }
 }
