@@ -66,6 +66,88 @@ object MediaFormats {
     buf.array()
   }
 
+  /** Minimal Y4M (YUV4MPEG2) video: ASCII stream header
+    * `YUV4MPEG2 W<w> H<h> F<num>:<den> Ip A1:1 C420jpeg\n`, then per frame
+    * a `FRAME\n` marker followed by raw 4:2:0 planes (Y = w*h bytes, then
+    * U and V at w/2*h/2 each). Frame bytes are [[pixelByte]] over a global
+    * index across the concatenated frame data (headers excluded), so the
+    * decoded luma statistics are oracle-computable. w and h must be even.
+    */
+  def buildY4m(id: Long, w: Int, h: Int, nFrames: Int, fpsNum: Int, fpsDen: Int): Array[Byte] = {
+    require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameMark = "FRAME\n".getBytes("US-ASCII")
+    val frameSize = w * h * 3 / 2
+    val out = new java.io.ByteArrayOutputStream(header.length + nFrames * (frameMark.length + frameSize))
+    out.write(header)
+    var gi = 0L
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameMark)
+      var i = 0
+      while (i < frameSize) { out.write(pixelByte(id, gi)); gi += 1; i += 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  case class Y4m(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                 frames: Array[Array[Byte]]) {
+    /** Mean of the luma (Y) plane across all frames — exact integer sum,
+      * one final division, so it is cross-engine deterministic.
+      */
+    def lumaMean: Double = {
+      val ySize = width * height
+      var s = 0L
+      var n = 0L
+      frames.foreach { fr =>
+        var i = 0
+        while (i < ySize) { s += (fr(i) & 0xff); i += 1 }
+        n += ySize
+      }
+      if (n == 0) 0.0 else s.toDouble / n
+    }
+  }
+
+  /** Parse a Y4M stream: tokenize the header line (W/H/F parameters),
+    * then walk `FRAME` markers collecting raw 4:2:0 planes.
+    */
+  def parseY4m(bytes: Array[Byte]): Y4m = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      val s = new String(bytes, start, pos - start, "US-ASCII")
+      pos += 1 // consume newline
+      s
+    }
+    val header = line()
+    val toks = header.split(' ')
+    require(toks.headOption.contains("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    var w = 0; var h = 0; var fpsNum = 0; var fpsDen = 1
+    toks.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val Array(n, d) = t.substring(1).split(':')
+          fpsNum = n.toInt; fpsDen = d.toInt
+        case _ => () // Ip / A1:1 / C420jpeg — accepted, not needed
+      }
+    }
+    require(w > 0 && h > 0 && fpsNum > 0, s"bad Y4M header: $header")
+    val frameSize = w * h * 3 / 2
+    val frames = Array.newBuilder[Array[Byte]]
+    while (pos < bytes.length) {
+      val mark = line() // FRAME plus optional per-frame params
+      require(mark.startsWith("FRAME"), s"bad frame marker: $mark")
+      require(pos + frameSize <= bytes.length, "truncated frame")
+      frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameSize)
+      pos += frameSize
+    }
+    Y4m(w, h, fpsNum, fpsDen, frames.result())
+  }
+
   case class Wav(sampleRate: Int, samples: Array[Short])
 
   /** Parse a PCM16 mono WAV by walking RIFF chunks to fmt/data. */

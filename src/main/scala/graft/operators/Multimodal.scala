@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, plus partition-parallel feature extraction.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs — see [[MediaCodec.decode]]); everything Spark-side — schema,
-  * batch shape, partitioning, the mapPartitions contract — is real and
-  * tested. On a real cluster the stub body is replaced by the codec call
-  * with zero plan changes.
+  * Decode is REAL for every modality on the [[realMedia]] path: P6 PPM
+  * images, PCM16 WAV audio, and Y4M (YUV4MPEG2) video are parsed inside
+  * executors with no codec dependency ([[MediaFormats]]). Only the
+  * *compressed*-codec seam (JPEG/MP3/H.264 — absent from this container)
+  * remains the documented [[MediaCodec.decode]] identity stub; swapping a
+  * real codec in changes zero plan shape.
   */
 object Multimodal {
 
@@ -94,14 +95,14 @@ object Multimodal {
   }
 
   /** REAL-format media table: image payloads are valid binary PPMs, audio
-    * payloads are valid PCM16 WAVs (both built + parsed by
-    * [[MediaFormats]] with no codec dependency); video stays an opaque
-    * stub payload. Dims/rates/sample counts derive from doc_id so the
-    * decode output is oracle-computable.
+    * payloads valid PCM16 WAVs, video payloads valid Y4M streams (all
+    * built + parsed by [[MediaFormats]] with no codec dependency).
+    * Dims/rates/frame counts derive from doc_id so the decode output is
+    * oracle-computable.
     */
   def realMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, _) =>
       val modality = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val w = ((id % 16) * 4 + 16).toInt
       val h = ((id % 9) * 4 + 16).toInt
@@ -109,7 +110,8 @@ object Multimodal {
       val payload = modality match {
         case "image" => MediaFormats.buildPpm(id, w, h)
         case "audio" => MediaFormats.buildWav(id, 16000, nSamples)
-        case _       => text.getBytes("UTF-8") // video: stubbed opaque payload
+        case _       => MediaFormats.buildY4m(id, w, h, nFrames = (2 + id % 4).toInt,
+                          fpsNum = (24 + id % 2).toInt, fpsDen = 1)
       }
       MediaRow(id, modality, payload,
         if (modality == "image") w else 0,
@@ -147,8 +149,12 @@ object Multimodal {
               DecodedFeatures(r.media_id, r.modality, 0, 0, wv.samples.length,
                 wv.samples.length * 1000.0 / wv.sampleRate,
                 s.toDouble / wv.samples.length)
-            case _ => // video: decode stubbed (no codec in container)
-              DecodedFeatures(r.media_id, r.modality, 0, 0, 0, 0.0, 0.0)
+            case _ => // video: parse the Y4M container, frames as "samples"
+              val v = MediaFormats.parseY4m(r.payload)
+              DecodedFeatures(r.media_id, r.modality, v.width, v.height,
+                v.frames.length,
+                v.frames.length * 1000.0 * v.fpsDen / v.fpsNum,
+                v.lumaMean)
           }
         }
       }

@@ -213,12 +213,11 @@ object TextOps {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
-  /** q56: REAL multimodal decode — image payloads are valid binary PPMs
-    * and audio payloads valid PCM16 WAVs (built+parsed dependency-free in
-    * executors); dims, sample counts and signal means come from parsing
-    * the bytes, and the oracle recomputes them from the deterministic
-    * generator formulas. Video decode stays stubbed (zeros) — no codec in
-    * the container.
+  /** q56: REAL multimodal decode — image payloads are valid binary PPMs,
+    * audio payloads valid PCM16 WAVs, video payloads valid Y4M streams
+    * (all built+parsed dependency-free in executors); dims, frame/sample
+    * counts, durations and signal means come from parsing the bytes, and
+    * the oracle recomputes them from the deterministic generator formulas.
     */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -233,7 +232,9 @@ object TextOps {
       |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
       |    CAST(doc_id % 16 * 4 + 16 AS INTEGER) AS w,
       |    CAST(doc_id % 9 * 4 + 16 AS INTEGER) AS h,
-      |    CAST(400 + doc_id % 100 AS INTEGER) AS n_samp
+      |    CAST(400 + doc_id % 100 AS INTEGER) AS n_samp,
+      |    CAST(2 + doc_id % 4 AS INTEGER) AS nf,
+      |    CAST(24 + doc_id % 2 AS INTEGER) AS fps
       |  FROM documents),
       |img AS (
       |  SELECT media_id,
@@ -248,15 +249,30 @@ object TextOps {
       |      / n_samp AS signal_mean
       |  FROM m JOIN generate_series(0, 500) g(i) ON g.i < n_samp
       |  WHERE modality = 'audio'
-      |  GROUP BY media_id, n_samp)
+      |  GROUP BY media_id, n_samp),
+      |vid AS (
+      |  -- Y4M luma mean: frame f's Y-plane byte i sits at global data index
+      |  -- f*(w*h*3/2) + i (4:2:0 chroma of earlier frames included), same
+      |  -- pixelByte generator as the image plane
+      |  SELECT media_id,
+      |    CAST(CAST(SUM((media_id*31 + (fr.f*(w*h*3/2) + g.i)*7) % 256) AS BIGINT)
+      |      AS DOUBLE) / (nf*w*h) AS signal_mean
+      |  FROM m
+      |  JOIN generate_series(0, 5) fr(f) ON fr.f < nf
+      |  JOIN generate_series(0, 3700) g(i) ON g.i < CAST(w AS BIGINT)*h
+      |  WHERE modality = 'video'
+      |  GROUP BY media_id, w, h, nf)
       |SELECT m.media_id, m.modality,
-      |  CASE WHEN modality = 'image' THEN w ELSE 0 END AS parsed_width,
-      |  CASE WHEN modality = 'image' THEN h ELSE 0 END AS parsed_height,
-      |  CASE WHEN modality = 'audio' THEN n_samp ELSE 0 END AS n_samples,
+      |  CASE WHEN modality IN ('image','video') THEN w ELSE 0 END AS parsed_width,
+      |  CASE WHEN modality IN ('image','video') THEN h ELSE 0 END AS parsed_height,
+      |  CASE WHEN modality = 'audio' THEN n_samp
+      |       WHEN modality = 'video' THEN nf ELSE 0 END AS n_samples,
       |  CASE WHEN modality = 'audio' THEN CAST(n_samp AS DOUBLE) * 1000 / 16000
+      |       WHEN modality = 'video' THEN nf * 1000.0 * 1 / fps
       |       ELSE 0.0 END AS duration_ms,
-      |  COALESCE(img.signal_mean, aud.signal_mean, 0.0) AS signal_mean
+      |  COALESCE(img.signal_mean, aud.signal_mean, vid.signal_mean, 0.0) AS signal_mean
       |FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+      |  LEFT JOIN vid USING (media_id)
       |ORDER BY media_id""".stripMargin
 
   /** q57: per-language distinct-document counts through the KMV sketch

@@ -78,5 +78,42 @@ class MultimodalSpec extends SparkSuite {
       assert(f.n_samples == 400 + f.media_id % 100)
       assert(math.abs(f.duration_ms - f.n_samples * 1000.0 / 16000) < 1e-9)
     }
+    // video: dims, frame count and fps all come from parsing the Y4M bytes
+    val vids = feats.filter(_.modality == "video")
+    assert(vids.nonEmpty)
+    vids.take(20).foreach { f =>
+      assert(f.parsed_width == (f.media_id % 16) * 4 + 16)
+      assert(f.parsed_height == (f.media_id % 9) * 4 + 16)
+      assert(f.n_samples == 2 + f.media_id % 4)
+      val fps = 24 + f.media_id % 2
+      assert(math.abs(f.duration_ms - f.n_samples * 1000.0 / fps) < 1e-9)
+      assert(f.signal_mean > 0)
+    }
+  }
+
+  test("Y4M round-trip: build → parse recovers dims/fps/frames/luma") {
+    val y4m = MediaFormats.buildY4m(11L, 20, 12, nFrames = 3, fpsNum = 25, fpsDen = 1)
+    val v = MediaFormats.parseY4m(y4m)
+    assert(v.width == 20 && v.height == 12)
+    assert(v.fpsNum == 25 && v.fpsDen == 1)
+    assert(v.frames.length == 3)
+    val frameSize = 20 * 12 * 3 / 2
+    v.frames.zipWithIndex.foreach { case (fr, f) =>
+      assert(fr.length == frameSize)
+      (0 until 10).foreach { i =>
+        assert((fr(i) & 0xff) == MediaFormats.pixelByte(11L, f.toLong * frameSize + i))
+      }
+    }
+    // luma mean = exact mean of the first w*h bytes of each frame
+    val expected = {
+      var s = 0L
+      (0 until 3).foreach { f =>
+        (0 until 20 * 12).foreach(i => s += MediaFormats.pixelByte(11L, f.toLong * frameSize + i))
+      }
+      s.toDouble / (3 * 20 * 12)
+    }
+    assert(math.abs(v.lumaMean - expected) < 1e-12)
+    // odd dims are rejected (C420 chroma subsampling needs even planes)
+    intercept[IllegalArgumentException](MediaFormats.buildY4m(1L, 7, 8, 1, 25, 1))
   }
 }
