@@ -159,12 +159,51 @@ object EventOps {
       |GROUP BY w.w_start
       |ORDER BY w.w_start""".stripMargin
 
+  /** q71: the streaming upsert path executed END-TO-END — not the batch
+    * twin. The events table is staged as multiple parquet files, replayed
+    * by Structured Streaming (`maxFilesPerTrigger=1` under
+    * `Trigger.AvailableNow`, so several real micro-batches execute) through
+    * [[graft.streaming.EventStream.upsertSink]] into a parquet table that
+    * was pre-seeded with corrupted copies of the even-id rows — forcing the
+    * merge to take the conflict-UPDATE path for half the keys and the
+    * INSERT path for the other half. event_id is globally unique, so the
+    * final table is deterministic regardless of micro-batch boundaries,
+    * and the oracle is simply the events projection: any seeded value
+    * surviving (broken update) or any id missing (broken insert/recovery)
+    * hash-mismatches.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
+    val target = s"$tmp/events_tbl"
+    val src = s"$tmp/src"
+    val seed = ev.filter(pmod($"event_id", lit(2)) === 0)
+      .select($"event_id", lit(-1L).as("user_id"),
+        lit("seeded").as("event_type"), lit(-1.0).as("value"))
+    graft.store.TableStore.atomicWrite(spark, seed, target)
+    ev.repartitionByRange(4, $"event_id").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val query = graft.streaming.EventStream.upsertSink(
+      stream, target, Seq("event_id"), s"$tmp/ckpt")
+    query.awaitTermination()
+    spark.read.parquet(target).orderBy($"event_id")
+  }
+
+  val streamUpsertSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
     "q39_session_counts" -> sessionCounts,
     "q54_asof_join"      -> asofPurchase,
     "q55_range_join"     -> rangeJoinWindows,
+    "q71_stream_upsert"  -> streamUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,5 +212,6 @@ object EventOps {
     "q39_session_counts" -> sessionCountsSql,
     "q54_asof_join"      -> asofPurchaseSql,
     "q55_range_join"     -> rangeJoinWindowsSql,
+    "q71_stream_upsert"  -> streamUpsertSql,
   )
 }
