@@ -113,6 +113,40 @@ class PlanSpec extends SparkSuite {
       "the O(n²) scan must not be the executed shape")
   }
 
+  test("q43: blocked join shuffles each side exactly once, nothing broadcast") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    // static plan (AQE off) with size-based broadcast DISABLED: the declared
+    // fallback shape must be exactly two hash exchanges — the lhs/rhs
+    // block-key flatMaps feeding one equi-join. With the threshold at -1 a
+    // BroadcastExchange can only come from an explicit broadcast() hint, so
+    // this pins both properties the 100 TB posture needs: no hinted
+    // broadcast of the unbounded replicated pair space, and no
+    // nested-loop/cartesian encoding. (At real scale AQE may still
+    // size-gate a broadcast at runtime — that's the intended adaptivity,
+    // not a plan property.)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = graft.operators.Similarity.cosineNearDupPairs(
+        Tables.embeddings(spark, sf), "vec_id", "embedding", 0.4)
+      val plan = pairs.queryExecution.executedPlan
+      val shuffles = plan.collectWithSubqueries { case e: ShuffleExchangeLike => e }
+      assert(shuffles.size == 2,
+        s"expected exactly the lhs/rhs block-key exchanges, got ${shuffles.size}:\n" +
+          shuffles.map(_.nodeName).mkString("\n"))
+      shuffles.foreach(e => assert(e.outputPartitioning.numPartitions > 1,
+        "block-key exchange must fan out, not serialize"))
+      val bcasts = plan.collectWithSubqueries { case e: BroadcastExchangeLike => e }
+      assert(bcasts.isEmpty, "no hinted broadcast of the pair space")
+      assert(!plan.toString.contains("BroadcastNestedLoopJoin") &&
+        !plan.toString.contains("CartesianProduct"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("q54: as-of join runs as ONE keyed window, no range join") {
     val plan = executed(EventOps.asofPurchase(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

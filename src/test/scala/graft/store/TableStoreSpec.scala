@@ -64,4 +64,83 @@ class TableStoreSpec extends SparkSuite {
       TableStore.mergePlan(base, bad, Seq("id"))
     }
   }
+
+  // ---- §2.12 properties under concurrent-batch order (raw ScalaCheck,
+  // fixed seeds — same idiom as PropertySpec)
+
+  private def rowGen(idMin: Long, idMax: Long): org.scalacheck.Gen[(Long, String, Double)] =
+    for {
+      id <- org.scalacheck.Gen.chooseNum(idMin, idMax)
+      st <- org.scalacheck.Gen.oneOf("a", "b", "c", null)
+      pr <- org.scalacheck.Gen.oneOf(1.0, 2.5, 99.0, -3.0)
+    } yield (id, st, pr)
+
+  private def batchGen(idMin: Long, idMax: Long): org.scalacheck.Gen[List[(Long, String, Double)]] =
+    org.scalacheck.Gen.listOfN(6, rowGen(idMin, idMax))
+
+  private def sample[A](g: org.scalacheck.Gen[A], seed: Long): A =
+    g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(seed)).get
+
+  private def snapshot(df: org.apache.spark.sql.DataFrame): Seq[(Long, Option[String], Double)] =
+    df.collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), r.getDouble(2))).toSeq.sortBy(_._1)
+
+  test("property: merge batches with DISJOINT keys commutes") {
+    (0 until 6).foreach { i =>
+      // key ranges 100.. and 200.. cannot collide with each other
+      val b1raw = sample(batchGen(100, 150), 1000L + i)
+      val b2raw = sample(batchGen(200, 250), 2000L + i)
+      def prep(rows: List[(Long, String, Double)]) =
+        TableStore.dedupeByKey(
+          rows.zipWithIndex.map { case ((id, s, p), n) => (id, s, p, n.toLong) }
+            .toDF("id", "status", "price", "seq"),
+          Seq("id"), "seq").drop("seq")
+      val (b1, b2) = (prep(b1raw), prep(b2raw))
+      val oneTwo = TableStore.mergePlan(TableStore.mergePlan(base, b1, Seq("id")), b2, Seq("id"))
+      val twoOne = TableStore.mergePlan(TableStore.mergePlan(base, b2, Seq("id")), b1, Seq("id"))
+      assert(snapshot(oneTwo) == snapshot(twoOne), s"iteration $i")
+    }
+  }
+
+  test("property: dedupeByKey + mergePlan is last-wins on OVERLAPPING keys") {
+    (0 until 6).foreach { i =>
+      // one combined batch, duplicate ids, unique seq = arrival order
+      val raw = sample(batchGen(1, 8), 3000L + i)
+      val withSeq = raw.zipWithIndex.map { case ((id, s, p), n) => (id, s, p, n.toLong) }
+      val batch = TableStore.dedupeByKey(
+        withSeq.toDF("id", "status", "price", "seq"), Seq("id"), "seq").drop("seq")
+      val got = snapshot(TableStore.mergePlan(base, batch, Seq("id")))
+      // driver-side reference: fold rows in seq order over the base map
+      val baseMap = base.collect()
+        .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getDouble(2))).toMap
+      val expected = withSeq.sortBy(_._4).foldLeft(baseMap) {
+        case (m, (id, s, p, _)) => m + (id -> (Option(s), p))
+      }.toSeq.map { case (id, (s, p)) => (id, s, p) }.sortBy(_._1)
+      assert(got == expected, s"iteration $i")
+    }
+  }
+
+  test("property: partial updateColumns composes across sequential batches") {
+    (0 until 4).foreach { i =>
+      val raw = sample(batchGen(1, 6), 4000L + i)
+      val withSeq = raw.zipWithIndex.map { case ((id, s, p), n) => (id, s, p, n.toLong) }
+      val batch = TableStore.dedupeByKey(
+        withSeq.toDF("id", "status", "price", "seq"), Seq("id"), "seq").drop("seq")
+      val got = snapshot(TableStore.mergePlan(base, batch, Seq("id"), Some(Seq("price"))))
+      val baseMap = base.collect()
+        .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getDouble(2))).toMap
+      // the CONTRACT dedupes first (key-unique batch = last row per id),
+      // so the reference applies only each id's final row, not a row fold
+      val lastPerId = withSeq.groupBy(_._1).values.map(_.maxBy(_._4))
+      val expected = lastPerId.foldLeft(baseMap) {
+        case (m, (id, s, p, _)) =>
+          m.get(id) match {
+            case Some((st, _)) => m + (id -> (st, p))   // conflict: price only
+            case None          => m + (id -> (Option(s), p)) // insert: all cols
+          }
+      }.toSeq.map { case (id, (s, p)) => (id, s, p) }.sortBy(_._1)
+      assert(got == expected, s"iteration $i")
+    }
+  }
 }
