@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness: every SparkEntry query (70) timed at the SF pointed to
+/** Benchmark harness: every SparkEntry query (71) timed at the SF pointed to
   * by SPARK_GRAFT_SF_DIR, median of 3 trials per query.
   *
   * Round-5 verdict: a single timed trial per query swung 2-4x between rounds
@@ -85,26 +85,20 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val medians = results.map { case (k, ts) => k -> median(ts) }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    // HARD byte constraint: the driver keeps only the LAST 2000 chars of
+    // output (every BENCH_r*.json tail is exactly 2000), and sbt appends a
+    // ~80-byte "[success]" line after the JSON — so the line must stay
+    // under ~1900 bytes or its head gets clipped and parsing fails (this
+    // is what zeroed rounds 1-2). 71 queries at 2-decimal medians ≈ 1.87 KB;
+    // full 3-decimal per-trial times and [min,median,max] spreads live in
+    // bench_detail.json, which is committed with the repo.
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
-    val prefix =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":$qs"""
-    val suffix = s""","sf":"$sfDir"}"""
-    // Per-query [min,max] spread, slowest-first, greedily added under a byte
-    // budget: a ~2.9 KB line overflowed the driver's output tail window in
-    // rounds 1-2 (clipped mid-JSON -> parsed:null) while ~1.9 KB parsed fine
-    // in round 5. 2600 bytes keeps every query that can matter (the full
-    // spread of all 70 is in bench_detail.json either way).
-    val budget = 2600 - prefix.length - suffix.length - ""","spread":{}""".length
-    val spreadEntries = results
-      .sortBy { case (k, ts) => -median(ts) }
-      .map { case (k, ts) => "\"" + k + "\":[" + f2(ts.min) + "," + f2(ts.max) + "]" }
-    val kept = spreadEntries
-      .scanLeft(("", 0)) { case ((_, acc), e) => (e, acc + e.length + 1) }
-      .drop(1).takeWhile(_._2 <= budget).map(_._1)
-    val spread = kept.mkString(""","spread":{""", ",", "}")
-    val json = prefix + spread + suffix
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":$qs,"sf":"$sfDir"}"""
+    if (json.length > 1900)
+      System.err.println(s"[bench] WARNING: json line ${json.length} bytes risks tail clipping")
     // The driver parses the JSON line out of the run's output; sbt's logger
     // may prefix stdout lines, so ALSO persist the result to a plain file
     // (cwd and /tmp) where it can be read back verbatim.
@@ -112,12 +106,18 @@ object Bench {
     for (p <- Seq("bench_out.json", "/tmp/bench_out.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case _: Throwable => () }
-    // Full fidelity (every trial of every query) for offline variance work.
-    val detail = results.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
-    }.mkString(
-      s"""{"sf":"$sfDir","trials":$trials,"total_of_medians":${f3(total)},"trial_times":{""",
-      ",", "}}")
+    // Full fidelity (every trial of every query, in run order) plus the
+    // [min,median,max] spread per query, for offline variance work.
+    val detail = {
+      val trialsJson = results.map { case (k, ts) =>
+        "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      val spreadJson = results.map { case (k, ts) =>
+        "\"" + k + "\":[" + f3(ts.min) + "," + f3(median(ts)) + "," + f3(ts.max) + "]"
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","trials":$trials,"total_of_medians":${f3(total)},""" +
+        s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson}"""
+    }
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }

@@ -116,4 +116,36 @@ class MultimodalSpec extends SparkSuite {
     // odd dims are rejected (C420 chroma subsampling needs even planes)
     intercept[IllegalArgumentException](MediaFormats.buildY4m(1L, 7, 8, 1, 25, 1))
   }
+
+  test("property: Y4M round-trip over random ids/dims/frames/rates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      id <- Gen.chooseNum(0L, 1000000L)
+      w  <- Gen.chooseNum(1, 64).map(_ * 2) // even
+      h  <- Gen.chooseNum(1, 36).map(_ * 2)
+      nf <- Gen.chooseNum(1, 6)
+      num <- Gen.oneOf(24, 25, 30, 30000)
+      den <- Gen.oneOf(1, 1001)
+    } yield (id, w, h, nf, num, den)
+    (0 until 25).foreach { i =>
+      val (id, w, h, nf, num, den) =
+        gen.apply(Gen.Parameters.default, Seed(9000L + i)).get
+      val v = MediaFormats.parseY4m(MediaFormats.buildY4m(id, w, h, nf, num, den))
+      assert(v.width == w && v.height == h, s"dims case $i")
+      assert(v.fpsNum == num && v.fpsDen == den, s"fps case $i")
+      assert(v.frames.length == nf && v.frames.forall(_.length == w * h * 3 / 2),
+        s"frames case $i")
+      // every byte of every plane round-trips (pixelByte over global index)
+      val fsz = w * h * 3 / 2
+      v.frames.zipWithIndex.foreach { case (fr, f) =>
+        var j = 0
+        while (j < fsz) {
+          assert((fr(j) & 0xff) == MediaFormats.pixelByte(id, f.toLong * fsz + j),
+            s"byte $j frame $f case $i")
+          j += 1
+        }
+      }
+    }
+  }
 }
