@@ -1,32 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness: every SparkEntry query (71) timed at the SF pointed to
-  * by SPARK_GRAFT_SF_DIR, median of 3 trials per query.
+/** Benchmark harness: every SparkEntry query timed at the SF pointed to
+  * by SPARK_GRAFT_SF_DIR, median of SPARK_GRAFT_TRIALS (default 3) trials
+  * per query.
   *
   * Round-5 verdict: a single timed trial per query swung 2-4x between rounds
   * on byte-identical code (q47 2.0s -> 7.6s), making the perf gate
   * unadjudicable. Three timed trials with an untimed clearCache+GC between
-  * them pin a median; per-query [min,max] spread goes on the JSON line for
-  * the slowest queries (byte-budgeted, see below) and in full to
-  * bench_detail.json.
+  * them pin a median; the driver-graded JSON line carries short-key 2-decimal
+  * medians (see [[BenchFormat]] for the byte budget), and full per-trial
+  * times go to bench_detail.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    require(trials >= 1, s"SPARK_GRAFT_TRIALS must be >= 1, got $trials")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 70 queries × several codegen stages far exceed the 100-entry
-      // default generated-class cache; evictions between the warmup and
-      // the timed run force slow Janino recompiles inside the timings
+      // All SparkEntry queries × several codegen stages far exceed the
+      // 100-entry default generated-class cache; evictions between the
+      // warmup and the timed run force slow Janino recompiles inside the
+      // timings
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // 280 query executions (70 warmups + 70×3 trials) in one JVM: the
+      // queries × (1 warmup + `trials` timed) executions in one JVM: the
       // status stores retain plan graphs + metrics per execution/job/stage
       // by default (1000 executions) — tens of GB of slowly-dying heap that
       // turns late-bench GCs into multi-second stalls. Keep a handful.
@@ -59,45 +62,36 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      dropBlocks() // don't let 70 warmups' blocks accumulate
+      dropBlocks() // don't let the warmups' blocks accumulate
     }
     // localCheckpoint blocks are only fully released once the owning RDDs
     // are GC'd — collect the warmup's garbage before timing starts
     System.gc()
-    val results: Seq[(String, Seq[Double])] = ordered.map { case (name, fn) =>
+    // Per-trial times; a trial whose query THROWS records None (surfaced as
+    // -1 in bench_detail.json and an "errors" entry on the JSON line), so a
+    // failure never masquerades as an ordinary duration.
+    val results: Seq[(String, Seq[Option[Double]])] = ordered.map { case (name, fn) =>
       val times = (1 to trials).map { t =>
         val gc0 = gcMs
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         val gcIn = gcMs - gc0
         cleanup()
         // stderr diagnostic (never the stdout JSON): how much of the trial
         // was GC stall — the round-5 variance investigation's instrument
-        System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms")
-        dt
+        System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok")
+        if (ok) Some(dt) else None
       }
       name -> times
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted; s(s.size / 2)
+    val medians = results.map { case (k, ts) =>
+      val good = ts.flatten
+      k -> (if (good.nonEmpty) BenchFormat.median(good) else -1.0)
     }
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val medians = results.map { case (k, ts) => k -> median(ts) }
-    // HARD byte constraint: the driver keeps only the LAST 2000 chars of
-    // output (every BENCH_r*.json tail is exactly 2000), and sbt appends a
-    // ~80-byte "[success]" line after the JSON — so the line must stay
-    // under ~1900 bytes or its head gets clipped and parsing fails (this
-    // is what zeroed rounds 1-2). 71 queries at 2-decimal medians ≈ 1.87 KB;
-    // full 3-decimal per-trial times and [min,median,max] spreads live in
-    // bench_detail.json, which is committed with the repo.
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
-    val total = if (medians.nonEmpty) medians.map(_._2).sum else 0.0
-    val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":$qs,"sf":"$sfDir"}"""
-    if (json.length > 1900)
+    val failed = results.collect { case (k, ts) if ts.exists(_.isEmpty) => k }
+    val json = BenchFormat.line(medians, trials, sfDir, failed)
+    if (json.length > 1400) // BenchFormatSpec asserts the 80-query budget
       System.err.println(s"[bench] WARNING: json line ${json.length} bytes risks tail clipping")
     // The driver parses the JSON line out of the run's output; sbt's logger
     // may prefix stdout lines, so ALSO persist the result to a plain file
@@ -106,18 +100,9 @@ object Bench {
     for (p <- Seq("bench_out.json", "/tmp/bench_out.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case _: Throwable => () }
-    // Full fidelity (every trial of every query, in run order) plus the
-    // [min,median,max] spread per query, for offline variance work.
-    val detail = {
-      val trialsJson = results.map { case (k, ts) =>
-        "\"" + k + "\":[" + ts.map(f3).mkString(",") + "]"
-      }.mkString("{", ",", "}")
-      val spreadJson = results.map { case (k, ts) =>
-        "\"" + k + "\":[" + f3(ts.min) + "," + f3(median(ts)) + "," + f3(ts.max) + "]"
-      }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","trials":$trials,"total_of_medians":${f3(total)},""" +
-        s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson}"""
-    }
+    // Full fidelity (every trial of every query under its FULL name, in run
+    // order) plus the [min,median,max] spread per query, for variance work.
+    val detail = BenchFormat.detail(results, trials, sfDir)
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }

@@ -1,0 +1,80 @@
+package graft
+
+/** Formatting for the driver-graded bench JSON line.
+  *
+  * HARD byte constraint: the driver keeps only the LAST 2000 chars of a
+  * run's output, and sbt appends an ~80-byte "[success]" line after the
+  * JSON — so the graded line must stay well under ~1900 bytes or its head
+  * gets clipped and parsing fails (this zeroed rounds 1-2). Full query
+  * names at 2-decimal medians reached ~1.87 KB at 71 queries; one more
+  * query would have hit the cliff. The graded line therefore keys each
+  * query by its short unique prefix ("q36_invoice_pipeline" -> "q36"),
+  * which keeps ~45% headroom even at 80 queries (asserted by
+  * BenchFormatSpec). Full names, per-trial times, and spreads live in
+  * bench_detail.json, committed with the repo.
+  */
+object BenchFormat {
+
+  /** Median of the trial times; even sizes average the two middle elements
+    * (an upper-middle pick would bias even trial counts high).
+    */
+  def median(ts: Seq[Double]): Double = {
+    require(ts.nonEmpty, "median requires at least one trial")
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Short graded keys: the prefix before the first '_' ("q36"). If two
+    * names ever shared a prefix the colliders keep their full name — a
+    * correctness guard, not an expected case.
+    */
+  def shortKeys(names: Seq[String]): Map[String, String] = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val multi = pref.values.groupBy(identity).collect { case (p, v) if v.size > 1 => p }.toSet
+    pref.map { case (n, p) => n -> (if (multi(p)) n else p) }
+  }
+
+  def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+  def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The driver-parsed JSON line. `medians` is (full query name, median
+    * seconds) in stable order; a median of -1 marks a query whose every
+    * trial failed. `failed` lists queries with at least one failing trial —
+    * rendered as an "errors" array (omitted when empty) so a failure is
+    * distinguishable from a slow query instead of contributing an
+    * ordinary-looking duration.
+    */
+  def line(medians: Seq[(String, Double)], trials: Int, sf: String,
+           failed: Seq[String] = Nil): String = {
+    val keys = shortKeys(medians.map(_._1))
+    val qs = medians.map { case (k, v) => "\"" + keys(k) + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val err =
+      if (failed.isEmpty) ""
+      else failed.map(f => "\"" + keys(f) + "\"").mkString(""","errors":[""", ",", "]")
+    s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":$qs$err,"sf":"$sf"}"""
+  }
+
+  /** Full-fidelity companion written to bench_detail.json: every trial of
+    * every query under its FULL name (failed trials as -1), plus the
+    * [min, median, max] spread over the successful trials.
+    */
+  def detail(results: Seq[(String, Seq[Option[Double]])], trials: Int, sf: String): String = {
+    val trialsJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(o => f3(o.getOrElse(-1.0))).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val spreadJson = results.map { case (k, ts) =>
+      val good = ts.flatten
+      val (lo, med, hi) =
+        if (good.nonEmpty) (good.min, median(good), good.max) else (-1.0, -1.0, -1.0)
+      "\"" + k + "\":[" + f3(lo) + "," + f3(med) + "," + f3(hi) + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) =>
+      val good = ts.flatten; if (good.nonEmpty) median(good) else 0.0
+    }.sum
+    s"""{"sf":"$sf","trials":$trials,"total_of_medians":${f3(total)},""" +
+      s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson}"""
+  }
+}

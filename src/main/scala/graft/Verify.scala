@@ -15,7 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
       // back to TimestampType in graft.queries.Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 71 queries of generated classes overflow the 100-entry default
+      // the full query set's generated classes overflow the 100-entry default
       // (same rationale as Bench)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()

@@ -65,6 +65,7 @@ class PlanSpec extends SparkSuite {
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
     // static plan (AQE off) so ShuffleExchange nodes are directly visible
     // rather than hidden inside materialized query-stage leaves
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val plan = InvoicePipeline.invoicePipeline(spark, sf)
@@ -82,13 +83,14 @@ class PlanSpec extends SparkSuite {
         assert(hasAgg.nonEmpty,
           s"SinglePartition exchange over non-aggregated data:\n${e.child.treeString.take(2000)}")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     spark.catalog.clearCache()
   }
 
   test("q63: vocabulary ids come from range partitions, not a single-partition window") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // the ranking subplan (before the cosmetic final orderBy) must hold
@@ -102,7 +104,7 @@ class PlanSpec extends SparkSuite {
         s"global rank must not serialize through one task:\n${singles.map(_.treeString.take(800))}")
       assert(ranked.toString.contains("rangepartitioning"),
         "range repartition expected in the ranking subplan")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("q43: blocked near-dup join has no nested-loop/cartesian operator") {
@@ -125,6 +127,7 @@ class PlanSpec extends SparkSuite {
     // size-gate a broadcast at runtime — that's the intended adaptivity,
     // not a plan property.)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -142,7 +145,7 @@ class PlanSpec extends SparkSuite {
       assert(!plan.toString.contains("BroadcastNestedLoopJoin") &&
         !plan.toString.contains("CartesianProduct"))
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
