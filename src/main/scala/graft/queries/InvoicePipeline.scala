@@ -23,8 +23,18 @@ object InvoicePipeline {
 
   private val dec = "decimal(38,9)"
 
-  /** Derive the Shopify-shaped tables from the synthetic star schema. */
-  def buildTables(spark: SparkSession, dir: String): InvoiceView.Tables = {
+  /** Derive the Shopify-shaped tables from the synthetic star schema.
+    *
+    * `persistBases` caches the narrow shared derivations that every view
+    * branch re-reads — transactions (a 4-way union over orders) and the
+    * line-item products projection (a per-order row_number window over
+    * lineitem): without the cache the flagship recomputes the lip window
+    * for each of its 6 lineitem consumers and the transactions union for
+    * each of its branches. The cached frames are a few narrow columns —
+    * MEMORY_AND_DISK-safe at any SF (the standard multi-consumer persist).
+    */
+  def buildTables(spark: SparkSession, dir: String,
+                  persistBases: Boolean = false): InvoiceView.Tables = {
     import spark.implicits._
     val o = orders(spark, dir)
     val c = customer(spark, dir)
@@ -106,7 +116,9 @@ object InvoicePipeline {
       when($"o_orderkey" % 3 === 0, lit(null).cast(dec))
         .otherwise((lit(100.0) + ($"o_orderkey" % 7) * 10.0).cast(dec)).as("refund_amount"))
 
-    InvoiceView.Tables(customersD, ordersD, transactionsD, lipD, shippingD, refundsD, liprD)
+    def p(df: org.apache.spark.sql.DataFrame) = if (persistBases) df.persist() else df
+    InvoiceView.Tables(p(customersD), p(ordersD), p(transactionsD), p(lipD),
+      shippingD, refundsD, liprD)
   }
 
   /** q36: full view + numbering, money rendered as double, fully
@@ -142,7 +154,7 @@ object InvoicePipeline {
     // index distincts its pairs anyway, and without the blocking distinct
     // Catalyst prunes the lip scan to the join column only.
     val numbered = InvoiceNumbers.numberInvoicesIndexed(view,
-      InvoiceView.tripletexInvoicePairDates(tables, pushedDistinct = false),
+      InvoiceView.tripletexInvoicePairDates(tables),
       LocalDate.parse("1996-01-01"), LocalDate.parse("1998-12-31"), 5000L)
     val money = Seq("PAID AMOUNT", "ORDER LINE - UNIT PRICE", "ORDER LINE - DISCOUNT")
     val out = money.foldLeft(numbered)((d, c) => d.withColumn(c, col(c).cast("double")))

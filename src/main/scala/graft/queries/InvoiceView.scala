@@ -191,22 +191,36 @@ object InvoiceView {
     * deterministic s.id tie-break). The reference's inner `WHERE rank = 1`
     * binds to pl.rank (constant 1, no-op); the effective dedup is the outer
     * rank filter — here applied directly on the window rank, same result.
+    *
+    * Rewritten WITHOUT the pl input (r7): every column this branch projects
+    * from pl is constant per order — they all derive from the rank-1 stp
+    * row, orders, and customers, never from a line item — and the
+    * reference's (INVOICE DATE, s.id) dedup ordering reduces to s.id alone
+    * because INVOICE DATE (o.created_at) is also constant per order. So the
+    * branch is stp1 ⨝ orders ⨝ customers ⨝ (rank-1 shipping row per order),
+    * which drops a whole product_lines recomputation (lineitem scan +
+    * per-order window + lip dedup exchange) and shrinks the W2 window to
+    * the shipping table alone. Equality with the pl-joined form is
+    * spec-asserted (InvoiceViewSpec) and oracle-checked (the DuckDB mirror
+    * still runs the reference's pl-joined CTE).
     */
-  def shippingLines(t: Tables, pl: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("pl.order_id"))
-      .orderBy(col("INVOICE DATE").asc, col("s.id").asc)
-    pl.as("pl")
-      .join(t.shipping.as("s"), col("s.order_id") === col("pl.order_id"), "inner")
-      .withColumn("ship_rank", row_number().over(w))
-      .filter(col("ship_rank") === 1)
+  def shippingLines(t: Tables, stp: DataFrame): DataFrame = {
+    val stp1 = stp.filter(col("transaction_rank") === 1).as("t")
+    val sw = Window.partitionBy(col("order_id")).orderBy(col("id").asc)
+    val s1 = t.shipping.withColumn("ship_rank", row_number().over(sw))
+      .filter(col("ship_rank") === 1).as("s")
+    stp1
+      .join(broadcast(t.orders.as("o")), col("o.id") === col("t.order_id"), "left")
+      .join(broadcast(t.customers.as("c")), col("c.id") === col("o.customer_id"), "left")
+      .join(s1, col("s.order_id") === col("o.id"), "inner")
       .select(
-        col("pl.transaction_id").as("transaction_id"),
-        col("pl.order_id").as("order_id"),
+        col("t.id").as("transaction_id"),
+        col("o.id").as("order_id"),
         lit("payment").as("payment_tag"),
-        col("CUSTOMER NO"),
-        col("CUSTOMER NAME"),
-        col("ORDER NO"),
-        col("PAID AMOUNT"),
+        tripletexId(col("c.id")).as("CUSTOMER NO"),
+        col("c.name").as("CUSTOMER NAME"),
+        col("o.name").as("ORDER NO"),
+        col("t.amount").as("PAID AMOUNT"),
         lit(1).as("ORDER LINE - COUNT"),
         nullText.as("ORDER LINE - PROD NAME"),
         col("s.price").as("ORDER LINE - UNIT PRICE"),
@@ -215,11 +229,11 @@ object InvoiceView {
         lit(3).as("ORDER LINE - VAT CODE"),
         col("s.title").as("ORDER LINE - DESCRIPTION"),
         lit("SHIPPING").as("ORDER LINE - PROD NO"),
-        col("PAYMENT TYPE"),
-        col("INVOICE DATE"),
-        col("DELIVERY DATE"),
-        col("ORDER DATE"),
-        col("DUE DATE"),
+        col("t.gateway").as("PAYMENT TYPE"),
+        to_date(col("o.created_at")).as("INVOICE DATE"),
+        to_date(col("t.processed_at")).as("DELIVERY DATE"),
+        to_date(col("o.created_at")).as("ORDER DATE"),
+        to_date(col("t.processed_at")).as("DUE DATE"),
         lit(1).as("rank"),
         lit(3).as("priority"))
   }
@@ -304,7 +318,7 @@ object InvoiceView {
     val refunds = if (pushedDistinct) refunds0.distinct() else refunds0
     val unionAll = aligned(pl)
       .unionByName(refunds)
-      .unionByName(aligned(shippingLines(t, pl)))
+      .unionByName(aligned(shippingLines(t, stp)))
       .unionByName(aligned(giftCardLines(t, stp)))
     val deduped = (if (pushedDistinct) unionAll else unionAll.distinct())
       .filter(col("rank") === 1)
@@ -327,32 +341,39 @@ object InvoiceView {
       col("INVOICE DATE"), col("DELIVERY DATE"), col("ORDER DATE"), col("DUE DATE"))
   }
 
-  /** Narrow 3-column twin of the view for pair-index building: the branch
-    * union WITHOUT the trailing distinct. Safe because (a) the distinct
-    * dedups WHOLE rows, so it cannot change the set of
-    * (ORDER NO, payment_tag) pairs nor the set of INVOICE DATEs within a
-    * pair, and (b) the rank filter is vacuous (`rank` ≡ 1 in every
-    * branch, reproducing the reference's no-op). This gives the numbering
-    * a plan Catalyst prunes to 3 columns end-to-end — the wide
-    * union-distinct is never re-run for the index. The stp/product_lines
-    * subplans are canonically identical to the ones [[tripletexInvoice]]
-    * persists, so the cache serves both passes.
+  /** Narrow 3-column twin of the view for pair-index building: the DISTINCT
+    * set of (ORDER NO, payment_tag, INVOICE DATE) triples the view carries —
+    * the only thing [[InvoiceNumbers.numberInvoicesIndexed]] consumes (it
+    * date-filters, distincts the pairs, and numbers them).
+    *
+    * Slimmed to TWO branches (r7). The view's four branches yield:
+    *  - product_lines: (o.name, 'payment', date(o.created_at)) per rank-1
+    *    payment order — lip only multiplies rows, never changes the triple;
+    *  - shipping_lines / gift_card_lines: the SAME triple for a SUBSET of
+    *    those orders (both require the rank-1 stp row and project the same
+    *    o.name / o.created_at) — no new triples;
+    *  - refund_lines: (o.name||'-1', 'refund', date(r.created_at)) per
+    *    refund ⨝ transaction — lipr/lip multiply rows only.
+    * So the distinct triple set ≡ payment branch ∪ refund branch, and the
+    * index needs no lineitem, customers, or shipping input at all
+    * (triple-set equality with the literal 4-branch union is
+    * spec-asserted, GoldenE2ESpec).
     */
-  def tripletexInvoicePairDates(t: Tables, pushedDistinct: Boolean = true): DataFrame = {
-    val stp = successTransactionPayments(t.transactions)
-    // mirror tripletexInvoice's pushed-distinct lip projection so the
-    // stp/pl subplans stay canonically identical to the persisted ones
-    // (cache reuse); pair content is unaffected — dedup only collapses
-    // duplicate rows and the numbering index distincts the pairs anyway
-    val plInput = if (pushedDistinct)
-      t.copy(lineItemProducts = dedupedLip(t.lineItemProducts))
-    else t
-    val pl = productLines(plInput, stp)
-    val cols = Seq("ORDER NO", "payment_tag", "INVOICE DATE").map(col)
-    pl.select(cols: _*)
-      .unionByName(refundLines(t).select(cols: _*))
-      .unionByName(shippingLines(t, pl).select(cols: _*))
-      .unionByName(giftCardLines(t, stp).select(cols: _*))
+  def tripletexInvoicePairDates(t: Tables): DataFrame = {
+    val stp1 = successTransactionPayments(t.transactions)
+      .filter(col("transaction_rank") === 1).as("t")
+    val payment = stp1
+      .join(broadcast(t.orders.as("o")), col("o.id") === col("t.order_id"), "left")
+      .select(col("o.name").as("ORDER NO"), lit("payment").as("payment_tag"),
+        to_date(col("o.created_at")).as("INVOICE DATE"))
+    val refundTriples = t.transactions.as("t")
+      .filter(col("status") === "success" && col("kind") === "refund")
+      .join(t.refunds.as("r"), col("r.transaction_id") === col("t.id"), "inner")
+      .join(broadcast(t.orders.as("o")), col("o.id") === col("t.order_id"), "left")
+      .select(pgConcat(col("o.name"), lit("-1")).as("ORDER NO"),
+        lit("refund").as("payment_tag"),
+        to_date(col("r.created_at")).as("INVOICE DATE"))
+    payment.unionByName(refundTriples)
   }
 
   /** View tripletex_customer_map (`setup.sql:396-404`). */

@@ -231,6 +231,64 @@ class GoldenE2ESpec extends SparkSuite {
       literal.orderBy(key: _*).collect().toSeq)
   }
 
+  test("shipping_lines without pl equals the reference's pl-joined CTE") {
+    // The r7 rewrite drops the product_lines input (every projected column
+    // is constant per order); this pins equality against a literal
+    // transcription of the reference's pl ⨝ shipping + window form.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val t = store.invoiceTables
+    val stp = InvoiceView.successTransactionPayments(t.transactions)
+    val pl = InvoiceView.productLines(t, stp)
+    val w = Window.partitionBy(col("pl.order_id"))
+      .orderBy(col("INVOICE DATE").asc, col("s.id").asc)
+    val legacy = pl.as("pl")
+      .join(t.shipping.as("s"), col("s.order_id") === col("pl.order_id"), "inner")
+      .withColumn("ship_rank", row_number().over(w))
+      .filter(col("ship_rank") === 1)
+      .select(
+        col("pl.transaction_id").as("transaction_id"),
+        col("pl.order_id").as("order_id"),
+        lit("payment").as("payment_tag"),
+        col("CUSTOMER NO"), col("CUSTOMER NAME"), col("ORDER NO"),
+        col("PAID AMOUNT"),
+        lit(1).as("ORDER LINE - COUNT"),
+        lit(null).cast("string").as("ORDER LINE - PROD NAME"),
+        col("s.price").as("ORDER LINE - UNIT PRICE"),
+        coalesce(lit(100) * (lit(1) - (col("s.discounted_price") / nullif(col("s.price"), lit(0)))),
+          lit(0)).as("ORDER LINE - DISCOUNT"),
+        lit(3).as("ORDER LINE - VAT CODE"),
+        col("s.title").as("ORDER LINE - DESCRIPTION"),
+        lit("SHIPPING").as("ORDER LINE - PROD NO"),
+        col("PAYMENT TYPE"),
+        col("INVOICE DATE"), col("DELIVERY DATE"), col("ORDER DATE"), col("DUE DATE"),
+        lit(1).as("rank"), lit(3).as("priority"))
+    val direct = InvoiceView.shippingLines(t, stp)
+    assert(direct.columns.toSeq == legacy.columns.toSeq)
+    val key = direct.columns.map(col).toSeq
+    assert(direct.orderBy(key: _*).collect().toSeq ==
+      legacy.orderBy(key: _*).collect().toSeq)
+  }
+
+  test("slim pair-dates twin carries exactly the view's distinct triple set") {
+    // r7: the 2-branch pair-dates twin must yield the same DISTINCT
+    // (ORDER NO, payment_tag, INVOICE DATE) set as the literal 4-branch
+    // union — the only content numberInvoicesIndexed consumes.
+    import org.apache.spark.sql.functions._
+    val t = store.invoiceTables
+    val stp = InvoiceView.successTransactionPayments(t.transactions)
+    val pl = InvoiceView.productLines(t, stp)
+    val cols = Seq("ORDER NO", "payment_tag", "INVOICE DATE").map(col)
+    val full = pl.select(cols: _*)
+      .unionByName(InvoiceView.refundLines(t).select(cols: _*))
+      .unionByName(InvoiceView.shippingLines(t, stp).select(cols: _*))
+      .unionByName(InvoiceView.giftCardLines(t, stp).select(cols: _*))
+      .distinct()
+    val slim = InvoiceView.tripletexInvoicePairDates(t).distinct()
+    assert(slim.orderBy(cols: _*).collect().toSeq ==
+      full.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("customer map view (F1 id derivation)") {
     val m = InvoiceView.tripletexCustomerMap(store.read("customers"))
       .orderBy("shopify_id").collect()

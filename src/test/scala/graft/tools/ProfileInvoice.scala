@@ -43,7 +43,7 @@ object ProfileInvoice {
     val stp2 = InvoiceView.successTransactionPayments(t.transactions)
     val pl2 = InvoiceView.productLines(t, stp2)
     time("refund_lines count")(InvoiceView.refundLines(t).count())
-    time("shipping_lines count")(InvoiceView.shippingLines(t, pl2).count())
+    time("shipping_lines count")(InvoiceView.shippingLines(t, stp2).count())
     time("gift_card_lines count")(InvoiceView.giftCardLines(t, stp2).count())
     spark.catalog.clearCache()
     time("view materialize (2nd cold)")(

@@ -5,13 +5,14 @@ import org.apache.spark.sql.SparkSession
 import graft.queries.{InvoiceNumbers, InvoicePipeline, InvoiceView}
 import org.apache.spark.sql.functions.col
 
-/** A/B harness for the flagship's structural choices (persist / pushed
-  * distinct): times each variant `runs` times interleaved so JVM warmth and
-  * block-manager state can't systematically favor the later variant.
+/** A/B harness for q36 base-table caching: times the exact invoicePipeline
+  * shape with/without persisting the narrow shared derivations
+  * (transactions union, lip window) and with/without the stp/lip narrow
+  * persists, interleaved so JVM warmth can't favor later variants.
   *
-  *   sbt "runMain graft.tools.ProfileQ36Variants /root/testdata/sf0.1 4"
+  *   sbt "Test/runMain graft.tools.ProfileQ36Bases /root/testdata/sf0.1 4"
   */
-object ProfileQ36Variants {
+object ProfileQ36Bases {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val runs = if (args.length > 1) args(1).toInt else 4
@@ -30,10 +31,9 @@ object ProfileQ36Variants {
       "ORDER LINE - PROD NO", "ORDER LINE - PROD NAME",
       "ORDER LINE - UNIT PRICE", "ORDER LINE - COUNT")
 
-    def pipeline(persist: Boolean, pushed: Boolean)(d: String) = {
-      val tables = InvoicePipeline.buildTables(spark, d)
-      val view = InvoiceView.tripletexInvoice(tables, sorted = false,
-        persist = persist, pushedDistinct = pushed)
+    def pipeline(bases: Boolean, persist: Boolean)(d: String) = {
+      val tables = InvoicePipeline.buildTables(spark, d, persistBases = bases)
+      val view = InvoiceView.tripletexInvoice(tables, sorted = false, persist = persist)
       val numbered = InvoiceNumbers.numberInvoicesIndexed(view,
         InvoiceView.tripletexInvoicePairDates(tables),
         LocalDate.parse("1996-01-01"), LocalDate.parse("1998-12-31"), 5000L)
@@ -44,13 +44,12 @@ object ProfileQ36Variants {
     }
 
     val variants = Seq(
-      "persist+pushed  " -> pipeline(persist = true, pushed = true) _,
-      "nopersist+pushed" -> pipeline(persist = false, pushed = true) _,
-      "persist+wide    " -> pipeline(persist = true, pushed = false) _,
-      "nopersist+wide  " -> pipeline(persist = false, pushed = false) _,
+      "nobase+nopersist" -> pipeline(bases = false, persist = false) _,
+      "bases +nopersist" -> pipeline(bases = true, persist = false) _,
+      "bases +persist  " -> pipeline(bases = true, persist = true) _,
+      "nobase+persist  " -> pipeline(bases = false, persist = true) _,
     )
-    // warmup all variants on the small SF
-    variants.foreach { case (_, f) => f("/root/testdata/sf0.001").count() }
+    variants.foreach { case (_, f) => f(dir).count() } // warm at the timed SF
     spark.catalog.clearCache(); System.gc()
 
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]

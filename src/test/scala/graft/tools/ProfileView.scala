@@ -39,7 +39,7 @@ object ProfileView {
       { val p = InvoiceView.productLines(t, stp).persist(); p.count(); p })
     val al = InvoiceView.aligned(pl)
       .unionByName(InvoiceView.aligned(InvoiceView.refundLines(t)))
-      .unionByName(InvoiceView.aligned(InvoiceView.shippingLines(t, pl)))
+      .unionByName(InvoiceView.aligned(InvoiceView.shippingLines(t, stp)))
       .unionByName(InvoiceView.aligned(InvoiceView.giftCardLines(t, stp)))
     time("union only (no distinct)")(al.count())
     time("union + distinct")(al.distinct().count())
