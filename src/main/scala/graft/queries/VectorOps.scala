@@ -211,6 +211,98 @@ object VectorOps {
       |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** q72: retrieval-quality grade for the IVF index — recall@5 of
+    * [[graft.operators.IvfIndex.search]] against the q34 brute-force
+    * ground truth, per query vector. Both sides are the exact pipelines
+    * q34/q42 already run; the DuckDB oracle recomputes BOTH from the same
+    * vectors (the q34 + q42 SQL, CTE-renamed, joined on (query_id,
+    * nbr_id)), so a recall regression — not just a contract change —
+    * hash-mismatches. n_hit is integral and recall = n_hit/5 is an exact
+    * binary fraction, so the doubles compare exactly cross-engine.
+    * IvfIndexSpec asserts the mean recall stays at/above the documented
+    * nprobe=4/K=8 bound.
+    */
+  def cosineIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"nbr_id")
+    val ivf = graft.operators.IvfIndex.search(emb, queries,
+        "vec_id", "embedding", k = 5, numCentroids = 8, nprobe = 4)
+      .select($"query_id", $"nbr_id").withColumn("hit", lit(1))
+    exact.join(ivf, Seq("query_id", "nbr_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit" / lit(5.0))
+      .select($"query_id", $"n_hit", $"recall")
+      .orderBy($"query_id")
+  }
+
+  /** q34's exact top-5 and q42's IVF top-5 recomputed side by side
+    * (CTEs renamed to avoid collisions), joined into per-query recall.
+    */
+  val cosineIvfRecallSql: String =
+    """WITH exq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |exs AS (SELECT query_id, vec_id AS nbr_id,
+      |          list_cosine_similarity(qv, embedding) AS cos
+      |        FROM exq JOIN embeddings ON vec_id <> query_id),
+      |exr AS (SELECT query_id, nbr_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |        FROM exs),
+      |exact AS (SELECT query_id, nbr_id FROM exr WHERE rk <= 5),
+      |seeds AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+      |         embedding AS centroid
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) t),
+      |a0 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, s.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, s.centroid) DESC, s.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1),
+      |cmeans AS (
+      |  SELECT centroid_id, dim, AVG(x) AS m FROM (
+      |    SELECT a0.centroid_id,
+      |      unnest(range(1, len(e.embedding)+1)) AS dim,
+      |      unnest(CAST(e.embedding AS DOUBLE[])) AS x
+      |    FROM embeddings e JOIN a0 USING (vec_id)) t
+      |  GROUP BY centroid_id, dim),
+      |c1 AS (
+      |  SELECT centroid_id, CAST(list(m ORDER BY dim) AS REAL[]) AS centroid
+      |  FROM cmeans GROUP BY centroid_id),
+      |a1 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, centroid_id FROM (
+      |    SELECT e.vec_id AS query_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id % 50 = 0) t WHERE rn <= 4),
+      |ivs AS (
+      |  SELECT p.query_id, n.vec_id AS nbr_id,
+      |    list_cosine_similarity(q.embedding, n.embedding) AS cos
+      |  FROM probes p
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  JOIN a1 ON a1.centroid_id = p.centroid_id
+      |  JOIN embeddings n ON n.vec_id = a1.vec_id
+      |  WHERE n.vec_id <> p.query_id),
+      |ivr AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |  FROM ivs),
+      |ivf AS (SELECT query_id, nbr_id FROM ivr WHERE rk <= 5)
+      |SELECT e.query_id,
+      |  CAST(SUM(CASE WHEN i.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  SUM(CASE WHEN i.nbr_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+      |FROM exact e LEFT JOIN ivf i ON i.query_id = e.query_id AND i.nbr_id = e.nbr_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs via the blocked exact self-join
     * (threshold 0.4 — the synthetic corpus's max off-diagonal cosine is
     * ~0.51, so the result is small but non-empty). Output is ids-only so
@@ -237,6 +329,7 @@ object VectorOps {
     "q35_cosine_lsh"  -> cosineLsh,
     "q42_cosine_ivf"  -> cosineIvf,
     "q43_embedding_neardup" -> embeddingNearDup,
+    "q72_ivf_recall"  -> cosineIvfRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,5 +338,6 @@ object VectorOps {
     "q35_cosine_lsh"  -> cosineLshSql,
     "q42_cosine_ivf"  -> cosineIvfSql,
     "q43_embedding_neardup" -> embeddingNearDupSql,
+    "q72_ivf_recall"  -> cosineIvfRecallSql,
   )
 }

@@ -64,4 +64,17 @@ class IvfIndexSpec extends SparkSuite {
     // the true neighbors; require comfortably above chance
     assert(meanRecall > 0.3, f"recall $meanRecall%.2f")
   }
+
+  test("q72 recall query reports the same mean recall, above the nprobe bound") {
+    val rows = graft.queries.VectorOps.cosineIvfRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1) / 5.0, "recall must equal n_hit/5")
+    }
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    info(f"q72 mean recall@5: $mean%.2f")
+    // same bound as the operator-level test: comfortably above the chance
+    // floor for nprobe=4 of K=8 on this corpus (documented 0.88 at sf0.001)
+    assert(mean > 0.3, f"mean recall $mean%.2f")
+  }
 }
