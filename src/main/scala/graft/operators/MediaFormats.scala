@@ -46,7 +46,13 @@ object MediaFormats {
     val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
     require(maxVal == 255, s"unsupported maxval $maxVal")
     pos += 1 // single whitespace after maxval per spec
-    Ppm(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h * 3))
+    // long arithmetic + payload bound BEFORE allocating: a corrupt header
+    // declaring huge dims must fail fast, not allocate w*h*3 (OOM) — the
+    // parser runs on executor-side untrusted bytes
+    val need = w.toLong * h * 3
+    require(need >= 0 && pos + need <= bytes.length,
+      s"truncated PPM: declared ${w}x$h needs $need bytes, have ${bytes.length - pos}")
+    Ppm(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt))
   }
 
   /** Minimal mono PCM16 WAV: RIFF + fmt(16) + data chunks, little-endian. */
@@ -124,24 +130,39 @@ object MediaFormats {
     val header = line()
     val toks = header.split(' ')
     require(toks.headOption.contains("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    // header numbers parse via a typed path: garbage like "Wx" or "F30"
+    // (no colon) must raise IllegalArgumentException, not NumberFormat/
+    // MatchError — the parser runs on executor-side untrusted bytes
+    def num(s: String, what: String): Int =
+      try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad Y4M $what: '$s' in $header")
+      }
     var w = 0; var h = 0; var fpsNum = 0; var fpsDen = 1
     toks.tail.foreach { t =>
       if (t.nonEmpty) t.charAt(0) match {
-        case 'W' => w = t.substring(1).toInt
-        case 'H' => h = t.substring(1).toInt
+        case 'W' => w = num(t.substring(1), "width")
+        case 'H' => h = num(t.substring(1), "height")
         case 'F' =>
-          val Array(n, d) = t.substring(1).split(':')
-          fpsNum = n.toInt; fpsDen = d.toInt
+          t.substring(1).split(':') match {
+            case Array(n, d) => fpsNum = num(n, "fps num"); fpsDen = num(d, "fps den")
+            case _ => throw new IllegalArgumentException(s"bad Y4M fps: '$t'")
+          }
         case _ => () // Ip / A1:1 / C420jpeg — accepted, not needed
       }
     }
     require(w > 0 && h > 0 && fpsNum > 0, s"bad Y4M header: $header")
-    val frameSize = w * h * 3 / 2
+    // long arithmetic: declared dims near 2^16 would overflow w*h*3/2 and
+    // wrap the per-frame truncation check (a 0-frame stream with huge
+    // declared dims is still valid — the bound applies per FRAME)
+    val frameSizeL = w.toLong * h * 3 / 2
     val frames = Array.newBuilder[Array[Byte]]
     while (pos < bytes.length) {
       val mark = line() // FRAME plus optional per-frame params
       require(mark.startsWith("FRAME"), s"bad frame marker: $mark")
-      require(pos + frameSize <= bytes.length, "truncated frame")
+      require(pos + frameSizeL <= bytes.length,
+        s"truncated Y4M frame: ${w}x$h needs $frameSizeL bytes, have ${bytes.length - pos}")
+      val frameSize = frameSizeL.toInt // <= bytes.length, so Int-safe
       frames += java.util.Arrays.copyOfRange(bytes, pos, pos + frameSize)
       pos += frameSize
     }
@@ -150,18 +171,29 @@ object MediaFormats {
 
   case class Wav(sampleRate: Int, samples: Array[Short])
 
-  /** Parse a PCM16 mono WAV by walking RIFF chunks to fmt/data. */
+  /** Parse a PCM16 mono WAV by walking RIFF chunks to fmt/data. Every
+    * declared chunk length is validated against the remaining payload
+    * BEFORE any seek or allocation (untrusted executor-side bytes:
+    * a corrupt `data` length must not allocate, a negative length must
+    * not seek backwards into an infinite loop), and a short buffer raises
+    * IllegalArgumentException rather than BufferUnderflow.
+    */
   def parseWav(bytes: Array[Byte]): Wav = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    def tag(): String = { val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
-    require(tag() == "RIFF", "not RIFF"); buf.getInt()
+    def need(n: Int, what: String): Unit =
+      require(buf.remaining() >= n, s"truncated WAV: $what needs $n bytes, have ${buf.remaining()}")
+    def tag(): String = { need(4, "chunk tag"); val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII") }
+    require(tag() == "RIFF", "not RIFF"); need(4, "RIFF size"); buf.getInt()
     require(tag() == "WAVE", "not WAVE")
     var rate = 0
     var samples: Array[Short] = null
     while (buf.remaining() >= 8 && (rate == 0 || samples == null)) {
       val id = tag(); val len = buf.getInt()
+      require(len >= 0, s"negative chunk length $len for '$id'")
+      require(len <= buf.remaining(), s"truncated WAV: chunk '$id' declares $len bytes, have ${buf.remaining()}")
       id match {
         case "fmt " =>
+          require(len >= 8, s"fmt chunk too short: $len")
           val fmt = buf.getShort(); val ch = buf.getShort()
           require(fmt == 1 && ch == 1, "only PCM mono supported")
           rate = buf.getInt()
