@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe (round-6 verdict task 7): build a one-off sf1-equivalent
+  * fixture from the sf0.1 tables and run the three heaviest queries once,
+  * recording wall time and the executed plan's operator histogram at both
+  * SFs — the cheapest way to catch a super-linear cliff or a plan-shape
+  * flip before a real 100× scale-up.
+  *
+  * Fixture derivation (probe-only, never graded):
+  *  - orders/lineitem/customer: 10 key-offset replicas. The offset is a
+  *    multiple of lcm(3,20,11,97,5,2)=64020 so every `o_orderkey % k`
+  *    branch rule in InvoicePipeline.buildTables keeps its distribution,
+  *    and referential integrity (orderkey/custkey) is preserved per
+  *    replica.
+  *  - documents: 10 replicas with offset doc_ids; each replica's text gets
+  *    a replica-specific token woven between words so cross-replica pairs
+  *    are NOT near-dups (Jaccard ~0) — the dup rate stays ~constant and
+  *    the workload scales linearly instead of degenerating into a
+  *    10-way-duplicate stress test.
+  *
+  *   sbt "Test/runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/graft_sf1"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val replicas = 10
+    val keyOff = 640200L // 10 * lcm(3,20,11,97) — preserves every % rule
+
+    def replicate(df: DataFrame, mutate: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until replicas).map(i => mutate(df, i)).reduce(_ unionByName _)
+
+    def stage(name: String)(df: => DataFrame): Unit = {
+      val p = s"$outDir/$name.parquet"
+      if (!new java.io.File(p).exists) {
+        df.write.mode("overwrite").parquet(p)
+        println(s"[probe] staged $name")
+      }
+    }
+
+    stage("orders")(replicate(spark.read.parquet(s"$srcDir/orders.parquet"),
+      (d, i) => d.withColumn("o_orderkey", $"o_orderkey" + lit(i * keyOff))
+        .withColumn("o_custkey", $"o_custkey" + lit(i * 64020L))))
+    stage("lineitem")(replicate(spark.read.parquet(s"$srcDir/lineitem.parquet"),
+      (d, i) => d.withColumn("l_orderkey", $"l_orderkey" + lit(i * keyOff))))
+    stage("customer")(replicate(spark.read.parquet(s"$srcDir/customer.parquet"),
+      (d, i) => d.withColumn("c_custkey", $"c_custkey" + lit(i * 64020L))))
+    val docMax = 1000000L
+    stage("documents")(replicate(spark.read.parquet(s"$srcDir/documents.parquet"),
+      (d, i) => d.withColumn("doc_id", $"doc_id" + lit(i * docMax))
+        // weave a replica token between words: within-replica similarity
+        // is preserved, cross-replica Jaccard collapses to ~0
+        .withColumn("text",
+          when(lit(i) === 0, $"text")
+            .otherwise(regexp_replace($"text", " ", s" z$i ")))))
+
+    val probes = Seq("q30_minhash_pairs", "q47_dedup_groups", "q36_invoice_pipeline")
+    def opHistogram(df: DataFrame): Map[String, Int] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .map(_.dropWhile(c => !c.isLetter).takeWhile(c => c.isLetterOrDigit))
+        .filter(_.nonEmpty).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+
+    probes.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, srcDir).count() // warm JIT/codegen at the small SF
+      spark.catalog.clearCache(); System.gc()
+      val shapeSmall = opHistogram(fn(spark, srcDir))
+      val t0s = System.nanoTime(); val nSmall = fn(spark, srcDir).count()
+      val dtSmall = (System.nanoTime() - t0s) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      val shapeBig = opHistogram(fn(spark, outDir))
+      val t0 = System.nanoTime(); val nBig = fn(spark, outDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      val heap = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)
+      val drift = (shapeSmall.keySet ++ shapeBig.keySet)
+        .filter(k => shapeSmall.getOrElse(k, 0) != shapeBig.getOrElse(k, 0))
+        .toSeq.sorted
+        .map(k => s"$k ${shapeSmall.getOrElse(k, 0)}->${shapeBig.getOrElse(k, 0)}")
+      println(f"[probe] $name sf0.1: $dtSmall%.2fs ($nSmall rows)  sf1: $dt%.2fs ($nBig rows)  " +
+        f"ratio ${dt / dtSmall}%.1fx  heapAfter ${heap}MB")
+      println(s"[probe] $name plan drift: ${if (drift.isEmpty) "none" else drift.mkString(", ")}")
+    }
+    spark.stop()
+  }
+}
