@@ -130,5 +130,20 @@ class EventStreamSpec extends SparkSuite {
     assert(run(within = true, "dedup_wm_out") == exact)
   }
 
+  test("q71 streamUpsert is rerun-deterministic and does not accumulate disk") {
+    // r7 staged the fixtures once per JVM and reuses one run dir per
+    // invocation: repeated runs must give byte-identical results (fresh
+    // checkpoint + re-seeded target each time) with bounded temp usage
+    def roots() = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles((_, n) => n.startsWith("graft_stream_upsert")).length
+    val a = graft.queries.EventOps.streamUpsert(spark, sf).collect()
+    val tmpRoots = roots()
+    val b = graft.queries.EventOps.streamUpsert(spark, sf).collect()
+    val tmpRootsAfter = roots()
+    assert(a.toSeq == b.toSeq, "stream replay must be deterministic across reruns")
+    assert(tmpRootsAfter == tmpRoots,
+      "reruns must reuse the per-JVM temp root, not allocate new ones")
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
 }
