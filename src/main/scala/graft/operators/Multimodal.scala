@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Decode is REAL for every modality on the [[realMedia]] path: P6 PPM
   * images, PCM16 WAV audio, and Y4M (YUV4MPEG2) video are parsed inside
-  * executors with no codec dependency ([[MediaFormats]]). Only the
-  * *compressed*-codec seam (JPEG/MP3/H.264 — absent from this container)
-  * remains the documented [[MediaCodec.decode]] identity stub; swapping a
-  * real codec in changes zero plan shape.
+  * executors with no codec dependency ([[MediaFormats]]), and the
+  * COMPRESSED image path is real too — [[Jpeg]] implements baseline
+  * grayscale JPEG end-to-end (huffman entropy coding, dequant, IDCT),
+  * oracle-graded by q73. Only the remaining compressed A/V codecs
+  * (MP3/H.264 — absent from this container) stay behind the documented
+  * [[MediaCodec.decode]] identity stub; swapping a real codec in changes
+  * zero plan shape.
   */
 object Multimodal {
 

@@ -275,6 +275,45 @@ object TextOps {
       |  LEFT JOIN vid USING (media_id)
       |ORDER BY media_id""".stripMargin
 
+  /** q73: COMPRESSED-codec decode — the multimodal seam that stayed a
+    * documented stub through round 6, closed for the grayscale baseline
+    * JPEG path. Executors build a real baseline JPEG per document
+    * (markers, huffman entropy coding, byte stuffing) and decode it with
+    * the general [[graft.operators.Jpeg]] decoder (stream-defined huffman +
+    * quant tables, IDCT). The fixture images are constant 8×8 blocks under
+    * an all-ones quant table, so the lossy pipeline is exercised on
+    * content it encodes losslessly: decoded luma is BIT-EXACT equal to the
+    * generator formula (JpegSpec proves it per pixel) and the DuckDB
+    * oracle recomputes width/height/mean in closed form — a wrong huffman
+    * table, dequant, or IDCT hash-mismatches.
+    */
+  def jpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val w = 8 * (1 + (id % 4)).toInt
+      val h = 8 * (1 + (id % 3)).toInt
+      val img = graft.operators.Jpeg.parseJpeg(graft.operators.Jpeg.buildJpeg(id, w, h))
+      (id, img.width, img.height, img.lumaMean)
+    }.toDF("media_id", "parsed_width", "parsed_height", "luma_mean")
+      .orderBy($"media_id")
+  }
+
+  /** Decoded luma mean in closed form: every 8×8 block of media i is the
+    * constant pixelByte(i, blockIndex), so the mean over pixels equals the
+    * mean over blocks ((64·Σv)/(64·blocks) is an exact power-of-two
+    * rescale in IEEE, so the doubles match bit-for-bit).
+    */
+  val jpegDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(8 * (1 + doc_id % 4) AS INTEGER) AS parsed_width,
+      | CAST(8 * (1 + doc_id % 3) AS INTEGER) AS parsed_height,
+      | CAST(CAST(SUM((doc_id*31 + g.i*7) % 256) AS BIGINT) AS DOUBLE)
+      |   / ((1 + doc_id % 4) * (1 + doc_id % 3)) AS luma_mean
+      |FROM documents
+      |JOIN generate_series(0, 11) g(i) ON g.i < (1 + doc_id % 4) * (1 + doc_id % 3)
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   /** q57: per-language distinct-document counts through the KMV sketch
     * aggregate (custom TypedImperativeAggregate). k=16384 exceeds every
     * per-group distinct count in the test corpus, so the sketch runs its
@@ -308,6 +347,7 @@ object TextOps {
     "q31_simhash_pairs"   -> simhashPairs,
     "q32_multimodal_meta" -> multimodalMeta,
     "q56_multimodal_decode" -> multimodalDecode,
+    "q73_jpeg_decode" -> jpegDecode,
     "q57_kmv_distinct"    -> kmvDistinct,
   )
 
@@ -341,6 +381,7 @@ object TextOps {
     "q31_simhash_pairs"   -> simhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
+    "q73_jpeg_decode" -> jpegDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,
   )
 }
