@@ -214,4 +214,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
   }
+
+  /** Record-linkage-style near-dup: prefix blocking + bounded edit-distance
+    * verify. Candidates are doc pairs sharing (lang, first `prefixLen`
+    * chars) — the classic blocking key from the dedup literature — and the
+    * verify step is Spark's bounded `levenshtein(l, r, threshold)`, which
+    * abandons a pair as soon as the running distance exceeds the bound
+    * (O(threshold·len) per pair, not O(len²)).
+    *
+    * Scale: the join shuffles on the (lang, prefix) key only; candidate
+    * volume is sum of squared block sizes, and the expensive verify runs
+    * on candidates alone (99 candidates → 6 verified at sf0.01). A
+    * pathological hot block (e.g. a boilerplate prefix) is an AQE skew
+    * case, same posture as the banded LSH joins.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, prefixLen: Int, maxDist: Int): DataFrame = {
+    val b = df.select(col(idCol), col(langCol).as("lang"),
+      col(textCol).as("t"), substring(col(textCol), 1, prefixLen).as("pfx"))
+    val l = b.select(col(idCol).as("d1"), col("lang"), col("pfx"), col("t").as("t1"))
+    val r = b.select(col(idCol).as("d2"), col("lang"), col("pfx"), col("t").as("t2"))
+    l.join(r, Seq("lang", "pfx"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("lev_dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .filter(col("lev_dist") >= 0) // bounded form returns -1 above the threshold
+      .select(col("d1"), col("d2"), col("lang"),
+        col("lev_dist").cast("long").as("lev_dist"),
+        length(col("t1")).cast("long").as("len1"),
+        length(col("t2")).cast("long").as("len2"))
+  }
 }

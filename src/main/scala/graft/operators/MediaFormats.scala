@@ -1,12 +1,14 @@
 package graft.operators
 
-/** Real, dependency-free binary media formats: P6 PPM (image) and PCM16
-  * WAV (audio) builders + parsers. These are self-describing formats that
-  * need no codec library, so the multimodal pipeline can exercise REAL
-  * decode (header parse, dimension/rate extraction, signal statistics)
-  * inside executors even in this codec-less container. Compressed formats
-  * (JPEG/MP3/H.264) stay behind the documented [[Multimodal.MediaCodec]]
-  * stub seam.
+/** Real, dependency-free binary media formats: P6 PPM (image), PCM16 and
+  * G.711 μ-law WAV (audio) builders + parsers. These need no codec
+  * library, so the multimodal pipeline can exercise REAL decode (header
+  * parse, dimension/rate extraction, companded-sample expansion, signal
+  * statistics) inside executors even in this codec-less container.
+  * Compressed image decode has a dependency-free baseline in
+  * [[graft.operators.Jpeg]]; μ-law is the compressed-audio analog here;
+  * MP3/H.264 stay behind the documented [[Multimodal.MediaCodec]] stub
+  * seam.
   */
 object MediaFormats {
 
@@ -19,6 +21,39 @@ object MediaFormats {
     * − 32768 — mirrored in the q56 oracle.
     */
   def pcmSample(id: Long, i: Long): Int = ((((id * 13 + i * 11) % 65536) + 65536) % 65536).toInt - 32768
+
+  /** Deterministic G.711 μ-law byte i for media id: (id*13 + i*11) mod 256
+    * — mirrored in the q75 oracle. The encoded stream is the generator
+    * (every byte value is a valid μ-law code), so the decode path is
+    * exercised on real companded data with a closed-form oracle.
+    */
+  def mulawByte(id: Long, i: Long): Int = (((id * 13 + i * 11) % 256) + 256).toInt % 256
+
+  private val MulawBias = 0x84 // 132, the G.711 μ-law bias
+  private val MulawClip = 32635
+
+  /** G.711 μ-law expansion: 8-bit code → 16-bit PCM (CCITT G.711). */
+  def mulawDecode(b: Int): Int = {
+    val u = ~b & 0xFF
+    val exponent = (u >> 4) & 0x07
+    val mantissa = u & 0x0F
+    val magnitude = (((mantissa << 3) + MulawBias) << exponent) - MulawBias
+    if ((u & 0x80) != 0) -magnitude else magnitude
+  }
+
+  /** G.711 μ-law compression: 16-bit PCM → 8-bit code (CCITT G.711).
+    * Inverse of [[mulawDecode]] on representable samples; MulawSpec pins
+    * the round-trip algebra.
+    */
+  def mulawEncode(sample: Int): Int = {
+    val sign = if (sample < 0) 0x80 else 0
+    var x = math.min(if (sample < 0) -sample else sample, MulawClip) + MulawBias
+    var exponent = 7
+    var mask = 0x4000
+    while (exponent > 0 && (x & mask) == 0) { exponent -= 1; mask >>= 1 }
+    val mantissa = (x >> (exponent + 3)) & 0x0F
+    ~(sign | (exponent << 4) | mantissa) & 0xFF
+  }
 
   /** Binary PPM (P6): ASCII header `P6\n<w> <h>\n255\n` + w*h*3 raw bytes. */
   def buildPpm(id: Long, w: Int, h: Int): Array[Byte] = {
@@ -69,6 +104,27 @@ object MediaFormats {
       .put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) { buf.putShort(pcmSample(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Mono G.711 μ-law WAV (format tag 7): RIFF + fmt(18, with the cbSize=0
+    * extension the spec requires for non-PCM tags) + data, one byte per
+    * sample. Data bytes are [[mulawByte]], i.e. the compressed stream IS
+    * the generator — the parser's μ-law expansion is what q75 grades.
+    */
+  def buildMulawWav(id: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(46 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(38 + nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(7).putShort(1)                    // μ-law, mono
+      .putInt(sampleRate).putInt(sampleRate)      // byte rate = rate (1 B/sample)
+      .putShort(1).putShort(8)                    // block align, bits
+      .putShort(0)                                // cbSize
+      .put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) { buf.put(mulawByte(id, i).toByte); i += 1 }
     buf.array()
   }
 
@@ -186,8 +242,9 @@ object MediaFormats {
     require(tag() == "RIFF", "not RIFF"); need(4, "RIFF size"); buf.getInt()
     require(tag() == "WAVE", "not WAVE")
     var rate = 0
-    var samples: Array[Short] = null
-    while (buf.remaining() >= 8 && (rate == 0 || samples == null)) {
+    var fmtTag = 0
+    var dataBytes: Array[Byte] = null
+    while (buf.remaining() >= 8 && (rate == 0 || dataBytes == null)) {
       val id = tag(); val len = buf.getInt()
       require(len >= 0, s"negative chunk length $len for '$id'")
       require(len <= buf.remaining(), s"truncated WAV: chunk '$id' declares $len bytes, have ${buf.remaining()}")
@@ -195,17 +252,30 @@ object MediaFormats {
         case "fmt " =>
           require(len >= 8, s"fmt chunk too short: $len")
           val fmt = buf.getShort(); val ch = buf.getShort()
-          require(fmt == 1 && ch == 1, "only PCM mono supported")
+          require((fmt == 1 || fmt == 7) && ch == 1, "only PCM/mu-law mono supported")
+          fmtTag = fmt
           rate = buf.getInt()
           buf.position(buf.position() + len - 8)
         case "data" =>
-          samples = new Array[Short](len / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = buf.getShort(); i += 1 }
+          dataBytes = new Array[Byte](len)
+          buf.get(dataBytes)
         case _ => buf.position(buf.position() + len)
       }
     }
-    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    require(rate > 0 && dataBytes != null, "missing fmt/data chunk")
+    val samples =
+      if (fmtTag == 1) {
+        val db = java.nio.ByteBuffer.wrap(dataBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Short](dataBytes.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = db.getShort(); i += 1 }
+        out
+      } else {
+        val out = new Array[Short](dataBytes.length) // μ-law: 1 byte/sample, expand
+        var i = 0
+        while (i < out.length) { out(i) = mulawDecode(dataBytes(i) & 0xFF).toShort; i += 1 }
+        out
+      }
     Wav(rate, samples)
   }
 }

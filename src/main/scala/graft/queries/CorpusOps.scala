@@ -344,6 +344,51 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q76: quality-decile stratification — ntile(10) over the same strict
+    * quality order q67 uses ((score desc, doc_id)), then per-decile doc
+    * counts, token budgets, and score bounds. The curriculum/mixture
+    * primitive: "how many tokens live in each quality band, per
+    * language". ntile's remainder rule (first buckets get the extra row)
+    * is SQL-standard and identical in both engines; the aggregate is one
+    * shuffle after the per-lang window.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    val w = Window.partitionBy($"lang").orderBy($"q".desc, $"doc_id".asc)
+    documents(spark, dir)
+      .select($"doc_id", $"lang",
+        TextFunctions.qualityScore($"text", stop).as("q"),
+        TextFunctions.tokenCount($"text").as("n_tokens"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"q").as("q_min"), max($"q").as("q_max"))
+      .orderBy($"lang", $"decile")
+  }
+
+  val qualityDecilesSql: String =
+    """WITH q AS (
+      |  SELECT doc_id, lang, len(string_split(text,' ')) AS n_tokens,
+      |    LEAST(len(string_split(text,' '))/50.0, 1.0) * 0.4
+      |    + (len(list_distinct(string_split(text,' ')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)) * 0.4
+      |    + LEAST(len(list_filter(string_split(text,' '),
+      |        x -> x IN ('the','a','of','and','to')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.2
+      |      AS q
+      |  FROM documents),
+      |t AS (
+      |  SELECT lang, q, n_tokens,
+      |    NTILE(10) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS decile
+      |  FROM q)
+      |SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  MIN(q) AS q_min, MAX(q) AS q_max
+      |FROM t
+      |GROUP BY lang, decile
+      |ORDER BY lang, decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -353,6 +398,7 @@ object CorpusOps {
     "q66_mixture"        -> mixture,
     "q67_quality_filter" -> qualityFilter,
     "q68_hash_split"     -> hashSplit,
+    "q76_quality_deciles" -> qualityDeciles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,5 +410,6 @@ object CorpusOps {
     "q66_mixture"        -> mixtureSql,
     "q67_quality_filter" -> qualityFilterSql,
     "q68_hash_split"     -> hashSplitSql,
+    "q76_quality_deciles" -> qualityDecilesSql,
   )
 }

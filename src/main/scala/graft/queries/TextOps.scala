@@ -314,6 +314,57 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** q75: COMPRESSED-audio decode — the audio analog of q73's JPEG.
+    * Executors build a real G.711 μ-law WAV per document (format-tag-7
+    * fmt chunk with the cbSize extension, one companded byte per sample)
+    * and the parser expands it with the CCITT μ-law formula. The encoded
+    * stream IS the deterministic generator (every byte value is a valid
+    * μ-law code), so the DuckDB oracle recomputes the expansion in closed
+    * form — a wrong bias, segment shift, or sign handling hash-mismatches.
+    * MulawSpec pins the encode/decode round-trip algebra; MP3/H.264 remain
+    * the only documented codec stubs.
+    */
+  def mulawDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val n = (400 + id % 100).toInt
+      val wav = graft.operators.MediaFormats.parseWav(
+        graft.operators.MediaFormats.buildMulawWav(id, 8000, n))
+      var s = 0L
+      wav.samples.foreach(x => s += x)
+      (id, wav.sampleRate, wav.samples.length,
+        wav.samples.length.toDouble * 1000 / wav.sampleRate,
+        s.toDouble / wav.samples.length)
+    }.toDF("media_id", "sample_rate", "n_samples", "duration_ms", "signal_mean")
+      .orderBy($"media_id")
+  }
+
+  /** μ-law expansion in closed form: u = 255−b (the complement), exponent
+    * = (u/16) mod 8, mantissa = u mod 16, magnitude = ((8·mantissa+132) ≪
+    * exponent) − 132, negated when the sign bit (u ≥ 128) is set.
+    */
+  val mulawDecodeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, CAST(400 + doc_id % 100 AS INTEGER) AS n_samp
+      |  FROM documents),
+      |v AS (
+      |  SELECT media_id, n_samp,
+      |    CASE WHEN u >= 128
+      |      THEN -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+      |      ELSE   (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132 END AS s
+      |  FROM (
+      |    SELECT media_id, n_samp,
+      |      255 - CAST((media_id*13 + g.i*11) % 256 AS INTEGER) AS u
+      |    FROM m JOIN generate_series(0, 500) g(i) ON g.i < n_samp))
+      |SELECT media_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  n_samp AS n_samples,
+      |  CAST(n_samp AS DOUBLE) * 1000 / 8000 AS duration_ms,
+      |  CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / n_samp AS signal_mean
+      |FROM v
+      |GROUP BY media_id, n_samp
+      |ORDER BY media_id""".stripMargin
+
   /** q57: per-language distinct-document counts through the KMV sketch
     * aggregate (custom TypedImperativeAggregate). k=16384 exceeds every
     * per-group distinct count in the test corpus, so the sketch runs its
@@ -338,6 +389,32 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q74: record-linkage near-dup — (lang, prefix-8) blocking, then a
+    * BOUNDED levenshtein verify on candidates only (Spark's 3-arg
+    * `levenshtein` early-exits past the threshold, so verify cost is
+    * O(k·len) per pair). The fourth dedup family (after Jaccard, MinHash,
+    * SimHash): edit distance catches small in-place edits that shingle
+    * sets dilute. Oracle: DuckDB replays the same blocking join and its
+    * own `levenshtein`.
+    */
+  def editDistPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.editDistancePairs(documents(spark, dir), "doc_id", "text", "lang",
+        prefixLen = 8, maxDist = 8)
+      .orderBy($"d1", $"d2")
+  }
+
+  val editDistPairsSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text, substr(text, 1, 8) AS pfx FROM documents)
+      |SELECT a.doc_id AS d1, c.doc_id AS d2, a.lang AS lang,
+      |  CAST(levenshtein(a.text, c.text) AS BIGINT) AS lev_dist,
+      |  CAST(length(a.text) AS BIGINT) AS len1,
+      |  CAST(length(c.text) AS BIGINT) AS len2
+      |FROM b a JOIN b c ON a.lang = c.lang AND a.pfx = c.pfx AND a.doc_id < c.doc_id
+      |WHERE levenshtein(a.text, c.text) <= 8
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_text_stats"      -> textStats,
     "q27_lang_id"         -> langId,
@@ -349,6 +426,8 @@ object TextOps {
     "q56_multimodal_decode" -> multimodalDecode,
     "q73_jpeg_decode" -> jpegDecode,
     "q57_kmv_distinct"    -> kmvDistinct,
+    "q74_editdist_pairs"  -> editDistPairs,
+    "q75_mulaw_decode"    -> mulawDecode,
   )
 
   val minhashPairsSql: String =
@@ -383,5 +462,7 @@ object TextOps {
     "q56_multimodal_decode" -> multimodalDecodeSql,
     "q73_jpeg_decode" -> jpegDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,
+    "q74_editdist_pairs"  -> editDistPairsSql,
+    "q75_mulaw_decode"    -> mulawDecodeSql,
   )
 }

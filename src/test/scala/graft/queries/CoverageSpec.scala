@@ -31,7 +31,8 @@ class CoverageSpec extends SparkSuite {
     "q62_tfidf_top", "q63_vocabulary", "q64_sequence_pack",
     "q65_passage_dedup", "q66_mixture", "q67_quality_filter",
     "q68_hash_split", "q69_incremental_dedup", "q70_zorder_keys",
-    "q71_stream_upsert", "q72_ivf_recall", "q73_jpeg_decode")
+    "q71_stream_upsert", "q72_ivf_recall", "q73_jpeg_decode",
+    "q75_mulaw_decode", "q76_quality_deciles") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
