@@ -66,6 +66,35 @@ object MediaFormats {
 
   case class Ppm(width: Int, height: Int, pixels: Array[Byte])
 
+  /** Serialize a decoded PPM back to P6 bytes (inverse of [[parsePpm]]). */
+  def encodePpm(p: Ppm): Array[Byte] =
+    s"P6\n${p.width} ${p.height}\n255\n".getBytes("US-ASCII") ++ p.pixels
+
+  /** Nearest-neighbor resample to (tw, th): target pixel (x, y) reads
+    * source pixel (⌊x·sw/tw⌋, ⌊y·sh/th⌋) — the standard NN resize, fully
+    * integer so the q79 oracle recomputes it in closed form.
+    */
+  def resizePpm(src: Ppm, tw: Int, th: Int): Ppm = {
+    require(tw > 0 && th > 0, s"bad target dims ${tw}x$th")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = y * src.height / th
+      var x = 0
+      while (x < tw) {
+        val sx = x * src.width / tw
+        var c = 0
+        while (c < 3) {
+          out((y * tw + x) * 3 + c) = src.pixels((sy * src.width + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(tw, th, out)
+  }
+
   /** Parse a P6 PPM: whitespace-tokenized header then raw pixel plane. */
   def parsePpm(bytes: Array[Byte]): Ppm = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")

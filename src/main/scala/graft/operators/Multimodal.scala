@@ -88,13 +88,30 @@ object Multimodal {
     }
   }
 
-  /** Resize plumbing stub: real impl reshapes decoded pixel buffers; the
-    * fake carries the metadata transform (dims change, payload untouched)
-    * so downstream schema logic is exercised.
+  /** Resize plumbing stub for the SYNTHETIC media table (opaque payloads):
+    * carries the metadata transform (dims change, payload untouched) so
+    * downstream schema logic is exercised. The REAL resize over PPM
+    * payloads is [[resizeImages]].
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map(r => if (r.modality == "image") r.copy(width = w, height = h) else r)
+  }
+
+  /** REAL image resize over the [[realMedia]] table: PPM payloads are
+    * decoded, nearest-neighbor-resampled ([[MediaFormats.resizePpm]]),
+    * and re-encoded; non-image rows pass through untouched. Fully
+    * integer sampling, so q79's oracle recomputes the resampled plane
+    * in closed form.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      if (r.modality == "image") {
+        val dst = MediaFormats.resizePpm(MediaFormats.parsePpm(r.payload), w, h)
+        r.copy(payload = MediaFormats.encodePpm(dst), width = w, height = h)
+      } else r
+    }
   }
 
   /** REAL-format media table: image payloads are valid binary PPMs, audio

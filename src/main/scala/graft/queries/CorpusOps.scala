@@ -389,6 +389,43 @@ object CorpusOps {
       |GROUP BY lang, decile
       |ORDER BY lang, decile""".stripMargin
 
+  /** q77: sliding-window token chunking — split each document into
+    * overlapping token windows (width 64, stride 48: the standard 25%
+    * overlap for embedding/RAG pipelines), emitting per-chunk token
+    * counts and an md5 chunk fingerprint for downstream chunk-level
+    * dedup. All array ops (sequence/slice/join) are codegen'd builtins;
+    * one narrow explode, no shuffle until the final sort.
+    */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 64
+    val stride = 48
+    documents(spark, dir)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"start_tok".cast("long").as("start_tok"),
+        size(slice($"toks", $"start_tok" + 1, lit(width))).cast("long").as("n_tok"),
+        md5(array_join(slice($"toks", $"start_tok" + 1, lit(width)), " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val tokenChunksSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    CAST(g.s / 48 AS BIGINT) AS chunk_idx, CAST(g.s AS BIGINT) AS start_tok
+      |  FROM t JOIN generate_series(0, 96000, 48) g(s)
+      |    ON g.s <= GREATEST(len(toks) - 1, 0))
+      |SELECT doc_id, chunk_idx, start_tok,
+      |  CAST(len(list_slice(toks, start_tok + 1, start_tok + 64)) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ')) AS chunk_fp
+      |FROM c
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -399,6 +436,7 @@ object CorpusOps {
     "q67_quality_filter" -> qualityFilter,
     "q68_hash_split"     -> hashSplit,
     "q76_quality_deciles" -> qualityDeciles,
+    "q77_token_chunks"   -> tokenChunks,
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,5 +449,6 @@ object CorpusOps {
     "q67_quality_filter" -> qualityFilterSql,
     "q68_hash_split"     -> hashSplitSql,
     "q76_quality_deciles" -> qualityDecilesSql,
+    "q77_token_chunks"   -> tokenChunksSql,
   )
 }

@@ -365,6 +365,101 @@ object TextOps {
       |GROUP BY media_id, n_samp
       |ORDER BY media_id""".stripMargin
 
+  /** q79: REAL image resize — the media table's PPM payloads are decoded,
+    * nearest-neighbor-resampled to a 16×16 thumbnail, re-encoded, and the
+    * resampled plane's byte mean is graded. NN sampling is fully integer
+    * (target (x,y) reads source (⌊x·sw/16⌋, ⌊y·sh/16⌋)), so the DuckDB
+    * oracle recomputes the exact resampled pixel set from the generator
+    * formula — an off-by-one in the sampling grid hash-mismatches. This
+    * flips the last resize stub to a real executor-side kernel.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.realMedia(spark, documents(spark, dir))
+    Multimodal.resizeImages(media, 16, 16)
+      .filter(_.modality == "image")
+      .map { r =>
+        val p = graft.operators.MediaFormats.parsePpm(r.payload)
+        var s = 0L
+        p.pixels.foreach(b => s += (b & 0xFF))
+        (r.media_id, p.width, p.height, s.toDouble / p.pixels.length)
+      }.toDF("media_id", "dst_w", "dst_h", "resized_mean")
+      .orderBy($"media_id")
+  }
+
+  /** Target pixel (x,y,c) of the 16×16 thumbnail reads source flat index
+    * ((⌊y·sh/16⌋·sw + ⌊x·sw/16⌋)·3 + c); flat target index i maps to
+    * y = i/48, x = (i mod 48)/3, c = i mod 3.
+    */
+  val imageResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 16 * 4 + 16 AS INTEGER) AS sw,
+      |    CAST(doc_id % 9 * 4 + 16 AS INTEGER) AS sh
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |v AS (
+      |  SELECT media_id,
+      |    (media_id*31 +
+      |      ((((t.i // 48) * sh // 16) * sw + ((t.i % 48) // 3) * sw // 16) * 3
+      |        + t.i % 3) * 7) % 256 AS b
+      |  FROM m JOIN generate_series(0, 767) t(i) ON true)
+      |SELECT media_id,
+      |  CAST(16 AS INTEGER) AS dst_w, CAST(16 AS INTEGER) AS dst_h,
+      |  CAST(CAST(SUM(b) AS BIGINT) AS DOUBLE) / 768 AS resized_mean
+      |FROM v
+      |GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
+
+  /** q80: REAL video frame sampling — every 2nd frame of each Y4M stream
+    * (stride-2 temporal downsample, the standard frame-sample primitive),
+    * graded on sampled-frame count and the luma mean over the sampled
+    * frames only. The oracle recomputes both from the generator formula
+    * with the same stride predicate.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.realMedia(spark, documents(spark, dir))
+      .filter(_.modality == "video")
+      .map { r =>
+        val v = graft.operators.MediaFormats.parseY4m(r.payload)
+        val ySize = v.width * v.height
+        var s = 0L; var f = 0; var ns = 0
+        while (f < v.frames.length) {
+          if (f % 2 == 0) {
+            val fr = v.frames(f)
+            var i = 0
+            while (i < ySize) { s += (fr(i) & 0xFF); i += 1 }
+            ns += 1
+          }
+          f += 1
+        }
+        (r.media_id, v.frames.length, ns, s.toDouble / (ns.toLong * ySize))
+      }.toDF("media_id", "n_frames", "n_sampled", "sampled_luma_mean")
+      .orderBy($"media_id")
+  }
+
+  /** Same generator arithmetic as the q56 video CTE, restricted to even
+    * frame indices; n_sampled = ⌈nf/2⌉.
+    */
+  val frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(doc_id % 16 * 4 + 16 AS INTEGER) AS w,
+      |    CAST(doc_id % 9 * 4 + 16 AS INTEGER) AS h,
+      |    CAST(2 + doc_id % 4 AS INTEGER) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |v AS (
+      |  SELECT media_id, nf, w, h, CAST((nf + 1) // 2 AS INTEGER) AS ns,
+      |    (media_id*31 + (fr.f*(w*h*3/2) + g.i)*7) % 256 AS b
+      |  FROM m
+      |  JOIN generate_series(0, 5) fr(f) ON fr.f < nf AND fr.f % 2 = 0
+      |  JOIN generate_series(0, 3700) g(i) ON g.i < CAST(w AS BIGINT)*h)
+      |SELECT media_id, nf AS n_frames, ns AS n_sampled,
+      |  CAST(CAST(SUM(b) AS BIGINT) AS DOUBLE) / (ns*w*h) AS sampled_luma_mean
+      |FROM v
+      |GROUP BY media_id, nf, ns, w, h
+      |ORDER BY media_id""".stripMargin
+
   /** q57: per-language distinct-document counts through the KMV sketch
     * aggregate (custom TypedImperativeAggregate). k=16384 exceeds every
     * per-group distinct count in the test corpus, so the sketch runs its
@@ -428,6 +523,8 @@ object TextOps {
     "q57_kmv_distinct"    -> kmvDistinct,
     "q74_editdist_pairs"  -> editDistPairs,
     "q75_mulaw_decode"    -> mulawDecode,
+    "q79_image_resize"    -> imageResize,
+    "q80_frame_sample"    -> frameSample,
   )
 
   val minhashPairsSql: String =
@@ -464,5 +561,7 @@ object TextOps {
     "q57_kmv_distinct"    -> kmvDistinctSql,
     "q74_editdist_pairs"  -> editDistPairsSql,
     "q75_mulaw_decode"    -> mulawDecodeSql,
+    "q79_image_resize"    -> imageResizeSql,
+    "q80_frame_sample"    -> frameSampleSql,
   )
 }

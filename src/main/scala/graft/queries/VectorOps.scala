@@ -323,6 +323,88 @@ object VectorOps {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
       |ORDER BY d1, d2""".stripMargin
 
+  /** q78: retrieval-quality grade for the hyperplane LSH — recall@5 of
+    * [[Similarity.lshCosineTopK]] against the q34 brute-force ground
+    * truth, per query vector (the q72 pattern applied to the second ANN
+    * path). The per-query filter pushes through the banded self-join's
+    * query side, so only the graded subset is ranked. The oracle
+    * recomputes BOTH pipelines (q34 + q35 SQL, CTE-renamed) and joins
+    * them, so an LSH recall regression hash-mismatches rather than just
+    * moving a spec number.
+    */
+  def cosineLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"nbr_id")
+    val lsh = Similarity.lshCosineTopK(emb, "vec_id", "embedding",
+        k = 5, planes = 16, bandBits = 8)
+      .filter($"query_id" % 50 === 0)
+      .select($"query_id", $"nbr_id").withColumn("hit", lit(1))
+    exact.join(lsh, Seq("query_id", "nbr_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit" / lit(5.0))
+      .select($"query_id", $"n_hit", $"recall")
+      .orderBy($"query_id")
+  }
+
+  /** q34's exact top-5 and q35's LSH top-5 recomputed side by side,
+    * joined into per-query recall (n_hit/5 is an exact binary fraction —
+    * doubles compare exactly cross-engine).
+    */
+  val cosineLshRecallSql: String =
+    """WITH exq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |exs AS (SELECT query_id, vec_id AS nbr_id,
+      |          list_cosine_similarity(qv, embedding) AS cos
+      |        FROM exq JOIN embeddings ON vec_id <> query_id),
+      |exr AS (SELECT query_id, nbr_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |        FROM exs),
+      |exact AS (SELECT query_id, nbr_id FROM exr WHERE rk <= 5),
+      |planes AS (
+      |  SELECT p.plane, d.dim,
+      |    ((('0x' || substr(md5(p.plane::VARCHAR || '|' || d.dim::VARCHAR), 1, 15))::BIGINT
+      |       % 2000001)::DOUBLE / 1000000.0) - 1.0 AS comp
+      |  FROM generate_series(0, 15) AS p(plane)
+      |  CROSS JOIN generate_series(0, 63) AS d(dim)),
+      |ex AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS dim,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS x
+      |  FROM embeddings),
+      |proj AS (
+      |  SELECT ex.vec_id, pl.plane, SUM(ex.x * pl.comp) AS proj
+      |  FROM ex JOIN planes pl ON pl.dim = ex.dim
+      |  GROUP BY ex.vec_id, pl.plane),
+      |sig AS (
+      |  SELECT vec_id,
+      |    SUM(CASE WHEN proj > 0 THEN (1::BIGINT << plane) ELSE 0::BIGINT END) AS bucket
+      |  FROM proj GROUP BY vec_id),
+      |banded AS (
+      |  SELECT vec_id, b.band, (bucket >> (b.band * 8)) & 255 AS bandval
+      |  FROM sig CROSS JOIN generate_series(0, 1) AS b(band)),
+      |cand AS (
+      |  SELECT DISTINCT l.vec_id AS query_id, r.vec_id AS nbr_id
+      |  FROM banded l JOIN banded r ON l.band = r.band AND l.bandval = r.bandval
+      |  WHERE l.vec_id <> r.vec_id AND l.vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT c.query_id, c.nbr_id,
+      |    list_cosine_similarity(q.embedding, n.embedding) AS cos
+      |  FROM cand c JOIN embeddings q ON q.vec_id = c.query_id
+      |              JOIN embeddings n ON n.vec_id = c.nbr_id),
+      |lr AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |  FROM scored),
+      |lsh AS (SELECT query_id, nbr_id FROM lr WHERE rk <= 5)
+      |SELECT e.query_id,
+      |  CAST(SUM(CASE WHEN l.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  SUM(CASE WHEN l.nbr_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+      |FROM exact e LEFT JOIN lsh l ON l.query_id = e.query_id AND l.nbr_id = e.nbr_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
@@ -330,6 +412,7 @@ object VectorOps {
     "q42_cosine_ivf"  -> cosineIvf,
     "q43_embedding_neardup" -> embeddingNearDup,
     "q72_ivf_recall"  -> cosineIvfRecall,
+    "q78_lsh_recall"  -> cosineLshRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -339,5 +422,6 @@ object VectorOps {
     "q42_cosine_ivf"  -> cosineIvfSql,
     "q43_embedding_neardup" -> embeddingNearDupSql,
     "q72_ivf_recall"  -> cosineIvfRecallSql,
+    "q78_lsh_recall"  -> cosineLshRecallSql,
   )
 }

@@ -53,6 +53,38 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("resizePpm: nearest-neighbor grid, exact on integer upsample/downsample") {
+    // 2x2 source upsampled 2x: each source pixel becomes a 2x2 block
+    val src = MediaFormats.Ppm(2, 2, Array.tabulate(12)(i => (i * 10).toByte))
+    val up = MediaFormats.resizePpm(src, 4, 4)
+    assert(up.width == 4 && up.height == 4 && up.pixels.length == 48)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3)
+      assert(up.pixels((y * 4 + x) * 3 + c) == src.pixels(((y / 2) * 2 + x / 2) * 3 + c))
+    // downsample back recovers the even-grid source pixels (NN picks (0,0) of each block)
+    val down = MediaFormats.resizePpm(up, 2, 2)
+    assert(down.pixels.sameElements(src.pixels))
+  }
+
+  test("resizeImages resamples PPM payloads for real (parseable, thumbnail dims)") {
+    val rm = Multimodal.realMedia(spark, Tables.documents(spark, sf))
+    val out = Multimodal.resizeImages(rm, 16, 16).collect()
+    out.filter(_.modality == "image").take(5).foreach { r =>
+      val p = MediaFormats.parsePpm(r.payload)
+      assert(p.width == 16 && p.height == 16 && r.width == 16 && r.height == 16)
+      // spot-check the NN mapping against the generator formula
+      val sw = ((r.media_id % 16) * 4 + 16).toInt
+      val sh = ((r.media_id % 9) * 4 + 16).toInt
+      for (i <- Seq(0, 100, 767)) {
+        val y = i / 48; val x = (i % 48) / 3; val c = i % 3
+        val srcIdx = ((y * sh / 16) * sw + (x * sw / 16)) * 3 + c
+        assert((p.pixels(i) & 0xFF) == MediaFormats.pixelByte(r.media_id, srcIdx))
+      }
+    }
+    out.filter(_.modality != "image").take(3).foreach { r =>
+      assert(r.width != 16 || r.height != 16 || r.payload.nonEmpty) // untouched rows survive
+    }
+  }
+
   test("PPM and WAV round-trip: build → parse recovers dims/rate/signal") {
     val ppm = MediaFormats.buildPpm(42L, 20, 12)
     val img = MediaFormats.parsePpm(ppm)

@@ -32,7 +32,9 @@ class CoverageSpec extends SparkSuite {
     "q65_passage_dedup", "q66_mixture", "q67_quality_filter",
     "q68_hash_split", "q69_incremental_dedup", "q70_zorder_keys",
     "q71_stream_upsert", "q72_ivf_recall", "q73_jpeg_decode",
-    "q75_mulaw_decode", "q76_quality_deciles") // q74 may legitimately find 0 pairs at sf0.001
+    "q75_mulaw_decode", "q76_quality_deciles",
+    "q77_token_chunks", "q78_lsh_recall", "q79_image_resize",
+    "q80_frame_sample") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
