@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(GraftExtensions.Hash60Name),
       new ExpressionInfo(GraftExtensions.getClass.getName, GraftExtensions.Hash60Name),
       GraftExtensions.hash60Builder))
+    ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.BloomFilterExprs.BuildName),
+      new ExpressionInfo(classOf[graft.functions.expressions.BloomBuildAgg].getName,
+        graft.functions.expressions.BloomFilterExprs.BuildName),
+      graft.functions.expressions.BloomFilterExprs.buildBuilder))
+    ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.BloomFilterExprs.ContainsName),
+      new ExpressionInfo(classOf[graft.functions.expressions.BloomMightContain].getName,
+        graft.functions.expressions.BloomFilterExprs.ContainsName),
+      graft.functions.expressions.BloomFilterExprs.containsBuilder))
     // whole-operator tier: two-phase exact top-k-per-group planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroup.TopKStrategy)
     // optimizer-rule tier: rewrite discarded row_number()<=k rank filters

@@ -50,6 +50,34 @@ object CorpusOps {
       .drop("__pid")
   }
 
+  /** Global running sum without a single-partition window — the cumsum
+    * twin of [[globalRank]]: range-repartition on the sort keys, running
+    * sum within each partition, then add per-partition TOTAL-sum offsets
+    * (a ≤numPartitions-row driver cumsum broadcast back). Same contract:
+    * the sort keys must be a strict total order. `sumCol` must be a
+    * non-null long column.
+    */
+  def globalCumsum(df: DataFrame, sumCol: String, cumCol: String,
+                   sortCols: Column*): DataFrame = {
+    val parts = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // same pinning rationale as globalRank: repartitionByRange re-samples
+    // boundaries per execution, so the sums job and the cumsum job must
+    // share one materialized partitioning
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val sums = ranged.groupBy(col("__pid")).agg(sum(col(sumCol)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+    val offsetCol = element_at(
+      typedLit((0 until parts).map(p => p -> offsets(p)).toMap), col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(cumCol, sum(col(sumCol)).over(w) + offsetCol)
+      .drop("__pid")
+  }
+
   /** q62: top-3 TF-IDF terms per document. The idf is the smoothed
     * RATIONAL reciprocal document frequency (N+1)/(df+1) — one IEEE
     * division + one multiply, bit-identical across engines, where a libm
@@ -344,6 +372,58 @@ object CorpusOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q82: deterministic weighted corpus sampling by SYSTEMATIC (low-
+    * variance) resampling — k=100 evenly-spaced points over the token-
+    * weighted cumulative axis, docs visited in hash-shuffled order.
+    * E[multiplicity_i] = k·wᵢ/W exactly, like Efraimidis–Spirakis
+    * weighted sampling, but every comparison is INTEGER arithmetic: point
+    * j sits at (2j+1)·W/(2k), and the number of points inside a doc's
+    * cumulative interval (c−w, c] is f(c)−f(c−w) with
+    * f(x) = ⌊(2kx+W)/(2W)⌋ — no RNG, no libm, so the DuckDB oracle
+    * reproduces it bit-for-bit (the repo-wide transcendental-free
+    * discipline; an lnU/w Efraimidis–Spirakis key would risk last-ulp
+    * order flips at the top-k boundary).
+    *
+    * Scale: the cumulative sum is [[globalCumsum]] (range-partitioned,
+    * no single-partition window); the only driver values are the
+    * per-partition sums and the 1-row grand total.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 100
+    val docs = documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.portableHash60($"doc_id".cast("string")).as("h"))
+    val total = docs.agg(sum($"n_tokens")).head().getLong(0)
+    // SQL `div` (exact integer floor division) — a double `/` + floor
+    // could round an exact multiple of 2W down one ulp and off-by-one
+    globalCumsum(docs, "n_tokens", "cum", $"h".asc, $"doc_id".asc)
+      .withColumn("__hi", lit(2L * k) * $"cum" + lit(total))
+      .withColumn("__lo", lit(2L * k) * ($"cum" - $"n_tokens") + lit(total))
+      .withColumn("mult",
+        expr(s"(__hi div ${2L * total}L) - (__lo div ${2L * total}L)"))
+      .filter($"mult" >= 1)
+      .select($"doc_id", $"n_tokens", $"mult")
+      .orderBy($"doc_id")
+  }
+
+  val weightedSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |tot AS (SELECT SUM(n_tokens) AS W FROM t),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(((200 * cum + W) // (2 * W)) - ((200 * (cum - n_tokens) + W) // (2 * W)) AS BIGINT) AS mult
+      |FROM c, tot
+      |WHERE ((200 * cum + W) // (2 * W)) - ((200 * (cum - n_tokens) + W) // (2 * W)) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   /** q76: quality-decile stratification — ntile(10) over the same strict
     * quality order q67 uses ((score desc, doc_id)), then per-decile doc
     * counts, token budgets, and score bounds. The curriculum/mixture
@@ -437,6 +517,7 @@ object CorpusOps {
     "q68_hash_split"     -> hashSplit,
     "q76_quality_deciles" -> qualityDeciles,
     "q77_token_chunks"   -> tokenChunks,
+    "q82_weighted_sample" -> weightedSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +531,6 @@ object CorpusOps {
     "q68_hash_split"     -> hashSplitSql,
     "q76_quality_deciles" -> qualityDecilesSql,
     "q77_token_chunks"   -> tokenChunksSql,
+    "q82_weighted_sample" -> weightedSampleSql,
   )
 }

@@ -250,6 +250,75 @@ object EventOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // q84 fixture: the full events projection INCLUDING ts (q71's fixture
+  // drops it), staged once per (JVM, sfDir) as 4 event_id-ranged files so
+  // AvailableNow + maxFilesPerTrigger=1 replays several real micro-batches
+  // in arbitrary event-time order.
+  private val streamJoinStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamJoinFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamJoinStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "joinfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+        .repartitionByRange(4, $"event_id")
+        .write.mode("overwrite").parquet(fix.resolve("src").toString)
+      fix
+    })
+
+  /** q84: STREAM-STREAM event-time interval join, executed end-to-end on
+    * the real micro-batch path — view events joined to purchase events of
+    * the same user within [view.ts, view.ts + 30 min), via
+    * [[graft.streaming.EventStream.intervalJoin]]. Two independent
+    * readStream instances replay the staged 4-file fixture
+    * (`maxFilesPerTrigger = 1` under `Trigger.AvailableNow`), so the join
+    * buffers state across several genuine micro-batches whose file order
+    * is NOT event-time order — any state mishandling (premature eviction,
+    * lost buffer) drops pairs and hash-mismatches against the batch
+    * oracle. The watermark delay (40 days) covers the whole replayed
+    * span, making stream ≡ batch exactly; production bounds state with a
+    * real lateness budget instead (documented on intervalJoin).
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type").schema
+    val fix = streamJoinFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runJoin")
+    deleteRecursive(run)
+    def src() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val views = src().filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts")
+    val purchases = src().filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val joined = graft.streaming.EventStream.intervalJoin(
+        views, purchases, Seq("user_id"),
+        windowMs = 30L * 60L * 1000L, watermarkDelay = "40 days")
+      .select(col("l.view_id"), col("r.purchase_id"))
+    val out = run.resolve("out")
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"view_id", $"purchase_id")
+  }
+
+  val streamIntervalJoinSql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM events v JOIN events p
+      |  ON v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.user_id = v.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
@@ -257,6 +326,7 @@ object EventOps {
     "q54_asof_join"      -> asofPurchase,
     "q55_range_join"     -> rangeJoinWindows,
     "q71_stream_upsert"  -> streamUpsert,
+    "q84_stream_interval_join" -> streamIntervalJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +336,6 @@ object EventOps {
     "q54_asof_join"      -> asofPurchaseSql,
     "q55_range_join"     -> rangeJoinWindowsSql,
     "q71_stream_upsert"  -> streamUpsertSql,
+    "q84_stream_interval_join" -> streamIntervalJoinSql,
   )
 }

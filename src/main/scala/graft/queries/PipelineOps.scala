@@ -127,6 +127,43 @@ object PipelineOps {
       |GROUP BY cand.doc_id
       |ORDER BY cand.doc_id""".stripMargin
 
+  /** q81: Bloom-prefiltered decontamination — the same benchmark/candidate
+    * split as q49, but the benchmark shingle set folds into a native
+    * Bloom-filter aggregate and the candidate side probes it as a
+    * codegen'd map-side filter before the exact confirm semi-join. Output
+    * is exact (no false negatives + confirm), so the oracle is plain
+    * exact SQL — the bloom only shapes the plan. Only hit documents
+    * appear (inner semantics), unlike q49's per-doc fractions.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    graft.operators.BloomDecon.contaminatedDocs(
+        docs.filter($"doc_id" % 97 =!= 0),
+        docs.filter($"doc_id" % 97 === 0),
+        "doc_id", "text", 3)
+      .orderBy($"doc_id")
+  }
+
+  val bloomDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |sh AS (SELECT DISTINCT doc_id, s FROM tri),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+      |cand AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT cand.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+      |  MIN(cand.s) AS first_shingle
+      |FROM cand JOIN bench ON cand.s = bench.s
+      |GROUP BY cand.doc_id
+      |ORDER BY cand.doc_id""".stripMargin
+
   /** q50: exact-quota stratified sample — 20 vectors per label, picked by
     * a deterministic multiplicative hash (Knuth 2654435761) of vec_id so
     * the "random" order is reproducible AND SQL-expressible (no RNG, no
@@ -299,6 +336,7 @@ object PipelineOps {
     "q51_quantize_int8"     -> quantize,
     "q52_repetition"        -> repetition,
     "q53_pii_scrub"         -> piiScrub,
+    "q81_bloom_decontam"    -> bloomDecontaminate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,5 +348,6 @@ object PipelineOps {
     "q51_quantize_int8"     -> quantizeSql,
     "q52_repetition"        -> repetitionSql,
     "q53_pii_scrub"         -> piiScrubSql,
+    "q81_bloom_decontam"    -> bloomDecontaminateSql,
   )
 }

@@ -163,7 +163,12 @@ object VectorOps {
     * grouped averages, re-rounded through REAL like the Spark float
     * centroids) → assignment → nprobe probing → exact cosine top-5.
     */
-  val cosineIvfSql: String =
+  /** The IVF index-build pipeline (seeds → one Lloyd step → final
+    * assignment `a1`) as a reusable CTE prefix — shared verbatim by the
+    * q42 search oracle and the q83 semantic-dedup oracle so the two
+    * cannot drift.
+    */
+  val ivfAssignCte: String =
     """WITH seeds AS (
       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
       |         embedding AS centroid
@@ -189,7 +194,10 @@ object VectorOps {
       |    SELECT e.vec_id, c.centroid_id,
       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
-      |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1),
+      |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1)""".stripMargin
+
+  val cosineIvfSql: String = ivfAssignCte +
+    """,
       |probes AS (
       |  SELECT query_id, centroid_id FROM (
       |    SELECT e.vec_id AS query_id, c.centroid_id,
@@ -405,6 +413,34 @@ object VectorOps {
       |GROUP BY e.query_id
       |ORDER BY e.query_id""".stripMargin
 
+  /** q83: semantic dedup (SemDeDup) — IVF-cluster the corpus (K=8, one
+    * Lloyd step, the exact q42 index build), then drop every vector with
+    * a lower-id same-cluster neighbor at cosine ≥ 0.4 (q43's threshold:
+    * the corpus max off-diagonal cosine is ~0.51, and the nearest
+    * observed cosine to 0.4 sits 1.3e-4 away — far outside float noise).
+    * Ids-only output; the oracle recomputes the whole pipeline from
+    * [[ivfAssignCte]] plus the within-cluster NOT EXISTS prune.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.SemanticDedup.keptAfterDedup(
+        embeddings(spark, dir), "vec_id", "embedding",
+        numCentroids = 8, minCosine = 0.4)
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String = ivfAssignCte +
+    """
+      |SELECT a.vec_id, a.centroid_id
+      |FROM a1 a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM a1 b
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+      |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4)
+      |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
@@ -413,6 +449,7 @@ object VectorOps {
     "q43_embedding_neardup" -> embeddingNearDup,
     "q72_ivf_recall"  -> cosineIvfRecall,
     "q78_lsh_recall"  -> cosineLshRecall,
+    "q83_semantic_dedup" -> semanticDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +460,6 @@ object VectorOps {
     "q43_embedding_neardup" -> embeddingNearDupSql,
     "q72_ivf_recall"  -> cosineIvfRecallSql,
     "q78_lsh_recall"  -> cosineLshRecallSql,
+    "q83_semantic_dedup" -> semanticDedupSql,
   )
 }

@@ -102,6 +102,28 @@ object EventStream {
     else wm.dropDuplicates(keys)
   }
 
+  /** Stream-stream event-time interval join: left rows match right rows
+    * with the same `keys` whose timestamp falls in
+    * [left.ts, left.ts + windowMs). Both sides carry watermarks — Spark
+    * derives the join-state retention from the watermark delay plus the
+    * interval bound, so state for a key is dropped once no future match
+    * is possible. `watermarkDelay` is the lateness budget: at scale it
+    * bounds state to (delay + window) of per-key traffic; a replay that
+    * must exactly equal the batch join (the q84 correctness harness)
+    * passes a delay covering the full replayed span, trading state for
+    * exactness. Inner join ⇒ append semantics: every result row is final
+    * when emitted, no retractions.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   windowMs: Long, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay).as("l")
+    val r = right.withWatermark("ts", watermarkDelay).as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col("r.ts") >= col("l.ts") &&
+      col("r.ts") < col("l.ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Streaming upsert sink: every micro-batch merges into the parquet
     * table with the same partial-update semantics as the batch path — the
     * reference's idempotent-upsert incrementality, as a stream.

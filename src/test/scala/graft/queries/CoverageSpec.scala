@@ -34,7 +34,9 @@ class CoverageSpec extends SparkSuite {
     "q71_stream_upsert", "q72_ivf_recall", "q73_jpeg_decode",
     "q75_mulaw_decode", "q76_quality_deciles",
     "q77_token_chunks", "q78_lsh_recall", "q79_image_resize",
-    "q80_frame_sample") // q74 may legitimately find 0 pairs at sf0.001
+    "q80_frame_sample", "q81_bloom_decontam", "q82_weighted_sample",
+    "q83_semantic_dedup",
+    "q84_stream_interval_join") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

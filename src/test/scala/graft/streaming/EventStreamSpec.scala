@@ -145,5 +145,21 @@ class EventStreamSpec extends SparkSuite {
       "reruns must reuse the per-JVM temp root, not allocate new ones")
   }
 
+  test("q84 stream-stream interval join replay equals the batch join") {
+    val got = graft.queries.EventOps.streamIntervalJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ev = Tables.events(spark, sf)
+    val batch = ev.as("v").join(ev.as("p"),
+        col("v.event_type") === "view" && col("p.event_type") === "purchase" &&
+          col("p.user_id") === col("v.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") < col("v.ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("v.event_id"), col("p.event_id"))
+      .orderBy(col("v.event_id"), col("p.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == batch, "micro-batch replay must reproduce the batch interval join")
+    assert(got.nonEmpty)
+  }
+
   private def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
 }
