@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName, GraftExtensions.Hash60Name),
       GraftExtensions.hash60Builder))
     ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.MisraGries.FunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.MisraGries].getName,
+        graft.functions.expressions.MisraGries.FunctionName),
+      graft.functions.expressions.MisraGries.builder))
+    ext.injectFunction((FunctionIdentifier(
       graft.functions.expressions.BloomFilterExprs.BuildName),
       new ExpressionInfo(classOf[graft.functions.expressions.BloomBuildAgg].getName,
         graft.functions.expressions.BloomFilterExprs.BuildName),

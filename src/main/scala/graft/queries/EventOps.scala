@@ -319,6 +319,158 @@ object EventOps {
       | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** q86: trailing 1-hour per-user aggregates via a RANGE window frame —
+    * the value-based frame (`rangeBetween(-3600, 0)` over event-time
+    * seconds) rather than the row-count frames used elsewhere. RANGE
+    * includes all timestamp peers, so the result is order-deterministic
+    * under ties by construction; sums run in decimal so the trailing
+    * totals are exact.
+    */
+  def rangeFrameTrailing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-3600, 0)
+    events(spark, dir)
+      .withColumn("ts_sec", expr("unix_micros(ts) div 1000000"))
+      .withColumn("trailing_n", count(lit(1)).over(w))
+      .withColumn("trailing_value",
+        round(sum($"value".cast(MoneyDec)).over(w), 2).cast("double"))
+      .select($"event_id", $"user_id", $"ts", $"trailing_n", $"trailing_value")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val rangeFrameTrailingSql: String =
+    """SELECT event_id, user_id, ts,
+      | COUNT(*) OVER w AS trailing_n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))) OVER w, 2) AS DOUBLE) AS trailing_value
+      |FROM (SELECT *, epoch_us(ts) // 1000000 AS ts_sec FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
+  // q88 fixture: (event_id, user_id, value_dec decimal(38,6)) in 4
+  // event_id-ranged files. The double→decimal cast happens HERE, by
+  // Spark, so the streaming state machine only ever adds exact decimals
+  // (order-independent) and the oracle's CAST(value AS DECIMAL(38,6))
+  // matches by construction.
+  private val streamStateStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamStateFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamStateStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "statefix_" + java.lang.Integer.toHexString(dir.hashCode))
+      events(spark, dir)
+        .select($"event_id", $"user_id", $"value".cast(MoneyDec).as("value_dec"))
+        .repartitionByRange(4, $"event_id")
+        .write.mode("overwrite").parquet(fix.resolve("src").toString)
+      fix
+    })
+
+  /** q88: per-user aggregates computed on the STATEFUL streaming path —
+    * [[graft.streaming.EventStream.runningUserAggs]] (mapGroupsWithState,
+    * O(1) state per user) over a 4-file replay (`maxFilesPerTrigger=1`
+    * under AvailableNow, so state genuinely carries across several
+    * micro-batches), each batch's updated aggregates upserted into a
+    * parquet table keyed on user_id. The in-state sum is exact decimal,
+    * so the converged table equals the batch GROUP BY regardless of
+    * micro-batch boundaries — the oracle is that plain GROUP BY; any
+    * state loss (dropped count), double-count (replayed batch), or
+    * broken upsert hash-mismatches.
+    */
+  def streamStateAgg(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+    import spark.implicits._
+    val fix = streamStateFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runState")
+    deleteRecursive(run)
+    val target = run.resolve("user_aggs")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value_dec",
+        org.apache.spark.sql.types.DataType.fromDDL("decimal(38,6)"))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val aggs = graft.streaming.EventStream.runningUserAggs(
+      stream.as[graft.streaming.EventStream.UserEventDec])
+    val query = graft.streaming.EventStream.upsertSink(
+      aggs.toDF(), target.toString, Seq("user_id"), run.resolve("ckpt").toString)
+    query.awaitTermination()
+    spark.read.parquet(target.toString)
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val streamStateAggSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // q90 fixture: the events projection in 3 ranged files PLUS a fourth
+  // file re-delivering every third event — the at-least-once delivery
+  // shape a streaming dedup exists for. Duplicates are byte-identical to
+  // their originals, so whichever copy the state keeps, the final set is
+  // deterministic.
+  private val streamDedupStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamDedupFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamDedupStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "dedupfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val ev = events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      ev.repartitionByRange(3, $"event_id")
+        .write.mode("overwrite").parquet(fix.resolve("src").toString)
+      ev.filter(pmod($"event_id", lit(3)) === 0).coalesce(1)
+        .write.mode("append").parquet(fix.resolve("src").toString)
+      fix
+    })
+
+  /** q90: streaming exact dedup end-to-end —
+    * [[graft.streaming.EventStream.dedupStream]] (dropDuplicates state on
+    * event_id) over a replay whose fixture re-delivers every third event
+    * in a SEPARATE file, so duplicates arrive in different micro-batches
+    * than their originals and only cross-batch state catches them. The
+    * watermark delay covers the whole replayed span (exactness — the q84
+    * posture); production uses `dropDuplicatesWithinWatermark` to bound
+    * state to the redelivery horizon instead. Oracle: the events table
+    * itself (event_id is unique), so any missed duplicate (extra row) or
+    * over-dropped key (missing row) hash-mismatches.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value").schema
+    val fix = streamDedupFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runDedup")
+    deleteRecursive(run)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val deduped = graft.streaming.EventStream.dedupStream(
+      stream, Seq("event_id"), watermark = "3650 days", withinWatermark = false)
+    val out = run.resolve("out")
+    val query = deduped.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"event_id")
+  }
+
+  val streamDedupSql: String =
+    """SELECT event_id, user_id, ts, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
@@ -327,6 +479,9 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindows,
     "q71_stream_upsert"  -> streamUpsert,
     "q84_stream_interval_join" -> streamIntervalJoin,
+    "q86_range_frame"    -> rangeFrameTrailing,
+    "q88_stream_state_agg" -> streamStateAgg,
+    "q90_stream_dedup"   -> streamDedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +492,8 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindowsSql,
     "q71_stream_upsert"  -> streamUpsertSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
+    "q86_range_frame"    -> rangeFrameTrailingSql,
+    "q88_stream_state_agg" -> streamStateAggSql,
+    "q90_stream_dedup"   -> streamDedupSql,
   )
 }

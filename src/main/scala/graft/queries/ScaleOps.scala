@@ -69,13 +69,42 @@ object ScaleOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q89: the co-located bucketed join — orders ⋈ customer both
+    * hash-bucketed (and sorted) on the customer key by
+    * [[graft.operators.BucketedTables]], so the join itself plans with
+    * ZERO Exchange on either side (asserted in NewOpsPlanSpec): the
+    * write-once layout absorbs the shuffle that a plain parquet join
+    * pays on every run — the decisive plan shape for a 100 TB hub join
+    * executed thousands of times. The MERGE hint pins sort-merge so the
+    * bucketed path (not a broadcast) is what's measured; the oracle is
+    * the plain unbucketed join — layout must be semantically invisible.
+    */
+  def bucketedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (o, c) = graft.operators.BucketedTables.ordersCustomer(spark, dir)
+    o.join(c.hint("MERGE"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total_price"))
+      .orderBy($"c_nationkey")
+  }
+
+  val bucketedJoinAggSql: String =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_salted_join"  -> saltedJoinAgg,
     "q41_text_quality" -> textQuality,
+    "q89_bucketed_join" -> bucketedJoinAgg,
   )
 
   val oracles: Map[String, String] = Map(
     "q40_salted_join"  -> saltedJoinAggSql,
     "q41_text_quality" -> textQualitySql,
+    "q89_bucketed_join" -> bucketedJoinAggSql,
   )
 }

@@ -484,6 +484,114 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** q85: exact heavy hitters at sketch cost — top-20 token bigrams via
+    * one [[graft.functions.expressions.MisraGries]] pass + broadcast
+    * exact confirm ([[graft.operators.HeavyHitters]]). The result is
+    * exact and self-certified (k-th count must clear the n/(capacity+1)
+    * sketch bound — 332 vs 129 at sf0.1), so the oracle is the plain
+    * exact GROUP BY. On this near-uniform synthetic corpus (~931
+    * distinct bigrams) capacity 2048 saturates without decrements; the
+    * lossy path (decrement rounds, merge-pivot trims, survivor
+    * guarantee under 100× skew) is exercised on a Zipfian fixture in
+    * MisraGriesSpec. Bigrams come from an index-aware `transform` over
+    * the token array — no window, no self-join, stays in codegen.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFunctions.tokens($"text")
+    val bigrams = documents(spark, dir)
+      .select(explode(transform(
+        slice(toks, lit(1), size(toks) - 1),
+        (x, i) => concat_ws(" ", x, element_at(toks, i + 2)))).as("bigram"))
+    graft.operators.HeavyHitters.topK(bigrams, $"bigram", k = 20, capacity = 2048)
+      .select($"item", $"count".as("n"))
+      .orderBy($"n".desc, $"item".asc)
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |bi AS (
+      |  SELECT a.tok||' '||b.tok AS item
+      |  FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1)
+      |SELECT item, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM bi GROUP BY item
+      |ORDER BY n DESC, item LIMIT 20""".stripMargin
+
+  /** q87: exact-phrase search via a positional inverted index
+    * ([[graft.operators.InvertedIndex]]): build term → postings
+    * (doc_id, sorted positions) in two hash aggregations, then count
+    * "order fast" occurrences per document by intersecting ONLY the two
+    * phrase terms' posting lists on (doc_id, offset-aligned position) —
+    * the corpus itself is never rescanned at query time. The oracle
+    * recomputes matches with a position self-join over the tokenized
+    * corpus.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val index = graft.operators.InvertedIndex.build(
+      documents(spark, dir), "doc_id", "text")
+    graft.operators.InvertedIndex.phraseSearch(index, Seq("order", "fast"))
+      .orderBy($"doc_id")
+  }
+
+  val phraseSearchSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents)
+      |SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+      |FROM toks a JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |WHERE a.tok='order' AND b.tok='fast'
+      |GROUP BY a.doc_id
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** q91: n-gram novelty vs a held-out benchmark — for every corpus
+    * document, how many of its distinct token trigrams appear nowhere in
+    * the benchmark slice (doc_id % 97 == 0, the q49/q81 split). The
+    * decontamination-adjacent coverage metric: low novelty flags docs
+    * that paraphrase the benchmark even when no exact passage matches
+    * (q49 catches those). Scale shape: the benchmark gram set is tiny
+    * relative to the corpus, so it broadcasts and the corpus-side probe
+    * is a map-side left join — the corpus shuffles once, on doc_id, for
+    * the per-doc rollup. Integer counts only; no float drift.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val benchGrams = TextFunctions
+      .shingles(docs.filter($"doc_id" % 97 === 0), "doc_id", "text", 3)
+      .select($"shingle").distinct()
+    val grams = TextFunctions
+      .shingles(docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text", 3)
+    grams
+      .join(broadcast(benchGrams.withColumn("seen", lit(1))), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT a.doc_id, a.tok||' '||b.tok||' '||c.tok AS g
+      |  FROM tk a
+      |  JOIN tk b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN tk c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0)
+      |SELECT t.doc_id, COUNT(*) AS n_grams,
+      | CAST(SUM(CASE WHEN b.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |FROM tri t LEFT JOIN bench b ON t.g = b.g
+      |WHERE t.doc_id % 97 <> 0
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** q74: record-linkage near-dup — (lang, prefix-8) blocking, then a
     * BOUNDED levenshtein verify on candidates only (Spark's 3-arg
     * `levenshtein` early-exits past the threshold, so verify cost is
@@ -525,6 +633,9 @@ object TextOps {
     "q75_mulaw_decode"    -> mulawDecode,
     "q79_image_resize"    -> imageResize,
     "q80_frame_sample"    -> frameSample,
+    "q85_heavy_hitters"   -> heavyHitters,
+    "q87_phrase_search"   -> phraseSearch,
+    "q91_ngram_novelty"   -> ngramNovelty,
   )
 
   val minhashPairsSql: String =
@@ -563,5 +674,8 @@ object TextOps {
     "q75_mulaw_decode"    -> mulawDecodeSql,
     "q79_image_resize"    -> imageResizeSql,
     "q80_frame_sample"    -> frameSampleSql,
+    "q85_heavy_hitters"   -> heavyHittersSql,
+    "q87_phrase_search"   -> phraseSearchSql,
+    "q91_ngram_novelty"   -> ngramNoveltySql,
   )
 }

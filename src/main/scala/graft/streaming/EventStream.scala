@@ -24,6 +24,43 @@ object EventStream {
   case class SessionSummary(user_id: Long, n_events: Int, first_ts: Long,
                             last_ts: Long, total_value: Double)
 
+  /** Input row for [[runningUserAggs]]: `value_dec` is the event value
+    * pre-cast to decimal(38,6) BY SPARK at fixture-staging time, so the
+    * double→decimal cast semantics stay Spark's (oracle parity with
+    * `CAST(value AS DECIMAL(38,6))`) and the in-state sum is exact.
+    */
+  case class UserEventDec(event_id: Long, user_id: Long,
+                          value_dec: java.math.BigDecimal)
+
+  case class UserAgg(user_id: Long, n_events: Long,
+                     total_value: java.math.BigDecimal)
+
+  /** Per-user running aggregates via mapGroupsWithState — the
+    * update-mode stateful-aggregation API (the one state API the q71/q84
+    * harnesses don't touch). State per user is O(1): (count, exact
+    * decimal sum). BigDecimal addition is associative and exact, so the
+    * emitted aggregates are identical for every micro-batch partitioning
+    * of the input — which is what lets a multi-batch replay be graded
+    * against a plain batch GROUP BY. Emits the updated running aggregate
+    * for every user seen in the batch; an upsert sink keyed on user_id
+    * then converges the table to the final aggregates.
+    */
+  def runningUserAggs(events: Dataset[UserEventDec]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEventDec], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(
+            UserAgg(uid, 0L, java.math.BigDecimal.ZERO))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot = tot.add(r.value_dec) }
+          val next = UserAgg(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
   /** Event-time windowed counts with a watermark: tumbling by default,
     * sliding when `slide` differs from `windowLength` (each event lands in
     * windowLength/slide windows). The tumbling form is the streaming twin

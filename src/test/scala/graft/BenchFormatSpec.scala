@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The graded JSON line's byte budget and the median/failure semantics.
   * The driver keeps only the last 2000 chars of output (~1900 usable after
   * sbt's trailing "[success]" line); these tests pin >=25% headroom under
-  * that at an 80-query hypothetical, so adding queries can never silently
+  * that at a 100-query hypothetical, so adding queries can never silently
   * clip the line again.
   */
 class BenchFormatSpec extends AnyFunSuite {
@@ -30,8 +30,8 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(c == Map("q01_agg_sum" -> "q01_agg_sum", "q01_other" -> "q01_other"))
   }
 
-  test("line: 80 hypothetical long-named queries stay >=25% under 1900 bytes") {
-    val names = (1 to 80).map(i => f"q$i%02d_some_rather_long_query_name_$i")
+  test("line: 100 hypothetical long-named queries stay >=25% under 1900 bytes") {
+    val names = (1 to 100).map(i => f"q$i%02d_some_rather_long_query_name_$i")
     val medians = names.map(_ -> 123.456)
     val line = BenchFormat.line(medians, 3, "/root/testdata/sf0.1")
     assert(line.length <= 1425, s"line is ${line.length} bytes")

@@ -35,8 +35,11 @@ class CoverageSpec extends SparkSuite {
     "q75_mulaw_decode", "q76_quality_deciles",
     "q77_token_chunks", "q78_lsh_recall", "q79_image_resize",
     "q80_frame_sample", "q81_bloom_decontam", "q82_weighted_sample",
-    "q83_semantic_dedup",
-    "q84_stream_interval_join") // q74 may legitimately find 0 pairs at sf0.001
+    "q83_semantic_dedup", "q84_stream_interval_join",
+    "q85_heavy_hitters", "q86_range_frame",
+    "q87_phrase_search", "q88_stream_state_agg", "q89_bucketed_join",
+    "q90_stream_dedup",
+    "q91_ngram_novelty") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

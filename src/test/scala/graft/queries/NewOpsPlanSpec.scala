@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards for the round-7 operators: the scale arguments
+  * (map-side bloom probe, cluster-bounded pair join, broadcast confirm)
+  * must be visible in the physical plan, not just claimed in scaladoc.
+  */
+class NewOpsPlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q81: bloom probe runs as a Filter (map-side), not a join on the corpus side") {
+    val docs = Tables.documents(spark, sf)
+    val df = graft.operators.BloomDecon.contaminatedDocs(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      "doc_id", "text", 3)
+    val plan = executed(df)
+    assert(plan.contains("graft_bloom_contains"),
+      "probe expression must appear in the physical plan")
+    // the probe must sit in a Filter node, i.e. prefilter before the
+    // confirm join rather than a join condition
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).mkString("\n")
+    assert(filterLines.contains("graft_bloom_contains"),
+      s"bloom probe must be a Filter, got:\n${plan.take(2000)}")
+  }
+
+  test("q83: within-cluster pair join is an equi-join; no corpus-scale cartesian") {
+    val df = graft.operators.SemanticDedup.keptAfterDedup(
+      Tables.embeddings(spark, sf), "vec_id", "embedding",
+      numCentroids = 8, minCosine = 0.4)
+    val plan = executed(df)
+    // every NL join must be the broadcast centroid assignment (<=K rows
+    // broadcast; the `assigned` subtree is traversed three times so the
+    // count is a multiple of the seed/lloyd/assign cross joins) — never a
+    // partitioned cartesian over corpus rows
+    assert(!plan.contains("CartesianProduct"), "no partitioned cartesian")
+    val nl = "NestedLoopJoin".r.findAllIn(plan).size
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nl == bnl, s"non-broadcast NL join present ($bnl of $nl broadcast)")
+    // the within-cluster pair stage must be hash-keyed on centroid_id
+    val hashJoins = plan.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("centroid_id")).size
+    assert(hashJoins >= 1,
+      s"pair stage must equi-join on centroid_id:\n${plan.take(2000)}")
+  }
+
+  test("q85: sketch aggregates partially (map-side) and confirm join broadcasts") {
+    graft.functions.expressions.MisraGries.register(spark)
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val bigrams = Tables.documents(spark, sf)
+      .select(explode(transform(
+        slice(toks, lit(1), size(toks) - 1),
+        (x, i) => concat_ws(" ", x, element_at(toks, i + 2)))).as("bigram"))
+
+    // sketch pass: TypedImperativeAggregate must plan as partial+final
+    // ObjectHashAggregate (mergeable map-side sketches)
+    val sketch = bigrams.agg(
+      graft.functions.expressions.MisraGries.sketch($"bigram", 2048).as("s"))
+    val sketchPlan = executed(sketch)
+    assert("ObjectHashAggregate".r.findAllIn(sketchPlan).size >= 2,
+      s"partial + final sketch aggregation expected:\n${sketchPlan.take(1500)}")
+
+    // end-to-end: the exact confirm must be a broadcast semi join — the
+    // corpus never shuffles on the item key before the candidate filter
+    val df = graft.operators.HeavyHitters.topK(bigrams, $"bigram", 20, 2048)
+    // topK returns a materialized local result; assert on the confirm
+    // plan it ran by rebuilding the confirm shape the operator uses
+    val cand = sketch.select(explode($"s").as("e")).select($"e.item".as("item"))
+    val confirm = bigrams.select($"bigram".as("item"))
+      .join(broadcast(cand), Seq("item"), "left_semi")
+      .groupBy($"item").agg(count(lit(1)).as("count"))
+    val confirmPlan = executed(confirm)
+    assert(confirmPlan.contains("BroadcastHashJoin") &&
+      confirmPlan.contains("LeftSemi"),
+      s"confirm must be broadcast semi join:\n${confirmPlan.take(1500)}")
+    assert(df.count() == 20)
+  }
+
+  test("q89: co-bucketed join plans with zero Exchange on either join side") {
+    // disable AQE so the final (non-adaptive) plan string is inspectable,
+    // and pin the non-broadcast path — the bucketed layout is what must
+    // carry the join
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (o, c) = graft.operators.BucketedTables.ordersCustomer(spark, sf)
+      val joined = o.join(c.hint("MERGE"), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name")
+      val plan = executed(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+      assert(!plan.contains("hashpartitioning(o_custkey") &&
+        !plan.contains("hashpartitioning(c_custkey"),
+        s"join keys must NOT be re-shuffled — bucketing should carry them:\n${plan.take(2000)}")
+      assert(plan.contains("SelectedBucketsCount"),
+        s"scans must be bucket-aware:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+}

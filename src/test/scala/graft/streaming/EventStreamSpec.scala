@@ -145,6 +145,45 @@ class EventStreamSpec extends SparkSuite {
       "reruns must reuse the per-JVM temp root, not allocate new ones")
   }
 
+  test("runningUserAggs carries exact state across micro-batches") {
+    // two single-file micro-batches for the same user: the second batch's
+    // emitted aggregate must include the first batch's state, and the
+    // decimal sum must be exact (0.1 + 0.2 == 0.3 in decimal, not binary)
+    val dir = Files.createTempDirectory("state-agg").toString
+    def dec(s: String) = new java.math.BigDecimal(s).setScale(6)
+    Seq(EventStream.UserEventDec(1L, 7L, dec("0.1"))).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq(EventStream.UserEventDec(2L, 7L, dec("0.2")),
+        EventStream.UserEventDec(3L, 8L, dec("5"))).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = EventStream.runningUserAggs(stream.as[EventStream.UserEventDec])
+      .toDF().writeStream.format("memory").queryName("state_agg_out")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user is the converged aggregate
+    val fin = spark.table("state_agg_out")
+      .groupBy($"user_id")
+      .agg(max($"n_events").as("n"), max($"total_value").as("tot"))
+      .orderBy($"user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString)).toSeq
+    assert(fin == Seq((7L, 2L, "0.3"), (8L, 1L, "5")))
+  }
+
+  test("q88/q90 stream queries are rerun-deterministic") {
+    val a1 = graft.queries.EventOps.streamStateAgg(spark, sf).collect()
+    val a2 = graft.queries.EventOps.streamStateAgg(spark, sf).collect()
+    assert(a1.toSeq == a2.toSeq)
+    val d1 = graft.queries.EventOps.streamDedup(spark, sf).collect()
+    val d2 = graft.queries.EventOps.streamDedup(spark, sf).collect()
+    assert(d1.toSeq == d2.toSeq)
+    assert(d1.length == Tables.events(spark, sf).count(),
+      "dedup must recover exactly the original event set")
+  }
+
   test("q84 stream-stream interval join replay equals the batch join") {
     val got = graft.queries.EventOps.streamIntervalJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
