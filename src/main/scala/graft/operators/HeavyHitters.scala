@@ -31,13 +31,16 @@ object HeavyHitters {
     val spark = df.sparkSession
     MisraGries.register(spark)
     val src = df.select(value.as("item"))
-    // one sketch pass: partial sketches map-side, merged per Agarwal et
-    // al.; the driver receives <= capacity (item, lowerCount) pairs
-    val sketchRow = src.agg(MisraGries.sketch(col("item"), capacity).as("s"))
-      .select(explode(col("s")).as("e"))
-      .select(col("e.item"), col("e.count").as("sketch_count"))
-    val candidates = sketchRow.collect().map(_.getString(0))
-    val n = src.count()
+    // one sketch pass yields BOTH the candidate set and n (the count
+    // rides the same aggregation — a third full pass over the corpus
+    // just to count rows would double the scan cost at scale): partial
+    // sketches map-side, merged per Agarwal et al.; the driver receives
+    // <= capacity (item, lowerCount) pairs
+    val sketchRow = src.agg(MisraGries.sketch(col("item"), capacity).as("s"),
+      count(lit(1)).as("n")).head()
+    val candidates = sketchRow.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0)).toArray
+    val n = sketchRow.getLong(1)
     val bound = n / (capacity + 1L)
     // exact confirm: broadcast the candidate list as a semi-join filter —
     // only candidate hits reach the count shuffle

@@ -159,6 +159,24 @@ object EventOps {
       |GROUP BY w.w_start
       |ORDER BY w.w_start""".stripMargin
 
+  /** Run `body` (a complete streaming-query execution) at `n` shuffle
+    * partitions, restoring the session's setting after. Stateful streaming
+    * operators allocate one state-store instance PER shuffle partition PER
+    * stateful operator, and every micro-batch commits every instance to
+    * the checkpoint — at the session's batch-tuned 32 partitions the
+    * replay harnesses spent most of their wall time in empty-store
+    * commits (q84: 17.9 s at 32 partitions, ~3 s at 8). A real deployment
+    * sizes this to state volume/throughput; these replays carry ~100k
+    * rows across ≤8 micro-batches, so 8 bounds the commit fan-out while
+    * still exercising multi-partition state.
+    */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   // One temp root per JVM for q71's fixtures and run dirs, deleted on JVM
   // exit — earlier rounds leaked a fresh createTempDirectory per invocation
   // (4 dirs per bench run, never reclaimed).
@@ -223,7 +241,7 @@ object EventOps {
     * table) happens once per JVM outside the timed path; each invocation
     * only resets the run dir and replays the stream.
     */
-  def streamUpsert(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
     import spark.implicits._
     val schema = events(spark, dir)
       .select($"event_id", $"user_id", $"event_type", $"value").schema
@@ -243,7 +261,7 @@ object EventOps {
       stream, target.toString, Seq("event_id"), run.resolve("ckpt").toString)
     query.awaitTermination()
     spark.read.parquet(target.toString).orderBy($"event_id")
-  }
+  } }
 
   val streamUpsertSql: String =
     """SELECT event_id, user_id, event_type, value
@@ -282,7 +300,7 @@ object EventOps {
     * span, making stream ≡ batch exactly; production bounds state with a
     * real lateness budget instead (documented on intervalJoin).
     */
-  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
     import spark.implicits._
     val schema = events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type").schema
@@ -309,7 +327,7 @@ object EventOps {
       .start()
     query.awaitTermination()
     spark.read.parquet(out.toString).orderBy($"view_id", $"purchase_id")
-  }
+  } }
 
   val streamIntervalJoinSql: String =
     """SELECT v.event_id AS view_id, p.event_id AS purchase_id
@@ -379,7 +397,7 @@ object EventOps {
     * state loss (dropped count), double-count (replayed batch), or
     * broken upsert hash-mismatches.
     */
-  def streamStateAgg(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+  def streamStateAgg(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
     import spark.implicits._
     val fix = streamStateFixtures(spark, dir)
     val run = streamUpsertRoot.resolve("runState")
@@ -401,7 +419,7 @@ object EventOps {
       .select($"user_id", $"n_events",
         round($"total_value", 2).cast("double").as("total_value"))
       .orderBy($"user_id")
-  }
+  } }
 
   val streamStateAggSql: String =
     """SELECT user_id, COUNT(*) AS n_events,
@@ -443,7 +461,7 @@ object EventOps {
     * itself (event_id is unique), so any missed duplicate (extra row) or
     * over-dropped key (missing row) hash-mismatches.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
     import spark.implicits._
     val schema = events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type", $"value").schema
@@ -464,12 +482,182 @@ object EventOps {
       .start()
     query.awaitTermination()
     spark.read.parquet(out.toString).orderBy($"event_id")
-  }
+  } }
 
   val streamDedupSql: String =
     """SELECT event_id, user_id, ts, event_type, value
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  // q92 fixture: (ts, event_type, value) in 4 event_id-ranged files —
+  // arrival order is deliberately NOT event-time order; the full-span
+  // watermark makes the replay exact anyway (the q84 posture).
+  private val streamWindowStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamWindowFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamWindowStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "winfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      events(spark, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .repartitionByRange(4, $"event_id")
+        .write.mode("overwrite").parquet(fix.resolve("src").toString)
+      fix
+    })
+
+  /** q92: the watermarked event-time windowed aggregation executed on the
+    * real micro-batch path — [[graft.streaming.EventStream.windowedCounts]]
+    * (tumbling 5-minute windows, the q37 streaming twin) over a 4-file
+    * replay whose arrival order is NOT event-time order, update-mode
+    * rows upserted into a parquet table keyed on (window_start,
+    * event_type). Each emission is the window's cumulative aggregate
+    * (exact decimal sum state, rounded only at output), so the converged
+    * table equals the batch bucket aggregation for any micro-batch
+    * partitioning. The watermark delay covers the replayed span — with a
+    * short delay the out-of-order files would make Spark drop
+    * legitimately late rows, and the hash would catch it; production
+    * chooses the delay as its lateness budget (documented on
+    * windowedCounts).
+    */
+  def streamWindowedAgg(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"ts", $"event_type", $"value").schema
+    val fix = streamWindowFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runWindow")
+    deleteRecursive(run)
+    val target = run.resolve("window_aggs")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val windowed = graft.streaming.EventStream.windowedCounts(
+      stream, windowLength = "5 minutes", watermark = "3650 days")
+    val query = graft.streaming.EventStream.upsertSink(
+      windowed, target.toString, Seq("window_start", "event_type"),
+      run.resolve("ckpt").toString)
+    query.awaitTermination()
+    spark.read.parquet(target.toString)
+      .orderBy($"window_start", $"event_type")
+  } }
+
+  val streamWindowedAggSql: String =
+    """SELECT make_timestamp(bucket * 300000000) AS window_start, event_type,
+      | COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM (SELECT *, epoch_us(ts) // 300000000 AS bucket FROM events) t
+      |GROUP BY bucket, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // q93 fixture: 4 ts-RANGED files staged with strictly increasing
+  // modification times (FileStreamSource processes oldest-first), so the
+  // replay delivers event time monotonically ACROSS batches — the only
+  // arrival contract under which emit-on-close sessionization can equal
+  // the batch answer (a closed-and-emitted session cannot be reopened by
+  // a late batch) — plus a 5th, newest file of per-user flush sentinels
+  // (ts far past the span) that force every user's last real session to
+  // close. The flush sessions themselves stay open in state and are
+  // never emitted, so no output filtering is needed.
+  private val streamSessionStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamSessionFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamSessionStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "sessfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val ev = events(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+          lit("{}").as("props"))
+      val stage = fix.resolve("stage")
+      ev.repartitionByRange(4, $"ts", $"event_id")
+        .write.mode("overwrite").parquet(stage.toString)
+      val flushTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val flush = ev.select($"user_id").distinct()
+        .select((-$"user_id").as("event_id"),
+          lit(new java.sql.Timestamp(flushTs.getTime + 4L * 3600 * 1000)).as("ts"),
+          $"user_id", lit("flush").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+      flush.coalesce(1).write.mode("overwrite").parquet(stage.resolve("flush").toString)
+      // lay the files into src/ one by one with explicit, strictly
+      // increasing mtimes: part-0000x of a range write is the x-th ts
+      // range, so mtime order == event-time order; flush lands last
+      val src = fix.resolve("src")
+      java.nio.file.Files.createDirectories(src)
+      import scala.jdk.CollectionConverters._
+      val ranged = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val flushPart = java.nio.file.Files.list(stage.resolve("flush")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      val base = System.currentTimeMillis() - 1000000L
+      (ranged ++ flushPart).zipWithIndex.foreach { case (f, i) =>
+        val dst = src.resolve(f.getFileName)
+        java.nio.file.Files.copy(f, dst)
+        dst.toFile.setLastModified(base + i * 10000L)
+      }
+      fix
+    })
+
+  /** q93: stateful gap-sessionization executed on the real micro-batch
+    * path — [[graft.streaming.EventStream.sessionize]]
+    * (flatMapGroupsWithState, 30-minute inactivity gap) over a 5-batch
+    * time-ordered replay (see the fixture note for why order matters
+    * here and nowhere else), emitting one row per CLOSED session.
+    * Graded columns are the order-independent session facts — bounds
+    * (epoch ms) and event count; the session partition of a user's
+    * timeline depends only on the ts multiset, so the result is
+    * deterministic. The oracle recomputes sessions with a lag()-based
+    * boundary scan at the same millisecond gap. Any state bug — a
+    * session split across batches, a lost open session, a flush leaking
+    * into output — changes bounds or counts and hash-mismatches.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamSessionFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runSess")
+    deleteRecursive(run)
+    val schema = events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        lit("{}").as("props")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val sessions = graft.streaming.EventStream.sessionize(
+      stream.as[graft.streaming.EventStream.Event], gapMs = 1800L * 1000)
+    val out = run.resolve("out")
+    val query = sessions.toDF().writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString)
+      .select($"user_id", $"first_ts".as("first_ms"), $"last_ts".as("last_ms"),
+        $"n_events".cast("long").as("n_events"))
+      .orderBy($"user_id", $"first_ms")
+  } }
+
+  val streamSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR epoch_us(ts) // 1000 - epoch_us(LAG(ts) OVER w) // 1000 > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      | epoch_us(MIN(ts)) // 1000 AS first_ms,
+      | epoch_us(MAX(ts)) // 1000 AS last_ms,
+      | COUNT(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, first_ms""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
@@ -482,6 +670,8 @@ object EventOps {
     "q86_range_frame"    -> rangeFrameTrailing,
     "q88_stream_state_agg" -> streamStateAgg,
     "q90_stream_dedup"   -> streamDedup,
+    "q92_stream_windowed_agg" -> streamWindowedAgg,
+    "q93_stream_sessionize" -> streamSessionize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +685,7 @@ object EventOps {
     "q86_range_frame"    -> rangeFrameTrailingSql,
     "q88_stream_state_agg" -> streamStateAggSql,
     "q90_stream_dedup"   -> streamDedupSql,
+    "q92_stream_windowed_agg" -> streamWindowedAggSql,
+    "q93_stream_sessionize" -> streamSessionizeSql,
   )
 }

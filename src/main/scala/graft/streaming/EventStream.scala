@@ -74,7 +74,7 @@ object EventStream {
       .groupBy(window(col("ts"), windowLength, slide.getOrElse(windowLength)),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+        round(sum(col("value").cast("decimal(38,6)")), 2).cast("double").as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
