@@ -48,4 +48,21 @@ object Layout {
       .drop("__zkey")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a fragmented table into `targetFiles` files range-clustered
+    * (and sorted) on `clusterCol` — the small-file maintenance pass every
+    * long-lived ingest pipeline needs: incremental upserts and streaming
+    * sinks accrete files whose listing/open overhead eventually dominates
+    * scan cost, and naive coalescing would destroy pruning. Range
+    * clustering keeps per-file min/max spans disjoint (LayoutSpec-
+    * asserted), so predicate pushdown on `clusterCol` prunes as well
+    * after compaction as before — one shuffle, content-identical
+    * (q94's oracle is the table itself).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+              dstPath: String, clusterCol: String, targetFiles: Int): Unit =
+    spark.read.parquet(srcPath)
+      .repartitionByRange(targetFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").parquet(dstPath)
 }

@@ -96,15 +96,65 @@ object ScaleOps {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // q94 temp root (fixtures + output), deleted on JVM exit
+  private lazy val compactRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_compact")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  private val compactStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  // the small-file shape an ingest pipeline accretes: 64 hash-scattered
+  // fragments of the events projection, staged once per (JVM, sfDir)
+  private def fragmentedEvents(spark: SparkSession, dir: String): java.nio.file.Path =
+    compactStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val p = compactRoot.resolve("frag_" + java.lang.Integer.toHexString(dir.hashCode))
+      events(spark, dir).select($"event_id", $"user_id", $"event_type", $"value")
+        .repartition(64)
+        .write.mode("overwrite").parquet(p.toString)
+      p
+    })
+
+  /** q94: small-file compaction — [[graft.operators.Layout.compact]]
+    * rewrites a 64-fragment table (the shape incremental upserts and
+    * streaming sinks accrete) into 4 range-clustered files sorted on
+    * event_id, timed end-to-end per trial. The oracle is the table
+    * itself: compaction must be content-identical, and the layout
+    * properties (file count, disjoint per-file key spans → pruning
+    * preserved) are LayoutSpec-asserted.
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = fragmentedEvents(spark, dir)
+    val dst = compactRoot.resolve("compacted")
+    graft.operators.Layout.compact(spark, src.toString, dst.toString, "event_id", 4)
+    spark.read.parquet(dst.toString).orderBy($"event_id")
+  }
+
+  val compactionSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_salted_join"  -> saltedJoinAgg,
     "q41_text_quality" -> textQuality,
     "q89_bucketed_join" -> bucketedJoinAgg,
+    "q94_compaction"   -> compaction,
   )
 
   val oracles: Map[String, String] = Map(
     "q40_salted_join"  -> saltedJoinAggSql,
     "q41_text_quality" -> textQualitySql,
     "q89_bucketed_join" -> bucketedJoinAggSql,
+    "q94_compaction"   -> compactionSql,
   )
 }

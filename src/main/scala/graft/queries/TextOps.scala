@@ -592,6 +592,46 @@ object TextOps {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q95: ranked sparse retrieval over the positional inverted index —
+    * top-20 documents for a 3-term query, scored
+    * `Σ_t tf(t,d) · (N div df(t))`: term-frequency times an integer
+    * rarity weight (the transcendental-free IDF stand-in, keeping the
+    * oracle exact where log-based BM25 would drift in the last ulp).
+    * Like q87, query cost is proportional to the query terms' posting
+    * lists — the index rows for 3 terms out of the vocabulary — not the
+    * corpus; df and tf both come from the index itself, so the corpus is
+    * scanned once at build time and never at query time.
+    */
+  def sparseRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val n = docs.count()
+    val terms = Seq("order", "fast", "free")
+    graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+      .filter($"term".isin(terms: _*))
+      .select($"term", expr(s"$n div df").as("w"), explode($"postings").as("p"))
+      .select($"p.doc_id".as("doc_id"), (size($"p.positions").cast("long") * $"w").as("part"))
+      .groupBy($"doc_id")
+      .agg(sum($"part").as("score"))
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+
+  val sparseRetrievalSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk WHERE tok IN ('order','fast','free')
+      |  GROUP BY doc_id, tok),
+      |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+      |SELECT tf.doc_id, CAST(SUM(tf.tf * (nn.n // dfr.df)) AS BIGINT) AS score
+      |FROM tf JOIN dfr ON tf.tok = dfr.tok CROSS JOIN nn
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** q74: record-linkage near-dup — (lang, prefix-8) blocking, then a
     * BOUNDED levenshtein verify on candidates only (Spark's 3-arg
     * `levenshtein` early-exits past the threshold, so verify cost is
@@ -636,6 +676,7 @@ object TextOps {
     "q85_heavy_hitters"   -> heavyHitters,
     "q87_phrase_search"   -> phraseSearch,
     "q91_ngram_novelty"   -> ngramNovelty,
+    "q95_sparse_retrieval" -> sparseRetrieval,
   )
 
   val minhashPairsSql: String =
@@ -677,5 +718,6 @@ object TextOps {
     "q85_heavy_hitters"   -> heavyHittersSql,
     "q87_phrase_search"   -> phraseSearchSql,
     "q91_ngram_novelty"   -> ngramNoveltySql,
+    "q95_sparse_retrieval" -> sparseRetrievalSql,
   )
 }

@@ -46,4 +46,30 @@ class LayoutSpec extends SparkSuite {
     // and the layout preserves the data
     assert(spark.read.parquet(out).count() == df.count())
   }
+
+  test("compact: 64 fragments -> targetFiles disjoint-range files, content-identical") {
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"value")
+    val root = java.nio.file.Files.createTempDirectory("layout-compact")
+    val src = root.resolve("frag").toString
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+    assert(new java.io.File(src).listFiles.count(_.getName.endsWith(".parquet")) > 16)
+    val dst = root.resolve("compact").toString
+    Layout.compact(spark, src, dst, "event_id", targetFiles = 4)
+    val files = new java.io.File(dst).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 4, s"expected 4 output files, got ${files.length}")
+    // disjoint per-file event_id spans: min/max stats prune after compaction
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f).agg(min($"event_id"), max($"event_id")).head()
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+    // content identity, row for row
+    val a = spark.read.parquet(dst).orderBy($"event_id").collect().toSeq
+    val b = ev.orderBy($"event_id").collect().toSeq
+    assert(a == b)
+  }
 }
