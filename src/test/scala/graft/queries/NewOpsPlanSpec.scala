@@ -83,6 +83,20 @@ class NewOpsPlanSpec extends SparkSuite {
     assert(df.count() == 20)
   }
 
+  test("q91: bench-gram probe is a broadcast join — the corpus side never shuffles on the gram") {
+    val df = graft.queries.TextOps.ngramNovelty(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast:\n${plan.take(1500)}")
+    // the probe join itself must not be a shuffle join on the gram key
+    // (the tiny bench side's internal distinct may shuffle — that's fine)
+    val shuffleJoins = plan.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("shingle")).toSeq
+    assert(shuffleJoins.isEmpty,
+      s"corpus grams must not shuffle-join on the gram key:\n${shuffleJoins.mkString("\n")}")
+  }
+
   test("q89: co-bucketed join plans with zero Exchange on either join side") {
     // disable AQE so the final (non-adaptive) plan string is inspectable,
     // and pin the non-broadcast path — the bucketed layout is what must
