@@ -97,6 +97,49 @@ class NewOpsPlanSpec extends SparkSuite {
       s"corpus grams must not shuffle-join on the gram key:\n${shuffleJoins.mkString("\n")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // the runtime complement to q40's explicit salting: one hot key owns
+    // most of the fact side, thresholds are scaled down to sf-test data
+    // volume, and AQE must mark the sort-merge join skew-handled. At
+    // 100 TB the same mechanism splits a hot partition across tasks
+    // without any query rewrite.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+      val fact = spark.range(300000)
+        .select(when($"id" % 10 =!= 0, lit(1L)).otherwise(pmod($"id", lit(1000))).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"), ($"id" * 2).as("attr"))
+      // downstream must NOT require the join key's partitioning: a
+      // keyed aggregate on k would veto the skew split (splitting breaks
+      // hashpartitioning(k) and AQE refuses to add a recovery shuffle) —
+      // a global rollup keeps the split legal, as any non-k consumer does
+      // sum(payload) keeps the fact side's 8-byte payload column alive
+      // through column pruning — an all-constant key column alone
+      // compresses below any skew threshold in the shuffle files
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum($"payload").as("p"), sum($"attr").as("s"))
+      val plan = executed(joined)
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join:\n${plan.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q89: co-bucketed join plans with zero Exchange on either join side") {
     // disable AQE so the final (non-adaptive) plan string is inspectable,
     // and pin the non-broadcast path — the bucketed layout is what must

@@ -69,13 +69,28 @@ object ScaleProbe {
           when(lit(i) === 0, $"text")
             .otherwise(regexp_replace($"text", " ", s" z$i ")))))
 
-    val probes = Seq("q30_minhash_pairs", "q47_dedup_groups", "q36_invoice_pipeline")
+    // events: 10 replicas over DISJOINT user populations (user offset) so
+    // per-user event density — session lengths, state sizes — stays
+    // constant and only the population scales, which is how event data
+    // actually grows
+    stage("events")(replicate(spark.read.parquet(s"$srcDir/events.parquet"),
+      (d, i) => d.withColumn("event_id", $"event_id" + lit(i * 10000000L))
+        .withColumn("user_id", $"user_id" + lit(i * 1000000L))))
+
+    val probes = Seq("q30_minhash_pairs", "q47_dedup_groups", "q36_invoice_pipeline",
+      // round-7 additions: sketch-based heavy hitters (19x shingle-ish
+      // bigram volume), co-bucketed join (10x rows through a fixed
+      // layout), posting-list retrieval (index build dominates),
+      // compaction (pure shuffle+write), and the heaviest streaming
+      // replay (10x state volume through the same 8-partition stores)
+      "q85_heavy_hitters", "q89_bucketed_join", "q95_sparse_retrieval",
+      "q94_compaction", "q88_stream_state_agg")
     def opHistogram(df: DataFrame): Map[String, Int] =
       df.queryExecution.executedPlan.toString.linesIterator
         .map(_.dropWhile(c => !c.isLetter).takeWhile(c => c.isLetterOrDigit))
         .filter(_.nonEmpty).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
 
-    probes.foreach { name =>
+    probes.foreach { name => try {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, srcDir).count() // warm JIT/codegen at the small SF
       spark.catalog.clearCache(); System.gc()
@@ -95,7 +110,11 @@ object ScaleProbe {
       println(f"[probe] $name sf0.1: $dtSmall%.2fs ($nSmall rows)  sf1: $dt%.2fs ($nBig rows)  " +
         f"ratio ${dt / dtSmall}%.1fx  heapAfter ${heap}MB")
       println(s"[probe] $name plan drift: ${if (drift.isEmpty) "none" else drift.mkString(", ")}")
-    }
+    } catch {
+      case e: Throwable =>
+        println(s"[probe] $name FAILED at 10x: ${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(300)}")
+    }}
     spark.stop()
   }
 }
