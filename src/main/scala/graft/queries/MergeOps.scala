@@ -53,11 +53,133 @@ object MergeOps {
       |FROM orders e FULL JOIN inc i ON e.o_orderkey = i.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // temp root for the filesystem-backed merge queries (q96/q97), deleted
+  // on JVM exit
+  private lazy val mergeRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_merge")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  // existing `orders` staged as a parquet table once per (JVM, sfDir):
+  // q96 upserts against a real on-disk table, not an in-plan frame
+  private val ordersStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def stagedOrders(spark: SparkSession, dir: String): java.nio.file.Path =
+    ordersStaged.getOrElseUpdate(dir, {
+      val p = mergeRoot.resolve("orders_" + java.lang.Integer.toHexString(dir.hashCode))
+      orders(spark, dir).select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(p.toString)
+      p
+    })
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }
+
+  private def copyRecursive(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { f =>
+      val dst = to.resolve(from.relativize(f))
+      if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(f, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** q96: the upsert's change-data feed — the q25 batch (conflicts on
+    * orderkey ≡ 0 mod 10, new keys at +10M) applied to the on-disk orders
+    * table through [[TableStore.upsertWithChangelog]], which emits one
+    * (key, action) row per incoming key and materializes it BEFORE the
+    * swap. The changelog is what lets an incremental pipeline propagate
+    * deltas downstream without diffing snapshots; its oracle is the batch
+    * derivation rule itself.
+    */
+  def upsertChangelog(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val fix = stagedOrders(spark, dir)
+    val run = mergeRoot.resolve("runChangelog")
+    deleteRecursive(run)
+    val target = run.resolve("orders_tbl")
+    java.nio.file.Files.createDirectories(target)
+    copyRecursive(fix, target)
+    val existing = orders(spark, dir).select(cols.map(col): _*)
+    val conflicts = existing.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+      .withColumn("o_orderstatus", lit("X"))
+    val news = existing.filter($"o_orderkey" % 10 === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+      .withColumn("o_orderstatus", lit("X"))
+    val incoming = conflicts.unionByName(news).select(cols.map(col): _*)
+    TableStore.upsertWithChangelog(spark, target.toString, incoming, Seq("o_orderkey"))
+      .orderBy($"o_orderkey")
+  }
+
+  val upsertChangelogSql: String =
+    """SELECT o_orderkey, 'update' AS action FROM orders WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey, 'insert' AS action
+      |FROM orders WHERE o_orderkey % 10 = 3
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q97: time travel over versioned snapshots —
+    * [[graft.store.VersionedTable]]: v1 is a seeded table (the even
+    * event_ids with value corrupted to -1), v2 the upsert of the full
+    * events batch over it. BOTH versions are then read back and
+    * aggregated AFTER v2 exists — exactly what the flat atomic-swap
+    * store cannot do — so the output proves snapshot isolation: v1 must
+    * still show the corrupted sum (-n_even), v2 the fully-merged real
+    * sums. Rollback/vacuum are spec-tested (VersionedTableSpec).
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runTimeTravel")
+    deleteRecursive(run)
+    val path = run.resolve("events_ver").toString
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val seed = ev.filter(pmod($"event_id", lit(2)) === 0)
+      .select($"event_id", lit(-1L).as("user_id"),
+        lit("seeded").as("event_type"), lit(-1.0).as("value"))
+    graft.store.VersionedTable.writeSnapshot(spark, seed, path)          // v1
+    graft.store.VersionedTable.upsert(spark, path, ev, Seq("event_id")) // v2
+    def summarize(v: Int) =
+      graft.store.VersionedTable.readVersion(spark, path, v)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum($"value".cast(MoneyDec)), 2).cast("double").as("total_value"))
+        .select(lit(v).as("version"), $"n_rows", $"total_value")
+    summarize(1).unionByName(summarize(2)).orderBy($"version")
+  }
+
+  val timeTravelSql: String =
+    """SELECT * FROM (
+      |  SELECT 1 AS version, COUNT(*) AS n_rows,
+      |    CAST(ROUND(SUM(CAST(-1.0 AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |  FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 2 AS version, COUNT(*) AS n_rows,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |  FROM events) t
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
+    "q96_upsert_changelog" -> upsertChangelog,
+    "q97_time_travel"  -> timeTravel,
   )
 
   val oracles: Map[String, String] = Map(
     "q25_upsert_merge" -> upsertMergeSql,
+    "q96_upsert_changelog" -> upsertChangelogSql,
+    "q97_time_travel"  -> timeTravelSql,
   )
 }

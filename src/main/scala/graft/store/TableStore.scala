@@ -94,6 +94,40 @@ object TableStore {
       throw new java.io.IOException(s"atomic swap failed for $path")
   }
 
+  /** Change-data-capture plan for an upsert: one row per incoming key,
+    * `action` = 'insert' (key absent from `existing`) or 'update' (key
+    * present — ON CONFLICT updates unconditionally, so no 'noop' class).
+    * Key-only projections on both sides, so the probe is as narrow as
+    * the key columns regardless of table width.
+    */
+  def changelog(existing: DataFrame, incoming: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    val e = existing.select(keys.map(col): _*).withColumn("__e", lit(true))
+    incoming.select(keys.map(col): _*)
+      .join(e, keys, "left")
+      .select(keys.map(col) :+
+        when(col("__e").isNotNull, lit("update")).otherwise(lit("insert")).as("action"): _*)
+  }
+
+  /** [[upsert]] that also emits the batch's changelog — the downstream
+    * feed an incremental pipeline needs (invalidate caches, propagate
+    * deltas) without diffing snapshots after the fact. The changelog is
+    * MATERIALIZED (localCheckpoint) before the swap: its plan reads the
+    * pre-merge table, which the upsert is about to overwrite.
+    */
+  def upsertWithChangelog(spark: SparkSession, path: String, incoming: DataFrame,
+                          keys: Seq[String],
+                          updateColumns: Option[Seq[String]] = None): DataFrame = {
+    val log =
+      if (!exists(spark, path))
+        incoming.select(keys.map(col): _*).withColumn("action", lit("insert"))
+          .localCheckpoint(true)
+      else
+        changelog(read(spark, path), incoming, keys).localCheckpoint(true)
+    upsert(spark, path, incoming, keys, updateColumns)
+    log
+  }
+
   /** The S5 upsert sink: read-if-exists, merge, atomic rewrite. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], updateColumns: Option[Seq[String]] = None): Unit = {

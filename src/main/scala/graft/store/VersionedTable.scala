@@ -1,0 +1,131 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Copy-on-write versioned snapshots over parquet — time travel, rollback,
+  * and reader isolation for the upsert pipeline.
+  *
+  * [[TableStore.atomicWrite]] swaps the table in place: correct for a
+  * single logical table, but history is gone the moment the rename lands.
+  * Here every write lands in a fresh `v=N` directory and a CURRENT
+  * pointer file names the live version, so:
+  *  - readers pinned to a version are NEVER disturbed (their files are
+  *    immutable — no delete+rename window at all),
+  *  - any past snapshot stays queryable ([[readVersion]]) until vacuumed,
+  *  - rollback is a pointer flip, not a data rewrite.
+  *
+  * This is the minimal shape of what table formats (Delta/Iceberg-style)
+  * do with manifest files; on an object store the pointer write becomes a
+  * conditional put. The pointer update itself has the same tiny
+  * non-atomic window as [[TableStore.atomicWrite]]'s rename pair
+  * (documented there); [[currentVersion]] falls back to the max existing
+  * `v=N` directory if the pointer is mid-flight.
+  *
+  * At 100 TB: each upsert rewrites one new snapshot (the same copy-on-
+  * write cost the flat table pays) but old files are shared-nothing
+  * copies here for simplicity — a production format would reuse
+  * unchanged files via manifests; the API surface (snapshot, read@v,
+  * rollback, vacuum) is the part pipelines program against.
+  */
+object VersionedTable {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(path: String) = new Path(path, "CURRENT")
+
+  private def versionDir(path: String, v: Int) = s"$path/v=$v"
+
+  private def listVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt)
+      .sorted
+  }
+
+  /** The live version: the CURRENT pointer, or (mid-pointer-flip
+    * fallback) the highest staged version directory. None for an empty
+    * table.
+    */
+  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
+    val f = fs(spark, pointer(path))
+    if (f.exists(pointer(path))) {
+      val in = f.open(pointer(path))
+      try {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        Some(r.readLine().trim.toInt)
+      } finally in.close()
+    } else listVersions(spark, path).lastOption
+  }
+
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame =
+    spark.read.parquet(versionDir(path, v))
+
+  /** Read the live snapshot. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path, currentVersion(spark, path)
+      .getOrElse(throw new java.util.NoSuchElementException(s"no versions at $path")))
+
+  private def setPointer(spark: SparkSession, path: String, v: Int): Unit = {
+    val f = fs(spark, pointer(path))
+    val tmp = new Path(path, "CURRENT__tmp")
+    val out = f.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    if (f.exists(pointer(path))) f.delete(pointer(path), false)
+    if (!f.rename(tmp, pointer(path)))
+      throw new java.io.IOException(s"pointer flip failed for $path")
+  }
+
+  /** Write `df` as the next snapshot and move the pointer; returns the
+    * new version number. The data write completes fully before the
+    * pointer moves, so a crash mid-write leaves the table at the old
+    * version with an orphan directory (re-vacuumable), never a torn read.
+    */
+  def writeSnapshot(spark: SparkSession, df: DataFrame, path: String): Int = {
+    // allocate past the HIGHEST STAGED version, not the pointer: after a
+    // rollback the pointer sits below existing versions, and pointer+1
+    // would silently overwrite history
+    val next = listVersions(spark, path).lastOption.getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(versionDir(path, next))
+    setPointer(spark, path, next)
+    next
+  }
+
+  /** Merge `incoming` into the live snapshot (same semantics as
+    * [[TableStore.upsert]], including partial update-column lists) and
+    * land the result as a NEW version — prior snapshots stay readable.
+    */
+  def upsert(spark: SparkSession, path: String, incoming: DataFrame,
+             keys: Seq[String], updateColumns: Option[Seq[String]] = None): Int =
+    currentVersion(spark, path) match {
+      case None => writeSnapshot(spark, incoming, path)
+      case Some(v) =>
+        val merged = TableStore.mergePlan(readVersion(spark, path, v),
+          incoming, keys, updateColumns)
+        writeSnapshot(spark, merged, path)
+    }
+
+  /** Non-destructive rollback: point CURRENT at an existing older
+    * version. The rolled-back-over versions remain until [[vacuum]].
+    */
+  def rollback(spark: SparkSession, path: String, v: Int): Unit = {
+    require(listVersions(spark, path).contains(v), s"version $v does not exist at $path")
+    setPointer(spark, path, v)
+  }
+
+  /** Drop all version directories except the newest `keepLast` (the
+    * current pointer's target is always kept).
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+    val keep = listVersions(spark, path).takeRight(keepLast).toSet ++
+      currentVersion(spark, path)
+    val f = fs(spark, new Path(path))
+    listVersions(spark, path).filterNot(keep).foreach { v =>
+      f.delete(new Path(versionDir(path, v)), true)
+    }
+  }
+}
