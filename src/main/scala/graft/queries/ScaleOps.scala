@@ -144,11 +144,66 @@ object ScaleOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** q99: histogram-sketch quantiles graded against the exact order
+    * statistic — [[graft.operators.QuantileHist]] answers p50/p90/p99 of
+    * `events.value` from one (bin, count) pass (state bounded by
+    * value-range/width, mergeable by addition — the shape that replaces a
+    * 100 TB global sort), and the SAME query recomputes the exact
+    * quantiles via [[CorpusOps.globalRank]] (range-partitioned two-phase
+    * rank, no single-partition sort). Output: per quantile, the sketch's
+    * bin lower edge, the exact value, and the error — which the sketch
+    * guarantees to be in [0, width); a regression in either path
+    * hash-mismatches. Ranks use integer permille arithmetic
+    * (`ceil(q·n) = (q_pm·n + 999) div 1000`) so the rank is exact
+    * cross-engine, never a float rounding away from an off-by-one.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 0.25
+    val ev = events(spark, dir).select($"event_id", $"value")
+    val n = ev.count()
+    val ranks = Seq(500L, 900L, 990L).toDF("q_pm")
+      .withColumn("rk", expr(s"(q_pm * ${n}L + 999) div 1000"))
+    val approx = graft.operators.QuantileHist.quantileLo(
+      graft.operators.QuantileHist.sketch(ev, "value", width), width, ranks)
+    val exact = CorpusOps.globalRank(ev, "rn", $"value", $"event_id")
+      .join(broadcast(ranks.select($"q_pm".as("eq_pm"), $"rk")), $"rn" === $"rk")
+      .select($"eq_pm".as("q_pm"), $"value".as("exact_val"))
+    approx.join(exact, Seq("q_pm"))
+      .select($"q_pm", $"approx_lo", $"exact_val",
+        ($"exact_val" - $"approx_lo").as("err"))
+      .orderBy($"q_pm")
+  }
+
+  val quantileSketchSql: String =
+    """WITH v AS (SELECT event_id, value FROM events),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+      |qs AS (SELECT CAST(q_pm AS BIGINT) AS q_pm FROM (VALUES (500),(900),(990)) t(q_pm)),
+      |r AS (SELECT q_pm, (q_pm * nn.n + 999) // 1000 AS rk FROM qs CROSS JOIN nn),
+      |ranked AS (
+      |  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn FROM v),
+      |ex AS (SELECT r.q_pm, ranked.value AS exact_val
+      |       FROM r JOIN ranked ON ranked.rn = r.rk),
+      |bins AS (
+      |  SELECT CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM v GROUP BY 1),
+      |cum AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM bins),
+      |ap AS (SELECT r.q_pm, MIN(cum.bin) AS abin
+      |       FROM r JOIN cum ON cum.cum >= r.rk GROUP BY r.q_pm)
+      |SELECT ap.q_pm,
+      |  CAST(ap.abin AS DOUBLE) * 0.25 AS approx_lo,
+      |  ex.exact_val,
+      |  ex.exact_val - CAST(ap.abin AS DOUBLE) * 0.25 AS err
+      |FROM ap JOIN ex ON ap.q_pm = ex.q_pm
+      |ORDER BY ap.q_pm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_salted_join"  -> saltedJoinAgg,
     "q41_text_quality" -> textQuality,
     "q89_bucketed_join" -> bucketedJoinAgg,
     "q94_compaction"   -> compaction,
+    "q99_quantile_sketch" -> quantileSketch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +211,6 @@ object ScaleOps {
     "q41_text_quality" -> textQualitySql,
     "q89_bucketed_join" -> bucketedJoinAggSql,
     "q94_compaction"   -> compactionSql,
+    "q99_quantile_sketch" -> quantileSketchSql,
   )
 }

@@ -441,6 +441,81 @@ object VectorOps {
       |    AND list_cosine_similarity(ea.embedding, eb.embedding) >= 0.4)
       |ORDER BY a.vec_id""".stripMargin
 
+  /** q98: hybrid retrieval — reciprocal-rank fusion of the sparse lexical
+    * ranking (q95's integer-IDF posting-list scorer for the 3-term query)
+    * with a dense cosine ranking against doc 0's embedding (the corpus
+    * shares one id space: `vec_id` ≡ `doc_id`). Each branch produces its
+    * top-20 — the sparse side via `TakeOrderedAndProject` (distributed
+    * partial top-k; the trailing window ranks only the 20 survivors), the
+    * dense side via the broadcast-query brute-force kernel — and
+    * [[graft.operators.HybridRetrieval.rrfFuse]] combines them with
+    * integer RRF weights, so `rrf_score` is a BIGINT the oracle
+    * reproduces exactly. The output is the fused top-10 with each
+    * branch's rank kept (null where only one scorer surfaced the doc).
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val terms = Seq("order", "fast", "free")
+    val sparseScores = graft.operators.InvertedIndex.build(docs, "doc_id", "text")
+      .filter($"term".isin(terms: _*))
+      .select($"term", expr(s"$n div df").as("w"), explode($"postings").as("p"))
+      .select($"p.doc_id".as("doc_id"),
+        (size($"p.positions").cast("long") * $"w").as("part"))
+      .groupBy($"doc_id").agg(sum($"part").as("score"))
+    val sparseTop = sparseScores
+      .orderBy($"score".desc, $"doc_id".asc).limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
+      .select($"doc_id", $"rank")
+    val emb = embeddings(spark, dir)
+    val denseTop = Similarity
+      .cosineTopK(emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 20)
+      .select($"nbr_id".as("doc_id"), $"rk".as("rank"))
+    graft.operators.HybridRetrieval
+      .rrfFuse(Seq("sparse" -> sparseTop, "dense" -> denseTop), "doc_id", "rank")
+      .orderBy($"rrf_score".desc, $"doc_id".asc).limit(10)
+      .select($"doc_id", $"sparse_rank", $"dense_rank", $"rrf_score")
+  }
+
+  val hybridRetrievalSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk WHERE tok IN ('order','fast','free')
+      |  GROUP BY doc_id, tok),
+      |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |sp AS (
+      |  SELECT tf.doc_id, SUM(tf.tf * (nn.n // dfr.df)) AS score
+      |  FROM tf JOIN dfr ON tf.tok = dfr.tok CROSS JOIN nn
+      |  GROUP BY tf.doc_id),
+      |sr AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS sparse_rank
+      |  FROM sp QUALIFY sparse_rank <= 20),
+      |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |ds AS (
+      |  SELECT vec_id AS doc_id, list_cosine_similarity(qv, embedding) AS cos
+      |  FROM q CROSS JOIN embeddings WHERE vec_id <> 0),
+      |dr AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS dense_rank
+      |  FROM ds QUALIFY dense_rank <= 20),
+      |f AS (
+      |  SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+      |    sr.sparse_rank, dr.dense_rank,
+      |    COALESCE(1000000 // (60 + sr.sparse_rank), 0)
+      |      + COALESCE(1000000 // (60 + dr.dense_rank), 0) AS rrf
+      |  FROM sr FULL JOIN dr ON sr.doc_id = dr.doc_id)
+      |SELECT doc_id, sparse_rank, dense_rank, CAST(rrf AS BIGINT) AS rrf_score
+      |FROM f
+      |ORDER BY rrf_score DESC, doc_id
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
@@ -450,6 +525,7 @@ object VectorOps {
     "q72_ivf_recall"  -> cosineIvfRecall,
     "q78_lsh_recall"  -> cosineLshRecall,
     "q83_semantic_dedup" -> semanticDedup,
+    "q98_hybrid_retrieval" -> hybridRetrieval,
   )
 
   val oracles: Map[String, String] = Map(
@@ -461,5 +537,6 @@ object VectorOps {
     "q72_ivf_recall"  -> cosineIvfRecallSql,
     "q78_lsh_recall"  -> cosineLshRecallSql,
     "q83_semantic_dedup" -> semanticDedupSql,
+    "q98_hybrid_retrieval" -> hybridRetrievalSql,
   )
 }

@@ -40,8 +40,8 @@ class CoverageSpec extends SparkSuite {
     "q87_phrase_search", "q88_stream_state_agg", "q89_bucketed_join",
     "q90_stream_dedup", "q91_ngram_novelty", "q92_stream_windowed_agg",
     "q93_stream_sessionize", "q94_compaction", "q95_sparse_retrieval",
-    "q96_upsert_changelog",
-    "q97_time_travel") // q74 may legitimately find 0 pairs at sf0.001
+    "q96_upsert_changelog", "q97_time_travel", "q98_hybrid_retrieval",
+    "q99_quantile_sketch") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
