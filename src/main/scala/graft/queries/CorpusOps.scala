@@ -506,6 +506,85 @@ object CorpusOps {
       |FROM c
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q100: the corpus-build composite — the whole training-data pipeline
+    * as ONE declarative plan: exact dedup (min-id representative per
+    * content fingerprint) → per-source quality gate (top half by
+    * percent_rank over a strict total order) → deterministic token-budget
+    * mixture (700 tokens per source in portable-hash order) → per-language
+    * sequence packing (256-token sequences). Each stage is the q28/q67/
+    * q66/q64 operator; composing them end-to-end is the point: Catalyst
+    * sees one tree, so the dedup semi-join, the three windows, and the
+    * final projection pipeline without materialization barriers — the
+    * flagship shape of an LLM data pipeline, where at 100 TB each window
+    * is keyed by its stream (source / lang shard) and nothing is global.
+    */
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    val docs = documents(spark, dir)
+    val reps = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .select($"doc_id")
+    val deduped = docs.join(reps, Seq("doc_id"), "left_semi")
+    val wq = Window.partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    val gated = deduped
+      .select($"doc_id", $"source", $"lang", $"text",
+        TextFunctions.qualityScore($"text", stop).as("q"))
+      .withColumn("pr", percent_rank().over(wq))
+      .filter($"pr" <= 0.5)
+    val h = TextFunctions.portableHash60($"doc_id".cast("string"))
+    val wm = Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mixed = gated
+      .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+      .withColumn("cum", sum($"n_tokens").over(wm))
+      .filter($"cum" <= 700)
+    val wp = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixed
+      .withColumn("pcum", sum($"n_tokens").over(wp))
+      .select($"doc_id", $"source", $"lang", $"n_tokens",
+        (($"pcum" - $"n_tokens") / 256).cast("long").as("seq_id"),
+        (($"pcum" - $"n_tokens") % 256).as("seq_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val corpusBuildSql: String =
+    """WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |d AS (SELECT doc.* FROM documents doc JOIN reps USING (doc_id)),
+      |q AS (
+      |  SELECT doc_id, source, lang, text,
+      |    LEAST(len(string_split(text,' '))/50.0, 1.0) * 0.4
+      |    + (len(list_distinct(string_split(text,' ')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0)) * 0.4
+      |    + LEAST(len(list_filter(string_split(text,' '),
+      |        x -> x IN ('the','a','of','and','to')))
+      |       / GREATEST(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) * 10.0, 1.0) * 0.2
+      |      AS q
+      |  FROM d),
+      |r AS (
+      |  SELECT *, PERCENT_RANK() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS pr
+      |  FROM q),
+      |g AS (SELECT * FROM r WHERE pr <= 0.5),
+      |m AS (
+      |  SELECT doc_id, source, lang, len(string_split(text,' ')) AS n_tokens,
+      |    SUM(len(string_split(text,' '))) OVER (
+      |      PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM g),
+      |k AS (SELECT * FROM m WHERE cum <= 700),
+      |p AS (
+      |  SELECT doc_id, source, lang, n_tokens,
+      |    SUM(n_tokens) OVER (
+      |      PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcum
+      |  FROM k)
+      |SELECT doc_id, source, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST((pcum - n_tokens) // 256 AS BIGINT) AS seq_id,
+      |  CAST((pcum - n_tokens) % 256 AS BIGINT) AS seq_offset
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -518,6 +597,7 @@ object CorpusOps {
     "q76_quality_deciles" -> qualityDeciles,
     "q77_token_chunks"   -> tokenChunks,
     "q82_weighted_sample" -> weightedSample,
+    "q100_corpus_build"  -> corpusBuild,
   )
 
   val oracles: Map[String, String] = Map(
@@ -532,5 +612,6 @@ object CorpusOps {
     "q76_quality_deciles" -> qualityDecilesSql,
     "q77_token_chunks"   -> tokenChunksSql,
     "q82_weighted_sample" -> weightedSampleSql,
+    "q100_corpus_build"  -> corpusBuildSql,
   )
 }

@@ -41,7 +41,8 @@ class CoverageSpec extends SparkSuite {
     "q90_stream_dedup", "q91_ngram_novelty", "q92_stream_windowed_agg",
     "q93_stream_sessionize", "q94_compaction", "q95_sparse_retrieval",
     "q96_upsert_changelog", "q97_time_travel", "q98_hybrid_retrieval",
-    "q99_quantile_sketch") // q74 may legitimately find 0 pairs at sf0.001
+    "q99_quantile_sketch",
+    "q100_corpus_build") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
