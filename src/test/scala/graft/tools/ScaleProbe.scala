@@ -77,14 +77,22 @@ object ScaleProbe {
       (d, i) => d.withColumn("event_id", $"event_id" + lit(i * 10000000L))
         .withColumn("user_id", $"user_id" + lit(i * 1000000L))))
 
-    val probes = Seq("q30_minhash_pairs", "q47_dedup_groups", "q36_invoice_pipeline",
+    val defaultProbes = Seq("q30_minhash_pairs", "q47_dedup_groups", "q36_invoice_pipeline",
       // round-7 additions: sketch-based heavy hitters (19x shingle-ish
       // bigram volume), co-bucketed join (10x rows through a fixed
       // layout), posting-list retrieval (index build dominates),
       // compaction (pure shuffle+write), and the heaviest streaming
       // replay (10x state volume through the same 8-partition stores)
       "q85_heavy_hitters", "q89_bucketed_join", "q95_sparse_retrieval",
-      "q94_compaction", "q88_stream_state_agg")
+      "q94_compaction", "q88_stream_state_agg",
+      // late-round-7 additions: CDC upsert (10x merge volume), histogram
+      // quantile sketch (10x rows into fixed bin state), and the
+      // corpus-build composite (19x token volume through the per-source/
+      // per-lang window chain — the few-streams skew case the q64
+      // scaladoc's (lang, shard) note is about)
+      "q96_upsert_changelog", "q99_quantile_sketch", "q100_corpus_build")
+    // args beyond srcDir/outDir select a probe subset (re-runs stay cheap)
+    val probes = if (args.length > 2) args.drop(2).toSeq else defaultProbes
     def opHistogram(df: DataFrame): Map[String, Int] =
       df.queryExecution.executedPlan.toString.linesIterator
         .map(_.dropWhile(c => !c.isLetter).takeWhile(c => c.isLetterOrDigit))
