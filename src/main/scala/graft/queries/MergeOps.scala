@@ -171,15 +171,46 @@ object MergeOps {
       |  FROM events) t
       |ORDER BY version""".stripMargin
 
+  /** q101: incremental aggregate maintenance — the materialized-view half
+    * of the CDC story ([[graft.operators.IncrementalAgg]]). The per-user
+    * (count, exact-decimal sum) view is built from the history partition
+    * (event_id % 4 ≠ 3), then the delta batch (% 4 = 3) is folded in by
+    * aggregating ONLY the delta and re-aggregating against the view's own
+    * rows — raw history is never rescanned. The oracle recomputes the
+    * aggregate over ALL events from scratch: maintenance must be
+    * bit-identical to recomputation (decimal sums are associative, so the
+    * fold order cannot drift).
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_id", $"user_id", $"value")
+    val hist = ev.filter($"event_id" % 4 =!= 3)
+    val delta = ev.filter($"event_id" % 4 === 3)
+    val prev = graft.operators.IncrementalAgg.state(hist, Seq("user_id"), "value")
+    graft.operators.IncrementalAgg.maintain(prev, delta, Seq("user_id"), "value")
+      .select($"user_id", $"n".as("n_events"),
+        round($"total", 2).cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
     "q96_upsert_changelog" -> upsertChangelog,
     "q97_time_travel"  -> timeTravel,
+    "q101_incremental_agg" -> incrementalAgg,
   )
 
   val oracles: Map[String, String] = Map(
     "q25_upsert_merge" -> upsertMergeSql,
     "q96_upsert_changelog" -> upsertChangelogSql,
     "q97_time_travel"  -> timeTravelSql,
+    "q101_incremental_agg" -> incrementalAggSql,
   )
 }
