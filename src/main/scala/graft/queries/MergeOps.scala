@@ -200,11 +200,51 @@ object MergeOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q102: snapshot diff — recover the change feed BETWEEN two
+    * [[graft.store.VersionedTable]] versions by comparison
+    * ([[graft.operators.SnapshotDiff]]), for writers that recorded no
+    * changelog. v1 holds event_ids ≢ 0 (mod 3); v2 is a full overwrite
+    * holding ids ≢ 1 (mod 3) with `value` bumped by 1.0 where user_id is
+    * even. The diff must classify ids ≡ 0 as inserts, ≡ 1 as deletes, and
+    * of the ids ≡ 2 present in both, exactly the value-changed rows as
+    * updates — unchanged keys (odd user_ids, and null values whose bump
+    * stays null) produce NO row. The oracle derives all three classes
+    * from the fixture rule itself.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSnapshotDiff")
+    deleteRecursive(run)
+    val path = run.resolve("events_diff").toString
+    val ev = events(spark, dir).select($"event_id", $"user_id", $"value")
+    val v1 = ev.filter($"event_id" % 3 =!= 0)
+    val v2 = ev.filter($"event_id" % 3 =!= 1)
+      .withColumn("value", when($"user_id" % 2 === 0, $"value" + 1.0).otherwise($"value"))
+    graft.store.VersionedTable.writeSnapshot(spark, v1, path) // v1
+    graft.store.VersionedTable.writeSnapshot(spark, v2, path) // v2
+    graft.operators.SnapshotDiff.diff(
+      graft.store.VersionedTable.readVersion(spark, path, 1),
+      graft.store.VersionedTable.readVersion(spark, path, 2),
+      Seq("event_id"))
+      .orderBy($"event_id")
+  }
+
+  val snapshotDiffSql: String =
+    """SELECT event_id, CASE WHEN event_id % 3 = 0 THEN 'insert'
+      |                      WHEN event_id % 3 = 1 THEN 'delete'
+      |                      ELSE 'update' END AS action
+      |FROM events
+      |WHERE event_id % 3 IN (0, 1)
+      |   OR (event_id % 3 = 2 AND user_id % 2 = 0
+      |       AND (value + 1.0) IS DISTINCT FROM value)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
     "q96_upsert_changelog" -> upsertChangelog,
     "q97_time_travel"  -> timeTravel,
     "q101_incremental_agg" -> incrementalAgg,
+    "q102_snapshot_diff" -> snapshotDiff,
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,5 +252,6 @@ object MergeOps {
     "q96_upsert_changelog" -> upsertChangelogSql,
     "q97_time_travel"  -> timeTravelSql,
     "q101_incremental_agg" -> incrementalAggSql,
+    "q102_snapshot_diff" -> snapshotDiffSql,
   )
 }
