@@ -39,8 +39,11 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("line: the real SparkEntry query set has ample headroom") {
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-case rendering: every median at 999.99 s (the real 102-query
+    // line measures ~1210 bytes); keep >=20% under the ~1900-byte window
+    // even then
     val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1")
-    assert(line.length <= 1425, s"line is ${line.length} bytes")
+    assert(line.length <= 1520, s"line is ${line.length} bytes")
     // short keys must stay collision-free for the real set
     assert(BenchFormat.shortKeys(names).values.toSet.size == names.size)
   }
