@@ -239,12 +239,47 @@ object MergeOps {
       |       AND (value + 1.0) IS DISTINCT FROM value)
       |ORDER BY event_id""".stripMargin
 
+  /** q103: CDC-driven aggregate maintenance — the capstone composing
+    * q102's change feed with q101's materialized view. The per-user view
+    * built over snapshot v1 (event_ids ≢ 0 mod 3) is folded forward to
+    * v2 (ids ≢ 1 mod 3, value bumped for even user_ids) using ONLY the
+    * [[graft.operators.SnapshotDiff]] change rows — inserts, updates,
+    * AND deletes, via [[graft.operators.IncrementalAgg.maintainCdc]]'s
+    * abelian-group fold (new image minus old image per change; neither
+    * snapshot's raw rows are rescanned after their one diff pass). The
+    * oracle recomputes the aggregate over v2 from scratch: maintenance
+    * under full CDC must be bit-identical to recomputation.
+    */
+  def cdcAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"event_id", $"user_id", $"value")
+    val v1 = ev.filter($"event_id" % 3 =!= 0)
+    val v2 = ev.filter($"event_id" % 3 =!= 1)
+      .withColumn("value", when($"user_id" % 2 === 0, $"value" + 1.0).otherwise($"value"))
+    val prev = graft.operators.IncrementalAgg.state(v1, Seq("user_id"), "value")
+    val changes = graft.operators.SnapshotDiff.diff(v1, v2, Seq("event_id"),
+      carryValues = Seq("user_id", "value"))
+    graft.operators.IncrementalAgg.maintainCdc(prev, changes, Seq("user_id"), "value")
+      .select($"user_id", $"n".as("n_events"),
+        round($"total", 2).cast("double").as("total_value"))
+      .orderBy($"user_id")
+  }
+
+  val cdcAggSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(ROUND(SUM(CAST(CASE WHEN user_id % 2 = 0 THEN value + 1.0 ELSE value END
+      |                      AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM events WHERE event_id % 3 <> 1
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
     "q96_upsert_changelog" -> upsertChangelog,
     "q97_time_travel"  -> timeTravel,
     "q101_incremental_agg" -> incrementalAgg,
     "q102_snapshot_diff" -> snapshotDiff,
+    "q103_cdc_agg" -> cdcAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -253,5 +288,6 @@ object MergeOps {
     "q97_time_travel"  -> timeTravelSql,
     "q101_incremental_agg" -> incrementalAggSql,
     "q102_snapshot_diff" -> snapshotDiffSql,
+    "q103_cdc_agg" -> cdcAggSql,
   )
 }

@@ -44,7 +44,8 @@ class CoverageSpec extends SparkSuite {
     "q99_quantile_sketch",
     "q100_corpus_build",
     "q101_incremental_agg",
-    "q102_snapshot_diff") // q74 may legitimately find 0 pairs at sf0.001
+    "q102_snapshot_diff",
+    "q103_cdc_agg") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
