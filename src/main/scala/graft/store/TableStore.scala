@@ -55,6 +55,52 @@ object TableStore {
     joined.select(out: _*)
   }
 
+  /** Schema-evolving merge — [[mergePlan]] when the incoming batch's
+    * column set drifted from the table's (the standing reality of a
+    * long-lived ingest pipeline: upstream APIs add fields, old ones
+    * disappear from payloads). Semantics, mirroring what Delta/Iceberg
+    * call schema evolution on MERGE:
+    *
+    *  - the output schema is the UNION: existing columns first (stable
+    *    order for readers), then incoming-only columns in batch order;
+    *  - existing-only columns: never updated (absent from the batch ≠
+    *    set-to-null); conflict rows keep their stored value, insert rows
+    *    get a typed null;
+    *  - incoming-only columns: backfilled as typed null on all
+    *    pre-existing rows that the batch didn't touch;
+    *  - columns present in BOTH behave exactly as [[mergePlan]] with
+    *    `updateColumns` = the batch's real columns.
+    *
+    * Key columns must exist in both frames, and same-named columns must
+    * agree on type (widening casts are a caller decision, not something
+    * to guess here).
+    */
+  def mergePlanEvolve(existing: DataFrame, incoming: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    keys.foreach { k =>
+      require(existing.columns.contains(k) && incoming.columns.contains(k),
+        s"key column $k must exist on both sides")
+    }
+    val eByName = existing.schema.map(f => f.name -> f.dataType).toMap
+    incoming.schema.foreach { f =>
+      eByName.get(f.name).foreach { et =>
+        require(et == f.dataType,
+          s"type drift on ${f.name}: table has $et, batch has ${f.dataType} — cast explicitly")
+      }
+    }
+    val newFields = incoming.schema.filterNot(f => eByName.contains(f.name))
+    val missing   = existing.schema.filterNot(f => incoming.columns.contains(f.name))
+    val e2 = newFields.foldLeft(existing)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val i2 = missing.foldLeft(incoming)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(e2.columns.map(col).toSeq: _*)
+    // only the batch's REAL columns participate in conflict updates — the
+    // null-padded stand-ins must not clobber stored values
+    val upd = incoming.columns.filterNot(keys.contains).toSeq
+    mergePlan(e2, i2, keys, Some(upd))
+  }
+
   /** Deterministic last-wins key-dedup for incoming batches: highest value
     * of `orderCol` per key survives (the reference's batches are
     * append-ordered, so "last in batch" ≈ max ingest order). The remaining
