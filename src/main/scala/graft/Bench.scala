@@ -38,14 +38,13 @@ object Bench {
       .config("spark.ui.retainedStages", "100")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // JIT/codegen warmup at the TIMED SF, then every cache is cleared so no
-    // RESULTS leak into the timed trials — only JIT/page-cache warmth
-    // remains, which is the steady state of any long-running cluster.
-    // Earlier rounds warmed on 10×-smaller data; AQE join/codegen decisions
-    // diverge across SFs, so the timed SF's generated code stayed C2-cold
-    // and the first trials of the heavy dedup queries ran 3-6× slow
-    // (ProfileQ: the same materialization stage, 3.1 s cold → 0.3 s warm) —
-    // the round-5 "regression on identical code" was exactly this.
+    // Warmups run at the TIMED SF (earlier rounds warmed on 10×-smaller
+    // data; AQE join/codegen decisions diverge across SFs, so the timed
+    // SF's generated code stayed C2-cold and heavy dedup queries ran 3-6×
+    // slow on trial 1 — the round-5 "regression on identical code").
+    // After a warmup every cache is cleared so no RESULTS leak into the
+    // timed trials — only JIT/page-cache warmth remains, which is the
+    // steady state of any long-running cluster.
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -60,17 +59,21 @@ object Bench {
     }
     def cleanup(): Unit = { dropBlocks(); System.gc() }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      dropBlocks() // don't let the warmups' blocks accumulate
-    }
-    // localCheckpoint blocks are only fully released once the owning RDDs
-    // are GC'd — collect the warmup's garbage before timing starts
-    System.gc()
+    // Warm-up runs PER QUERY, immediately before that query's timed trials
+    // (not one global warmup pass before a global timed pass): with 100+
+    // queries in one JVM, a query warmed at the start of the run is cold
+    // again ~100 queries later — JIT profiles decay, generated classes and
+    // page cache get evicted, and the round-7 driver run showed exactly
+    // that signature (q36 trials [40.9, 11.5, 5.9] decaying toward the
+    // ~4 s local steady state). Zero distance between warmup and timing
+    // makes the measurement independent of how many queries precede it.
+    //
     // Per-trial times; a trial whose query THROWS records None (surfaced as
     // -1 in bench_detail.json and an "errors" entry on the JSON line), so a
     // failure never masquerades as an ordinary duration.
     val results: Seq[(String, Seq[Option[Double]])] = ordered.map { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      cleanup() // drop the warmup's result blocks before the timed trials
       val times = (1 to trials).map { t =>
         val gc0 = gcMs
         val t0 = System.nanoTime()

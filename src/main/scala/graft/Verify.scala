@@ -12,8 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long, normalized
-      // back to TimestampType in graft.queries.Tables.events
+      // events.parquet ts encoding varies by testdata generation (NANOS /
+      // MICROS-NTZ / plain); normalized to TimestampType in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the full query set's generated classes overflow the 100-entry default
       // (same rationale as Bench)

@@ -20,17 +20,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * every session builder). Normalize here: nanos-long → microsecond
-    * TimestampType with integer division (the values are micro-aligned;
-    * double division would lose precision above 2^53).
+  /** `events.parquet` has shipped with three `ts` encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (readable only as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in every session
+    * builder), TIMESTAMP(MICROS) not-adjusted-to-UTC (Spark reads it as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP. Normalize all three to session-TZ
+    * TimestampType here so every downstream event-time function
+    * (`unix_micros`, `window()`, watermarks) sees one type. Sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is
+    * value-preserving and matches DuckDB's naive-timestamp oracle reads.
+    * The nanos case uses integer division (values are micro-aligned; double
+    * division would lose precision above 2^53).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
