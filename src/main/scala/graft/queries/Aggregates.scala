@@ -123,6 +123,41 @@ object Aggregates {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q104: asymmetric GROUPING SETS — beyond ROLLUP/CUBE's fixed lattices,
+    * arbitrary user-chosen grouping combinations in ONE pass over the
+    * data: (status, priority), (returnflag alone), and the grand total.
+    * Catalyst plans this as a single Expand + hash aggregate — at 100 TB
+    * that is one scan and one shuffle for all three groupings, vs three
+    * separate scans if issued as UNION ALL of plain GROUP BYs.
+    * GROUPING() bit semantics match DuckDB's.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .join(lineitem(spark, dir), $"o_orderkey" === $"l_orderkey")
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"l_returnflag"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority", $"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"l_extendedprice".cast(MoneyDec)), 2).cast("double").as("gross"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"),
+        grouping($"l_returnflag").cast("int").as("g_ret"))
+      .orderBy($"g_status", $"g_prio", $"g_ret",
+        $"o_orderstatus", $"o_orderpriority", $"l_returnflag")
+  }
+
+  val groupingSetsAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, l_returnflag, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS gross,
+      | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_ret
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (l_returnflag), ())
+      |ORDER BY g_status, g_prio, g_ret,
+      | o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
+
   /** The SQL-text frontend: the engine's queries are equally expressible
     * through `spark.sql` over registered views — identical semantics to
     * the DataFrame build, same Catalyst plan.
@@ -227,6 +262,7 @@ object Aggregates {
     "q45_sql_api"         -> sqlApi,
     "q59_pivot"           -> pivotCounts,
     "q60_percentiles"     -> percentiles,
+    "q104_grouping_sets"  -> groupingSetsAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +275,6 @@ object Aggregates {
     "q21_distinct_values" -> distinctValuesSql,
     "q59_pivot"           -> pivotCountsSql,
     "q60_percentiles"     -> percentilesSql,
+    "q104_grouping_sets"  -> groupingSetsAggSql,
   )
 }

@@ -659,6 +659,53 @@ object EventOps {
       |GROUP BY user_id, sid
       |ORDER BY user_id, first_ms""".stripMargin
 
+  /** q105: per-user interval coalescing via [[graft.operators.IntervalMerge]]
+    * — each event opens a closed activity interval `[ts, ts + value
+    * minutes]`; overlapping/touching intervals merge into spans. The
+    * duration goes through `floor(value * 6e7)` micros on BOTH sides: the
+    * double product and floor are IEEE-identical in Spark and DuckDB,
+    * whereas a double→long CAST would truncate in Spark but round in
+    * DuckDB.
+    */
+  def intervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iv = events(spark, dir)
+      .withColumn("s_us", expr("unix_micros(ts)"))
+      .withColumn("e_us", expr("unix_micros(ts) + CAST(floor(value * 60000000.0) AS BIGINT)"))
+    graft.operators.IntervalMerge.merge(iv, Seq("user_id"), $"s_us", $"e_us")
+      .select($"user_id",
+        timestamp_micros($"span_start").as("span_start"),
+        timestamp_micros($"span_end").as("span_end"),
+        $"n_merged")
+      .orderBy($"user_id", $"span_start")
+  }
+
+  val intervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + CAST(FLOOR(value * 60000000.0) AS BIGINT) AS e_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, s_us, e_us,
+      |    CASE WHEN MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s_us > MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, s_us, e_us,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      |  FROM f)
+      |SELECT user_id,
+      | make_timestamp(MIN(s_us)) AS span_start,
+      | make_timestamp(MAX(e_us)) AS span_end,
+      | COUNT(*) AS n_merged
+      |FROM g
+      |GROUP BY user_id, span
+      |ORDER BY user_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
@@ -672,6 +719,7 @@ object EventOps {
     "q90_stream_dedup"   -> streamDedup,
     "q92_stream_windowed_agg" -> streamWindowedAgg,
     "q93_stream_sessionize" -> streamSessionize,
+    "q105_interval_merge" -> intervalMerge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -687,5 +735,6 @@ object EventOps {
     "q90_stream_dedup"   -> streamDedupSql,
     "q92_stream_windowed_agg" -> streamWindowedAggSql,
     "q93_stream_sessionize" -> streamSessionizeSql,
+    "q105_interval_merge" -> intervalMergeSql,
   )
 }

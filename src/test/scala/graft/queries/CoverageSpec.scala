@@ -45,7 +45,9 @@ class CoverageSpec extends SparkSuite {
     "q100_corpus_build",
     "q101_incremental_agg",
     "q102_snapshot_diff",
-    "q103_cdc_agg") // q74 may legitimately find 0 pairs at sf0.001
+    "q103_cdc_agg",
+    "q104_grouping_sets",
+    "q105_interval_merge") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
