@@ -158,6 +158,36 @@ object Aggregates {
       |ORDER BY g_status, g_prio, g_ret,
       | o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
 
+  /** q106: unpivot/melt — the wide→long inverse of q59's pivot: the four
+    * lineitem measures become (measure, val) rows keyed by
+    * (l_orderkey, l_linenumber). Catalyst plans `unpivot` as a single
+    * Expand (one scan, 4× row fan-out, no shuffle, no join) — the
+    * reshape stays map-side at any scale. The oracle mirrors it as the
+    * dialect-safe UNION ALL form; all measures are already double, so no
+    * common-type cast is needed.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
+  val unpivotMeasuresSql: String =
+    """SELECT l_orderkey, l_linenumber, measure, val FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
+
   /** The SQL-text frontend: the engine's queries are equally expressible
     * through `spark.sql` over registered views — identical semantics to
     * the DataFrame build, same Catalyst plan.
@@ -263,6 +293,7 @@ object Aggregates {
     "q59_pivot"           -> pivotCounts,
     "q60_percentiles"     -> percentiles,
     "q104_grouping_sets"  -> groupingSetsAgg,
+    "q106_unpivot"        -> unpivotMeasures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +307,6 @@ object Aggregates {
     "q59_pivot"           -> pivotCountsSql,
     "q60_percentiles"     -> percentilesSql,
     "q104_grouping_sets"  -> groupingSetsAggSql,
+    "q106_unpivot"        -> unpivotMeasuresSql,
   )
 }

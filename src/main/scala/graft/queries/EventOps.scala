@@ -337,6 +337,56 @@ object EventOps {
       | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, purchase_id""".stripMargin
 
+  /** q107: STREAM-STATIC enrichment join executed on the real micro-batch
+    * path — the one streaming join shape q84 (stream-stream) doesn't
+    * cover. A static per-user profile (event count + exact-decimal value
+    * total, built in batch) enriches the replayed event stream via
+    * [[graft.streaming.EventStream.enrichStream]]; the static side is
+    * re-planned per micro-batch (broadcast when small), the stream side
+    * keeps NO join state. Replay uses the q84 4-file fixture under
+    * `maxFilesPerTrigger=1`, so several genuine micro-batches each join
+    * the dim independently — a dim row lost or duplicated in any batch
+    * hash-mismatches the batch oracle. Left join: events without a
+    * profile would survive with nulls (none exist here, which the oracle
+    * equally asserts).
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type").schema
+    val dim = events(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_user_events"),
+        round(sum($"value".cast(MoneyDec)), 2).cast("double").as("user_total"))
+    val fix = streamJoinFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runStatic")
+    deleteRecursive(run)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val enriched = graft.streaming.EventStream
+      .enrichStream(stream, dim, Seq("user_id"))
+      .select($"event_id", $"event_type", $"n_user_events", $"user_total")
+    val out = run.resolve("out")
+    val query = enriched.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"event_id")
+  } }
+
+  val streamStaticJoinSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, COUNT(*) AS n_user_events,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS user_total
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.event_type, d.n_user_events, d.user_total
+      |FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+      |ORDER BY e.event_id""".stripMargin
+
   /** q86: trailing 1-hour per-user aggregates via a RANGE window frame —
     * the value-based frame (`rangeBetween(-3600, 0)` over event-time
     * seconds) rather than the row-count frames used elsewhere. RANGE
@@ -720,6 +770,7 @@ object EventOps {
     "q92_stream_windowed_agg" -> streamWindowedAgg,
     "q93_stream_sessionize" -> streamSessionize,
     "q105_interval_merge" -> intervalMerge,
+    "q107_stream_static_join" -> streamStaticJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -736,5 +787,6 @@ object EventOps {
     "q92_stream_windowed_agg" -> streamWindowedAggSql,
     "q93_stream_sessionize" -> streamSessionizeSql,
     "q105_interval_merge" -> intervalMergeSql,
+    "q107_stream_static_join" -> streamStaticJoinSql,
   )
 }

@@ -161,6 +161,18 @@ object EventStream {
     l.join(r, keyCond && timeCond, "inner")
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the STATIC dimension frame — the lookup-table pattern of an ingest
+    * pipeline (user profile, product catalog, geo table). Stateless for
+    * the stream (no watermark, no join state): Spark re-plans the static
+    * side per micro-batch, broadcasting it when it fits the threshold —
+    * at 100 TB/day of stream the dim join costs a broadcast per trigger,
+    * never a stream-side shuffle. Left join keeps unmatched stream rows
+    * (nulls in dim columns) so enrichment never drops events.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(dim, keys, "left")
+
   /** Streaming upsert sink: every micro-batch merges into the parquet
     * table with the same partial-update semantics as the batch path — the
     * reference's idempotent-upsert incrementality, as a stream.

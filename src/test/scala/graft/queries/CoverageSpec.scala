@@ -47,7 +47,9 @@ class CoverageSpec extends SparkSuite {
     "q102_snapshot_diff",
     "q103_cdc_agg",
     "q104_grouping_sets",
-    "q105_interval_merge") // q74 may legitimately find 0 pairs at sf0.001
+    "q105_interval_merge",
+    "q106_unpivot",
+    "q107_stream_static_join") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
