@@ -188,6 +188,30 @@ object Aggregates {
       |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
       |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 
+  /** q108: one-pass column profiling over orders via
+    * [[graft.operators.Profiling]] — row/null/exact-distinct counts plus
+    * numeric min/max for every column, one scan total (the N exact
+    * distincts share a single Expand + two-level aggregate). The oracle
+    * recomputes each column's row from first principles.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(orders(spark, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  val columnProfileSql: String = {
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").map { c =>
+      val mn = if (numeric(c)) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (numeric(c)) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         | COUNT(*) - COUNT($c) AS n_null,
+         | COUNT(DISTINCT $c) AS n_distinct,
+         | $mn AS min_num, $mx AS max_num FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY \"column\"")
+  }
+
   /** The SQL-text frontend: the engine's queries are equally expressible
     * through `spark.sql` over registered views — identical semantics to
     * the DataFrame build, same Catalyst plan.
@@ -294,6 +318,7 @@ object Aggregates {
     "q60_percentiles"     -> percentiles,
     "q104_grouping_sets"  -> groupingSetsAgg,
     "q106_unpivot"        -> unpivotMeasures,
+    "q108_column_profile" -> columnProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,5 +333,6 @@ object Aggregates {
     "q60_percentiles"     -> percentilesSql,
     "q104_grouping_sets"  -> groupingSetsAggSql,
     "q106_unpivot"        -> unpivotMeasuresSql,
+    "q108_column_profile" -> columnProfileSql,
   )
 }

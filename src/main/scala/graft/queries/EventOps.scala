@@ -387,6 +387,51 @@ object EventOps {
       |FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
       |ORDER BY e.event_id""".stripMargin
 
+  /** q109: ordered funnel — the conversion analysis of event pipelines:
+    * how many users progressed view → click → purchase IN ORDER (each
+    * stage strictly after the previous stage's FIRST occurrence). Three
+    * aggregates all keyed on user_id: after the first shuffle the
+    * stage-2/3 joins and group-bys reuse the same hash partitioning, so
+    * the funnel costs one event shuffle plus per-user-sized intermediate
+    * joins — no windows over the full event stream, no cross products.
+    * The "first occurrence" anchor makes the result order-deterministic;
+    * the oracle recomputes the identical three-CTE cascade.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("mv"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"mv")
+      .groupBy($"user_id").agg(min($"ts").as("mc"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"mc")
+      .groupBy($"user_id").agg(min($"ts").as("mp"))
+    val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+      .map { case (name, df) => df.agg(lit(name).as("stage"),
+        count(lit(1)).as("n_users")) }
+    stages.reduce(_ unionByName _).orderBy($"stage")
+  }
+
+  val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS mv FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS mc FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.mv GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS mp FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.mc GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM c
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p) t
+      |ORDER BY stage""".stripMargin
+
   /** q86: trailing 1-hour per-user aggregates via a RANGE window frame —
     * the value-based frame (`rangeBetween(-3600, 0)` over event-time
     * seconds) rather than the row-count frames used elsewhere. RANGE
@@ -771,6 +816,7 @@ object EventOps {
     "q93_stream_sessionize" -> streamSessionize,
     "q105_interval_merge" -> intervalMerge,
     "q107_stream_static_join" -> streamStaticJoin,
+    "q109_funnel" -> funnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -788,5 +834,6 @@ object EventOps {
     "q93_stream_sessionize" -> streamSessionizeSql,
     "q105_interval_merge" -> intervalMergeSql,
     "q107_stream_static_join" -> streamStaticJoinSql,
+    "q109_funnel" -> funnelSql,
   )
 }

@@ -49,7 +49,9 @@ class CoverageSpec extends SparkSuite {
     "q104_grouping_sets",
     "q105_interval_merge",
     "q106_unpivot",
-    "q107_stream_static_join") // q74 may legitimately find 0 pairs at sf0.001
+    "q107_stream_static_join",
+    "q108_column_profile",
+    "q109_funnel") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
