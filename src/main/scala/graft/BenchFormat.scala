@@ -38,6 +38,14 @@ object BenchFormat {
   def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
   def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** Per-query rendering: 2 decimals below 100 s, 1 decimal above — a
+    * ≥100 s median's hundredths are pure noise, and the byte matters: the
+    * worst-case (every query ≥100 s) line length is what the byte-budget
+    * guarantee is asserted against.
+    */
+  def fq(v: Double): String =
+    if (v >= 100) "%.1f".formatLocal(java.util.Locale.ROOT, v) else f2(v)
+
   /** The driver-parsed JSON line. `medians` is (full query name, median
     * seconds) in stable order; a median of -1 marks a query whose every
     * trial failed. `failed` lists queries with at least one failing trial —
@@ -48,7 +56,7 @@ object BenchFormat {
   def line(medians: Seq[(String, Double)], trials: Int, sf: String,
            failed: Seq[String] = Nil): String = {
     val keys = shortKeys(medians.map(_._1))
-    val qs = medians.map { case (k, v) => "\"" + keys(k) + "\":" + f2(v) }
+    val qs = medians.map { case (k, v) => "\"" + keys(k) + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     val err =
