@@ -432,6 +432,40 @@ object EventOps {
       |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p) t
       |ORDER BY stage""".stripMargin
 
+  /** q110: cohort retention — users cohorted by first-activity day; for
+    * each (cohort_day, day_offset) the distinct users active that day.
+    * The first-day aggregate, the per-day activity distinct, and their
+    * join all key on user_id — one event shuffle reused three times —
+    * and only the final (cohort, offset) roll-up reshuffles, on rows
+    * already reduced to user-day grain. Day arithmetic happens in DATE
+    * space (UTC session), matching DuckDB's naive CAST(ts AS DATE).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).select($"user_id", to_date($"ts").as("day"))
+    val firsts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val activity = ev.distinct()
+    activity.join(firsts, "user_id")
+      .select($"cohort_day", datediff($"day", $"cohort_day").as("day_offset"), $"user_id")
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |firsts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, day FROM ev)
+      |SELECT f.cohort_day,
+      | CAST(a.day - f.cohort_day AS INTEGER) AS day_offset,
+      | COUNT(DISTINCT a.user_id) AS n_active
+      |FROM activity a JOIN firsts f ON a.user_id = f.user_id
+      |GROUP BY f.cohort_day, day_offset
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   /** q86: trailing 1-hour per-user aggregates via a RANGE window frame —
     * the value-based frame (`rangeBetween(-3600, 0)` over event-time
     * seconds) rather than the row-count frames used elsewhere. RANGE
@@ -817,6 +851,7 @@ object EventOps {
     "q105_interval_merge" -> intervalMerge,
     "q107_stream_static_join" -> streamStaticJoin,
     "q109_funnel" -> funnel,
+    "q110_cohort_retention" -> cohortRetention,
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +870,6 @@ object EventOps {
     "q105_interval_merge" -> intervalMergeSql,
     "q107_stream_static_join" -> streamStaticJoinSql,
     "q109_funnel" -> funnelSql,
+    "q110_cohort_retention" -> cohortRetentionSql,
   )
 }
