@@ -158,6 +158,31 @@ object Aggregates {
       |ORDER BY g_status, g_prio, g_ret,
       | o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin
 
+  /** q111: CUBE — the full 2^n grouping lattice over (status, priority),
+    * completing the grouping family (q44 ROLLUP, q104 arbitrary GROUPING
+    * SETS, q59/q106 pivot/unpivot). Same single Expand + hash aggregate
+    * machinery: all four groupings in one scan and one shuffle.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
+      | CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** q106: unpivot/melt — the wide→long inverse of q59's pivot: the four
     * lineitem measures become (measure, val) rows keyed by
     * (l_orderkey, l_linenumber). Catalyst plans `unpivot` as a single
@@ -319,6 +344,7 @@ object Aggregates {
     "q104_grouping_sets"  -> groupingSetsAgg,
     "q106_unpivot"        -> unpivotMeasures,
     "q108_column_profile" -> columnProfile,
+    "q111_cube"           -> cubeAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,5 +360,6 @@ object Aggregates {
     "q104_grouping_sets"  -> groupingSetsAggSql,
     "q106_unpivot"        -> unpivotMeasuresSql,
     "q108_column_profile" -> columnProfileSql,
+    "q111_cube"           -> cubeAggSql,
   )
 }

@@ -41,12 +41,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst-case rendering: every median at 999.99 s — which %.1f rounds
     // to the 6-char "1000.0", the true per-entry maximum (the real
-    // 109-query line measures ~1350 bytes). The binding constraint is
+    // 111-query line measures ~1360 bytes). The binding constraint is
     // absolute: worst-case line + sbt's ~80-byte [success] suffix must
-    // clear the driver's 2000-char tail window; 1550 leaves 370 bytes
-    // (~23 more queries) of slack even then
+    // clear the driver's 2000-char tail window. Each query costs ≤14
+    // worst-case bytes, so the format as-is survives to ~130 queries;
+    // this assert trips at ~125 (1830 + 80 ≈ the window) as the signal
+    // to shorten the graded keys further (e.g. drop the 'q' prefix),
+    // BEFORE the driver clips anything
     val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1")
-    assert(line.length <= 1550, s"line is ${line.length} bytes")
+    assert(line.length <= 1830, s"line is ${line.length} bytes")
+    // and the REALISTIC line (every query at its observed <10 s scale)
+    // must keep ample headroom outright
+    val realistic = BenchFormat.line(names.map(_ -> 9.99), 3, "/root/testdata/sf0.1")
+    assert(realistic.length <= 1500, s"realistic line is ${realistic.length} bytes")
     // short keys must stay collision-free for the real set
     assert(BenchFormat.shortKeys(names).values.toSet.size == names.size)
   }

@@ -52,7 +52,8 @@ class CoverageSpec extends SparkSuite {
     "q107_stream_static_join",
     "q108_column_profile",
     "q109_funnel",
-    "q110_cohort_retention") // q74 may legitimately find 0 pairs at sf0.001
+    "q110_cohort_retention",
+    "q111_cube") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
