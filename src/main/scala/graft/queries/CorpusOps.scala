@@ -585,6 +585,34 @@ object CorpusOps {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  /** q112: deterministic epoch shuffle — the training-data ordering
+    * primitive: each epoch permutes the corpus by a seeded portable hash
+    * of (seed, doc_id), so every worker, every rerun, and the oracle
+    * agree on the exact order with NO stored permutation table. The
+    * global position comes from [[globalRank]] (range partition + local
+    * rank + offsets) — a corpus-scale total order with no
+    * single-partition window; changing the seed string re-shuffles
+    * without touching any data.
+    */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = documents(spark, dir)
+      .select($"doc_id",
+        TextFunctions.portableHash60(concat(lit("epoch-1:"), $"doc_id".cast("string")))
+          .as("shuffle_key"))
+    globalRank(keyed, "position", $"shuffle_key".asc, $"doc_id".asc)
+      .select($"position", $"doc_id")
+      .orderBy($"position")
+  }
+
+  val epochShuffleSql: String =
+    """SELECT ROW_NUMBER() OVER (
+      |    ORDER BY ('0x' || substr(md5('epoch-1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |             doc_id) AS position,
+      |  doc_id
+      |FROM documents
+      |ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -598,6 +626,7 @@ object CorpusOps {
     "q77_token_chunks"   -> tokenChunks,
     "q82_weighted_sample" -> weightedSample,
     "q100_corpus_build"  -> corpusBuild,
+    "q112_epoch_shuffle" -> epochShuffle,
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,5 +642,6 @@ object CorpusOps {
     "q77_token_chunks"   -> tokenChunksSql,
     "q82_weighted_sample" -> weightedSampleSql,
     "q100_corpus_build"  -> corpusBuildSql,
+    "q112_epoch_shuffle" -> epochShuffleSql,
   )
 }

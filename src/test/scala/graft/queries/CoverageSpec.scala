@@ -53,7 +53,8 @@ class CoverageSpec extends SparkSuite {
     "q108_column_profile",
     "q109_funnel",
     "q110_cohort_retention",
-    "q111_cube") // q74 may legitimately find 0 pairs at sf0.001
+    "q111_cube",
+    "q112_epoch_shuffle") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
