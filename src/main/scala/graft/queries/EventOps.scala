@@ -835,7 +835,61 @@ object EventOps {
       |GROUP BY user_id, span
       |ORDER BY user_id, span_start""".stripMargin
 
+  /** q117: robust anomaly detection — median/MAD outlier flags per
+    * (event_type, day) metric group, the monitoring op a data pipeline runs
+    * over its own event firehose. Medians are LOWER medians selected by
+    * rank (pure selection, zero interpolation arithmetic), so the values
+    * are engine-exact; mean/stddev z-scores would let one outlier inflate
+    * its own threshold, which is exactly what MAD resists. Scale shape:
+    * groups are (type × day) so their count grows with the calendar while
+    * per-group size stays bounded; both ranking passes partition on the
+    * group key, and the tiny per-group median/MAD tables come back as
+    * broadcast joins — the event table itself is never joined shuffled.
+    */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = events(spark, dir).filter($"value".isNotNull)
+      .select($"event_id", $"event_type", to_date($"ts").as("day"), $"value")
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"event_type", $"day").orderBy(col(valueCol), $"event_id")
+      val wAll = Window.partitionBy($"event_type", $"day")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter($"rn" === expr("(cnt + 1) DIV 2"))
+        .select($"event_type", $"day", col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(v, "value", "med")
+    val dev = v.join(broadcast(med), Seq("event_type", "day"))
+      .withColumn("abs_dev", abs($"value" - $"med"))
+    val mad = lowerMedian(dev, "abs_dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type", "day"))
+      .filter($"abs_dev" > lit(3.0) * $"mad")
+      .select($"event_id", $"event_type", $"day", $"value", $"med", $"mad")
+      .orderBy($"event_id")
+  }
+
+  val madAnomalySql: String =
+    """WITH v AS (
+      |  SELECT event_id, event_type, CAST(ts AS DATE) AS day, value
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY value, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type, day) AS cnt FROM v),
+      |med AS (SELECT event_type, day, value AS med FROM r WHERE rn = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT v.*, m.med, abs(v.value - m.med) AS abs_dev
+      |  FROM v JOIN med m USING (event_type, day)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY abs_dev, event_id) AS rn2,
+      |         count(*) OVER (PARTITION BY event_type, day) AS cnt2 FROM dev),
+      |mad AS (SELECT event_type, day, abs_dev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2)
+      |SELECT d.event_id, d.event_type, d.day, d.value, d.med, m.mad
+      |FROM dev d JOIN mad m USING (event_type, day)
+      |WHERE d.abs_dev > 3 * m.mad
+      |ORDER BY d.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_mad_anomaly"   -> madAnomaly,
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
     "q39_session_counts" -> sessionCounts,
@@ -855,6 +909,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_mad_anomaly"   -> madAnomalySql,
     "q37_time_buckets"   -> timeBucketsSql,
     "q38_session_gaps"   -> sessionGapsSql,
     "q39_session_counts" -> sessionCountsSql,

@@ -273,8 +273,54 @@ object MergeOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q113: SCD Type-2 dimension build from an event stream — the
+    * slowly-changing-dimension history every warehouse merge pipeline
+    * ultimately feeds. Each user's `event_type` is treated as a tracked
+    * dimension attribute: consecutive duplicates collapse (a repeated value
+    * is NOT a new version — the load-bearing SCD2 subtlety), change points
+    * become versions with `[valid_from, valid_to)` intervals via `lead`,
+    * and the open interval marks the current row. Both window passes share
+    * one (user_id)-hash exchange and one sort — the plan never
+    * re-shuffles, which is what makes the op a single-pass history build
+    * at 100 TB (Round8bPlanSpec pins it).
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ev = events(spark, dir).select($"user_id", $"event_id", $"ts", $"event_type")
+    val changes = ev
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .select($"user_id", $"version", $"event_type",
+        $"ts".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+
+  val scd2Sql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT * FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type,
+      |  ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
+    "q113_scd2" -> scd2,
     "q96_upsert_changelog" -> upsertChangelog,
     "q97_time_travel"  -> timeTravel,
     "q101_incremental_agg" -> incrementalAgg,
@@ -284,6 +330,7 @@ object MergeOps {
 
   val oracles: Map[String, String] = Map(
     "q25_upsert_merge" -> upsertMergeSql,
+    "q113_scd2" -> scd2Sql,
     "q96_upsert_changelog" -> upsertChangelogSql,
     "q97_time_travel"  -> timeTravelSql,
     "q101_incremental_agg" -> incrementalAggSql,

@@ -658,7 +658,41 @@ object TextOps {
       |WHERE levenshtein(a.text, c.text) <= 8
       |ORDER BY d1, d2""".stripMargin
 
+  /** q116: the hashing trick — fixed-dimension signed bag-of-words without
+    * a vocabulary (Weinberger et al., feature hashing). Each token maps to
+    * bucket `h mod 64` with sign from the hash's next bit; per-(doc,
+    * bucket) signed counts are the sparse feature vector, zero entries
+    * dropped. The collision-canceling sign is what keeps hashed features
+    * unbiased, and the whole op is one explode + one map-side-combining
+    * aggregate — no vocabulary broadcast, no second pass, the reason
+    * hashing beats dictionary encoding at 100 TB. Hash is
+    * [[graft.functions.TextFunctions.portableHash60]] so DuckDB replays it
+    * bit-for-bit.
+    */
+  def featureHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .withColumn("h", TextFunctions.portableHash60($"tok"))
+      .groupBy($"doc_id", pmod($"h", lit(64L)).as("bucket"))
+      .agg(sum(when(pmod(expr("h DIV 64"), lit(2L)) === 0L, 1L).otherwise(-1L)).as("weight"))
+      .filter($"weight" =!= 0L)
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  val featureHashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks)
+      |SELECT doc_id, hv % 64 AS bucket,
+      |  CAST(SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+      |FROM h GROUP BY 1, 2
+      |HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_feature_hash"   -> featureHash,
     "q26_text_stats"      -> textStats,
     "q27_lang_id"         -> langId,
     "q28_dedup_exact"     -> dedupExact,
@@ -701,6 +735,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q116_feature_hash"   -> featureHashSql,
     "q26_text_stats"      -> textStatsSql,
     "q27_lang_id"         -> langIdSql,
     "q28_dedup_exact"     -> dedupExactSql,

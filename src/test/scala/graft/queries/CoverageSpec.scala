@@ -54,7 +54,12 @@ class CoverageSpec extends SparkSuite {
     "q109_funnel",
     "q110_cohort_retention",
     "q111_cube",
-    "q112_epoch_shuffle") // q74 may legitimately find 0 pairs at sf0.001
+    "q112_epoch_shuffle",
+    "q113_scd2",
+    "q114_copurchase_pairs",
+    "q115_copurchase_rank",
+    "q116_feature_hash",
+    "q117_mad_anomaly") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
