@@ -888,8 +888,109 @@ object EventOps {
       |WHERE d.abs_dev > 3 * m.mad
       |ORDER BY d.event_id""".stripMargin
 
+  /** q119: calendar densification (gap fill / resample) — per-user daily
+    * activity with MISSING days materialized as explicit zero rows over
+    * each user's own [first_day, last_day] span. Time-series models and
+    * retention math need the zeros; a groupBy alone silently drops them.
+    * Shape: one (user_id, day) aggregate shuffle; the calendar frame is
+    * generated from the tiny per-user span table (`sequence` + explode —
+    * fan-out bounded by span length, not table size) and left-joins the
+    * aggregate back on its own key. At 100 TB the dense frame is
+    * users × span-days — linear in the entity count, never in events.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value".cast(MoneyDec)), 2).cast("double").as("total_value"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        coalesce($"total_value", lit(0.0)).as("total_value"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val gapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT cal.user_id, cal.day,
+      |  COALESCE(daily.n, 0) AS n_events,
+      |  COALESCE(daily.total_value, 0.0) AS total_value
+      |FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+      |ORDER BY cal.user_id, cal.day""".stripMargin
+
+  /** q120: session transition matrix — first-order Markov statistics over
+    * the SAME 30-minute-gap sessionization as q38/q39 (the boundary rule
+    * is shared, so the three queries grade one session definition from
+    * three angles). Consecutive event pairs WITHIN a session (lead over
+    * the user timeline; pairs crossing a session boundary are excluded —
+    * the subtlety a naive lag-join gets wrong) roll up to per-(from, to)
+    * counts and row-normalized transition probabilities. One user_id
+    * window exchange + one tiny (from,to) aggregate; the |types|²-row
+    * matrix normalizes via a window over itself.
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull, 1L)
+          .when(expr("unix_micros(ts) - unix_micros(prev_ts)") > 1800L * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(w))
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .withColumn("to_session", lead($"session_id", 1).over(w))
+      .filter($"to_type".isNotNull && $"to_session" === $"session_id")
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val sessionTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAG(ts) OVER w AS prev_ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sid AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM s),
+      |pairs AS (
+      |  SELECT event_type AS from_type,
+      |    LEAD(event_type) OVER w AS to_type,
+      |    LEAD(session_id) OVER w AS to_session, session_id
+      |  FROM sid
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |cnt AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n FROM pairs
+      |  WHERE to_type IS NOT NULL AND to_session = session_id
+      |  GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM cnt
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_mad_anomaly"   -> madAnomaly,
+    "q119_gap_fill"      -> gapFill,
+    "q120_session_transitions" -> sessionTransitions,
     "q37_time_buckets"   -> timeBuckets,
     "q38_session_gaps"   -> sessionGaps,
     "q39_session_counts" -> sessionCounts,
@@ -910,6 +1011,8 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q117_mad_anomaly"   -> madAnomalySql,
+    "q119_gap_fill"      -> gapFillSql,
+    "q120_session_transitions" -> sessionTransitionsSql,
     "q37_time_buckets"   -> timeBucketsSql,
     "q38_session_gaps"   -> sessionGapsSql,
     "q39_session_counts" -> sessionCountsSql,

@@ -318,9 +318,60 @@ object MergeOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** q118: golden-record survivorship — the MDM "merge duplicate records"
+    * op: one consolidated row per entity where each attribute survives from
+    * a DIFFERENT source row under its own rule. Recency attributes
+    * (last_type) come from the newest event; the nullable attribute
+    * (`k`, parsed from props, masked null when k ≡ 0 mod 7 — the fixture's
+    * missing-data rule) survives as the newest NON-null observation, which
+    * may be an older row than last_type's; first/last-seen and the event
+    * count aggregate the whole history. Everything rides ONE user_id
+    * window exchange: `first(..., ignoreNulls)` over the full descending
+    * frame does the per-column survivorship without a join or a second
+    * pass (plan-pinned in Round8bPlanSpec).
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val kRaw = get_json_object($"props", "$.k").cast("long")
+    val ev = events(spark, dir).select($"user_id", $"event_id", $"ts", $"event_type",
+      when(kRaw % 7 === 0, lit(null).cast("long")).otherwise(kRaw).as("k"))
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val wFull = wDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ev.withColumn("rn", row_number().over(wDesc))
+      .withColumn("last_k", first($"k", ignoreNulls = true).over(wFull))
+      .withColumn("n_events", count(lit(1)).over(wFull).cast("long"))
+      .withColumn("first_seen", min($"ts").over(wFull))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("last_type"), $"last_k",
+        $"n_events", $"first_seen", $"ts".as("last_seen"))
+      .orderBy($"user_id")
+  }
+
+  val goldenRecordSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN CAST(props->>'k' AS BIGINT) % 7 = 0 THEN NULL
+      |         ELSE CAST(props->>'k' AS BIGINT) END AS k
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, ts, event_type, k,
+      |    row_number() OVER w AS rn,
+      |    first_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    min(ts) OVER (PARTITION BY user_id) AS first_seen
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC))
+      |SELECT user_id, event_type AS last_type, last_k, n_events, first_seen,
+      |  ts AS last_seen
+      |FROM g WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_upsert_merge" -> upsertMerge,
     "q113_scd2" -> scd2,
+    "q118_golden_record" -> goldenRecord,
     "q96_upsert_changelog" -> upsertChangelog,
     "q97_time_travel"  -> timeTravel,
     "q101_incremental_agg" -> incrementalAgg,
@@ -331,6 +382,7 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q25_upsert_merge" -> upsertMergeSql,
     "q113_scd2" -> scd2Sql,
+    "q118_golden_record" -> goldenRecordSql,
     "q96_upsert_changelog" -> upsertChangelogSql,
     "q97_time_travel"  -> timeTravelSql,
     "q101_incremental_agg" -> incrementalAggSql,

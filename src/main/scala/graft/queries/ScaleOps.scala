@@ -198,7 +198,54 @@ object ScaleOps {
       |FROM ap JOIN ex ON ap.q_pm = ex.q_pm
       |ORDER BY ap.q_pm""".stripMargin
 
+  /** q121: join-key skew diagnostics — the report you run BEFORE deciding
+    * whether a join needs q40's salting. Per-key frequencies of
+    * `lineitem.l_suppkey` reduce to one row of distribution stats: key
+    * count, row count, hottest-key share, and an EXACT Gini coefficient.
+    * Gini normally needs a global sort + floating cumsum; here the rank
+    * comes from [[CorpusOps.globalRank]] (range-partitioned — no
+    * single-partition window) and the Lorenz sum stays ALL-INTEGER
+    * (gini_num = 2·Σ rank·cnt − (n+1)·Σ cnt), so the statistic is exact
+    * and engine-stable with a single final division. The frequency table
+    * this runs on is |keys|-sized, never |rows|-sized.
+    */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = lineitem(spark, dir).groupBy($"l_suppkey").agg(count(lit(1)).as("cnt"))
+    val ranked = CorpusOps.globalRank(counts, "r", col("cnt"), col("l_suppkey"))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"cnt").as("n_rows"),
+        max($"cnt").as("max_cnt"),
+        sum($"r" * $"cnt").as("src"))
+      .select($"n_keys", $"n_rows", $"max_cnt",
+        ($"max_cnt".cast("double") / $"n_rows").as("top_share"),
+        (lit(2L) * $"src" - ($"n_keys" + 1L) * $"n_rows").as("gini_num"),
+        ($"n_keys" * $"n_rows").as("gini_den"),
+        ((lit(2L) * $"src" - ($"n_keys" + 1L) * $"n_rows").cast("double") /
+          ($"n_keys" * $"n_rows")).as("gini"))
+  }
+
+  val keySkewSql: String =
+    """WITH counts AS (
+      |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT cnt, row_number() OVER (ORDER BY cnt, l_suppkey) AS r FROM counts),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    CAST(SUM(r * cnt) AS BIGINT) AS src
+      |  FROM ranked)
+      |SELECT n_keys, n_rows, max_cnt,
+      |  CAST(max_cnt AS DOUBLE) / n_rows AS top_share,
+      |  2 * src - (n_keys + 1) * n_rows AS gini_num,
+      |  n_keys * n_rows AS gini_den,
+      |  CAST(2 * src - (n_keys + 1) * n_rows AS DOUBLE) / (n_keys * n_rows) AS gini
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_key_skew"    -> keySkew,
     "q40_salted_join"  -> saltedJoinAgg,
     "q41_text_quality" -> textQuality,
     "q89_bucketed_join" -> bucketedJoinAgg,
@@ -207,6 +254,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_key_skew"    -> keySkewSql,
     "q40_salted_join"  -> saltedJoinAggSql,
     "q41_text_quality" -> textQualitySql,
     "q89_bucketed_join" -> bucketedJoinAggSql,

@@ -59,7 +59,11 @@ class CoverageSpec extends SparkSuite {
     "q114_copurchase_pairs",
     "q115_copurchase_rank",
     "q116_feature_hash",
-    "q117_mad_anomaly") // q74 may legitimately find 0 pairs at sf0.001
+    "q117_mad_anomaly",
+    "q118_golden_record",
+    "q119_gap_fill",
+    "q120_session_transitions",
+    "q121_key_skew") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {

@@ -78,6 +78,38 @@ class Round8bPlanSpec extends SparkSuite {
       s"expected a single aggregate exchange:\n${plan.take(1500)}")
   }
 
+  test("q118: golden-record survivorship rides ONE user_id exchange, no join") {
+    val plan = executed(MergeOps.goldenRecord(spark, sf))
+    assert(!plan.contains("Join"),
+      "per-column survivorship must not join the history to itself")
+    val hashEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"expected exactly one user_id exchange:\n${hashEx.mkString("\n")}")
+  }
+
+  test("q120: transition matrix — one user_id window exchange before the tiny pair aggregate") {
+    val plan = executed(EventOps.sessionTransitions(spark, sf))
+    val userEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).filter(_.contains("user_id")).size
+    assert(userEx == 1, s"the event stream must shuffle on user_id exactly once:\n$plan")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("q121: Gini rank comes from globalRank — no single-partition exchange anywhere") {
+    val plan = executed(ScaleOps.keySkew(spark, sf))
+    // the ranking window must be partitioned per range-partition (__pid),
+    // never a global single-partition window (the range exchange itself
+    // happens inside globalRank's localCheckpoint, so it is not visible in
+    // this final plan — the __pid windowspec is the observable proof)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")),
+      s"ranking window must partition on __pid:\n${winLines.mkString("\n")}")
+    // the only SinglePartition gather happens AFTER partial aggregation —
+    // it carries ≤numPartitions pre-aggregated rows, not the key table
+    assert(plan.contains("partial_count"),
+      "final stats must partial-aggregate before the 1-row gather")
+  }
+
   test("q117: median/MAD stats come back as broadcast joins — events never shuffle-join") {
     val plan = executed(EventOps.madAnomaly(spark, sf))
     // ≥2: AQE stage rendering can repeat a BroadcastQueryStage subtree, so
