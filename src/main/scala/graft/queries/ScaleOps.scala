@@ -244,8 +244,110 @@ object ScaleOps {
       |  CAST(2 * src - (n_keys + 1) * n_rows AS DOUBLE) / (n_keys * n_rows) AS gini
       |FROM s""".stripMargin
 
+  /** q122: RFM customer segmentation — recency/frequency/monetary
+    * quartiles per customer, the warehouse-classic scoring that global
+    * `ntile` would single-partition at scale. Each dimension's quartile
+    * comes instead from a [[CorpusOps.globalRank]] total order (range-
+    * partitioned, fully parallel) and the EXPLICIT integer formula
+    * `((4·(rank−1)) DIV n) + 1` — identical in DuckDB, with none of
+    * ntile's engine-specific remainder distribution. Monetary is exact
+    * integer cents; recency is whole days against the corpus max date.
+    * Three chained rankings over the |customers|-sized aggregate — the
+    * event/order table is touched once.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        (round(sum($"o_totalprice".cast(MoneyDec)), 2) * 100).cast("long").as("cents"))
+    val maxDay = base.agg(max($"last_day")).first().getDate(0)
+    val n = base.count()
+    val withR = base.withColumn("r_days", datediff(lit(maxDay), $"last_day"))
+    // rank ascending on each dimension's "better" direction is irrelevant
+    // to the quartile math — the formula just needs a strict total order
+    val r1 = CorpusOps.globalRank(withR, "rank_r", col("r_days"), col("o_custkey"))
+    val r2 = CorpusOps.globalRank(r1, "rank_f", col("freq"), col("o_custkey"))
+    val r3 = CorpusOps.globalRank(r2, "rank_m", col("cents"), col("o_custkey"))
+    r3.select($"o_custkey", $"r_days", $"freq", $"cents",
+        expr(s"(4 * (rank_r - 1)) DIV $n + 1").as("r_q"),
+        expr(s"(4 * (rank_f - 1)) DIV $n + 1").as("f_q"),
+        expr(s"(4 * (rank_m - 1)) DIV $n + 1").as("m_q"))
+      .withColumn("segment", expr("100 * r_q + 10 * f_q + m_q"))
+      .orderBy($"o_custkey")
+  }
+
+  val rfmSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+      |    COUNT(*) AS freq,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT MAX(last_day) AS max_day, COUNT(*) AS n FROM base),
+      |r AS (
+      |  SELECT base.*, datediff('day', last_day, g.max_day) AS r_days, g.n,
+      |    row_number() OVER (ORDER BY datediff('day', last_day, g.max_day), o_custkey) AS rank_r,
+      |    row_number() OVER (ORDER BY freq, o_custkey) AS rank_f,
+      |    row_number() OVER (ORDER BY cents, o_custkey) AS rank_m
+      |  FROM base, g)
+      |SELECT o_custkey, CAST(r_days AS INT) AS r_days, freq, cents,
+      |  (4 * (rank_r - 1)) // n + 1 AS r_q,
+      |  (4 * (rank_f - 1)) // n + 1 AS f_q,
+      |  (4 * (rank_m - 1)) // n + 1 AS m_q,
+      |  100 * ((4 * (rank_r - 1)) // n + 1) + 10 * ((4 * (rank_f - 1)) // n + 1)
+      |    + ((4 * (rank_m - 1)) // n + 1) AS segment
+      |FROM r
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q123: Pareto / ABC revenue analysis — parts ranked by revenue with
+    * their cumulative share and A/B/C class (≤80% / ≤95% / tail). The
+    * running total that usually forces a single-partition window comes
+    * from [[CorpusOps.globalCumsum]] (range-partitioned running sum with
+    * per-partition offsets) over EXACT integer cents, so the cumulative
+    * values — and therefore the class boundaries — are engine-stable;
+    * the only floating op is the final share division.
+    */
+  def paretoAbc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg((round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2) * 100)
+        .cast("long").as("cents"))
+    val cum = CorpusOps.globalCumsum(rev, "cents", "cum",
+      col("cents").desc, col("l_partkey"))
+    val total = rev.agg(sum($"cents")).first().getLong(0)
+    cum.select($"l_partkey", $"cents", $"cum",
+        ($"cum".cast("double") / lit(total.toDouble)).as("share"))
+      .withColumn("abc_class",
+        when($"share" <= 0.80, "A").when($"share" <= 0.95, "B").otherwise("C"))
+      .orderBy($"cum", $"l_partkey")
+  }
+
+  val paretoAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) * 100
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, cents,
+      |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(SUM(cents) OVER () AS BIGINT) AS total
+      |  FROM rev)
+      |SELECT l_partkey, cents, cum,
+      |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      |  CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+      |       WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c
+      |ORDER BY cum, l_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_key_skew"    -> keySkew,
+    "q122_rfm"         -> rfm,
+    "q123_pareto_abc"  -> paretoAbc,
     "q40_salted_join"  -> saltedJoinAgg,
     "q41_text_quality" -> textQuality,
     "q89_bucketed_join" -> bucketedJoinAgg,
@@ -255,6 +357,8 @@ object ScaleOps {
 
   val oracles: Map[String, String] = Map(
     "q121_key_skew"    -> keySkewSql,
+    "q122_rfm"         -> rfmSql,
+    "q123_pareto_abc"  -> paretoAbcSql,
     "q40_salted_join"  -> saltedJoinAggSql,
     "q41_text_quality" -> textQualitySql,
     "q89_bucketed_join" -> bucketedJoinAggSql,

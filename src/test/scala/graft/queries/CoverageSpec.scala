@@ -63,7 +63,9 @@ class CoverageSpec extends SparkSuite {
     "q118_golden_record",
     "q119_gap_fill",
     "q120_session_transitions",
-    "q121_key_skew") // q74 may legitimately find 0 pairs at sf0.001
+    "q121_key_skew",
+    "q122_rfm",
+    "q123_pareto_abc") // q74 may legitimately find 0 pairs at sf0.001
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
