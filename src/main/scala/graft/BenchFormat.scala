@@ -8,8 +8,10 @@ package graft
   * gets clipped and parsing fails (this zeroed rounds 1-2). Full query
   * names at 2-decimal medians reached ~1.87 KB at 71 queries; one more
   * query would have hit the cliff. The graded line therefore keys each
-  * query by its short unique prefix ("q36_invoice_pipeline" -> "q36"),
-  * which keeps ~45% headroom even at 80 queries (asserted by
+  * query by its short unique prefix ("q36_invoice_pipeline" -> "q36") AND
+  * is budget-capped at [[BenchFormat.MaxLineBytes]]: entries go worst-first
+  * and the fastest queries drop into an "omitted" count when the cap is
+  * reached, so the format survives ANY query count (asserted by
   * BenchFormatSpec). Full names, per-trial times, and spreads live in
   * bench_detail.json, committed with the repo.
   */
@@ -46,23 +48,54 @@ object BenchFormat {
   def fq(v: Double): String =
     if (v >= 100) "%.1f".formatLocal(java.util.Locale.ROOT, v) else f2(v)
 
+  /** Hard cap on the graded line. The driver's usable tail window is
+    * ~1900 bytes (2000 minus sbt's "[success]" suffix); capping the line
+    * at 1400 keeps >=25% headroom below that at ANY query count.
+    */
+  val MaxLineBytes = 1400
+
   /** The driver-parsed JSON line. `medians` is (full query name, median
     * seconds) in stable order; a median of -1 marks a query whose every
     * trial failed. `failed` lists queries with at least one failing trial —
     * rendered as an "errors" array (omitted when empty) so a failure is
     * distinguishable from a slow query instead of contributing an
     * ordinary-looking duration.
+    *
+    * The per-query map is BUDGET-CAPPED, not count-capped: entries are
+    * emitted worst-first (failures, then slowest medians) until the whole
+    * line would exceed [[MaxLineBytes]]; anything dropped is all fastest
+    * queries, counted in an "omitted" field. The "total" value always
+    * covers EVERY query. This holds at any future query count — the
+    * 71-query full-name format clipped the driver tail and zeroed rounds
+    * 1-2, and the short-key format would have re-tripped at ~125 queries.
+    * Full fidelity for every query lives in bench_detail.json.
     */
   def line(medians: Seq[(String, Double)], trials: Int, sf: String,
            failed: Seq[String] = Nil): String = {
     val keys = shortKeys(medians.map(_._1))
-    val qs = medians.map { case (k, v) => "\"" + keys(k) + "\":" + fq(v) }
-      .mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
     val err =
       if (failed.isEmpty) ""
       else failed.map(f => "\"" + keys(f) + "\"").mkString(""","errors":[""", ",", "]")
-    s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":$qs$err,"sf":"$sf"}"""
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":{"""
+    def tail(omitted: Int): String =
+      "}" + err + (if (omitted > 0) s""","omitted":$omitted""" else "") + s""","sf":"$sf"}"""
+    // worst-first: all-trials-failed entries (median -1) lead, then by
+    // descending median, name-ascending for determinism on ties
+    val worstFirst = medians.sortBy { case (n, v) =>
+      (if (v < 0) -Double.MaxValue else -v, n)
+    }
+    val entries = worstFirst.map { case (k, v) => "\"" + keys(k) + "\":" + fq(v) }
+    // greedy take under the budget; reserve the omitted field's worst-case
+    // width up front so dropping an entry can never overflow the cap
+    val reserve = s""","omitted":${medians.size}""".length
+    var used = head.length + tail(0).length + reserve
+    var kept = 0
+    while (kept < entries.size && used + entries(kept).length + (if (kept > 0) 1 else 0) <= MaxLineBytes) {
+      used += entries(kept).length + (if (kept > 0) 1 else 0)
+      kept += 1
+    }
+    head + entries.take(kept).mkString(",") + tail(medians.size - kept)
   }
 
   /** Full-fidelity companion written to bench_detail.json: every trial of

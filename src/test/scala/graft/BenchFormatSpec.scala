@@ -30,30 +30,50 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(c == Map("q01_agg_sum" -> "q01_agg_sum", "q01_other" -> "q01_other"))
   }
 
-  test("line: 100 hypothetical long-named queries stay >=25% under 1900 bytes") {
-    val names = (1 to 100).map(i => f"q$i%02d_some_rather_long_query_name_$i")
-    val medians = names.map(_ -> 123.456)
-    val line = BenchFormat.line(medians, 3, "/root/testdata/sf0.1")
-    assert(line.length <= 1425, s"line is ${line.length} bytes")
+  test("line: byte cap holds at ANY query count (500 worst-case queries)") {
+    // 500 long-named queries, every median at the 6-char maximum rendering:
+    // the budget-capped format must stay at/below MaxLineBytes — adding
+    // queries can never clip the driver tail again
+    val names = (1 to 500).map(i => f"q$i%03d_some_rather_long_query_name_$i")
+    val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1")
+    assert(line.length <= BenchFormat.MaxLineBytes, s"line is ${line.length} bytes")
+    assert(line.contains(""""omitted":"""), "cap must surface an omitted count")
+    // total still covers every query, not just the kept entries
+    assert(line.contains(""""value":499995.000"""))
   }
 
-  test("line: the real SparkEntry query set has ample headroom") {
+  test("line: omitted entries are exactly the fastest; worst queries always kept") {
+    val medians = (1 to 300).map(i => f"q$i%03d_name" -> i.toDouble)
+    val line = BenchFormat.line(medians, 3, "sf")
+    assert(line.length <= BenchFormat.MaxLineBytes)
+    // the slowest query must be present, the fastest must be the one dropped
+    assert(line.contains(""""q300":300.0""")) // >=100 s renders 1-decimal
+    assert(!line.contains(""""q001":"""))
+    // omitted count + kept entries == total queries
+    val omitted = """"omitted":(\d+)""".r.findFirstMatchIn(line).get.group(1).toInt
+    val kept = """"q\d+":""".r.findAllIn(line).size
+    assert(kept + omitted == 300)
+  }
+
+  test("line: all-trials-failed queries outrank even the slowest successes") {
+    val medians = (1 to 300).map(i => f"q$i%03d_name" -> i.toDouble) :+ ("q999_dead" -> -1.0)
+    val line = BenchFormat.line(medians, 3, "sf", failed = Seq("q999_dead"))
+    assert(line.contains(""""q999":-1.00"""))
+    assert(line.contains(""""errors":["q999"]"""))
+    assert(line.length <= BenchFormat.MaxLineBytes)
+  }
+
+  test("line: the real SparkEntry query set fits and keys stay collision-free") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case rendering: every median at 999.99 s — which %.1f rounds
-    // to the 6-char "1000.0", the true per-entry maximum (the real
-    // 111-query line measures ~1360 bytes). The binding constraint is
-    // absolute: worst-case line + sbt's ~80-byte [success] suffix must
-    // clear the driver's 2000-char tail window. Each query costs ≤14
-    // worst-case bytes, so the format as-is survives to ~130 queries;
-    // this assert trips at ~125 (1830 + 80 ≈ the window) as the signal
-    // to shorten the graded keys further (e.g. drop the 'q' prefix),
-    // BEFORE the driver clips anything
+    // worst-case rendering: every median at 999.99 s — %.1f rounds it to
+    // the 6-char "1000.0", the per-entry maximum
     val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1")
-    assert(line.length <= 1830, s"line is ${line.length} bytes")
-    // and the REALISTIC line (every query at its observed <10 s scale)
-    // must keep ample headroom outright
+    assert(line.length <= BenchFormat.MaxLineBytes, s"line is ${line.length} bytes")
+    // the REALISTIC line (every query at its observed <10 s scale) should
+    // currently keep every query un-omitted; if the set outgrows that, the
+    // omitted tail is by construction the fastest queries only
     val realistic = BenchFormat.line(names.map(_ -> 9.99), 3, "/root/testdata/sf0.1")
-    assert(realistic.length <= 1500, s"realistic line is ${realistic.length} bytes")
+    assert(realistic.length <= BenchFormat.MaxLineBytes, s"realistic line is ${realistic.length} bytes")
     // short keys must stay collision-free for the real set
     assert(BenchFormat.shortKeys(names).values.toSet.size == names.size)
   }
