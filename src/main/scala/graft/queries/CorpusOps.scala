@@ -613,6 +613,97 @@ object CorpusOps {
       |FROM documents
       |ORDER BY position""".stripMargin
 
+  /** q124: unigram-LM surprisal quality scoring — the corpus trains a
+    * unigram language model over its own tokens and every document is
+    * scored by its total/mean token surprisal (rare-token-heavy documents
+    * score high: gibberish, boilerplate-free natural text scores in a
+    * band). The standard KenLM-style perplexity filter, reduced to the
+    * unigram case so it is expressible as pure joins+aggregates.
+    *
+    * Determinism: surprisal uses the INTEGER floor-log2 — a token with
+    * corpus count c out of N total scores `bits(N DIV c)` where bits(x) is
+    * the binary-digit count (floor(log2 x)+1) — computed via the length of
+    * the binary string rendering on both engines (`bin` / `format('{:b}')`),
+    * so no libm log whose last ulp could drift cross-engine. Scale: one
+    * (doc,token) aggregate shuffle; the vocabulary aggregate and the
+    * 1-row total derive from it; the score join keys on token and the
+    * final aggregate keys on doc_id — no driver-side state, no window.
+    */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docTok = documents(spark, dir)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("occ"))
+    val vocab = docTok.groupBy($"token").agg(sum($"occ").as("c"))
+    val total = vocab.agg(sum($"c").as("n_total")) // 1 row
+    val scored = vocab.crossJoin(broadcast(total))
+      .select($"token", length(bin(expr("n_total DIV c"))).cast("long").as("surp"))
+    docTok.join(scored, "token")
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_tokens"), sum($"occ" * $"surp").as("surprisal_sum"))
+      .select($"doc_id", $"n_tokens", $"surprisal_sum",
+        expr("(1000 * surprisal_sum) DIV n_tokens").as("mean_milli"))
+      .orderBy($"doc_id")
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dt AS (SELECT doc_id, token, COUNT(*) AS occ FROM tok GROUP BY 1, 2),
+      |vc AS (SELECT token, CAST(SUM(occ) AS BIGINT) AS c FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vc),
+      |s AS (SELECT token, CAST(length(format('{:b}', n_total // c)) AS BIGINT) AS surp
+      |      FROM vc, tot)
+      |SELECT dt.doc_id,
+      |  CAST(SUM(dt.occ) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(dt.occ * s.surp) AS BIGINT) AS surprisal_sum,
+      |  CAST((1000 * SUM(dt.occ * s.surp)) // SUM(dt.occ) AS BIGINT) AS mean_milli
+      |FROM dt JOIN s USING (token)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q127: skip-gram co-occurrence mining — (w1, w2) pair counts for every
+    * token and the tokens at distance 1..2 after it, the corpus statistic
+    * word2vec/GloVe training data is built from. Pair generation is a
+    * LOCAL array transform (each doc's token array expands to its own
+    * skip-gram pairs in place — no positional self-join, no doc_id
+    * shuffle), so the only exchange is the final (w1, w2) count aggregate,
+    * which map-side combines. The oracle expresses the same semantics as
+    * the positional self-join it replaces.
+    */
+  /** Skip-gram pair expansion for a token-array column named `t`: each
+    * element pairs with the 1..2 tokens after it. Local array work —
+    * separated so the spec can drive it on literal arrays.
+    */
+  private[graft] def skipgramExpr =
+    // element at 0-based i pairs with 1-based positions i+2 .. i+3
+    expr("flatten(transform(t, (x, i) -> transform(slice(t, i + 2, 2), y -> struct(x AS w1, y AS w2))))")
+
+  def skipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir)
+      .select(TextFunctions.tokens($"text").as("t"))
+      .select(explode(skipgramExpr).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 3)
+      .orderBy($"n".desc, $"w1", $"w2")
+  }
+
+  val skipgramPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents)
+      |SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM tok a JOIN tok b
+      |  ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 3
+      |ORDER BY n DESC, w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -627,6 +718,8 @@ object CorpusOps {
     "q82_weighted_sample" -> weightedSample,
     "q100_corpus_build"  -> corpusBuild,
     "q112_epoch_shuffle" -> epochShuffle,
+    "q124_unigram_surprisal" -> unigramSurprisal,
+    "q127_skipgram_pairs" -> skipgramPairs,
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,5 +736,7 @@ object CorpusOps {
     "q82_weighted_sample" -> weightedSampleSql,
     "q100_corpus_build"  -> corpusBuildSql,
     "q112_epoch_shuffle" -> epochShuffleSql,
+    "q124_unigram_surprisal" -> unigramSurprisalSql,
+    "q127_skipgram_pairs" -> skipgramPairsSql,
   )
 }

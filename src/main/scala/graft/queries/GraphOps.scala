@@ -132,13 +132,97 @@ object GraphOps {
       |SELECT node AS part_id, rk AS rank_fp FROM r3
       |ORDER BY rank_fp DESC, part_id""".stripMargin
 
+  /** q126: per-node triangle counts over the q114 co-purchase graph via
+    * DEGREE-ORIENTED wedge join — the standard scale-out triangle algorithm
+    * (each undirected edge points low→high in the (degree, id) total order,
+    * so every wedge is enumerated at its lowest-degree corner and each
+    * triangle is found exactly once; max fan-out per node is O(√|E|)
+    * instead of max-degree, which is what makes the self-join survive
+    * power-law graphs at 100 TB). Three exchanges: the oriented-edge
+    * build, the wedge self-join on the common corner, and the closing-edge
+    * semi-join; counts are pure integers. Output: every node with its
+    * degree and triangle count (0 for triangle-free nodes).
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // mined edges once (see copurchaseRank for the checkpoint rationale)
+    val pairs = pairEdges(spark, dir, 2L)
+      .select($"p1", $"p2").localCheckpoint(eager = true)
+    triangleKernel(pairs)
+  }
+
+  /** The kernel, separated for direct unit testing: `pairs` is a canonical
+    * undirected edge list (p1 < p2, no duplicates). Returns every node with
+    * its degree and triangle count.
+    */
+  def triangleKernel(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val sym = pairs.select($"p1".as("u"), $"p2".as("v"))
+      .unionByName(pairs.select($"p2".as("u"), $"p1".as("v")))
+    val deg = sym.groupBy($"u").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint to the larger
+    val ou = sym
+      .join(deg.select($"u", $"deg".as("du")), "u")
+      .join(deg.select($"u".as("v"), $"deg".as("dv")), "v")
+      .filter($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"))
+      .select($"u", $"v", $"dv")
+    // wedges at the smallest corner; (dv, v) order keeps one per pair
+    val wedges = ou.as("a").join(ou.as("b"),
+        col("a.u") === col("b.u") &&
+          (col("a.dv") < col("b.dv") ||
+            (col("a.dv") === col("b.dv") && col("a.v") < col("b.v"))))
+      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+    // close the wedge: (y, z) must be an oriented edge
+    val tris = wedges.join(ou.select($"u".as("y"), $"v".as("z")), Seq("y", "z"))
+    val perNode = tris.select($"x".as("node"))
+      .unionByName(tris.select($"y".as("node")))
+      .unionByName(tris.select($"z".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("tri"))
+    deg.select($"u".as("node"), $"deg")
+      .join(perNode, Seq("node"), "left")
+      .select($"node", $"deg", coalesce($"tri", lit(0L)).as("tri"))
+      .orderBy($"node")
+  }
+
+  val triangleStatsSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pr AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS (SELECT p1 AS u, p2 AS v FROM pr
+      |        UNION ALL SELECT p2, p1 FROM pr),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1),
+      |ou AS (SELECT s.u, s.v, dv.deg AS dv
+      |       FROM sym s
+      |       JOIN deg du ON du.u = s.u
+      |       JOIN deg dv ON dv.u = s.v
+      |       WHERE du.deg < dv.deg OR (du.deg = dv.deg AND s.u < s.v)),
+      |wed AS (SELECT a.u AS x, a.v AS y, b.v AS z
+      |        FROM ou a JOIN ou b
+      |          ON a.u = b.u
+      |         AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+      |tri AS (SELECT w.x, w.y, w.z
+      |        FROM wed w JOIN ou e ON e.u = w.y AND e.v = w.z),
+      |pn AS (SELECT node, COUNT(*) AS tri FROM (
+      |         SELECT x AS node FROM tri
+      |         UNION ALL SELECT y FROM tri
+      |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+      |SELECT d.u AS node, CAST(d.deg AS BIGINT) AS deg,
+      |       CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri
+      |FROM deg d LEFT JOIN pn ON pn.node = d.u
+      |ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_copurchase_pairs" -> copurchasePairs,
     "q115_copurchase_rank"  -> copurchaseRank,
+    "q126_triangle_stats"   -> triangleStats,
   )
 
   val oracles: Map[String, String] = Map(
     "q114_copurchase_pairs" -> copurchasePairsSql,
     "q115_copurchase_rank"  -> copurchaseRankSql,
+    "q126_triangle_stats"   -> triangleStatsSql,
   )
 }

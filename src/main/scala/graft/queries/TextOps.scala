@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, PrefixJoin}
 import Tables._
 
 /** Training-data text pipeline queries over `documents` (BASELINE.json
@@ -97,6 +97,20 @@ object TextOps {
     Dedup.ngramJaccardPairs(documents(spark, dir), "doc_id", "text", 3, 0.5)
       .orderBy($"d1", $"d2")
   }
+
+  /** q125: the EXACT q29 answer (3-gram shingle Jaccard ≥ 0.5) computed
+    * sub-quadratically via AllPairs prefix filtering (see
+    * [[graft.operators.PrefixJoin]]). The oracle IS q29's brute-force SQL
+    * — the strongest possible statement that the prefix/length filters
+    * are lossless: any dropped candidate hash-mismatches the round.
+    */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    PrefixJoin.jaccardSelfJoin(
+      TextFunctions.shingles(documents(spark, dir), "doc_id", "text", 3),
+      "doc_id", "shingle", p = 1, q = 2)
+
+  /** Brute-force oracle: identical to ngramJaccardSql by design. */
+  def prefixJaccardSql: String = ngramJaccardSql
 
   val ngramJaccardSql: String =
     """WITH toks AS (
@@ -697,6 +711,7 @@ object TextOps {
     "q27_lang_id"         -> langId,
     "q28_dedup_exact"     -> dedupExact,
     "q29_ngram_jaccard"   -> ngramJaccard,
+    "q125_prefix_jaccard" -> prefixJaccard,
     "q30_minhash_pairs"   -> minhashPairs,
     "q31_simhash_pairs"   -> simhashPairs,
     "q32_multimodal_meta" -> multimodalMeta,
@@ -740,6 +755,7 @@ object TextOps {
     "q27_lang_id"         -> langIdSql,
     "q28_dedup_exact"     -> dedupExactSql,
     "q29_ngram_jaccard"   -> ngramJaccardSql,
+    "q125_prefix_jaccard" -> prefixJaccardSql,
     "q30_minhash_pairs"   -> minhashPairsSql,
     "q31_simhash_pairs"   -> simhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
