@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.queries.CorpusOps.globalRank
 
 /** Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin family):
   * all id pairs whose element sets have Jaccard ≥ τ, found WITHOUT the
@@ -16,21 +15,33 @@ import graft.queries.CorpusOps.globalRank
   * candidate generation.
   *
   * The filter stack (classic AllPairs, Bayardo et al. WWW'07):
-  *  - Global element order by ascending document frequency (rarest first),
-  *    assigned with `globalRank` — a range-partitioned total order, no
-  *    single-partition window.
+  *  - Elements order rarest-first by (document frequency, element) — a
+  *    total order that needs NO materialized global rank: the losslessness
+  *    proof only requires both join sides to order elements identically,
+  *    so each doc sorts its own elements by the joined-in frequency
+  *    locally (one per-doc window, no range-partitioned rank pass).
   *  - PREFIX filter: if J(A,B) ≥ τ then |A∩B| ≥ ⌈τ·|A|⌉ (the union is at
   *    least |A|), so any valid partner shares at least one of A's first
-  *    |A| − ⌈τ·|A|⌉ + 1 elements in the global order. Candidates come from
-  *    an equi-join on PREFIX elements only — the RAREST elements, so
-  *    bucket fan-out stays small even when the corpus shares boilerplate
-  *    (the frequent elements that would explode a share-any-element join
-  *    sit at the END of the order and never generate candidates).
+  *    |A| − ⌈τ·|A|⌉ + 1 elements in that order. Candidates come from an
+  *    equi-join on PREFIX elements only — the RAREST elements, so bucket
+  *    fan-out stays small even when the corpus shares boilerplate (the
+  *    frequent elements that would explode a share-any-element join sit
+  *    at the END of the order and never generate candidates).
   *  - LENGTH filter: J ≤ min(|A|,|B|)/max(|A|,|B|), so q·min ≥ p·max
   *    prunes size-incompatible pairs inside the candidate join.
-  *  - VERIFY on candidates only: per-id sorted element arrays join back by
-  *    id and the intersection is a LOCAL `array_intersect` — no
+  *  - VERIFY on candidates only: element arrays are collected ONLY for
+  *    ids that appear in some candidate pair (semi-join first — at corpus
+  *    scale the candidate set is orders of magnitude smaller than the
+  *    corpus), then the intersection is a LOCAL `array_intersect` — no
   *    element-level shuffle in the verify stage.
+  *
+  * The element list is localCheckpoint-materialized once: three consumers
+  * (frequency aggregate, frequency join, verify arrays) would otherwise
+  * re-run the upstream lineage per reference — for shingle inputs that is
+  * the tokenize+window pass, and the 10× probe measured re-derivation
+  * dominating the runtime (same rationale as `DedupGroups`'s checkpointed
+  * edges; a `cache()` instead would hide size stats from AQE and forfeit
+  * its broadcast decisions).
   *
   * τ is the rational p/q and every threshold compares in integer
   * cross-multiplied form (⌈(p·n)/q⌉ = (p·n + q − 1) DIV q), so no
@@ -49,17 +60,16 @@ object PrefixJoin {
     val spark = elements.sparkSession
     import spark.implicits._
     val tok = elements.select(col(idCol).as("id"), col(elCol).as("el"))
-    // global rarest-first element order; document frequencies and ranks
-    // both derive from this one aggregate
+      .localCheckpoint(eager = true)
+    // element document frequencies; joined back so each doc can order its
+    // elements rarest-first locally
     val dfreq = tok.groupBy($"el").agg(count(lit(1)).as("dfc"))
-    val ranked = globalRank(dfreq, "rk", col("dfc"), col("el"))
-      .select($"el", $"rk")
-    val tr = tok.join(ranked, "el").select($"id", $"el", $"rk")
-    // per-id size + rank-ordered position (id-bounded window)
-    val wDoc = Window.partitionBy($"id").orderBy($"rk")
+    val tr = tok.join(dfreq, "el")
+    // per-doc size + rarity-ordered position in ONE doc-bounded window
+    val wDoc = Window.partitionBy($"id")
     val pos = tr
-      .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"id")))
+      .withColumn("pos", row_number().over(wDoc.orderBy($"dfc", $"el")))
+      .withColumn("n", count(lit(1)).over(wDoc))
     // prefix length: n − ⌈(p·n)/q⌉ + 1
     val prefix = pos
       .filter(col("pos") <= col("n") - expr(s"($p * n + ${q - 1}) DIV $q") + lit(1))
@@ -70,8 +80,12 @@ object PrefixJoin {
           lit(q) * least(col("a.n"), col("b.n")) >= lit(p) * greatest(col("a.n"), col("b.n")))
       .select(col("a.id").as("d1"), col("b.id").as("d2"))
       .distinct()
-    // verify on candidates only: local array intersection, no element shuffle
-    val sets = tok.groupBy($"id")
+      .localCheckpoint(eager = true) // consumed 3×: id semi-join + 2 verify joins
+    // verify on candidates only: collect arrays ONLY for ids that appear
+    // in a candidate pair, then intersect locally — no element shuffle
+    val candIds = cand.select($"d1".as("id")).unionByName(cand.select($"d2".as("id"))).distinct()
+    val sets = tok.join(candIds, Seq("id"), "left_semi")
+      .groupBy($"id")
       .agg(sort_array(collect_list($"el")).as("ts"), count(lit(1)).as("n"))
     cand
       .join(sets.select($"id".as("d1"), $"ts".as("t1"), $"n".as("n1")), "d1")

@@ -987,7 +987,54 @@ object EventOps {
       |FROM cnt
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q128: sequential pattern mining (PrefixSpan-lite) — corpus-wide
+    * counts of CONTIGUOUS event-type trigrams along each user's timeline,
+    * the order-3 generalization of q120's bigram transition matrix and the
+    * standard first pass of clickstream sequence mining.
+    *
+    * Scale shape: ONE user_id shuffle builds each user's (ts, event_id)-
+    * sorted type sequence; trigram expansion is a LOCAL array transform
+    * over that sequence (no positional self-join — the oracle's three-way
+    * join shape would shuffle the event table three times); the final
+    * (e1,e2,e3) count aggregate map-side combines into a |types|³-bounded
+    * result. Per-user state is the user's own event count — the same
+    * bound sessionization already carries.
+    */
+  /** Contiguous trigram expansion for a token-array column named `t` —
+    * separated so the spec can drive it on literal arrays.
+    */
+  private[graft] def trigramExpr =
+    // 0-based bracket indexing; positions i, i+1, i+2 stay in range
+    // because the slice keeps only the first size-2 starting points
+    expr("transform(slice(t, 1, greatest(size(t) - 2, 0)), (x, i) -> struct(x AS e1, t[i+1] AS e2, t[i+2] AS e3))")
+
+  def eventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))).as("s"))
+      .select(expr("transform(s, x -> x.event_type)").as("t"))
+      .select(explode(trigramExpr).as("g"))
+      .groupBy($"g.e1", $"g.e2", $"g.e3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"e1", $"e2", $"e3")
+  }
+
+  val eventTrigramsSql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+      |  FROM events)
+      |SELECT a.event_type AS e1, b.event_type AS e2, c.event_type AS e3,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM r a
+      |JOIN r b ON b.user_id = a.user_id AND b.i = a.i + 1
+      |JOIN r c ON c.user_id = a.user_id AND c.i = a.i + 2
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1, e2, e3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_event_trigrams" -> eventTrigrams,
     "q117_mad_anomaly"   -> madAnomaly,
     "q119_gap_fill"      -> gapFill,
     "q120_session_transitions" -> sessionTransitions,
@@ -1010,6 +1057,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_event_trigrams" -> eventTrigramsSql,
     "q117_mad_anomaly"   -> madAnomalySql,
     "q119_gap_fill"      -> gapFillSql,
     "q120_session_transitions" -> sessionTransitionsSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Mmr, Similarity}
 import Tables._
 
 /** Embedding / similarity-search queries over `embeddings` (64-dim float
@@ -70,6 +70,69 @@ object VectorOps {
       .select($"query_id", $"rk", $"nbr_id")
       .orderBy($"query_id", $"rk")
   }
+
+  /** q129: MMR-diversified retrieval (see [[graft.operators.Mmr]]) — the
+    * same 1-in-50 query subset, top-12 candidate pool, 4 greedy picks at
+    * λ=1/2. Ids-only output (the q34 trick); the oracle unrolls the
+    * greedy selection step by step in SQL, double-cast lists so both
+    * engines accumulate in doubles.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    Mmr.mmrTopK(emb, queries, "vec_id", "embedding", poolK = 12, selectK = 4)
+  }
+
+  val mmrRerankSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |sc AS (SELECT query_id, vec_id AS cid, embedding::DOUBLE[] AS cv,
+      |         list_cosine_similarity(qv, embedding::DOUBLE[]) AS rel
+      |       FROM q JOIN embeddings ON vec_id <> query_id),
+      |pool AS (SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY rel DESC, cid) AS rk FROM sc)
+      |  WHERE rk <= 12),
+      |s1 AS (SELECT query_id, cid, cv FROM pool WHERE rk = 1),
+      |c2 AS (SELECT p.query_id, p.cid, p.cv, p.rel,
+      |         (SELECT MAX(list_cosine_similarity(p.cv, s.cv)) FROM s1 s
+      |          WHERE s.query_id = p.query_id) AS ms
+      |       FROM pool p
+      |       WHERE NOT EXISTS (SELECT 1 FROM s1 x
+      |                         WHERE x.query_id = p.query_id AND x.cid = p.cid)),
+      |s2 AS (SELECT query_id, cid, cv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY (rel - ms) / 2 DESC, cid) AS rr FROM c2)
+      |  WHERE rr = 1),
+      |sel2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+      |c3 AS (SELECT p.query_id, p.cid, p.cv, p.rel,
+      |         (SELECT MAX(list_cosine_similarity(p.cv, s.cv)) FROM sel2 s
+      |          WHERE s.query_id = p.query_id) AS ms
+      |       FROM pool p
+      |       WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+      |                         WHERE x.query_id = p.query_id AND x.cid = p.cid)),
+      |s3 AS (SELECT query_id, cid, cv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY (rel - ms) / 2 DESC, cid) AS rr FROM c3)
+      |  WHERE rr = 1),
+      |sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM s3),
+      |c4 AS (SELECT p.query_id, p.cid, p.cv, p.rel,
+      |         (SELECT MAX(list_cosine_similarity(p.cv, s.cv)) FROM sel3 s
+      |          WHERE s.query_id = p.query_id) AS ms
+      |       FROM pool p
+      |       WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+      |                         WHERE x.query_id = p.query_id AND x.cid = p.cid)),
+      |s4 AS (SELECT query_id, cid, cv FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY (rel - ms) / 2 DESC, cid) AS rr FROM c4)
+      |  WHERE rr = 1)
+      |SELECT query_id, step, cid AS nbr_id FROM (
+      |  SELECT query_id, 1 AS step, cid FROM s1
+      |  UNION ALL SELECT query_id, 2, cid FROM s2
+      |  UNION ALL SELECT query_id, 3, cid FROM s3
+      |  UNION ALL SELECT query_id, 4, cid FROM s4)
+      |ORDER BY query_id, step""".stripMargin
 
   val cosineTopKSql: String =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -526,6 +589,7 @@ object VectorOps {
     "q78_lsh_recall"  -> cosineLshRecall,
     "q83_semantic_dedup" -> semanticDedup,
     "q98_hybrid_retrieval" -> hybridRetrieval,
+    "q129_mmr_rerank" -> mmrRerank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -538,5 +602,6 @@ object VectorOps {
     "q78_lsh_recall"  -> cosineLshRecallSql,
     "q83_semantic_dedup" -> semanticDedupSql,
     "q98_hybrid_retrieval" -> hybridRetrievalSql,
+    "q129_mmr_rerank" -> mmrRerankSql,
   )
 }

@@ -148,4 +148,58 @@ class Round8cPlanSpec extends SparkSuite {
     assert(!plan.contains("Join"), "pair expansion must be local array work")
     assert("Scan parquet".r.findAllIn(plan).size == 1)
   }
+
+  // ---- q128 event trigrams ----
+
+  test("q128: trigram expansion matches the positional definition") {
+    import spark.implicits._
+    val got = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(explode(EventOps.trigramExpr).as("g"))
+      .select($"g.e1", $"g.e2", $"g.e3").as[(String, String, String)].collect().toSeq
+    assert(got == Seq(("a", "b", "c"), ("b", "c", "d")))
+    // arrays shorter than 3 produce nothing (greatest(size-2, 0) guard)
+    val short = Seq(Seq("x", "y"), Seq("x"), Seq.empty[String]).toDF("t")
+      .select(explode(EventOps.trigramExpr).as("g")).count()
+    assert(short == 0L)
+  }
+
+  test("q128: one user shuffle + one count aggregate, no positional self-join") {
+    val plan = executed(EventOps.eventTrigrams(spark, sf))
+    assert(!plan.contains("Join"), "trigrams must come from local expansion")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
+
+  // ---- q129 MMR diversified retrieval ----
+
+  test("q129: greedy MMR picks relevance first, then diversity") {
+    import spark.implicits._
+    // query [1,0]; a sits at +0.1 off-axis, b is a near-dup of a, c
+    // mirrors a at -0.1 (same relevance, diverse direction). After picking
+    // a, score(b) = (rel_b - ~1)/2 < 0 while score(c) = (rel_c -
+    // cos(a,c))/2 > 0 — MMR must pick a then c (plain top-2 picks a, b).
+    // (A dup aligned exactly WITH the query would be a degenerate test:
+    // every candidate's penalty then equals its relevance and λ=1/2
+    // legitimately keeps the dup.)
+    val vecs = Seq(
+      0L -> Array(1f, 0f),            // the query itself (excluded)
+      1L -> Array(1f, 0.1f),          // a: best rel
+      2L -> Array(1f, 0.1001f),       // b: near-dup of a
+      3L -> Array(1f, -0.1f))         // c: same rel as a, diverse
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = graft.operators.Mmr.mmrTopK(vecs, q, "vec_id", "embedding",
+        poolK = 3, selectK = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 1L), (0L, 2, 3L)))
+  }
+
+  test("q129: selection stops when the pool is exhausted") {
+    import spark.implicits._
+    val vecs = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f)).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = graft.operators.Mmr.mmrTopK(vecs, q, "vec_id", "embedding",
+        poolK = 5, selectK = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 1, 1L)))
+  }
 }

@@ -69,6 +69,15 @@ object ScaleProbe {
           when(lit(i) === 0, $"text")
             .otherwise(regexp_replace($"text", " ", s" z$i ")))))
 
+    // embeddings: 10 replicas with offset vec_ids; each replica's vectors
+    // get a replica-specific bump on one coordinate so cross-replica
+    // copies are near but NOT identical (pure scaling would leave cosine
+    // exactly 1 and turn top-k into a 10-way tie stress test)
+    stage("embeddings")(replicate(spark.read.parquet(s"$srcDir/embeddings.parquet"),
+      (d, i) => d.withColumn("vec_id", $"vec_id" + lit(i * 1000000L))
+        .withColumn("embedding",
+          expr(s"transform(embedding, (x, j) -> CAST(x + IF(j = $i % 64, ${i * 0.03}, 0.0) AS FLOAT))"))))
+
     // events: 10 replicas over DISJOINT user populations (user offset) so
     // per-user event density — session lengths, state sizes — stays
     // constant and only the population scales, which is how event data
