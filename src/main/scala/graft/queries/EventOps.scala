@@ -1033,7 +1033,50 @@ object EventOps {
       |GROUP BY 1, 2, 3
       |ORDER BY n DESC, e1, e2, e3""".stripMargin
 
+  /** q130: point-in-time-correct feature join — the feature-store shape
+    * that prevents training-serving leakage: every purchase event gets
+    * (a) the value of the user's LAST click STRICTLY BEFORE the purchase
+    * and (b) the count of the user's events in the trailing hour,
+    * excluding the current second — both frames end at "1 preceding", so
+    * no feature can see the label row or its future.
+    *
+    * Scale shape: ONE user_id exchange serves both window frames (rows
+    * frame for last-click carry-forward, range frame on epoch seconds for
+    * the trailing count); the purchase filter applies after, so features
+    * derive from the full timeline but only label rows ship. No joins —
+    * the as-of shape (q54) expressed as windows because spine and
+    * features share one table.
+    */
+  def pitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wRows = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRange = Window.partitionBy($"user_id").orderBy($"ts_sec")
+      .rangeBetween(-3600, -1)
+    events(spark, dir)
+      .withColumn("ts_sec", expr("unix_micros(ts) div 1000000"))
+      .withColumn("last_click_value",
+        last(when($"event_type" === "click", $"value"), ignoreNulls = true).over(wRows))
+      .withColumn("trailing_1h_n", count(lit(1)).over(wRange))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"last_click_value", $"trailing_1h_n")
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
+  val pitFeaturesSql: String =
+    """SELECT event_id, user_id, ts, last_click_value, trailing_1h_n FROM (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+      |                   RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING) AS trailing_1h_n
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_pit_features" -> pitFeatures,
     "q128_event_trigrams" -> eventTrigrams,
     "q117_mad_anomaly"   -> madAnomaly,
     "q119_gap_fill"      -> gapFill,
@@ -1057,6 +1100,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_pit_features" -> pitFeaturesSql,
     "q128_event_trigrams" -> eventTrigramsSql,
     "q117_mad_anomaly"   -> madAnomalySql,
     "q119_gap_fill"      -> gapFillSql,

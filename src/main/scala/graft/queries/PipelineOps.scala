@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
 import graft.operators.{Contamination, Dedup, DedupGroups}
 import Tables._
 
@@ -327,7 +328,65 @@ object PipelineOps {
       |WHERE CAST(i AS DOUBLE)/(c1.n+c2.n-i) >= 0.5
       |ORDER BY delta_id, corpus_id""".stripMargin
 
+  /** q131: deterministic negative sampling — recommender/contrastive
+    * training needs (customer, part) pairs the customer did NOT buy, k per
+    * customer, reproducible across runs and engines. Candidates come from
+    * the portable md5 hash (`portableHash60(custkey:j)` mod |parts|, j
+    * over a small oversample range), the customer's actual purchases
+    * anti-join out, and the first k survivors by j win.
+    *
+    * Scale shape: candidate generation is a LOCAL 8-way array expansion
+    * per customer (no join against the parts table — part keys are dense
+    * 1..P, so the hash maps straight into the key space; P arrives as a
+    * 1-row broadcast); the anti-join keys on (custkey, partkey) against
+    * the per-customer purchase set; the final pick is a customer-bounded
+    * window. No randomness, no sampling nondeterminism — the oracle
+    * replays the identical arithmetic.
+    */
+  def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bought = lineitem(spark, dir)
+      .join(orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c_custkey"), $"l_partkey".as("p_cand"))
+      .distinct()
+    val nParts = part(spark, dir).agg(count(lit(1)).as("np")) // 1 row
+    val cand = customer(spark, dir).select($"c_custkey")
+      .crossJoin(broadcast(nParts))
+      .select($"c_custkey", explode(expr("sequence(1, 8)")).as("j"), $"np")
+      .withColumn("p_cand",
+        lit(1) + pmod(TextFunctions.portableHash60(
+          concat($"c_custkey".cast("string"), lit(":"), $"j".cast("string"))), $"np"))
+    val picked = cand
+      .join(bought, Seq("c_custkey", "p_cand"), "left_anti")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"c_custkey").orderBy($"j")))
+      .filter($"rk" <= 3)
+    picked.select($"c_custkey", $"rk", $"p_cand".as("p_partkey"))
+      .orderBy($"c_custkey", $"rk")
+  }
+
+  val negativeSampleSql: String =
+    """WITH np AS (SELECT COUNT(*) AS np FROM part),
+      |bought AS (
+      |  SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_cand
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |cand AS (
+      |  SELECT c.c_custkey, j,
+      |    1 + (('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' ||
+      |                             CAST(j AS VARCHAR)), 1, 15))::BIGINT % np.np
+      |         + np.np) % np.np AS p_cand
+      |  FROM customer c, np, generate_series(1, 8) AS t(j)),
+      |kept AS (
+      |  SELECT c.c_custkey, c.j, c.p_cand,
+      |    ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY c.j) AS rk
+      |  FROM cand c ANTI JOIN bought b
+      |    ON b.c_custkey = c.c_custkey AND b.p_cand = c.p_cand)
+      |SELECT c_custkey, rk, p_cand AS p_partkey
+      |FROM kept WHERE rk <= 3
+      |ORDER BY c_custkey, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_negative_sample"  -> negativeSample,
     "q69_incremental_dedup" -> incrementalDedup,
     "q47_dedup_groups"      -> dedupGroups,
     "q48_dedup_corpus"      -> dedupCorpus,
@@ -340,6 +399,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_negative_sample"  -> negativeSampleSql,
     "q69_incremental_dedup" -> incrementalDedupSql,
     "q47_dedup_groups"      -> dedupGroupsSql,
     "q48_dedup_corpus"      -> dedupCorpusSql,
