@@ -69,6 +69,11 @@ object ScaleProbe {
           when(lit(i) === 0, $"text")
             .otherwise(regexp_replace($"text", " ", s" z$i ")))))
 
+    // part: NOT replicated — lineitem keeps its l_partkey space across
+    // replicas (replicas replicate orders, not the catalog), so the part
+    // dimension stays a single copy, exactly how a dimension scales
+    stage("part")(spark.read.parquet(s"$srcDir/part.parquet"))
+
     // embeddings: 10 replicas with offset vec_ids; each replica's vectors
     // get a replica-specific bump on one coordinate so cross-replica
     // copies are near but NOT identical (pure scaling would leave cosine
