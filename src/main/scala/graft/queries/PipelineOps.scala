@@ -357,6 +357,10 @@ object PipelineOps {
         lit(1) + pmod(TextFunctions.portableHash60(
           concat($"c_custkey".cast("string"), lit(":"), $"j".cast("string"))), $"np"))
     val picked = cand
+      // hash collisions inside the oversample range would emit the same
+      // negative twice — keep one candidate per (customer, part), at its
+      // earliest index so pick order stays the hash order
+      .groupBy($"c_custkey", $"p_cand").agg(min($"j").as("j"))
       .join(bought, Seq("c_custkey", "p_cand"), "left_anti")
       .withColumn("rk", row_number().over(
         Window.partitionBy($"c_custkey").orderBy($"j")))
@@ -376,10 +380,12 @@ object PipelineOps {
       |                             CAST(j AS VARCHAR)), 1, 15))::BIGINT % np.np
       |         + np.np) % np.np AS p_cand
       |  FROM customer c, np, generate_series(1, 8) AS t(j)),
+      |dedup AS (
+      |  SELECT c_custkey, p_cand, MIN(j) AS j FROM cand GROUP BY 1, 2),
       |kept AS (
       |  SELECT c.c_custkey, c.j, c.p_cand,
       |    ROW_NUMBER() OVER (PARTITION BY c.c_custkey ORDER BY c.j) AS rk
-      |  FROM cand c ANTI JOIN bought b
+      |  FROM dedup c ANTI JOIN bought b
       |    ON b.c_custkey = c.c_custkey AND b.p_cand = c.p_cand)
       |SELECT c_custkey, rk, p_cand AS p_partkey
       |FROM kept WHERE rk <= 3
