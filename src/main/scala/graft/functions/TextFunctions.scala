@@ -123,19 +123,17 @@ object TextFunctions {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1)
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = (0 until n).map {
-      case 0 => col("tok")
-      case i => lead(col("tok"), i).over(w)
-    }
-    // materialize the window expressions before filtering — a raw
-    // window Column inside WHERE is illegal
-    toks
-      .withColumn("last_tok", parts.last)
-      .withColumn("shingle", concat_ws(" ", parts: _*))
-      .filter(col("last_tok").isNotNull)
-      .select(col(idCol), col("shingle"))
+    // LOCAL array expansion: each document's n-grams come straight from
+    // its own token array (slice per starting position, like the q127
+    // skip-gram expansion) — no posexplode + per-doc lead() window, which
+    // cost a full shuffle of the token stream per call and dominated every
+    // shingle consumer (q29/q30/q31/q49/q65/q125, the benches' heaviest
+    // family). Only complete n-grams survive: start positions stop at
+    // size − (n−1).
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(expr(
+        s"transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)), " +
+          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shingle"))
       .distinct()
   }
 }
