@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.MisraGries.FunctionName),
       graft.functions.expressions.MisraGries.builder))
     ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.CountMin.FunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.CountMin].getName,
+        graft.functions.expressions.CountMin.FunctionName),
+      graft.functions.expressions.CountMin.builder))
+    ext.injectFunction((FunctionIdentifier(
       graft.functions.expressions.BloomFilterExprs.BuildName),
       new ExpressionInfo(classOf[graft.functions.expressions.BloomBuildAgg].getName,
         graft.functions.expressions.BloomFilterExprs.BuildName),

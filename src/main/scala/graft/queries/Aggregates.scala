@@ -331,7 +331,75 @@ object Aggregates {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q133: per-priority monthly revenue OLS trend — grouped linear
+    * regression from sufficient statistics (n, Σx, Σx², Σy, Σxy), the
+    * closed-form slope/intercept an analytics engine computes without ML
+    * libraries. All statistics are EXACT integers (monthly revenue
+    * rounded to whole dollars, month index made small by subtracting the
+    * per-group min month), so the only floating-point steps are the final
+    * scalar expressions — fixed-shape IEEE trees, bit-stable
+    * cross-engine. The relative month index also bounds n·Σxy well below
+    * 2⁶³ at 1000× this data (absolute year·12+month indexes would
+    * overflow ANSI long arithmetic near 1e19).
+    *
+    * Scale: two hash aggregates on the same key family (month roll-up,
+    * then per-group stats); the window min rides the groupBy exchange —
+    * post-aggregation rows are #groups × #months, driver never sees data.
+    */
+  def olsTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = orders(spark, dir)
+      .select($"o_orderpriority".as("prio"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("xm"),
+        $"o_totalprice")
+      .groupBy($"prio", $"xm")
+      .agg(round(sum($"o_totalprice".cast(MoneyDec)), 0).cast("long").as("yd"))
+    val rel = monthly
+      .withColumn("x", ($"xm" - min($"xm").over(Window.partitionBy($"prio"))).cast("long"))
+    val s = rel.groupBy($"prio").agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"),
+      sum($"x" * $"x").as("sxx"),
+      sum($"yd").as("sy"),
+      sum($"x" * $"yd").as("sxy"))
+    val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+    val den = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+    val slope = num / den
+    s.select(
+        $"prio", $"n".as("n_months"),
+        slope.as("slope_dollars"),
+        (($"sy".cast("double") - slope * $"sx".cast("double")) / $"n".cast("double"))
+          .as("intercept_dollars"))
+      .orderBy($"prio")
+  }
+
+  val olsTrendSql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority AS prio,
+      |         year(o_orderdate)*12 + month(o_orderdate) AS xm, o_totalprice
+      |  FROM orders),
+      |monthly AS (
+      |  SELECT prio, xm,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 0) AS BIGINT) AS yd
+      |  FROM m GROUP BY prio, xm),
+      |rel AS (
+      |  SELECT prio, CAST(xm - MIN(xm) OVER (PARTITION BY prio) AS BIGINT) AS x, yd
+      |  FROM monthly),
+      |s AS (
+      |  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(yd) AS BIGINT) AS sy, CAST(SUM(x*yd) AS BIGINT) AS sxy
+      |  FROM rel GROUP BY prio)
+      |SELECT prio, n AS n_months,
+      |  CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE) AS slope_dollars,
+      |  (CAST(sy AS DOUBLE)
+      |   - CAST(n*sxy - sx*sy AS DOUBLE)/CAST(n*sxx - sx*sx AS DOUBLE)*CAST(sx AS DOUBLE))
+      |  / CAST(n AS DOUBLE) AS intercept_dollars
+      |FROM s ORDER BY prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_ols_trend"      -> olsTrend,
     "q17_distinct_pairs"  -> distinctPairs,
     "q18_first_per_group" -> firstPerGroup,
     "q19_minmax_avg"      -> minMaxAvg,
@@ -348,6 +416,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q133_ols_trend"      -> olsTrendSql,
     "q44_rollup"          -> rollupAggSql,
     "q45_sql_api"         -> sqlApiSql,
     "q17_distinct_pairs"  -> distinctPairsSql,

@@ -705,7 +705,57 @@ object TextOps {
       |HAVING SUM(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** q132: Count-Min-sketch frequency estimation over the token stream —
+    * one [[graft.functions.expressions.CountMin]] pass (4×1024 counter
+    * grid, 32 KB of mergeable state; no per-token shuffle) probed at the
+    * exact top-20 tokens. Buckets derive from md5 substrings (8 hex chars
+    * per hash row), so the oracle rebuilds the sketch cell-for-cell in
+    * DuckDB and the estimate — min over the 4 cells a token hashes to —
+    * is integer-exact cross-engine. `est ≥ exact` always (CMS
+    * one-sided error); the exact column is the verification anchor.
+    */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.CountMin.register(spark)
+    val d = 4; val w = 1024
+    def buckets(tok: org.apache.spark.sql.Column) =
+      array((0 until d).map(j =>
+        conv(substring(md5(tok), 1 + 8 * j, 8), 16, 10).cast("long") % w): _*)
+    val toks = documents(spark, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+    val sketch = toks.select(
+      graft.functions.expressions.CountMin.countMin(buckets($"tok"), d, w)
+        .as("sketch"))
+    val probes = toks.groupBy($"tok").agg(count(lit(1)).as("exact"))
+      .orderBy($"exact".desc, $"tok".asc).limit(20)
+    probes.crossJoin(sketch) // 20 × 1 rows
+      .withColumn("bk", buckets($"tok"))
+      .withColumn("est", least((0 until d).map(j =>
+        element_at($"sketch", (lit(j * w) + element_at($"bk", j + 1) + 1).cast("int"))): _*))
+      .select($"tok", $"exact", $"est")
+      .orderBy($"exact".desc, $"tok".asc)
+  }
+
+  val cmsFreqSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+      |cnt AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+      |buck AS (
+      |  SELECT tok, n, j,
+      |         ('0x' || substr(md5(tok), 1 + 8*j, 8))::BIGINT % 1024 AS b
+      |  FROM cnt CROSS JOIN generate_series(0, 3) AS t(j)),
+      |cells AS (SELECT j, b, SUM(n) AS total FROM buck GROUP BY j, b),
+      |probe AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 20)
+      |SELECT p.tok AS tok, CAST(p.n AS BIGINT) AS exact,
+      |       CAST(MIN(c.total) AS BIGINT) AS est
+      |FROM probe p
+      |JOIN buck bk ON bk.tok = p.tok
+      |JOIN cells c ON c.j = bk.j AND c.b = bk.b
+      |GROUP BY p.tok, p.n
+      |ORDER BY exact DESC, p.tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_cms_freq"       -> cmsFreq,
     "q116_feature_hash"   -> featureHash,
     "q26_text_stats"      -> textStats,
     "q27_lang_id"         -> langId,
@@ -750,6 +800,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q132_cms_freq"       -> cmsFreqSql,
     "q116_feature_hash"   -> featureHashSql,
     "q26_text_stats"      -> textStatsSql,
     "q27_lang_id"         -> langIdSql,
