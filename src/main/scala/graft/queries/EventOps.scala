@@ -1075,7 +1075,77 @@ object EventOps {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** q134: linear multi-touch attribution with penny-exact allocation —
+    * each purchase's value (in integer cents) is split across the user's
+    * view/click touches in the trailing 7 days by largest-remainder:
+    * every touch gets ⌊cents/n⌋ and the first `cents mod n` touches in
+    * (ts, event_id) order get one extra cent. Allocation is all-integer
+    * (sums exactly to the purchase, no float drift), which is what makes
+    * a revenue-attribution report reconcile against the ledger — and
+    * makes the per-(channel, day) totals hash-stable cross-engine.
+    *
+    * Scale: the touches join shuffles both sides on user_id once; both
+    * per-purchase windows declare (user_id, p_id) partitioning, which
+    * HashPartitioning(user_id) already satisfies (p_id groups are
+    * user-local), so no second exchange. Negative/null purchase values
+    * are excluded up front — integer DIV/mod semantics diverge between
+    * engines below zero.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, dir).withColumn("us", expr("unix_micros(ts)"))
+    val p = e.filter($"event_type" === "purchase" && $"value".isNotNull)
+      .select($"event_id".as("p_id"), $"user_id", $"us".as("p_us"),
+        to_date($"ts").as("day"), round($"value" * 100).cast("long").as("cents"))
+      .filter($"cents" >= 0)
+    val t = e.filter($"event_type".isin("view", "click"))
+      .select($"user_id", $"event_id".as("t_id"), $"event_type".as("channel"),
+        $"us".as("t_us"))
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val j = p.join(t, Seq("user_id"))
+      .filter($"t_us" < $"p_us" && $"t_us" >= $"p_us" - weekUs)
+    val wP = Window.partitionBy($"user_id", $"p_id")
+    val r = j
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("rk", row_number().over(wP.orderBy($"t_us", $"t_id")))
+      .withColumn("attr_cents",
+        expr("cents DIV n") + when($"rk" <= pmod($"cents", $"n"), 1L).otherwise(0L))
+    r.groupBy($"channel", $"day")
+      .agg(count(lit(1)).as("n_touches"), sum($"attr_cents").as("sum_cents"))
+      .select($"channel", $"day", $"n_touches",
+        ($"sum_cents".cast("double") / 100.0).as("attributed_dollars"))
+      .orderBy($"channel", $"day")
+  }
+
+  val linearAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, event_type, value, epoch_us(ts) AS us
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id AS p_id, user_id, us AS p_us, CAST(ts AS DATE) AS day,
+      |         CAST(ROUND(value*100, 0) AS BIGINT) AS cents
+      |  FROM e
+      |  WHERE event_type = 'purchase' AND value IS NOT NULL
+      |    AND ROUND(value*100, 0) >= 0),
+      |t AS (
+      |  SELECT user_id, event_id AS t_id, event_type AS channel, us AS t_us
+      |  FROM e WHERE event_type IN ('view','click')),
+      |j AS (
+      |  SELECT p.p_id, p.day, p.cents, t.t_id, t.channel, t.t_us
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+      |r AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY p_id) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rk
+      |  FROM j)
+      |SELECT channel, day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(cents // n + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / 100.0 AS attributed_dollars
+      |FROM r GROUP BY channel, day
+      |ORDER BY channel, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_attribution" -> linearAttribution,
     "q130_pit_features" -> pitFeatures,
     "q128_event_trigrams" -> eventTrigrams,
     "q117_mad_anomaly"   -> madAnomaly,
@@ -1100,6 +1170,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_attribution" -> linearAttributionSql,
     "q130_pit_features" -> pitFeaturesSql,
     "q128_event_trigrams" -> eventTrigramsSql,
     "q117_mad_anomaly"   -> madAnomalySql,

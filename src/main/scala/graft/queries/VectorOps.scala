@@ -579,7 +579,94 @@ object VectorOps {
       |ORDER BY rrf_score DESC, doc_id
       |LIMIT 10""".stripMargin
 
+  /** q135: product-quantization ANN ([[graft.operators.PqIndex]]) — 4
+    * subspaces × 16 dims, 16 codewords each (64-dim floats compressed to
+    * 4 code bytes), one Lloyd step, ADC shortlist-50 + exact re-rank
+    * top-5 for the q34 query set (the FAISS IVFPQ+refine shape). The
+    * oracle rebuilds the ENTIRE pipeline in DuckDB: seed slices, argmin
+    * assignment, float-rounded Lloyd means, re-assignment, the query
+    * distance table, the fixed-order ((d0+d1)+d2)+d3 ADC sum, and the
+    * exact refinement join —
+    * distances are bit-identical cross-engine (double accumulation over
+    * promoted floats), and like q42 the graded columns are ids and ranks
+    * only. PqIndexSpec grades recall@5 against the exact baseline.
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    graft.operators.PqIndex.adcTopK(emb, emb.filter($"vec_id" % 50 === 0),
+        "vec_id", "embedding", m = 4, dsub = 16, k = 16, topk = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  private def pqD2(a: String, b: String): String =
+    s"(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+      s" - 2*list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])))" +
+      s" + list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  val pqAnnSql: String =
+    s"""WITH sub AS (
+       |  SELECT vec_id, g.m AS m,
+       |         list_slice(embedding, 1 + 16*g.m, 16*(g.m+1)) AS sv
+       |  FROM embeddings CROSS JOIN generate_series(0, 3) AS g(m)),
+       |seeds AS (
+       |  SELECT m, CAST(ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) AS INTEGER) - 1 AS code_id,
+       |         sv AS centroid
+       |  FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |a0 AS (
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT s.vec_id, s.m, c.code_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+       |        ORDER BY ${pqD2("s.sv", "c.centroid")} ASC, c.code_id) AS rn
+       |    FROM sub s JOIN seeds c ON c.m = s.m) t WHERE rn = 1),
+       |cm AS (
+       |  SELECT m, code_id, dim, AVG(x) AS mu FROM (
+       |    SELECT a0.m, a0.code_id,
+       |      unnest(range(1, len(s.sv)+1)) AS dim,
+       |      unnest(CAST(s.sv AS DOUBLE[])) AS x
+       |    FROM sub s JOIN a0 ON a0.vec_id = s.vec_id AND a0.m = s.m) t
+       |  GROUP BY m, code_id, dim),
+       |c1 AS (
+       |  SELECT m, code_id, CAST(list(mu ORDER BY dim) AS REAL[]) AS centroid
+       |  FROM cm GROUP BY m, code_id),
+       |codes AS (
+       |  SELECT vec_id AS nbr_id, m, code_id FROM (
+       |    SELECT s.vec_id, s.m, c.code_id,
+       |      ROW_NUMBER() OVER (PARTITION BY s.m, s.vec_id
+       |        ORDER BY ${pqD2("s.sv", "c.centroid")} ASC, c.code_id) AS rn
+       |    FROM sub s JOIN c1 c ON c.m = s.m) t WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+       |dtab AS (
+       |  SELECT q.query_id, c.m, c.code_id, ${pqD2("q.sv", "c.centroid")} AS d
+       |  FROM qs q JOIN c1 c ON c.m = q.m),
+       |sc AS (
+       |  SELECT d.query_id, k.nbr_id,
+       |    MAX(CASE WHEN d.m = 0 THEN d.d END) AS d0,
+       |    MAX(CASE WHEN d.m = 1 THEN d.d END) AS d1,
+       |    MAX(CASE WHEN d.m = 2 THEN d.d END) AS d2,
+       |    MAX(CASE WHEN d.m = 3 THEN d.d END) AS d3
+       |  FROM codes k JOIN dtab d ON d.m = k.m AND d.code_id = k.code_id
+       |  WHERE k.nbr_id <> d.query_id
+       |  GROUP BY d.query_id, k.nbr_id),
+       |short AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ((d0 + d1) + d2) + d3 ASC, nbr_id) AS rn
+       |    FROM sc) t WHERE rn <= 50),
+       |r AS (
+       |  SELECT s.query_id, s.nbr_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ${pqD2("q.embedding", "n.embedding")} ASC, s.nbr_id) AS rk
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings n ON n.vec_id = s.nbr_id)
+       |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_pq_ann"     -> pqAnn,
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
     "q35_cosine_lsh"  -> cosineLsh,
@@ -593,6 +680,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_pq_ann"     -> pqAnnSql,
     "q33_vec_stats"   -> vecStatsSql,
     "q34_cosine_topk" -> cosineTopKSql,
     "q35_cosine_lsh"  -> cosineLshSql,
