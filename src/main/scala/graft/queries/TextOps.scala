@@ -754,7 +754,27 @@ object TextOps {
       |GROUP BY p.tok, p.n
       |ORDER BY exact DESC, p.tok""".stripMargin
 
+  /** q136: BPE tokenizer induction ([[graft.operators.Bpe]]) — learn the
+    * first 6 byte-pair merges from the corpus word-frequency table. The
+    * corpus is touched ONCE (the vocab aggregate); each merge iteration
+    * runs on vocabulary-sized data, which is what makes tokenizer
+    * training tractable at 100 TB. The oracle unrolls all 6 iterations
+    * in DuckDB (pair counts → lexicographic-tie argmax → island-parity
+    * merge, proven equivalent to the Spark left fold in BpeSpec).
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = documents(spark, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    graft.operators.Bpe.learn(vocab, k = 6).orderBy($"rank")
+  }
+
+  val bpeMergesSql: String = graft.operators.Bpe.oracleSql(6)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_bpe_merges"     -> bpeMerges,
     "q132_cms_freq"       -> cmsFreq,
     "q116_feature_hash"   -> featureHash,
     "q26_text_stats"      -> textStats,
@@ -800,6 +820,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q136_bpe_merges"     -> bpeMergesSql,
     "q132_cms_freq"       -> cmsFreqSql,
     "q116_feature_hash"   -> featureHashSql,
     "q26_text_stats"      -> textStatsSql,
