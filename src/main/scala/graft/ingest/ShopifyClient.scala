@@ -177,6 +177,25 @@ final class ShopifyClient(
     loop(None, Vector.empty)
   }
 
+  /** Resource count via the REST count endpoint (`<resource>/count.json`):
+    * one request returns `{"count": N}` for the whole `created_at` window —
+    * the transfer-free answer to `SELECT count(*)` that the DSv2 scan's
+    * aggregate pushdown targets. Same bound semantics as [[fetchPage]].
+    */
+  def fetchCount(endpoint: String,
+                 createdAtMin: Option[String] = None,
+                 createdAtMax: Option[String] = None,
+                 filterOnStatus: Boolean = true): Long = {
+    val params: Map[String, String] =
+      (if (filterOnStatus) Map("status" -> "any") else Map.empty[String, String]) ++
+        createdAtMin.map("created_at_min" -> _) ++
+        createdAtMax.map("created_at_max" -> _)
+    val body = getWithRetry(s"$baseUrl$endpoint", params).body
+    """"count"\s*:\s*(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      .getOrElse(throw new RuntimeException(
+        s"count endpoint returned no count: ${body.take(200)}"))
+  }
+
   /** `fetch_single` (`shopify.py:166-203`): per-order sub-resource. */
   def fetchOrderResource(orderId: Long, resource: String, fields: Seq[String]): String =
     getWithRetry(s"$baseUrl" + s"orders/$orderId/$resource.json",

@@ -31,6 +31,10 @@ import graft.ingest.{Normalize, ShopifyClient}
   *     request parameters. Pushed filters stay residual (Spark re-applies
   *     them), so boundary semantics of the API can never produce wrong
   *     results — pushdown is a transfer-volume optimization.
+  *   - **Aggregate pushdown**: `SupportsPushDownAggregates` maps a bare
+  *     `COUNT(*)` onto the REST `<resource>/count.json` endpoint — the
+  *     row-transfer-free count the API offers natively; grouped or
+  *     non-count aggregates are declined and planned normally.
   *   - **Parallel scan**: with a bounded `created_at` window the scan
   *     splits into `splits` disjoint time windows, one cursor-paged
   *     `InputPartition` each — the Spark-shaped answer to the API being
@@ -83,6 +87,30 @@ object ShopifySource {
     */
   private[sources] def normalizeOpts(m: java.util.Map[String, String]): Map[String, String] =
     m.asScala.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }.toMap
+
+  /** Window planning shared by the row scan and the count scan: with a
+    * bounded `created_at` window and `splits` > 1, split into disjoint
+    * whole-second windows (see [[ShopifyScan.planInputPartitions]] notes).
+    */
+  private[sources] def planWindows(opts: Map[String, String],
+                                   minBound: Option[String],
+                                   maxBound: Option[String]): Array[InputPartition] = {
+    val splits = opts.getOrElse("splits", "1").toInt
+    val lo = minBound.map(parseInstant(_, endOfDay = false))
+    val hi = maxBound.map(parseInstant(_, endOfDay = true))
+    (lo, hi) match {
+      case (Some(l), Some(h)) if splits > 1 =>
+        val totalSec = math.max(h.getEpochSecond - l.getEpochSecond, 0L)
+        val step = math.max(totalSec / splits, 1L)
+        (0 until splits).map { i =>
+          val wLo = l.plusSeconds(i * step)
+          val wHi = if (i == splits - 1) h else l.plusSeconds((i + 1) * step - 1)
+          ShopifyWindow(Some(wLo.toString), Some(wHi.toString)): InputPartition
+        }.toArray
+      case _ =>
+        Array(ShopifyWindow(lo.map(_.toString), hi.map(_.toString)))
+    }
+  }
 }
 
 class ShopifySource extends TableProvider with DataSourceRegister {
@@ -112,7 +140,8 @@ final class ShopifyTable(tableSchema: StructType, properties: Map[String, String
 }
 
 final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var minBound: Option[String] = opts.get("created_at_min")
@@ -159,7 +188,27 @@ final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String]
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new ShopifyScan(required, opts, minBound, maxBound)
+  /** COUNT(*) pushdown: a bare global `count(*)` maps onto the REST
+    * `<resource>/count.json` endpoint — zero row transfer instead of
+    * paging the full window. Partial pushdown (the default
+    * `supportCompletePushDown = false`): each time-window partition
+    * emits ONE count row and Spark sums them, so `splits` parallelism
+    * carries over to counting. Grouped or non-count aggregates are
+    * declined and planned normally.
+    */
+  private var countPushed = false
+  override def pushAggregation(aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+
+  override def build(): Scan =
+    if (countPushed) new ShopifyCountScan(opts, minBound, maxBound)
+    else new ShopifyScan(required, opts, minBound, maxBound)
 }
 
 final case class ShopifyWindow(min: Option[String], max: Option[String])
@@ -177,31 +226,16 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
       s"created_at_min=$minBound, created_at_max=$maxBound)"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val splits = opts.getOrElse("splits", "1").toInt
-    // normalize BOTH paths through parseInstant so a date-only
-    // created_at_max means end-of-day regardless of the splits setting
-    val lo = minBound.map(ShopifySource.parseInstant(_, endOfDay = false))
-    val hi = maxBound.map(ShopifySource.parseInstant(_, endOfDay = true))
-    (lo, hi) match {
-      case (Some(l), Some(h)) if splits > 1 =>
-        // whole-second window boundaries: the API compares created_at at
-        // second granularity, so a 1ms gap between adjacent inclusive
-        // windows would let a boundary-second record satisfy both (residual
-        // filters re-apply the ORIGINAL predicate — they cannot dedup).
-        // wHi = next window start minus 1 SECOND keeps the truncated
-        // seconds of adjacent windows disjoint.
-        val totalSec = math.max(h.getEpochSecond - l.getEpochSecond, 0L)
-        val step = math.max(totalSec / splits, 1L)
-        (0 until splits).map { i =>
-          val wLo = l.plusSeconds(i * step)
-          val wHi = if (i == splits - 1) h else l.plusSeconds((i + 1) * step - 1)
-          ShopifyWindow(Some(wLo.toString), Some(wHi.toString)): InputPartition
-        }.toArray
-      case _ =>
-        Array(ShopifyWindow(lo.map(_.toString), hi.map(_.toString)))
-    }
-  }
+  // normalize BOTH paths through parseInstant so a date-only
+  // created_at_max means end-of-day regardless of the splits setting.
+  // Whole-second window boundaries: the API compares created_at at
+  // second granularity, so a 1ms gap between adjacent inclusive
+  // windows would let a boundary-second record satisfy both (residual
+  // filters re-apply the ORIGINAL predicate — they cannot dedup).
+  // wHi = next window start minus 1 SECOND keeps the truncated
+  // seconds of adjacent windows disjoint.
+  override def planInputPartitions(): Array[InputPartition] =
+    ShopifySource.planWindows(opts, minBound, maxBound)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShopifyReaderFactory(required, opts)
@@ -286,6 +320,63 @@ final class ShopifyMicroBatchStream(required: StructType, opts: Map[String, Stri
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** COUNT(*) scan: one `count.json` request per time-window partition,
+  * one count row out. The partial-aggregate schema is a single non-null
+  * BIGINT that Spark's final aggregation sums.
+  */
+final class ShopifyCountScan(opts: Map[String, String],
+                             minBound: Option[String], maxBound: Option[String])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ShopifyCountScan(resource=${opts.getOrElse("resource", "?")}, " +
+      s"PushedAggregation=[COUNT(*)], created_at_min=$minBound, created_at_max=$maxBound)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ShopifySource.planWindows(opts, minBound, maxBound)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShopifyCountReaderFactory(opts)
+}
+
+final class ShopifyCountReaderFactory(opts: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShopifyCountReader(opts, partition.asInstanceOf[ShopifyWindow])
+}
+
+/** Emits exactly one row: the window's `count.json` result. */
+final class ShopifyCountReader(opts: Map[String, String], window: ShopifyWindow)
+    extends PartitionReader[InternalRow] {
+
+  private val resource = opts.getOrElse("resource", "orders")
+  private var emitted = false
+  private var current: InternalRow = _
+
+  @transient private lazy val client = new ShopifyClient(
+    ShopifySource.transportFor(opts),
+    opts.getOrElse("baseurl", ""),
+    maxRequestsPerSec = opts.getOrElse("maxrequestspersec", "0").toDouble)
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val n = client.fetchCount(s"$resource/count.json",
+      createdAtMin = window.min, createdAtMax = window.max,
+      filterOnStatus = resource == "orders")
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n))
+    emitted = true
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 final class ShopifyReaderFactory(required: StructType, opts: Map[String, String])

@@ -53,6 +53,18 @@ class ShopifySourceSpec extends SparkSuite {
 
     def get(url: String, params: Map[String, String]): ShopifyClient.HttpResponse = {
       requests.add((url, params))
+      // count endpoint: window-filtered count over the orders fixture,
+      // like the real API's <resource>/count.json
+      if (url.endsWith("customers/count.json"))
+        return ShopifyClient.HttpResponse(200, "OK", Map.empty,
+          """{"count":2}""") // the 2-page customers fixture holds 2 rows
+      if (url.endsWith("orders/count.json")) {
+        val n = orderDates.count { case (_, ts) =>
+          params.get("created_at_min").forall(_ <= ts) &&
+            params.get("created_at_max").forall(ts <= _)
+        }
+        return ShopifyClient.HttpResponse(200, "OK", Map.empty, s"""{"count":$n}""")
+      }
       val resp = inner.get(url, params)
       if (url.endsWith("orders.json") && resp.status == 200) {
         val keep = orderDates.filter { case (_, ts) =>
@@ -143,6 +155,39 @@ class ShopifySourceSpec extends SparkSuite {
     val secondLo = java.time.Instant.parse(sorted(1)._1.get)
     assert(secondLo.minusSeconds(1) == firstHi,
       s"window boundary not second-aligned: $firstHi vs $secondLo")
+  }
+
+  test("count(*) pushes down to the count endpoint — no row transfer") {
+    val t = register("t-count")
+    assert(read("t-count").load().count() == 3L)
+    val urls = t.requests.asScala.toSeq.map(_._1)
+    assert(urls.exists(_.endsWith("orders/count.json")),
+      s"expected a count.json request, got: $urls")
+    assert(!urls.exists(_.endsWith("orders.json")),
+      s"count(*) must not page rows, got: $urls")
+  }
+
+  test("count(*) respects the pushed created_at window and split parallelism") {
+    val t = register("t-count-win")
+    val df = read("t-count-win")
+      .option("created_at_min", "2021-05-03")
+      .option("created_at_max", "2021-05-05")
+      .option("splits", "2").load()
+    assert(df.count() == 2L) // orders on 05-03 and 05-04
+    val countReqs = t.requests.asScala.toSeq.filter(_._1.endsWith("orders/count.json"))
+    assert(countReqs.size == 2, s"expected one count request per window: $countReqs")
+    assert(countReqs.forall(_._2.contains("created_at_min")))
+    assert(!t.requests.asScala.exists(_._1.endsWith("orders.json")))
+  }
+
+  test("grouped aggregates decline pushdown and still answer correctly") {
+    val t = register("t-count-group")
+    val grouped = read("t-count-group").load()
+      .groupBy($"financial_status").count()
+      .as[(String, Long)].collect().toMap
+    assert(grouped.values.sum == 3L)
+    // the group-by needs real rows: the scan must have paged orders.json
+    assert(t.requests.asScala.exists(_._1.endsWith("orders.json")))
   }
 
   test("streaming honors a configured created_at_max (rows past it never leak)") {
