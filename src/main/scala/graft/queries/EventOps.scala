@@ -1144,7 +1144,78 @@ object EventOps {
       |FROM r GROUP BY channel, day
       |ORDER BY channel, day""".stripMargin
 
+  /** q137: two-proportion A/B test per user segment — deterministic
+    * variant assignment (user_id parity), segments from the next id bits,
+    * conversion = heavy buyer (≥ 14 purchase events, the corpus median),
+    * and the pooled two-proportion z statistic per segment. Every input
+    * to the statistic is an exact integer count; the z/rate columns are
+    * single fixed-shape IEEE expression trees over those counts, so the
+    * doubles compare bit-exact cross-engine. Degenerate segments (no
+    * conversions, all conversions, or a missing variant) are excluded —
+    * their z is undefined and double-division-by-zero semantics diverge
+    * between engines. (First-seen-day cohorts are degenerate on this
+    * corpus: every user purchases, so the day × any-purchase cut filters
+    * to zero rows — the segment × median-threshold design keeps the
+    * statistic observable.)
+    *
+    * Scale: two hash aggregates (per-user fold, then per-segment stats);
+    * post-aggregation rows = segments.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = events(spark, dir).groupBy($"user_id").agg(
+      sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("npurch"))
+    val g = users
+      .withColumn("conv", when($"npurch" >= 14, 1L).otherwise(0L))
+      .withColumn("variant", $"user_id" % 2)
+      .withColumn("seg", expr("user_id DIV 2") % 10)
+      .groupBy($"seg").agg(
+        sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"variant" === 0, $"conv").otherwise(0L)).as("c_a"),
+        sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"variant" === 1, $"conv").otherwise(0L)).as("c_b"))
+      .filter($"n_a" > 0 && $"n_b" > 0 &&
+        ($"c_a" + $"c_b") > 0 && ($"c_a" + $"c_b") < ($"n_a" + $"n_b"))
+    val pa = $"c_a".cast("double") / $"n_a".cast("double")
+    val pb = $"c_b".cast("double") / $"n_b".cast("double")
+    g.withColumn("pool", ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
+      .select($"seg", $"n_a", $"c_a", $"n_b", $"c_b",
+        (pa - pb).as("rate_diff"),
+        ((pa - pb) / sqrt($"pool" * (lit(1.0) - $"pool") *
+          (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double")))).as("z"))
+      .orderBy($"seg")
+  }
+
+  val abTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS npurch
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id, (user_id // 2) % 10 AS seg,
+      |         CASE WHEN npurch >= 14 THEN 1 ELSE 0 END AS conv
+      |  FROM u),
+      |g AS (
+      |  SELECT seg,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM v GROUP BY seg),
+      |f AS (
+      |  SELECT *, CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pool
+      |  FROM g
+      |  WHERE n_a > 0 AND n_b > 0 AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b)
+      |SELECT seg, n_a, c_a, n_b, c_b,
+      |  CAST(c_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE)/CAST(n_b AS DOUBLE)
+      |    AS rate_diff,
+      |  (CAST(c_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE)/CAST(n_b AS DOUBLE))
+      |    / sqrt(pool * (1.0 - pool)
+      |           * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS z
+      |FROM f ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_ab_test" -> abTest,
     "q134_attribution" -> linearAttribution,
     "q130_pit_features" -> pitFeatures,
     "q128_event_trigrams" -> eventTrigrams,
@@ -1170,6 +1241,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q137_ab_test" -> abTestSql,
     "q134_attribution" -> linearAttributionSql,
     "q130_pit_features" -> pitFeaturesSql,
     "q128_event_trigrams" -> eventTrigramsSql,

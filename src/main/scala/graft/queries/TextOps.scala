@@ -773,7 +773,71 @@ object TextOps {
 
   val bpeMergesSql: String = graft.operators.Bpe.oracleSql(6)
 
+  /** q138: maximal repeated token spans across documents — the exact
+    * substring-level dedup primitive (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022, §4.1 ExactSubstr):
+    * every maximal run of ≥ 8 consecutive shared tokens between two
+    * documents, located by (start1, start2, length). Mechanics: 8-gram
+    * fingerprints with positions, equi-join across documents, then
+    * diagonal runs (i2 − i1 constant, consecutive i1) merged by
+    * gaps-and-islands — a matching-run of c consecutive 8-grams is a
+    * shared span of c+7 tokens, maximal by construction because the run
+    * breaks exactly where the grams stop matching.
+    *
+    * Scale: the only corpus-sized shuffle is the gram equi-join (grams
+    * are md5 fingerprints, not token arrays); islands group within
+    * (d1, d2, diagonal) — bounded per document pair. The q65 passage
+    * dedup is the bucketed approximation; this is its exact counterpart,
+    * like q125 is to q30.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextFunctions.tokens($"text")
+    val grams = documents(spark, dir)
+      .select($"doc_id", explode(
+        when(size(toks) >= 8,
+          transform(sequence(lit(1), size(toks) - 7), i =>
+            struct(i.as("i"), md5(concat_ws(" ", slice(toks, i, lit(8)))).as("g"))))
+          .otherwise(typedLit(Seq.empty[(Int, String)])
+            .cast("array<struct<i:int,g:string>>"))).as("s"))
+      .select($"doc_id", $"s.i".as("i"), $"s.g".as("g"))
+    val p = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.i").as("i1"), col("b.i").as("i2"))
+    val w = Window.partitionBy($"d1", $"d2", $"diag").orderBy($"i1")
+    p.withColumn("diag", $"i2" - $"i1")
+      .withColumn("run", $"i1" - row_number().over(w))
+      .groupBy($"d1", $"d2", $"diag", $"run")
+      .agg(min($"i1").as("start1"), min($"i2").as("start2"),
+        (count(lit(1)) + 7).as("span_len"))
+      .select($"d1", $"d2", $"start1", $"start2", $"span_len")
+      .orderBy($"d1", $"d2", $"start1", $"start2")
+  }
+
+  val repeatedSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t.i,
+      |         md5(array_to_string(list_slice(ts, t.i, t.i + 7), ' ')) AS g
+      |  FROM toks CROSS JOIN unnest(range(1, len(ts) - 6)) AS t(i)
+      |  WHERE len(ts) >= 8),
+      |p AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.i AS i1, b.i AS i2
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT d1, d2, i1, i2, i2 - i1 AS diag,
+      |    i1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, i2 - i1 ORDER BY i1) AS run
+      |  FROM p)
+      |SELECT d1, d2, CAST(MIN(i1) AS INTEGER) AS start1,
+      |       CAST(MIN(i2) AS INTEGER) AS start2,
+      |       CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+      |FROM r GROUP BY d1, d2, diag, run
+      |ORDER BY d1, d2, start1, start2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_repeated_spans" -> repeatedSpans,
     "q136_bpe_merges"     -> bpeMerges,
     "q132_cms_freq"       -> cmsFreq,
     "q116_feature_hash"   -> featureHash,
@@ -820,6 +884,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_repeated_spans" -> repeatedSpansSql,
     "q136_bpe_merges"     -> bpeMergesSql,
     "q132_cms_freq"       -> cmsFreqSql,
     "q116_feature_hash"   -> featureHashSql,
