@@ -104,14 +104,39 @@ object Bpe {
     out.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Apply an ordered merge list to a vocabulary — BPE ENCODING with a
+    * learned tokenizer: chain one [[applyMerge]] fold per merge, in rank
+    * order (the order is semantic: later merges consume earlier merges'
+    * output symbols). Returns (word, freq, syms).
+    */
+  def encode(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(
+      vocab.select(col("word"), col("freq"), chars(col("word")).as("syms"))) {
+      // checkpoint per merge: chaining the folds as ONE nested expression
+      // makes codegen size (and analysis time) grow multiplicatively with
+      // the merge count — the same reason learn() checkpoints per
+      // iteration. Vocab-sized data, so each materialization is cheap.
+      case (df, (l, r)) =>
+        df.withColumn("syms", applyMerge(col("syms"), l, r))
+          .localCheckpoint(eager = true)
+    }
+
   /** The q136 oracle: `k` unrolled iterations of the same pipeline in
     * DuckDB SQL (pair counts → argmax → island-parity merge), reading the
     * vocabulary from `documents`.
     */
   def oracleSql(k: Int): String = {
-    def iter(j: Int): String = {
-      val prev = s"w${j - 1}"
-      s"""p$j AS MATERIALIZED (
+    val unions = (1 to k).map(j =>
+      s"SELECT $j AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count FROM b$j")
+      .mkString("\nUNION ALL ")
+    s"""${prefixCtes(k)}
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
+  private def iterCte(j: Int): String = {
+    val prev = s"w${j - 1}"
+    s"""p$j AS MATERIALIZED (
          |  SELECT s.l, s.r, SUM(s.freq) AS c FROM (
          |    SELECT w.freq, w.syms[t.i] AS l, w.syms[t.i+1] AS r
          |    FROM $prev w CROSS JOIN unnest(range(1, len(w.syms))) AS t(i)) s
@@ -138,17 +163,27 @@ object Bpe {
          |    LEFT JOIN keep$j kp ON kp.word = w.word AND kp.i = t.i - 1) s
          |  WHERE s.consumed IS NULL
          |  GROUP BY s.word, s.freq)""".stripMargin
-    }
-    val unions = (1 to k).map(j =>
-      s"SELECT $j AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count FROM b$j")
-      .mkString("\nUNION ALL ")
+  }
+
+  /** Shared CTE prefix: vocab, w0, and `k` unrolled iterations — used by
+    * both the q136 merge-table oracle and the q141 encode oracle so the
+    * two cannot drift.
+    */
+  private def prefixCtes(k: Int): String =
     s"""WITH vocab AS (
        |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split(text,' ')) AS tok FROM documents) t
        |  WHERE tok <> '' GROUP BY tok),
        |w0 AS MATERIALIZED (SELECT word, freq, string_split(word,'') AS syms FROM vocab),
-       |${(1 to k).map(iter).mkString(",\n")}
-       |$unions
-       |ORDER BY rank""".stripMargin
-  }
+       |${(1 to k).map(iterCte).mkString(",\n")}""".stripMargin
+
+  /** The q141 oracle: the same `k` iterations, then the frequency-weighted
+    * symbol table of the ENCODED vocabulary (top `top` symbols).
+    */
+  def encodeOracleSql(k: Int, top: Int): String =
+    s"""${prefixCtes(k)}
+       |SELECT s.sym, CAST(SUM(w.freq) AS BIGINT) AS n
+       |FROM w$k w CROSS JOIN unnest(w.syms) AS s(sym)
+       |GROUP BY s.sym
+       |ORDER BY n DESC, s.sym LIMIT $top""".stripMargin
 }

@@ -1214,7 +1214,66 @@ object EventOps {
       |           * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS z
       |FROM f ORDER BY seg""".stripMargin
 
+  /** q140: time-weighted average (TWAP) per user — each observation is
+    * weighted by how long it was the latest value (lead-ts delta in
+    * millis), the metric finance/monitoring systems use where plain AVG
+    * over-weights bursts. Determinism via the MoneyDec discipline:
+    * value×dt happens row-level in IEEE double (bit-identical both
+    * engines), sums are exact decimals, and the final twap is one
+    * division; the decimal→double render routes through DECIMAL(18,2)
+    * (the 38-digit int128 path differs in the last ulp cross-engine).
+    * The last observation per user has no interval and is excluded —
+    * TWAP is defined over the observed span.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    events(spark, dir)
+      .filter($"value".isNotNull)
+      // millisecond resolution: micro-resolution weights push the
+      // 2-decimal numerator's unscaled integer past 2^53, where DuckDB's
+      // decimal→double render (unscaled/100.0) double-rounds and drifts
+      // an ulp from the correctly-rounded value
+      .withColumn("ms", expr("unix_micros(ts) DIV 1000"))
+      .withColumn("dt", lead($"ms", 1).over(w) - $"ms")
+      .filter($"dt".isNotNull)
+      // value→decimal FIRST, then an exact decimal×integer product:
+      // casting the value*dt DOUBLE product to decimal is engine-divergent
+      // in the 6th decimal (Spark rounds the shortest string repr, DuckDB
+      // the binary expansion), and 1e-6 row noise flips cents after
+      // round(2). DECIMAL(18,6) × DECIMAL(18,0) stays within precision 37
+      // — exact in both engines.
+      .withColumn("vdt", $"value".cast("decimal(18,6)") * $"dt".cast("decimal(18,0)"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"dt").as("total_dt_ms"),
+        round(sum($"vdt"), 2).cast("decimal(18,2)").as("num"))
+      .select($"user_id", $"n_intervals", $"total_dt_ms",
+        ($"num".cast("double") / $"total_dt_ms".cast("double")).as("twap"))
+      .orderBy($"user_id")
+  }
+
+  val twapSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) // 1000 AS ms
+      |  FROM events WHERE value IS NOT NULL),
+      |d AS (
+      |  SELECT user_id, value,
+      |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dt
+      |  FROM e),
+      |f AS (SELECT * FROM d WHERE dt IS NOT NULL),
+      |g AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |    CAST(SUM(dt) AS BIGINT) AS total_dt_ms,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(24,6)) * CAST(dt AS DECIMAL(14,0))), 2)
+      |         AS DECIMAL(18,2)) AS num
+      |  FROM f GROUP BY user_id)
+      |SELECT user_id, n_intervals, total_dt_ms,
+      |  CAST(num AS DOUBLE) / CAST(total_dt_ms AS DOUBLE) AS twap
+      |FROM g ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_twap" -> twap,
     "q137_ab_test" -> abTest,
     "q134_attribution" -> linearAttribution,
     "q130_pit_features" -> pitFeatures,
@@ -1241,6 +1300,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_twap" -> twapSql,
     "q137_ab_test" -> abTestSql,
     "q134_attribution" -> linearAttributionSql,
     "q130_pit_features" -> pitFeaturesSql,

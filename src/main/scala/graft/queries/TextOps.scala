@@ -836,7 +836,87 @@ object TextOps {
       |FROM r GROUP BY d1, d2, diag, run
       |ORDER BY d1, d2, start1, start2""".stripMargin
 
+  /** q139: weighted (multiset) Jaccard near-dup pairs — term-frequency-
+    * aware dedup: J_w(A,B) = Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t),
+    * c_B(t)), which penalizes repeated-token padding that set-Jaccard
+    * (q29) is blind to. All-integer: Σmax = |A| + |B| − Σmin, the
+    * threshold (4/5 — this corpus shows a clean gap: planted near-dups
+    * at ≥ 0.92, the common-word noise floor under 0.75) compares
+    * cross-multiplied, and the reported jaccard is a single IEEE
+    * division. Computed sub-quadratically via the occurrence-index
+    * expansion + AllPairs prefix join (inline note); the brute-force
+    * multiset join is the DuckDB oracle, not the execution plan.
+    */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Multiset Jaccard reduces EXACTLY to set Jaccard over
+    // occurrence-indexed elements: expand each (tok, count c) into
+    // elements tok#1 … tok#c — then |A∩B| over elements = Σ min(c_A, c_B)
+    // and |A∪B| = Σ max. That turns the naive shared-token self-join
+    // (~448M rows at sf0.1: every document shares the frequent tokens)
+    // into the sub-quadratic AllPairs prefix join, whose prefixes are the
+    // RARE elements: a frequent token's high occurrence indexes stay
+    // frequent and never generate candidates. Same lossless filter proof
+    // as q125 — the brute-force multiset oracle grades it verbatim.
+    val tc = documents(spark, dir)
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val els = tc.select($"doc_id",
+      explode(transform(sequence(lit(1L), $"c"), k =>
+        concat($"tok", lit("#"), k))).as("el"))
+    PrefixJoin.jaccardSelfJoin(els, "doc_id", "el", p = 4, q = 5)
+      .select($"d1", $"d2", $"inter".as("smin"), $"n1".as("t1"), $"n2".as("t2"),
+        $"jaccard".as("wjaccard"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val weightedJaccardSql: String =
+    """WITH tc AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t
+      |  GROUP BY doc_id, tok),
+      |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+      |  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT d1, d2, smin, t1.t AS t1, t2.t AS t2,
+      |       CAST(smin AS DOUBLE) / (t1.t + t2.t - smin) AS wjaccard
+      |FROM inter
+      |JOIN tot t1 ON t1.doc_id = d1
+      |JOIN tot t2 ON t2.doc_id = d2
+      |WHERE 5 * smin >= 4 * (t1.t + t2.t - smin)
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q141: BPE encoding with the learned tokenizer — learn the q136
+    * merges, apply them in rank order (one [[graft.operators.Bpe
+    * .applyMerge]] fold per merge; order is semantic, later merges
+    * consume earlier output symbols), and emit the frequency-weighted
+    * top-30 symbol table of the encoded vocabulary. Train→apply closes
+    * the tokenizer loop; the oracle shares the q136 iteration CTEs
+    * verbatim and reads the final `w6` state, so a drift in EITHER the
+    * learned merges or the application semantics hash-mismatches.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = documents(spark, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val merges = graft.operators.Bpe.learn(vocab, 6).orderBy($"rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encode(vocab, merges)
+      .select(explode($"syms").as("sym"), $"freq")
+      .groupBy($"sym").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"sym".asc).limit(30)
+  }
+
+  val bpeEncodeSql: String = graft.operators.Bpe.encodeOracleSql(6, 30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_bpe_encode"     -> bpeEncode,
+    "q139_weighted_jaccard" -> weightedJaccard,
     "q138_repeated_spans" -> repeatedSpans,
     "q136_bpe_merges"     -> bpeMerges,
     "q132_cms_freq"       -> cmsFreq,
@@ -884,6 +964,8 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q141_bpe_encode"     -> bpeEncodeSql,
+    "q139_weighted_jaccard" -> weightedJaccardSql,
     "q138_repeated_spans" -> repeatedSpansSql,
     "q136_bpe_merges"     -> bpeMergesSql,
     "q132_cms_freq"       -> cmsFreqSql,

@@ -35,6 +35,10 @@ import graft.ingest.{Normalize, ShopifyClient}
   *     `COUNT(*)` onto the REST `<resource>/count.json` endpoint — the
   *     row-transfer-free count the API offers natively; grouped or
   *     non-count aggregates are declined and planned normally.
+  *   - **Limit pushdown**: `SupportsPushDownLimit` (partial) — a pushed
+  *     LIMIT caps the page size and stops the cursor loop, so
+  *     `df.limit(5)` costs one 5-row request instead of paging the
+  *     window; Spark still applies the global limit on top.
   *   - **Parallel scan**: with a bounded `created_at` window the scan
   *     splits into `splits` disjoint time windows, one cursor-paged
   *     `InputPartition` each — the Spark-shaped answer to the API being
@@ -141,7 +145,7 @@ final class ShopifyTable(tableSchema: StructType, properties: Map[String, String
 
 final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var minBound: Option[String] = opts.get("created_at_min")
@@ -206,16 +210,26 @@ final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String]
     ok
   }
 
+  /** LIMIT pushdown (partial — Spark still applies the global limit):
+    * each partition's cursor loop requests pages no larger than the limit
+    * and stops emitting once it is reached, so `df.limit(5)` costs one
+    * 5-row request instead of paging the window.
+    */
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
     if (countPushed) new ShopifyCountScan(opts, minBound, maxBound)
-    else new ShopifyScan(required, opts, minBound, maxBound)
+    else new ShopifyScan(required, opts, minBound, maxBound, limit)
 }
 
 final case class ShopifyWindow(min: Option[String], max: Option[String])
     extends InputPartition
 
 final class ShopifyScan(required: StructType, opts: Map[String, String],
-                        minBound: Option[String], maxBound: Option[String])
+                        minBound: Option[String], maxBound: Option[String],
+                        limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -223,7 +237,8 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
   override def description(): String = {
     val fields = required.fieldNames.mkString(",")
     s"ShopifyScan(resource=${opts.getOrElse("resource", "?")}, fields=[$fields], " +
-      s"created_at_min=$minBound, created_at_max=$maxBound)"
+      s"created_at_min=$minBound, created_at_max=$maxBound" +
+      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
   }
 
   // normalize BOTH paths through parseInstant so a date-only
@@ -238,7 +253,7 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     ShopifySource.planWindows(opts, minBound, maxBound)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShopifyReaderFactory(required, opts)
+    new ShopifyReaderFactory(required, opts, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShopifyMicroBatchStream(required, opts, minBound, maxBound)
@@ -379,10 +394,11 @@ final class ShopifyCountReader(opts: Map[String, String], window: ShopifyWindow)
   override def close(): Unit = ()
 }
 
-final class ShopifyReaderFactory(required: StructType, opts: Map[String, String])
+final class ShopifyReaderFactory(required: StructType, opts: Map[String, String],
+                                 limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ShopifyPartitionReader(required, opts, partition.asInstanceOf[ShopifyWindow])
+    new ShopifyPartitionReader(required, opts, partition.asInstanceOf[ShopifyWindow], limit)
 }
 
 /** Cursor-paged reader for one time window: fetch page → parse with
@@ -390,7 +406,8 @@ final class ShopifyReaderFactory(required: StructType, opts: Map[String, String]
   * deserialized) → emit rows → follow the Link cursor.
   */
 final class ShopifyPartitionReader(required: StructType, opts: Map[String, String],
-                                   window: ShopifyWindow)
+                                   window: ShopifyWindow,
+                                   limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val resource = opts.getOrElse("resource", "orders")
@@ -409,8 +426,15 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
 
   private var cursor: Option[String] = None
   private var done = false
+  private var emitted = 0
   private var iter: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+
+  // pushed limit: request pages no larger than what is still needed, and
+  // stop the cursor loop once the partition has emitted `limit` rows
+  // (partial pushdown — Spark applies the global limit on top)
+  private def pageSize: Int =
+    math.min(limit.map(_ - emitted).getOrElse(250), 250)
 
   private def parsePage(body: String): Iterator[InternalRow] =
     parser.parse(body, CreateJacksonParser.string, UTF8String.fromString)
@@ -425,11 +449,13 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
       }
 
   override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
     while (!iter.hasNext) {
       if (done) return false
       val (body, nxt) = client.fetchPage(
         endpoint,
         fields = required.fieldNames.toSeq,
+        limit = pageSize,
         createdAtMin = window.min, createdAtMax = window.max,
         filterOnStatus = resource == "orders",
         pageInfo = cursor)
@@ -438,6 +464,7 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
       if (cursor.isEmpty) done = true
     }
     current = iter.next()
+    emitted += 1
     true
   }
 

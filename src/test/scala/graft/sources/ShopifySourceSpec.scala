@@ -190,6 +190,16 @@ class ShopifySourceSpec extends SparkSuite {
     assert(t.requests.asScala.exists(_._1.endsWith("orders.json")))
   }
 
+  test("limit(n) pushes down: capped page size, no second page") {
+    val t = register("t-limit")
+    val got = read("t-limit").load().limit(2).collect()
+    assert(got.length == 2)
+    val orderReqs = t.requests.asScala.toSeq.filter(_._1.endsWith("orders.json"))
+    assert(orderReqs.nonEmpty)
+    assert(orderReqs.forall(_._2.get("limit").contains("2")),
+      s"pushed limit should cap the page size: ${orderReqs.map(_._2)}")
+  }
+
   test("streaming honors a configured created_at_max (rows past it never leak)") {
     register("t-stream-max")
     val q = spark.readStream.format("shopify")
