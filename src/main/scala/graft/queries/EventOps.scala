@@ -1272,7 +1272,61 @@ object EventOps {
       |  CAST(num AS DOUBLE) / CAST(total_dt_ms AS DOUBLE) AS twap
       |FROM g ORDER BY user_id""".stripMargin
 
+  /** q144: distribution-drift report — the value histogram of each event
+    * type compared between the first and second half of the observed time
+    * range (the monitoring primitive behind PSI/KS drift alarms, reduced
+    * to its oracle-able core). Counts are exact integers; the per-bucket
+    * drift contribution |n_a/tot_a − n_b/tot_b| is a fixed-shape double
+    * tree emitted PER BUCKET — summing float contributions in an
+    * aggregate would be order-dependent, so the total-variation roll-up
+    * is the reader's one addition, not the engine's.
+    *
+    * Scale: one 2-value broadcast for the time midpoint, one
+    * (event_type, bucket) hash aggregate, per-type totals re-broadcast.
+    */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = events(spark, dir).filter($"value".isNotNull)
+      .withColumn("us", expr("unix_micros(ts)"))
+    val bounds = e.agg(min($"us").as("lo"), max($"us").as("hi"))
+    val g = e.crossJoin(broadcast(bounds))
+      .withColumn("half", when($"us" * 2 <= $"lo" + $"hi", "a").otherwise("b"))
+      .withColumn("bucket", floor($"value" / 10.0).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum(when($"half" === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"half" === "b", 1L).otherwise(0L)).as("n_b"))
+    val totals = g.groupBy($"event_type")
+      .agg(sum($"n_a").as("tot_a"), sum($"n_b").as("tot_b"))
+    g.join(broadcast(totals), "event_type")
+      .select($"event_type", $"bucket", $"n_a", $"n_b",
+        abs($"n_a".cast("double") / $"tot_a".cast("double")
+          - $"n_b".cast("double") / $"tot_b".cast("double")).as("drift_contrib"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val driftReportSql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us
+      |  FROM events WHERE value IS NOT NULL),
+      |bounds AS (SELECT MIN(us) AS lo, MAX(us) AS hi FROM e),
+      |g AS (
+      |  SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+      |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM e CROSS JOIN bounds
+      |  GROUP BY event_type, bucket),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+      |         CAST(SUM(n_b) AS BIGINT) AS tot_b
+      |  FROM g GROUP BY event_type)
+      |SELECT g.event_type AS event_type, g.bucket, g.n_a, g.n_b,
+      |  ABS(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)
+      |      - CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) AS drift_contrib
+      |FROM g JOIN tot ON g.event_type = tot.event_type
+      |ORDER BY event_type, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_drift_report" -> driftReport,
     "q140_twap" -> twap,
     "q137_ab_test" -> abTest,
     "q134_attribution" -> linearAttribution,
@@ -1300,6 +1354,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q144_drift_report" -> driftReportSql,
     "q140_twap" -> twapSql,
     "q137_ab_test" -> abTestSql,
     "q134_attribution" -> linearAttributionSql,

@@ -185,7 +185,132 @@ object Relational {
       |WHERE gs.id NOT IN (SELECT o_orderkey FROM obs)
       |ORDER BY gs.id""".stripMargin
 
+  /** q142: declarative data-quality audit ([[graft.operators.DataQuality]])
+    * — a rule set over orders/lineitem evaluated as ONE scan per table for
+    * the column rules (conditional-count aggregates, map-side combining),
+    * one shuffle for key uniqueness, one left-anti for referential
+    * integrity. The Deequ/expectations shape as an engine operator;
+    * generalizes the reference's 8 fixed checks (C1–C8, `verify/Checks`)
+    * into a composable rule API.
+    */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.DataQuality._
+    val o = orders(spark, dir)
+    val l = lineitem(spark, dir)
+    report(Seq(
+      columnRules(o, Seq(
+        notNull("orders_totalprice_not_null", $"o_totalprice"),
+        nonNegative("orders_totalprice_non_negative", $"o_totalprice"),
+        inSet("orders_status_domain", $"o_orderstatus", Seq("O", "F", "P")))),
+      columnRules(l, Seq(
+        inRange("lineitem_discount_range", $"l_discount", 0.0, 0.1),
+        inRange("lineitem_quantity_range", $"l_quantity", 1.0, 50.0))),
+      uniqueKey(o, "orders_orderkey_unique", Seq("o_orderkey")),
+      referential(l, "l_orderkey", o, "o_orderkey", "lineitem_orderkey_referential")))
+  }
+
+  val dqAuditSql: String =
+    """WITH oc AS (
+      |  SELECT * FROM (VALUES
+      |    ('orders_totalprice_not_null', 0, 1),
+      |    ('orders_totalprice_non_negative', 1, 2),
+      |    ('orders_status_domain', 2, 3)) t(rule, kind, _o)),
+      |orules AS (
+      |  SELECT rule,
+      |    CASE rule
+      |      WHEN 'orders_totalprice_not_null' THEN
+      |        (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |      WHEN 'orders_totalprice_non_negative' THEN
+      |        (SELECT CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |      ELSE
+      |        (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+      |    END AS n_violations,
+      |    CASE rule
+      |      WHEN 'orders_totalprice_not_null' THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+      |      WHEN 'orders_totalprice_non_negative' THEN (SELECT CAST(COUNT(o_totalprice) AS BIGINT) FROM orders)
+      |      ELSE (SELECT CAST(COUNT(o_orderstatus) AS BIGINT) FROM orders)
+      |    END AS n_checked
+      |  FROM oc),
+      |lrules AS (
+      |  SELECT 'lineitem_discount_range' AS rule,
+      |    (SELECT CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem) AS n_violations,
+      |    (SELECT CAST(COUNT(l_discount) AS BIGINT) FROM lineitem) AS n_checked
+      |  UNION ALL
+      |  SELECT 'lineitem_quantity_range',
+      |    (SELECT CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem),
+      |    (SELECT CAST(COUNT(l_quantity) AS BIGINT) FROM lineitem)),
+      |uniq AS (
+      |  SELECT 'orders_orderkey_unique' AS rule,
+      |    (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+      |     FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey) g) AS n_violations,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked),
+      |ref AS (
+      |  SELECT 'lineitem_orderkey_referential' AS rule,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_checked)
+      |SELECT rule, n_violations, n_checked, n_violations = 0 AS pass
+      |FROM (SELECT rule, n_violations, n_checked FROM orules
+      |      UNION ALL SELECT * FROM lrules
+      |      UNION ALL SELECT * FROM uniq
+      |      UNION ALL SELECT * FROM ref) all_rules
+      |ORDER BY rule""".stripMargin
+
+  /** q143: cross-table financial reconciliation — per priority class,
+    * how many orders' header total deviates > 1% from the recomputed
+    * lineitem sum Σ extendedprice·(1−discount)·(1+tax), how many have no
+    * lines at all, and the exact-decimal total absolute deviation. The
+    * ledger-vs-detail audit every finance pipeline runs; this corpus's
+    * header totals are synthetic (98% deviate — the report says so
+    * rather than assuming consistency). Determinism: row-level products
+    * in IEEE double, per-order sums exact decimal (a double SUM would be
+    * order-dependent), ratio compares on fixed-shape double trees.
+    */
+  def reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val calc = lineitem(spark, dir)
+      .withColumn("amt",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+          .cast(MoneyDec))
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"amt"), 2).cast("decimal(18,2)").as("calc"))
+    orders(spark, dir)
+      .join(calc, $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"calc".isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when($"calc".isNotNull &&
+            abs($"o_totalprice" - $"calc".cast("double")) / $"o_totalprice" > 0.01,
+          1L).otherwise(0L)).as("n_deviating"),
+        round(sum(abs($"o_totalprice".cast(MoneyDec) - coalesce($"calc", lit(0).cast(MoneyDec)))), 2)
+          .cast("decimal(18,2)").cast("double").as("total_abs_dev"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val reconciliationSql: String =
+    """WITH calc AS (
+      |  SELECT l_orderkey,
+      |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |                        AS DECIMAL(38,6))), 2) AS DECIMAL(18,2)) AS calc
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CASE WHEN calc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+      |  CAST(SUM(CASE WHEN calc IS NOT NULL
+      |                 AND ABS(o_totalprice - CAST(calc AS DOUBLE)) / o_totalprice > 0.01
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_deviating,
+      |  CAST(CAST(ROUND(SUM(ABS(CAST(o_totalprice AS DECIMAL(38,6))
+      |                          - COALESCE(calc, CAST(0 AS DECIMAL(38,6))))), 2)
+      |            AS DECIMAL(18,2)) AS DOUBLE) AS total_abs_dev
+      |FROM orders LEFT JOIN calc ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_reconciliation" -> reconciliation,
+    "q142_dq_audit"      -> dqAudit,
     "q01_agg_sum"        -> aggSum,
     "q02_filter_dates"   -> filterDates,
     "q03_join_agg"       -> joinAgg,
@@ -195,6 +320,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_reconciliation" -> reconciliationSql,
+    "q142_dq_audit"      -> dqAuditSql,
     "q01_agg_sum"        -> aggSumSql,
     "q02_filter_dates"   -> filterDatesSql,
     "q03_join_agg"       -> joinAggSql,
