@@ -329,6 +329,116 @@ object EventOps {
     spark.read.parquet(out.toString).orderBy($"view_id", $"purchase_id")
   } }
 
+  // q145 fixture: ts-RANGE-partitioned event files (in-event-time-order
+  // replay) plus a far-future sentinel row staged LAST (newest mtime —
+  // FileStreamSource batches oldest-first), whose only job is to advance
+  // both sides' watermarks past every join window so the outer rows flush
+  // before AvailableNow terminates.
+  private val streamOuterStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamOuterFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamOuterStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "outerfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val src = fix.resolve("src")
+      val base = events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type")
+      base.repartitionByRange(4, $"ts")
+        .write.mode("overwrite").parquet(src.toString)
+      val maxTs = base.agg(max($"ts")).head().getTimestamp(0)
+      // THREE sentinels: the watermark advanced by a batch's max event
+      // time only takes effect in the NEXT batch, and AvailableNow
+      // terminates after the last data batch — with a single sentinel the
+      // outer rows stay in state forever (observed: matches emitted, zero
+      // nulls). Sentinel 1 raises the watermark past every window, the
+      // sentinel-2 batch applies it and flushes the unmatched state, and
+      // sentinel 3 absorbs the one-batch lag the engine shows between
+      // state removal and outer-row emission. Each must also sort AFTER the data files in
+      // the source's oldest-first mtime order — force increasing mtimes.
+      Seq(1, 2, 3).foreach { i =>
+        val before = java.nio.file.Files.list(src).toArray.toSet
+        val ts = new java.sql.Timestamp(maxTs.getTime + i * 1000L * 24 * 3600 * 1000)
+        // the sentinels must SURVIVE the event-type filters (Catalyst
+        // pushes non-event-time predicates below the watermark node, so a
+        // filtered-out sentinel never advances anything — observed): they
+        // are a real view and a real purchase on impossible user ids,
+        // excluded from the RESULT by the view_id >= 0 filter after the
+        // join (the sentinel purchase matches nothing and vanishes; the
+        // sentinel view's outer row is dropped there)
+        Seq((-2L * i, -2L, ts, "view"), (-2L * i - 1, -3L, ts, "purchase"))
+          .toDF("event_id", "user_id", "ts", "event_type")
+          .coalesce(1).write.mode("append").parquet(src.toString)
+        val later = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + i * 60000L)
+        java.nio.file.Files.list(src).toArray.toSet.diff(before).foreach { p =>
+          java.nio.file.Files.setLastModifiedTime(
+            p.asInstanceOf[java.nio.file.Path], later)
+        }
+      }
+      fix
+    })
+
+  /** q145: LEFT OUTER stream-stream interval join on the real micro-batch
+    * path — every view pairs with same-user purchases in the next 30
+    * minutes, and views with NO such purchase emit (view_id, null) when
+    * the watermark passes their window
+    * ([[graft.streaming.EventStream.intervalJoinOuter]]). The outer rows
+    * only exist if state eviction works: emitted too early they'd
+    * duplicate later matches, never evicted they'd never appear (and the
+    * hash would mismatch the batch left-join oracle either way). Replay
+    * is event-time-ordered (ts-range files, oldest-first source order)
+    * with a 35-day watermark delay covering any residual disorder, and
+    * the staged sentinel advances the final watermark past every window
+    * — both watermarks apply BEFORE the event-type filters so the
+    * sentinel can advance them while staying out of the join inputs.
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type").schema
+    val fix = streamOuterFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runOuter")
+    deleteRecursive(run)
+    // ONE source instance, both sides derived from it (stream self-join):
+    // with two independent readStream instances the global watermark is
+    // the MIN over both sources' nodes, and under AvailableNow the
+    // sources do not consume files in lockstep — observed: one source
+    // finished before ever reading the sentinels, pinning the min
+    // watermark at end-of-data − delay and swallowing every outer row.
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+      .withWatermark("ts", "35 days")
+    val views = stream.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts")
+    val purchases = stream.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val joined = graft.streaming.EventStream.intervalJoinOuter(
+        views, purchases, Seq("user_id"), windowMs = 30L * 60L * 1000L)
+      .filter(col("l.view_id") >= 0) // drop the watermark-sentinel view
+      .select(col("l.view_id"), col("r.purchase_id"))
+    val out = run.resolve("out")
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"view_id", $"purchase_id")
+  } }
+
+  val streamOuterJoinSql: String =
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+      |FROM events v LEFT JOIN events p
+      |  ON p.event_type = 'purchase'
+      | AND p.user_id = v.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+      |WHERE v.event_type = 'view'
+      |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin
+
   val streamIntervalJoinSql: String =
     """SELECT v.event_id AS view_id, p.event_id AS purchase_id
       |FROM events v JOIN events p
@@ -1342,6 +1452,7 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindows,
     "q71_stream_upsert"  -> streamUpsert,
     "q84_stream_interval_join" -> streamIntervalJoin,
+    "q145_stream_outer_join" -> streamOuterJoin,
     "q86_range_frame"    -> rangeFrameTrailing,
     "q88_stream_state_agg" -> streamStateAgg,
     "q90_stream_dedup"   -> streamDedup,
@@ -1370,6 +1481,7 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindowsSql,
     "q71_stream_upsert"  -> streamUpsertSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
+    "q145_stream_outer_join" -> streamOuterJoinSql,
     "q86_range_frame"    -> rangeFrameTrailingSql,
     "q88_stream_state_agg" -> streamStateAggSql,
     "q90_stream_dedup"   -> streamDedupSql,

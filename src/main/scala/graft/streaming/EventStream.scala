@@ -161,6 +161,29 @@ object EventStream {
     l.join(r, keyCond && timeCond, "inner")
   }
 
+  /** LEFT OUTER stream-stream interval join — the state-expiry semantics
+    * the inner join cannot show: an unmatched left row emits with null
+    * right columns only when the watermark passes `left.ts + window`, so
+    * the OUTER rows in the output are direct evidence of correct state
+    * eviction. Unlike [[intervalJoin]], the CALLER applies watermarks —
+    * and must feed flush/sentinel rows THROUGH the event-type filters
+    * into the join inputs (excluding them from the result downstream):
+    * Catalyst pushes non-event-time predicates below the watermark node,
+    * so a filtered-out sentinel advances nothing, rows near stream end
+    * stay buffered forever, and AvailableNow termination silently
+    * swallows their outer results (the q145 harness documents the full
+    * ritual: single shared source, three sentinels).
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        windowMs: Long): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col("r.ts") >= col("l.ts") &&
+      col("r.ts") < col("l.ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND")
+    l.join(r, keyCond && timeCond, "leftOuter")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * the STATIC dimension frame — the lookup-table pattern of an ingest
     * pipeline (user profile, product catalog, geo table). Stateless for
