@@ -48,6 +48,34 @@ class BpeSpec extends SparkSuite {
     assert(m(2) == ((3, "e", "we", 6L)))
   }
 
+  test("applyMerge matches the reference greedy fold on randomized inputs") {
+    // reference implementation: plain Scala greedy left-to-right merge
+    def ref(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: ref(rest, l, r)
+      case a :: rest => a :: ref(rest, l, r)
+      case Nil => Nil
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Seq("a", "b", "ab", "c")
+    val cases = (1 to 60).map { _ =>
+      val n = 1 + rnd.nextInt(9)
+      val syms = List.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      val l = alphabet(rnd.nextInt(alphabet.length))
+      val r = alphabet(rnd.nextInt(alphabet.length))
+      (syms, l, r)
+    }
+    // evaluate all cases in one Spark job; chars() can't build multi-char
+    // symbols, so feed the symbol arrays directly
+    val df = cases.zipWithIndex.map { case ((syms, l, r), i) => (i, syms, l, r) }
+      .toDF("i", "syms", "l", "r")
+    cases.zipWithIndex.foreach { case ((syms, l, r), i) =>
+      val got = df.filter($"i" === i)
+        .select(Bpe.applyMerge($"syms", l, r).as("out"))
+        .head().getSeq[String](0).toList
+      assert(got == ref(syms, l, r), s"case $i: $syms merge ($l,$r)")
+    }
+  }
+
   test("learn() stops early when no pairs remain") {
     val vocab = Seq(("ab", 3L)).toDF("word", "freq")
     val m = Bpe.learn(vocab, 10).collect()
