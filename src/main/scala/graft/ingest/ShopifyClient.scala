@@ -147,6 +147,7 @@ final class ShopifyClient(
   def fetchPage(endpoint: String, fields: Seq[String], limit: Int = 250,
                 createdAtMin: Option[String] = None, createdAtMax: Option[String] = None,
                 filterOnStatus: Boolean = true,
+                order: Option[String] = None,
                 pageInfo: Option[String] = None): (String, Option[String]) = {
     // When paging with page_info, Shopify forbids most other params
     val params: Map[String, String] = pageInfo match {
@@ -155,7 +156,8 @@ final class ShopifyClient(
         Map("limit" -> limit.toString, "fields" -> fields.mkString(",")) ++
           (if (filterOnStatus) Map("status" -> "any") else Map.empty) ++
           createdAtMin.map("created_at_min" -> _) ++
-          createdAtMax.map("created_at_max" -> _)
+          createdAtMax.map("created_at_max" -> _) ++
+          order.map("order" -> _)
     }
     val resp = getWithRetry(s"$baseUrl$endpoint", params)
     (resp.body, nextPageCursor(resp.headers.get("Link")))

@@ -39,6 +39,10 @@ import graft.ingest.{Normalize, ShopifyClient}
   *     LIMIT caps the page size and stops the cursor loop, so
   *     `df.limit(5)` costs one 5-row request instead of paging the
   *     window; Spark still applies the global limit on top.
+  *   - **TopN pushdown**: `SupportsPushDownTopN` (partial) — `ORDER BY
+  *     created_at LIMIT n` adds the REST `order=created_at asc|desc`
+  *     parameter so the API returns the window's first/last n directly;
+  *     any other sort is declined.
   *   - **Parallel scan**: with a bounded `created_at` window the scan
   *     splits into `splits` disjoint time windows, one cursor-paged
   *     `InputPartition` each — the Spark-shaped answer to the API being
@@ -145,7 +149,8 @@ final class ShopifyTable(tableSchema: StructType, properties: Map[String, String
 
 final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var minBound: Option[String] = opts.get("created_at_min")
@@ -219,9 +224,36 @@ final class ShopifyScanBuilder(fullSchema: StructType, opts: Map[String, String]
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** TopN pushdown (partial): `ORDER BY created_at [ASC|DESC] LIMIT n`
+    * maps onto the REST `order=created_at asc|desc` parameter plus the
+    * limit cap — the API returns the window's first/last n without
+    * paging it. Only a single created_at sort is accepted (the API sorts
+    * nothing else); Spark re-sorts and re-limits on top, so acceptance
+    * is a transfer optimization, never a semantics change.
+    */
+  private var topNOrder: Option[String] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+        ref.fieldNames().toSeq == Seq("created_at")
+      case _ => false
+    })
+    if (ok) {
+      val dir =
+        if (orders(0).direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING) "asc"
+        else "desc"
+      topNOrder = Some(s"created_at $dir")
+      limit = Some(l)
+    }
+    ok
+  }
+
   override def build(): Scan =
     if (countPushed) new ShopifyCountScan(opts, minBound, maxBound)
-    else new ShopifyScan(required, opts, minBound, maxBound, limit)
+    else new ShopifyScan(required, opts, minBound, maxBound, limit, topNOrder)
 }
 
 final case class ShopifyWindow(min: Option[String], max: Option[String])
@@ -229,7 +261,8 @@ final case class ShopifyWindow(min: Option[String], max: Option[String])
 
 final class ShopifyScan(required: StructType, opts: Map[String, String],
                         minBound: Option[String], maxBound: Option[String],
-                        limit: Option[Int] = None)
+                        limit: Option[Int] = None,
+                        topNOrder: Option[String] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -238,7 +271,8 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     val fields = required.fieldNames.mkString(",")
     s"ShopifyScan(resource=${opts.getOrElse("resource", "?")}, fields=[$fields], " +
       s"created_at_min=$minBound, created_at_max=$maxBound" +
-      limit.map(l => s", PushedLimit=$l").getOrElse("") + ")"
+      limit.map(l => s", PushedLimit=$l").getOrElse("") +
+      topNOrder.map(o => s", PushedTopN=[$o]").getOrElse("") + ")"
   }
 
   // normalize BOTH paths through parseInstant so a date-only
@@ -253,7 +287,7 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     ShopifySource.planWindows(opts, minBound, maxBound)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShopifyReaderFactory(required, opts, limit)
+    new ShopifyReaderFactory(required, opts, limit, topNOrder)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShopifyMicroBatchStream(required, opts, minBound, maxBound)
@@ -395,10 +429,12 @@ final class ShopifyCountReader(opts: Map[String, String], window: ShopifyWindow)
 }
 
 final class ShopifyReaderFactory(required: StructType, opts: Map[String, String],
-                                 limit: Option[Int] = None)
+                                 limit: Option[Int] = None,
+                                 topNOrder: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ShopifyPartitionReader(required, opts, partition.asInstanceOf[ShopifyWindow], limit)
+    new ShopifyPartitionReader(required, opts, partition.asInstanceOf[ShopifyWindow],
+      limit, topNOrder)
 }
 
 /** Cursor-paged reader for one time window: fetch page → parse with
@@ -407,7 +443,8 @@ final class ShopifyReaderFactory(required: StructType, opts: Map[String, String]
   */
 final class ShopifyPartitionReader(required: StructType, opts: Map[String, String],
                                    window: ShopifyWindow,
-                                   limit: Option[Int] = None)
+                                   limit: Option[Int] = None,
+                                   topNOrder: Option[String] = None)
     extends PartitionReader[InternalRow] {
 
   private val resource = opts.getOrElse("resource", "orders")
@@ -458,6 +495,7 @@ final class ShopifyPartitionReader(required: StructType, opts: Map[String, Strin
         limit = pageSize,
         createdAtMin = window.min, createdAtMax = window.max,
         filterOnStatus = resource == "orders",
+        order = topNOrder,
         pageInfo = cursor)
       iter = parsePage(body)
       cursor = nxt

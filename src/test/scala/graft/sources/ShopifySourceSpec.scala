@@ -76,7 +76,19 @@ class ShopifySourceSpec extends SparkSuite {
         val filtered = elems.filter { o =>
           keep.exists(id => o.startsWith(s"""{"id":$id,"""))
         }
-        resp.copy(body = filtered.mkString("{\"orders\":[", ",", "]}"))
+        // honor the order param like the real API (TopN pushdown relies
+        // on server-side ordering; a fake that ignores it would break the
+        // partial-TopN contract the source declares)
+        val ordered = params.get("order") match {
+          case Some(o) if o.startsWith("created_at") =>
+            def ts(e: String): String = orderDates.collectFirst {
+              case (id, t) if e.startsWith(s"""{"id":$id,""") => t
+            }.getOrElse("")
+            val asc = filtered.sortBy(ts)
+            if (o.endsWith("desc")) asc.reverse else asc
+          case _ => filtered
+        }
+        resp.copy(body = ordered.mkString("{\"orders\":[", ",", "]}"))
       } else resp
     }
   }
@@ -198,6 +210,29 @@ class ShopifySourceSpec extends SparkSuite {
     assert(orderReqs.nonEmpty)
     assert(orderReqs.forall(_._2.get("limit").contains("2")),
       s"pushed limit should cap the page size: ${orderReqs.map(_._2)}")
+  }
+
+  test("orderBy(created_at).limit(n) pushes TopN: order param + capped page") {
+    val t = register("t-topn")
+    val got = read("t-topn").load()
+      .orderBy($"created_at".desc).limit(2)
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(4000000003L, 4000000002L)) // Spark re-sorts on top
+    val orderReqs = t.requests.asScala.toSeq.filter(_._1.endsWith("orders.json"))
+    assert(orderReqs.nonEmpty)
+    assert(orderReqs.forall(_._2.get("order").contains("created_at desc")),
+      s"order param missing: ${orderReqs.map(_._2)}")
+    assert(orderReqs.forall(_._2.get("limit").contains("2")))
+  }
+
+  test("non-created_at sorts decline TopN pushdown") {
+    val t = register("t-topn-decline")
+    val got = read("t-topn-decline").load()
+      .orderBy($"name").limit(2).select("name").as[String].collect()
+    assert(got.toSeq == Seq("#1042", "#1043"))
+    val orderReqs = t.requests.asScala.toSeq.filter(_._1.endsWith("orders.json"))
+    assert(orderReqs.forall(!_._2.contains("order")),
+      s"name sort must not push an order param: ${orderReqs.map(_._2)}")
   }
 
   test("streaming honors a configured created_at_max (rows past it never leak)") {
