@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.CountMin.FunctionName),
       graft.functions.expressions.CountMin.builder))
     ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.HyperLogLog.FunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.HyperLogLog].getName,
+        graft.functions.expressions.HyperLogLog.FunctionName),
+      graft.functions.expressions.HyperLogLog.builder))
+    ext.injectFunction((FunctionIdentifier(
       graft.functions.expressions.BloomFilterExprs.BuildName),
       new ExpressionInfo(classOf[graft.functions.expressions.BloomBuildAgg].getName,
         graft.functions.expressions.BloomFilterExprs.BuildName),

@@ -169,11 +169,17 @@ final class ShopifyClient(
                filterOnStatus: Boolean = true): Seq[String] = {
     @tailrec def loop(cursor: Option[String], acc: Vector[String]): Vector[String] = {
       val (body, next) = fetchPage(endpoint, fields, limit, createdAtMin,
-        createdAtMax, filterOnStatus, cursor)
+        createdAtMax, filterOnStatus, pageInfo = cursor)
       val acc2 = acc :+ body
       next match {
-        case Some(_) => loop(next, acc2)
-        case None    => acc2
+        case Some(_) =>
+          // A server echoing the cursor we just used would loop forever —
+          // fail loudly instead (also catches caller-side cursor plumbing
+          // bugs: this exact stall once shipped as a positional-arg slip).
+          if (next == cursor) throw new IllegalStateException(
+            s"$endpoint pagination stalled on cursor $cursor")
+          loop(next, acc2)
+        case None => acc2
       }
     }
     loop(None, Vector.empty)

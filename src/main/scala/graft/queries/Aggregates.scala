@@ -398,7 +398,40 @@ object Aggregates {
       |  / CAST(n AS DOUBLE) AS intercept_dollars
       |FROM s ORDER BY prio""".stripMargin
 
+  /** q149: the typed-`Aggregator` tier — per-supplier line stats computed
+    * on a `Dataset[LineRow]` via `groupByKey(...).agg(SupplierStats
+    * .toColumn)` ([[graft.functions.TypedAggregators]]). Covers the one
+    * public custom-aggregation API the engine didn't yet exercise (KMV/
+    * CMS/HLL/Misra-Gries are `TypedImperativeAggregate`s; everything else
+    * is `functions._`). The aggregator is monoidal (count / exact long
+    * sum / max-by-epoch-micros), so the result is partition-order-
+    * independent and the DuckDB oracle is a plain GROUP BY. Partial
+    * aggregation still runs map-side — one l_suppkey shuffle at 100 TB.
+    */
+  def typedSupplierStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TypedAggregators._
+    lineitem(spark, dir)
+      .select($"l_suppkey", $"l_quantity", $"l_shipdate")
+      .as[LineRow]
+      .groupByKey(_.l_suppkey)
+      .agg(SupplierStats.toColumn.name("s"))
+      .select($"key".as("l_suppkey"), $"s.n_lines".as("n_lines"),
+        $"s.sum_qty".as("sum_qty"), $"s.max_ship_micros".as("max_ship_micros"))
+      .orderBy($"l_suppkey")
+  }
+
+  val typedSupplierStatsSql: String =
+    """SELECT l_suppkey,
+      |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  epoch_us(MAX(l_shipdate)) AS max_ship_micros
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_typed_agg"      -> typedSupplierStats,
     "q133_ols_trend"      -> olsTrend,
     "q17_distinct_pairs"  -> distinctPairs,
     "q18_first_per_group" -> firstPerGroup,
@@ -416,6 +449,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q149_typed_agg"      -> typedSupplierStatsSql,
     "q133_ols_trend"      -> olsTrendSql,
     "q44_rollup"          -> rollupAggSql,
     "q45_sql_api"         -> sqlApiSql,

@@ -704,6 +704,145 @@ object CorpusOps {
       |HAVING COUNT(*) >= 3
       |ORDER BY n DESC, w1, w2""".stripMargin
 
+  /** q147: bigram-LM surprisal — the order-2 step up from q124's unigram
+    * perplexity filter, i.e. the KenLM-shaped quality signal that unigram
+    * statistics are blind to (a document of common words in an
+    * improbable ORDER now scores high). The corpus trains a
+    * Laplace-smoothed bigram model over itself and every document is
+    * scored by its total/mean conditional surprisal:
+    * surp(u,w) = bits((c(u) + V) div (c(u,w) + 1)) — the integer floor-log2
+    * of the smoothed inverse conditional probability, computed via the
+    * binary-string length on both engines (no libm log to drift).
+    * c(u) is the bigram-context count (Σ_w c(u,w)), V the corpus
+    * vocabulary size (1-row broadcast).
+    *
+    * Scale: bigram expansion is a LOCAL array zip (slice+arrays_zip — no
+    * positional self-join); the only corpus-sized exchanges are the
+    * (doc,u,w) aggregate and the final per-doc aggregate; the model
+    * tables are vocabulary²-bounded and join on (u,w).
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("t"))
+    val docBg = toks
+      .select($"doc_id", explode(expr(
+        "arrays_zip(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1))")).as("p"))
+      .select($"doc_id", $"p".getField("0").as("u"), $"p".getField("1").as("w"))
+      .groupBy($"doc_id", $"u", $"w").agg(count(lit(1)).as("occ"))
+    val bg = docBg.groupBy($"u", $"w").agg(sum($"occ").as("c_uw"))
+    val cu = bg.groupBy($"u").agg(sum($"c_uw").as("c_u"))
+    val vocab = toks.select(explode($"t").as("tok"))
+      .agg(countDistinct($"tok").as("vsz")) // 1 row
+    val scored = bg.join(cu, "u").crossJoin(broadcast(vocab))
+      .select($"u", $"w",
+        length(bin(expr("(c_u + vsz) DIV (c_uw + 1)"))).cast("long").as("surp"))
+    docBg.join(scored, Seq("u", "w"))
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_bigrams"), sum($"occ" * $"surp").as("surprisal_sum"))
+      .select($"doc_id", $"n_bigrams", $"surprisal_sum",
+        expr("(1000 * surprisal_sum) DIV n_bigrams").as("mean_milli"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |pair AS (
+      |  SELECT doc_id, w AS u,
+      |         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |  FROM tok),
+      |dbg AS (SELECT doc_id, u, w2, COUNT(*) AS occ
+      |        FROM pair WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+      |bg AS (SELECT u, w2, CAST(SUM(occ) AS BIGINT) AS c_uw FROM dbg GROUP BY 1, 2),
+      |cu AS (SELECT u, CAST(SUM(c_uw) AS BIGINT) AS c_u FROM bg GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz FROM tok),
+      |s AS (SELECT bg.u, bg.w2,
+      |             CAST(length(format('{:b}', (cu.c_u + v.vsz) // (bg.c_uw + 1))) AS BIGINT) AS surp
+      |      FROM bg JOIN cu USING (u), v)
+      |SELECT dbg.doc_id,
+      |  CAST(SUM(dbg.occ) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(dbg.occ * s.surp) AS BIGINT) AS surprisal_sum,
+      |  CAST((1000 * SUM(dbg.occ * s.surp)) // SUM(dbg.occ) AS BIGINT) AS mean_milli
+      |FROM dbg JOIN s ON s.u = dbg.u AND s.w2 = dbg.w2
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** q148: DSIR-style importance reweighting — Data Selection via
+    * Importance Resampling (Xie et al., NeurIPS 2023): score every raw
+    * document by how target-like its hashed n-gram features are, then
+    * keep the top of the importance order. Here the target distribution
+    * is the English sub-corpus (`lang = 'en'`), features are the
+    * hashing-trick unigram buckets (portable md5 hash mod 1024 — q116's
+    * vocabulary-free feature space), and the per-feature log-likelihood
+    * ratio is the INTEGER floor-log2 of the Laplace-smoothed ratio:
+    * w_b = bits((ct_b+1)·(N_raw+B)) − bits((cr_b+1)·(N_tgt+B)); a
+    * document's log-importance is Σ occ_b · w_b. Everything is integer
+    * (bits via binary-string length), so the score, the rank, and the
+    * top-100 selection are bit-reproducible cross-engine — the property
+    * the deterministic top-k stands in for DSIR's Gumbel resampling with.
+    *
+    * Scale: the feature tables are B=1024 rows (broadcast); the only
+    * corpus-sized exchanges are the (doc, bucket) aggregate and the
+    * per-doc score aggregate; ranking is range-partitioned
+    * [[globalRank]], never a single-partition window. (The two corpus
+    * totals inside the bits() products are per-corpus constants — at
+    * 2^63-threatening token counts they fold out of the per-feature
+    * product into one additive corpus constant.)
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 1024
+    val docTok = documents(spark, dir)
+      .select($"doc_id", $"lang", explode(TextFunctions.tokens($"text")).as("tok"))
+      .select($"doc_id", $"lang",
+        pmod(TextFunctions.portableHash60($"tok"), lit(B)).as("b"))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("occ"))
+    val raw = docTok.groupBy($"b").agg(sum($"occ").as("cr"))
+    val tgt = docTok.filter($"lang" === "en").groupBy($"b").agg(sum($"occ").as("ct"))
+    val nr = raw.agg(sum($"cr").as("n_raw"))      // 1 row
+    val nt = tgt.agg(sum($"ct").as("n_tgt"))      // 1 row
+    val weights = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select($"b",
+        (length(bin(expr(s"(ct + 1) * (n_raw + $B)"))) -
+         length(bin(expr(s"(cr + 1) * (n_tgt + $B)")))).cast("long").as("w_b"))
+    val scored = docTok.join(broadcast(weights), "b")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"occ").as("n_tokens"), sum($"occ" * $"w_b").as("logw_bits"))
+    globalRank(scored, "rank", $"logw_bits".desc, $"doc_id".asc)
+      .select($"rank", $"doc_id", $"lang", $"n_tokens", $"logw_bits",
+        ($"rank" <= 100).as("selected"))
+      .orderBy($"rank")
+  }
+
+  val dsirWeightsSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 1024 AS b
+      |  FROM documents),
+      |occ AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS occ FROM dt GROUP BY 1, 2, 3),
+      |raw AS (SELECT b, CAST(SUM(occ) AS BIGINT) AS cr FROM occ GROUP BY 1),
+      |tgt AS (SELECT b, CAST(SUM(occ) AS BIGINT) AS ct FROM occ WHERE lang = 'en' GROUP BY 1),
+      |nr AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_raw FROM raw),
+      |nt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_tgt FROM tgt),
+      |w AS (SELECT raw.b,
+      |             CAST(length(format('{:b}', (COALESCE(tgt.ct, 0) + 1) * (nr.n_raw + 1024)))
+      |                - length(format('{:b}', (raw.cr + 1) * (nt.n_tgt + 1024))) AS BIGINT) AS w_b
+      |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, nr, nt),
+      |sc AS (SELECT occ.doc_id, occ.lang,
+      |              CAST(SUM(occ.occ) AS BIGINT) AS n_tokens,
+      |              CAST(SUM(occ.occ * w.w_b) AS BIGINT) AS logw_bits
+      |       FROM occ JOIN w USING (b) GROUP BY 1, 2)
+      |SELECT ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id) AS rank,
+      |       doc_id, lang, n_tokens, logw_bits,
+      |       ROW_NUMBER() OVER (ORDER BY logw_bits DESC, doc_id) <= 100 AS selected
+      |FROM sc
+      |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -720,6 +859,8 @@ object CorpusOps {
     "q112_epoch_shuffle" -> epochShuffle,
     "q124_unigram_surprisal" -> unigramSurprisal,
     "q127_skipgram_pairs" -> skipgramPairs,
+    "q147_bigram_surprisal" -> bigramSurprisal,
+    "q148_dsir_weights"  -> dsirWeights,
   )
 
   val oracles: Map[String, String] = Map(
@@ -738,5 +879,7 @@ object CorpusOps {
     "q112_epoch_shuffle" -> epochShuffleSql,
     "q124_unigram_surprisal" -> unigramSurprisalSql,
     "q127_skipgram_pairs" -> skipgramPairsSql,
+    "q147_bigram_surprisal" -> bigramSurprisalSql,
+    "q148_dsir_weights"  -> dsirWeightsSql,
   )
 }

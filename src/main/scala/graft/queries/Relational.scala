@@ -308,7 +308,43 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q150: in-pass observability — `Dataset.observe` (the CollectMetrics
+    * node) rides data-quality counters on the SAME scan that feeds the
+    * aggregate: rows scanned, null returnflags, exact unit total. q142's
+    * rule engine audits with its own pass; this is the zero-extra-cost
+    * variant you leave on in production — at 100 TB an extra audit scan
+    * is the difference between monitoring and not monitoring. The metrics
+    * surface through `Observation`/listener (asserted in
+    * ObserveSpec); the query RESULT is unchanged by the node, which is
+    * exactly what the oracle grades (and the plan pin asserts one scan).
+    */
+  def observedMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lineitem(spark, dir)
+      .filter($"l_shipdate" >= "1998-01-01")
+      .observe("graft_audit",
+        count(lit(1)).as("rows_scanned"),
+        count(when($"l_returnflag".isNull, 1)).as("null_returnflag"),
+        sum($"l_quantity".cast("long")).as("total_qty"))
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("month"))
+      .agg(
+        round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"month")
+  }
+
+  val observedMonthlyRevenueSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= '1998-01-01'
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_observed_agg"  -> observedMonthlyRevenue,
     "q143_reconciliation" -> reconciliation,
     "q142_dq_audit"      -> dqAudit,
     "q01_agg_sum"        -> aggSum,
@@ -320,6 +356,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_observed_agg"  -> observedMonthlyRevenueSql,
     "q143_reconciliation" -> reconciliationSql,
     "q142_dq_audit"      -> dqAuditSql,
     "q01_agg_sum"        -> aggSumSql,

@@ -198,6 +198,81 @@ object ScaleOps {
       |FROM ap JOIN ex ON ap.q_pm = ex.q_pm
       |ORDER BY ap.q_pm""".stripMargin
 
+  /** q146: HyperLogLog distinct-count sketch
+    * ([[graft.functions.expressions.HyperLogLog]]) — per-returnflag
+    * distinct-order estimates over lineitem, graded in-query against the
+    * exact countDistinct. 256 max-registers per group (2 KB of mergeable
+    * state, elementwise-max merge — duplication- and partition-order-
+    * independent by construction), fed by codegen'd column expressions:
+    * the portable 60-bit md5 hash splits into an 8-bit bucket and the
+    * leading-zero rank of the remaining 52 bits (rho = 53 − bitlength,
+    * via the binary string render — no intrinsics the oracle lacks). The
+    * harmonic-mean estimate runs entirely in scaled-integer space:
+    * S = Σ 2^(53−M_j) as a plain long sum (≤ 2^61), and
+    * est_milli = N div (1285395·S) with N = 1000·α₂₅₆·m²·2^53 expressed
+    * exactly as the rational 923264/1285395 — one DECIMAL(38,0) integral
+    * division, no float whose summation order could drift cross-engine.
+    * The DuckDB oracle rebuilds every register cell-for-cell and lands on
+    * the identical integer. Scale: NO per-key shuffle and NO per-key
+    * state — the exchange carries partitions × 2 KB; this is the distinct
+    * count you can afford per group per day over 100 TB.
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.HyperLogLog.register(spark)
+    val m = 256
+    val h = TextFunctions.portableHash60($"l_orderkey".cast("string"))
+    val w = (h / m).cast("long") // h >= 0: truncation == floor division
+    val rho = when(w === 0, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)).cast("long"))
+    val regs = lineitem(spark, dir)
+      .select($"l_returnflag", array(pmod(h, lit(m)).cast("long"), rho).as("br"),
+        $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.functions.expressions.HyperLogLog.hll($"br", m).as("regs"),
+        countDistinct($"l_orderkey").as("exact_distinct"))
+    regs.select(
+        $"l_returnflag",
+        $"exact_distinct",
+        expr("size(filter(regs, r -> r = 0))").cast("long").as("n_zero"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+          .as("s_scaled"))
+      .withColumn("est_milli",
+        expr("CAST('544998871055020014822227968000' AS DECIMAL(38,0)) div (CAST(1285395 AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"))
+      .orderBy($"l_returnflag")
+  }
+
+  val hllDistinctSql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag,
+      |         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv,
+      |         l_orderkey
+      |  FROM lineitem),
+      |br AS (
+      |  SELECT l_returnflag, hv % 256 AS bucket,
+      |         CASE WHEN hv // 256 = 0 THEN 53
+      |              ELSE 53 - length(format('{:b}', hv // 256)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT l_returnflag, bucket, MAX(rho) AS mreg FROM br GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g.l_returnflag, s.b, COALESCE(r.mreg, 0) AS mreg
+      |  FROM (SELECT DISTINCT l_returnflag FROM h) g
+      |  CROSS JOIN generate_series(0, 255) AS s(b)
+      |  LEFT JOIN regs r ON r.l_returnflag = g.l_returnflag AND r.bucket = s.b),
+      |agg AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |         CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mreg AS INTEGER)) AS BIGINT) AS s_scaled
+      |  FROM grid GROUP BY 1),
+      |ex AS (SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      |       FROM h GROUP BY 1)
+      |SELECT a.l_returnflag, ex.exact_distinct, a.n_zero, a.s_scaled,
+      |  CAST(CAST('544998871055020014822227968000' AS HUGEINT)
+      |       // (1285395 * CAST(a.s_scaled AS HUGEINT)) AS BIGINT) AS est_milli
+      |FROM agg a JOIN ex USING (l_returnflag)
+      |ORDER BY a.l_returnflag""".stripMargin
+
   /** q121: join-key skew diagnostics — the report you run BEFORE deciding
     * whether a join needs q40's salting. Per-key frequencies of
     * `lineitem.l_suppkey` reduce to one row of distribution stats: key
@@ -346,6 +421,7 @@ object ScaleOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_key_skew"    -> keySkew,
+    "q146_hll_distinct" -> hllDistinct,
     "q122_rfm"         -> rfm,
     "q123_pareto_abc"  -> paretoAbc,
     "q40_salted_join"  -> saltedJoinAgg,
@@ -357,6 +433,7 @@ object ScaleOps {
 
   val oracles: Map[String, String] = Map(
     "q121_key_skew"    -> keySkewSql,
+    "q146_hll_distinct" -> hllDistinctSql,
     "q122_rfm"         -> rfmSql,
     "q123_pareto_abc"  -> paretoAbcSql,
     "q40_salted_join"  -> saltedJoinAggSql,

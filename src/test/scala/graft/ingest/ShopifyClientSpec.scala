@@ -68,6 +68,21 @@ class ShopifyClientSpec extends AnyFunSuite {
     assert(seen(1).keySet == Set("limit", "page_info"))
   }
 
+  test("page loop fails loudly on a stalled cursor instead of spinning") {
+    // A server that echoes the same next-cursor forever (or a caller that
+    // drops the cursor on the floor — the positional-arg slip that once
+    // turned MainSpec into an infinite loop) must raise, not hang.
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse =
+        HttpResponse(200, "OK",
+          Map("Link" -> """<https://x/o.json?page_info=stuck>; rel="next""""),
+          """{"orders":[]}""")
+    }
+    val c = new ShopifyClient(t, "https://base/")
+    val e = intercept[IllegalStateException](c.fetchAll("orders.json", Seq("id")))
+    assert(e.getMessage.contains("stalled on cursor"))
+  }
+
   test("fetchOrderResource hits the configured base url (reference bug fixed)") {
     var urls = List.empty[String]
     val t = new Transport {
