@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.HyperLogLog.FunctionName),
       graft.functions.expressions.HyperLogLog.builder))
     ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.NGramGenerate.FunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.NGramGenerate].getName,
+        graft.functions.expressions.NGramGenerate.FunctionName),
+      graft.functions.expressions.NGramGenerate.builder))
+    ext.injectFunction((FunctionIdentifier(
       graft.functions.expressions.BloomFilterExprs.BuildName),
       new ExpressionInfo(classOf[graft.functions.expressions.BloomBuildAgg].getName,
         graft.functions.expressions.BloomFilterExprs.BuildName),

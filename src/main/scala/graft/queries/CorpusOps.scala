@@ -843,7 +843,47 @@ object CorpusOps {
       |FROM sc
       |ORDER BY rank""".stripMargin
 
+  /** q152: native table-function n-gram expansion — the custom-`Generator`
+    * (UDTF) Catalyst tier ([[graft.functions.expressions.NGramGenerate]])
+    * driving a corpus statistic: per-document trigram rows stream out of
+    * a planned `Generate` node (exactly how `explode` plans) into one
+    * count aggregate; nothing materializes a per-document n-gram array.
+    * Output: trigrams occurring ≥ 5 times, with distinct-document reach.
+    * The oracle rebuilds the same windows relationally (positional
+    * self-zip), so gram text, positions-implied counts, and doc reach all
+    * hash-check.
+    */
+  def ngramGenerate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.NGramGenerate.register(spark)
+    documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("t"))
+      .select($"doc_id", expr("graft_ngrams(t, 3)").as(Seq("pos", "gram")))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .filter($"n" >= 5)
+      .orderBy($"n".desc, $"gram".asc)
+  }
+
+  val ngramGenerateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS gram
+      |  FROM tok a
+      |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2)
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM tri
+      |GROUP BY gram
+      |HAVING COUNT(*) >= 5
+      |ORDER BY n DESC, gram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_ngram_generate" -> ngramGenerate,
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
     "q63_vocabulary"     -> vocabulary,
@@ -864,6 +904,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q152_ngram_generate" -> ngramGenerateSql,
     "q70_zorder_keys"    -> zorderKeysSql,
     "q62_tfidf_top"      -> tfidfTopSql,
     "q63_vocabulary"     -> vocabularySql,

@@ -273,6 +273,80 @@ object ScaleOps {
       |FROM agg a JOIN ex USING (l_returnflag)
       |ORDER BY a.l_returnflag""".stripMargin
 
+  /** q151: sketch-based join-size estimation — the Count-Min inner-product
+    * estimator from Cormode & Muthukrishnan §4.2: |A ⋈_k B| = Σ_k
+    * c_A(k)·c_B(k), estimated as min_j Σ_b rowA_j(b)·rowB_j(b) over two
+    * independently-built 4×1024 sketches. The pre-flight the q121 skew
+    * report pairs with: estimate a join's fan-out (and a self-join's F₂
+    * blow-up) from two single-scan 32 KB sketches BEFORE paying the
+    * shuffle — at 100 TB this is how a planner decides salting/broadcast
+    * without touching the join itself. Estimates are one-sided
+    * (est ≥ exact, collisions only add); both the exact sizes (via the
+    * real key-join, the verification anchor) and the estimates are
+    * integers, so the oracle rebuilds both grids cell-for-cell and lands
+    * on identical values. Two probes: the lineitem.l_partkey self-join
+    * (F₂) and lineitem ⋈ (returned lines) on l_partkey.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.CountMin.register(spark)
+    val d = 4; val wdt = 1024
+    def buckets(c: org.apache.spark.sql.Column) =
+      array((0 until d).map(j =>
+        conv(substring(md5(c), 1 + 8 * j, 8), 16, 10).cast("long") % wdt): _*)
+    val li = lineitem(spark, dir).select($"l_partkey", $"l_returnflag")
+    def sketchOf(df: DataFrame, name: String) = df.select(
+      graft.functions.expressions.CountMin
+        .countMin(buckets($"l_partkey".cast("string")), d, wdt).as(name))
+    val sA = sketchOf(li, "sa")
+    val sB = sketchOf(li.filter($"l_returnflag" === "R"), "sb")
+    def innerProd(a: String, b: String) = least((0 until d).map(j =>
+      expr(s"aggregate(sequence(0, ${wdt - 1}), CAST(0 AS BIGINT), " +
+        s"(acc, i) -> acc + element_at($a, ${j * wdt} + i + 1) * element_at($b, ${j * wdt} + i + 1))")): _*)
+    val cnts = li.groupBy($"l_partkey")
+      .agg(count(lit(1)).as("ca"),
+        count(when($"l_returnflag" === "R", 1)).as("cb"))
+    val exact = cnts.agg(
+      sum($"ca" * $"ca").as("exact_self"),
+      sum($"ca" * $"cb").as("exact_ab"))
+    exact.crossJoin(sA).crossJoin(sB)
+      .select(
+        $"exact_self",
+        innerProd("sa", "sa").as("est_self"),
+        $"exact_ab",
+        innerProd("sa", "sb").as("est_ab"))
+  }
+
+  val joinSizeEstimateSql: String =
+    """WITH li AS (SELECT l_partkey, l_returnflag FROM lineitem),
+      |ca AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+      |cb AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM li
+      |       WHERE l_returnflag = 'R' GROUP BY 1),
+      |ex AS (
+      |  SELECT
+      |    (SELECT CAST(SUM(c * c) AS BIGINT) FROM ca) AS exact_self,
+      |    (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT)
+      |     FROM ca JOIN cb USING (l_partkey)) AS exact_ab),
+      |ga AS (
+      |  SELECT j, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8*j, 8))::BIGINT % 1024 AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM li CROSS JOIN generate_series(0, 3) AS t(j) GROUP BY 1, 2),
+      |gb AS (
+      |  SELECT j, ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8*j, 8))::BIGINT % 1024 AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM li CROSS JOIN generate_series(0, 3) AS t(j)
+      |  WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      |self_est AS (
+      |  SELECT CAST(MIN(s) AS BIGINT) AS est FROM (
+      |    SELECT j, SUM(n * n) AS s FROM ga GROUP BY j) t),
+      |ab_est AS (
+      |  SELECT CAST(MIN(s) AS BIGINT) AS est FROM (
+      |    SELECT ga.j, SUM(ga.n * gb.n) AS s
+      |    FROM ga JOIN gb ON ga.j = gb.j AND ga.b = gb.b GROUP BY ga.j) t)
+      |SELECT ex.exact_self, self_est.est AS est_self,
+      |       ex.exact_ab, ab_est.est AS est_ab
+      |FROM ex, self_est, ab_est""".stripMargin
+
   /** q121: join-key skew diagnostics — the report you run BEFORE deciding
     * whether a join needs q40's salting. Per-key frequencies of
     * `lineitem.l_suppkey` reduce to one row of distribution stats: key
@@ -422,6 +496,7 @@ object ScaleOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_key_skew"    -> keySkew,
     "q146_hll_distinct" -> hllDistinct,
+    "q151_join_size_est" -> joinSizeEstimate,
     "q122_rfm"         -> rfm,
     "q123_pareto_abc"  -> paretoAbc,
     "q40_salted_join"  -> saltedJoinAgg,
@@ -434,6 +509,7 @@ object ScaleOps {
   val oracles: Map[String, String] = Map(
     "q121_key_skew"    -> keySkewSql,
     "q146_hll_distinct" -> hllDistinctSql,
+    "q151_join_size_est" -> joinSizeEstimateSql,
     "q122_rfm"         -> rfmSql,
     "q123_pareto_abc"  -> paretoAbcSql,
     "q40_salted_join"  -> saltedJoinAggSql,
