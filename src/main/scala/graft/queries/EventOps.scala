@@ -1435,7 +1435,74 @@ object EventOps {
       |FROM g JOIN tot ON g.event_type = tot.event_type
       |ORDER BY event_type, bucket""".stripMargin
 
+  /** q153: seasonal-naive forecast residuals — per-type daily event
+    * counts scored against the same-weekday-last-week baseline
+    * (forecast(d) = count(d−7), the standard zero-parameter seasonal
+    * model and the monitoring rule "is today unusual vs last Tuesday?").
+    * Residuals are robust-scored per type with the q117 machinery:
+    * lower-median + MAD via rank selection — all integers (counts,
+    * residuals, medians), zero interpolation arithmetic, so every column
+    * including the anomaly flag is bit-stable cross-engine. The forecast
+    * joins on the CALENDAR date (d−7), not row position — a missing day
+    * misaligns a lag() but not a date join.
+    *
+    * Scale: one (type, day) count aggregate; everything after runs on the
+    * types × days frame (four orders smaller than the event stream), and
+    * the per-type windows are keyed, never global.
+    */
+  def forecastResiduals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val resid = daily.join(
+        daily.select($"event_type", date_add($"day", 7).as("day"), $"n".as("forecast")),
+        Seq("event_type", "day"))
+      .withColumn("resid", $"n" - $"forecast")
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy($"event_type").orderBy(col(valueCol), $"day")
+      val wAll = Window.partitionBy($"event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter($"rn" === expr("(cnt + 1) DIV 2"))
+        .select($"event_type", col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(resid, "resid", "med")
+    val dev = resid.join(broadcast(med), Seq("event_type"))
+      .withColumn("abs_dev", abs($"resid" - $"med"))
+    val mad = lowerMedian(dev, "abs_dev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select($"event_type", $"day", $"n", $"forecast", $"resid", $"med", $"mad",
+        ($"abs_dev" > lit(3) * $"mad").as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val forecastResidualsSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |res AS (
+      |  SELECT a.event_type, a.day, a.n, b.n AS forecast, a.n - b.n AS resid
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND b.day = a.day - 7),
+      |r1 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY resid, day) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt FROM res),
+      |med AS (SELECT event_type, resid AS med FROM r1 WHERE rn = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT res.*, med.med, abs(res.resid - med.med) AS abs_dev
+      |  FROM res JOIN med USING (event_type)),
+      |r2 AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs_dev, day) AS rn2,
+      |         count(*) OVER (PARTITION BY event_type) AS cnt2 FROM dev),
+      |mad AS (SELECT event_type, abs_dev AS mad FROM r2 WHERE rn2 = (cnt2 + 1) // 2)
+      |SELECT d.event_type, d.day, d.n, d.forecast, d.resid, d.med, m.mad,
+      |       d.abs_dev > 3 * m.mad AS is_anomaly
+      |FROM dev d JOIN mad m USING (event_type)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_forecast_residuals" -> forecastResiduals,
     "q144_drift_report" -> driftReport,
     "q140_twap" -> twap,
     "q137_ab_test" -> abTest,
@@ -1465,6 +1532,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q153_forecast_residuals" -> forecastResidualsSql,
     "q144_drift_report" -> driftReportSql,
     "q140_twap" -> twapSql,
     "q137_ab_test" -> abTestSql,

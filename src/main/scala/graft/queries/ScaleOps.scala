@@ -347,6 +347,91 @@ object ScaleOps {
       |       ex.exact_ab, ab_est.est AS est_ab
       |FROM ex, self_est, ab_est""".stripMargin
 
+  /** q154: HLL register roll-up — trailing-7-day distinct users from
+    * PRE-AGGREGATED per-day sketches, never rescanning events. This is
+    * the property q146 buys at the warehouse level: store one 2 KB
+    * register array per (partition, day), answer distinct-over-ANY-range
+    * by elementwise max — here each sliding window merges 7 day-sketches
+    * via posexplode + (window, register)-max, and the estimate comes out
+    * of the same scaled-integer harmonic mean as q146. The exact
+    * countDistinct per window (which DOES rescan and reshuffle events ×7)
+    * rides along as the verification anchor — and as the cost contrast:
+    * at 100 TB the exact column is the one you delete. Windows are the
+    * event days with a full 7-day history. All integers; the oracle
+    * rebuilds day-registers cell-for-cell and rolls up relationally
+    * (absent (day,bucket) cells enter as register 0 via the
+    * 256·2^53-completion term, the same value Spark's dense arrays carry
+    * explicitly).
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.HyperLogLog.register(spark)
+    val m = 256
+    val h = TextFunctions.portableHash60($"user_id".cast("string"))
+    val w = (h / m).cast("long")
+    val rho = when(w === 0, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)).cast("long"))
+    val ev = events(spark, dir).select(to_date($"ts").as("day"), $"user_id",
+      array(pmod(h, lit(m)).cast("long"), rho).as("br"))
+    val dayRegs = ev.groupBy($"day")
+      .agg(graft.functions.expressions.HyperLogLog.hll($"br", m).as("regs"))
+    val minDay = ev.agg(min($"day").as("min_day")) // 1 row
+    val windows = dayRegs.select($"day".as("wday")).crossJoin(broadcast(minDay))
+      .filter(datediff($"wday", $"min_day") >= 6).select($"wday")
+    val mapping = windows.select($"wday", explode(sequence(lit(0), lit(6))).as("off"))
+      .select($"wday", date_sub($"wday", col("off").cast("int")).as("day"))
+    val rolled = mapping.join(dayRegs, "day")
+      .select($"wday", posexplode($"regs").as(Seq("idx", "r")))
+      .groupBy($"wday", $"idx").agg(max($"r").as("mr"))
+      .groupBy($"wday")
+      .agg(
+        sum(when($"mr" === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - mr AS INT))")).as("s_scaled"))
+      .withColumn("est_milli",
+        expr("CAST('544998871055020014822227968000' AS DECIMAL(38,0)) div (CAST(1285395 AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"))
+    val exact = mapping.join(ev.select($"day", $"user_id"), "day")
+      .groupBy($"wday").agg(countDistinct($"user_id").as("exact_distinct"))
+    rolled.join(exact, "wday")
+      .select($"wday", $"exact_distinct", $"n_zero", $"s_scaled", $"est_milli")
+      .orderBy($"wday")
+  }
+
+  val hllRollupSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id,
+      |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM events),
+      |br AS (
+      |  SELECT day, hv % 256 AS bucket,
+      |         CASE WHEN hv // 256 = 0 THEN 53
+      |              ELSE 53 - length(format('{:b}', hv // 256)) END AS rho
+      |  FROM ev),
+      |dayregs AS (SELECT day, bucket, MAX(rho) AS mreg FROM br GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT DISTINCT day AS wday FROM ev
+      |  WHERE day >= (SELECT MIN(day) FROM ev) + 6),
+      |mapping AS (
+      |  SELECT wday, wday - CAST(t.off AS INTEGER) AS day
+      |  FROM wins CROSS JOIN generate_series(0, 6) AS t(off)),
+      |rolled AS (
+      |  SELECT mp.wday, dr.bucket, MAX(dr.mreg) AS mr
+      |  FROM mapping mp JOIN dayregs dr USING (day)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT wday,
+      |    CAST(256 - COUNT(*) AS BIGINT) AS n_zero,
+      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - mr AS INTEGER))
+      |         + (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS s_scaled
+      |  FROM rolled WHERE mr > 0 GROUP BY wday),
+      |ex AS (
+      |  SELECT mp.wday, CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS exact_distinct
+      |  FROM mapping mp JOIN ev USING (day) GROUP BY 1)
+      |SELECT a.wday, ex.exact_distinct, a.n_zero, a.s_scaled,
+      |  CAST(CAST('544998871055020014822227968000' AS HUGEINT)
+      |       // (1285395 * CAST(a.s_scaled AS HUGEINT)) AS BIGINT) AS est_milli
+      |FROM agg a JOIN ex USING (wday)
+      |ORDER BY a.wday""".stripMargin
+
   /** q121: join-key skew diagnostics — the report you run BEFORE deciding
     * whether a join needs q40's salting. Per-key frequencies of
     * `lineitem.l_suppkey` reduce to one row of distribution stats: key
@@ -497,6 +582,7 @@ object ScaleOps {
     "q121_key_skew"    -> keySkew,
     "q146_hll_distinct" -> hllDistinct,
     "q151_join_size_est" -> joinSizeEstimate,
+    "q154_hll_rollup"  -> hllRollup,
     "q122_rfm"         -> rfm,
     "q123_pareto_abc"  -> paretoAbc,
     "q40_salted_join"  -> saltedJoinAgg,
@@ -510,6 +596,7 @@ object ScaleOps {
     "q121_key_skew"    -> keySkewSql,
     "q146_hll_distinct" -> hllDistinctSql,
     "q151_join_size_est" -> joinSizeEstimateSql,
+    "q154_hll_rollup"  -> hllRollupSql,
     "q122_rfm"         -> rfmSql,
     "q123_pareto_abc"  -> paretoAbcSql,
     "q40_salted_join"  -> saltedJoinAggSql,

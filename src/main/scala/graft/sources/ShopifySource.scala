@@ -263,10 +263,54 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
                         minBound: Option[String], maxBound: Option[String],
                         limit: Option[Int] = None,
                         topNOrder: Option[String] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Planner-visible statistics (`SupportsReportStatistics`): one
+    * `count.json` request at plan time prices the scan, so join strategy
+    * selection sees the REAL window cardinality instead of the
+    * defaultSizeInBytes = Long.Max pessimism every stats-less DSv2 source
+    * gets — a small ingest window then plans as the BROADCAST side of an
+    * enrichment join instead of forcing a sort-merge shuffle
+    * (ShopifySourceSpec pins the flip). Row width is a conservative
+    * per-field estimate over the PRUNED schema, so projection pushdown
+    * shrinks the reported size too. Cached per scan (planning may ask
+    * more than once); failures report empty stats — the planner then
+    * falls back to its defaults rather than the query failing over a
+    * monitoring call.
+    */
+  @transient private lazy val reportedStats: Statistics = {
+    val counted: Option[Long] =
+      try {
+        val resource = opts.getOrElse("resource", "orders")
+        val client = new ShopifyClient(
+          ShopifySource.transportFor(opts), opts.getOrElse("baseurl", ""),
+          maxRequestsPerSec = opts.getOrElse("maxrequestspersec", "0").toDouble)
+        Some(client.fetchCount(s"$resource/count.json",
+          createdAtMin = minBound, createdAtMax = maxBound,
+          filterOnStatus = resource == "orders"))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val rows = limit match {
+      case Some(l) => counted.map(n => math.min(n, l.toLong))
+      case None    => counted
+    }
+    val width = required.fields.map(_.dataType match {
+      case org.apache.spark.sql.types.StringType => 40L
+      case _: org.apache.spark.sql.types.StructType => 80L
+      case _: org.apache.spark.sql.types.ArrayType => 120L
+      case _ => 8L
+    }).sum + 16L
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        rows.map(n => util.OptionalLong.of(n * width)).getOrElse(util.OptionalLong.empty())
+      override def numRows(): util.OptionalLong =
+        rows.map(util.OptionalLong.of).getOrElse(util.OptionalLong.empty())
+    }
+  }
+
+  override def estimateStatistics(): Statistics = reportedStats
   override def description(): String = {
     val fields = required.fieldNames.mkString(",")
     s"ShopifyScan(resource=${opts.getOrElse("resource", "?")}, fields=[$fields], " +

@@ -235,6 +235,29 @@ class ShopifySourceSpec extends SparkSuite {
       s"name sort must not push an order param: ${orderReqs.map(_._2)}")
   }
 
+  test("reported statistics price the scan: planner sees real cardinality and broadcasts") {
+    val t = register("t-stats")
+    val src = read("t-stats").load()
+    // the optimizer's V2 relation stats come from SupportsReportStatistics
+    val stats = src.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3)),
+      s"expected rowCount=3 from count.json, got ${stats.rowCount}")
+    assert(stats.sizeInBytes < 100000, s"sizeInBytes ${stats.sizeInBytes}")
+    // pricing must come from the count endpoint, not a data fetch
+    val reqs = t.requests.asScala.toSeq
+    assert(reqs.exists(_._1.endsWith("orders/count.json")))
+    assert(!reqs.exists(_._1.endsWith("orders.json")),
+      "planning must not fetch order pages")
+    // join strategy: the 3-row REST window becomes the broadcast side of
+    // an enrichment join against a shuffle-sized local table — in the
+    // INITIAL physical plan (no AQE runtime rescue needed)
+    val big = spark.range(3000000).select($"id".as("oid"))
+    val joined = src.join(big, $"id" === $"oid")
+    val initial = joined.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin"),
+      s"expected broadcast from reported stats:\n${initial.take(1200)}")
+  }
+
   test("streaming honors a configured created_at_max (rows past it never leak)") {
     register("t-stream-max")
     val q = spark.readStream.format("shopify")
@@ -324,7 +347,12 @@ class ShopifySourceSpec extends SparkSuite {
     val t2 = register("t-resume-2")
     val ids2 = run("t-resume-2", "2021-05-10T00:00:00Z")
     assert(ids2 == Seq(4000000003L), s"resumed batch must only see new data: $ids2")
-    val mins2 = t2.requests.asScala.toSeq.flatMap(_._2.get("created_at_min"))
+    // only ROW-page requests are held to the watermark floor — the
+    // plan-time statistics call (count.json) legitimately prices the
+    // configured window and transfers no rows
+    val mins2 = t2.requests.asScala.toSeq
+      .filter(_._1.endsWith("orders.json"))
+      .flatMap(_._2.get("created_at_min"))
     assert(mins2.nonEmpty && mins2.forall(_ > "2021-05-03T12:00:00"),
       s"resumed scan must start past the committed watermark: $mins2")
   }
