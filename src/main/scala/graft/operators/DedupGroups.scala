@@ -81,7 +81,7 @@ object DedupGroups {
     // over that induced subgraph; everyone else is their own rep, stitched
     // back after the loop
     var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep")).persist()
+      .select(col("id"), col("id").as("rep")).localCheckpoint(true)
     // one propagation step: every vertex adopts the min label among itself
     // and its neighbors
     def step(ls: DataFrame): DataFrame = {
@@ -99,20 +99,25 @@ object DedupGroups {
           s"component diameter exceeds ${2 * maxRounds} propagation steps")
       // TWO steps per convergence probe: the probe is a driver round-trip
       // as expensive as a step, and near-dup components have tiny
-      // diameters, so most inputs converge with a single probe
-      val next = step(step(labels)).persist()
+      // diameters, so most inputs converge with a single probe.
+      // The lineage is CUT every round (eager localCheckpoint), not just
+      // persisted: each step references the prior labels twice, so the
+      // un-truncated plan doubles per step — 4^round — and while persist
+      // kept EXECUTION flat, the SQL listener still renders the full plan
+      // string per job, which goes combinatorial around round ~6 and
+      // turns convergence into an hours-long treeString. Checkpointing
+      // keeps plan and execution both O(1) per round.
+      val next = step(step(labels)).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
     }
-    // cut the iterative lineage and free the loop's cache deterministically:
-    // the checkpointed blocks belong to the returned frame and are released
-    // with it, instead of one leaked persisted RDD per call
-    val sub = labels.localCheckpoint(eager = true)
-    labels.unpersist()
+    // loop labels are already checkpointed with flat lineage; the blocks
+    // belong to the returned frame and are released with it by the
+    // ContextCleaner
+    val sub = labels
     // untouched vertices (no incident edge) are their own representative
     vs.join(sub, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))

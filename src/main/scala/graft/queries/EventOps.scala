@@ -1501,7 +1501,54 @@ object EventOps {
       |FROM dev d JOIN mad m USING (event_type)
       |ORDER BY d.event_type, d.day""".stripMargin
 
+  /** q157: ENGINE-NATIVE session windows — `session_window(ts, gap)` in a
+    * batch aggregation, the built-in operator twin of q38/q39's
+    * gaps-and-islands sessionization (and of q93's stateful streaming
+    * sessionizer; the same construct runs under a watermark in streaming,
+    * where it merges session state across micro-batches). Semantics
+    * pinned by the oracle: a session is [first_ts, last_ts + gap), and an
+    * event at exactly gap distance starts a NEW session (the `>= gap`
+    * boundary — note q38's lag-based islands use `> gap`; the off-by-an-
+    * instant difference between the two conventions is exactly the kind
+    * of thing the oracle exists to pin). One (user_id, session) hash
+    * aggregate — Spark plans UpdatingSessionsExec over a single user_id
+    * exchange; nothing is global.
+    */
+  def nativeSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val nativeSessionWindowSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, ts, event_id,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |t2 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev_ts IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM t1),
+      |t3 AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM t2)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM t3
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_native_session_window" -> nativeSessionWindow,
     "q153_forecast_residuals" -> forecastResiduals,
     "q144_drift_report" -> driftReport,
     "q140_twap" -> twap,
@@ -1532,6 +1579,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_native_session_window" -> nativeSessionWindowSql,
     "q153_forecast_residuals" -> forecastResidualsSql,
     "q144_drift_report" -> driftReportSql,
     "q140_twap" -> twapSql,

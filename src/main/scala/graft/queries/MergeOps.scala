@@ -368,7 +368,47 @@ object MergeOps {
       |FROM g WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** q156: ORC round-trip — the second columnar format the engine speaks
+    * (everything else here is parquet): orders project → ORC write
+    * PARTITIONED BY o_orderpriority → re-read with a partition predicate →
+    * exact money aggregate. Grades three things at once: ORC write/read
+    * value fidelity (timestamps, doubles, strings — any encoding drift
+    * hash-mismatches against the parquet-derived oracle), partition
+    * pruning on the re-read (only the selected priority directories are
+    * listed — the same pruning contract as the parquet store), and
+    * sink/source symmetry. The oracle never sees the ORC copy: it
+    * recomputes from the original table, so the round-trip must be
+    * lossless to pass.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runOrc")
+    deleteRecursive(run)
+    val path = run.resolve("orders_orc").toString
+    orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+      .write.partitionBy("o_orderpriority").orc(path)
+    spark.read.orc(path)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"),
+        max($"o_orderdate").as("last_order"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
+      |  MAX(o_orderdate) AS last_order
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
     "q113_scd2" -> scd2,
     "q118_golden_record" -> goldenRecord,
@@ -380,6 +420,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,
     "q113_scd2" -> scd2Sql,
     "q118_golden_record" -> goldenRecordSql,

@@ -78,15 +78,66 @@ object Nested {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q159: MAP-typed columns + higher-order map functions — the §2.9
+    * family the array queries don't touch. Per customer, two maps are
+    * built from real aggregates (`map_from_entries(collect_list(...))`
+    * over status→count and status→cents), combined with `map_zip_with`,
+    * thresholded with `map_filter`, reshaped with `transform_values`,
+    * and EXPLODED BACK to sorted rows before leaving the query — map
+    * iteration order is engine-private, so maps are internal plumbing
+    * here, never an output column the hash-compare could see. The
+    * sorted `collect_list` input makes construction deterministic too.
+    * The oracle reproduces the post-explode relational semantics
+    * directly (statuses with ≥ 2 orders, average cents per order).
+    */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val maps = per
+      .groupBy($"o_custkey")
+      .agg(
+        map_from_entries(sort_array(collect_list(struct($"o_orderstatus", $"n"))))
+          .as("m_n"),
+        map_from_entries(sort_array(collect_list(struct($"o_orderstatus", $"cents"))))
+          .as("m_cents"))
+      .select($"o_custkey",
+        expr("""map_filter(
+                  map_zip_with(m_n, m_cents, (k, n, c) -> struct(n AS n, c AS cents)),
+                  (k, v) -> v.n >= 2)""").as("combined"))
+      .select($"o_custkey",
+        expr("transform_values(combined, (k, v) -> struct(v.n AS n, v.cents AS cents, v.cents DIV v.n AS cents_per_order))")
+          .as("m"))
+    maps.select($"o_custkey", explode($"m").as(Seq("status", "v")))
+      .select($"o_custkey", $"status", $"v.n".as("n"), $"v.cents".as("cents"),
+        $"v.cents_per_order".as("cents_per_order"))
+      .orderBy($"o_custkey", $"status")
+  }
+
+  val mapFunctionsSql: String =
+    """SELECT o_custkey, o_orderstatus AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    // CAST(COUNT(*) AS BIGINT) AS cents_per_order
+      |FROM orders
+      |GROUP BY o_custkey, o_orderstatus
+      |HAVING COUNT(*) >= 2
+      |ORDER BY o_custkey, status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_json_extract"   -> jsonExtract,
     "q23_explode_tokens" -> explodeTokens,
     "q24_array_ops"      -> arrayOps,
+    "q159_map_functions" -> mapFunctions,
   )
 
   val oracles: Map[String, String] = Map(
     "q22_json_extract"   -> jsonExtractSql,
     "q23_explode_tokens" -> explodeTokensSql,
     "q24_array_ops"      -> arrayOpsSql,
+    "q159_map_functions" -> mapFunctionsSql,
   )
 }

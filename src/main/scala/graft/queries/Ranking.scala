@@ -205,7 +205,41 @@ object Ranking {
       |FROM (SELECT DISTINCT o_custkey, o_orderstatus FROM orders) t
       |ORDER BY o_custkey, o_orderstatus""".stripMargin
 
+  /** q158: correlated LATERAL subquery — per-nation top-2 customers by
+    * account balance written as `FROM nation, LATERAL (... WHERE
+    * c_nationkey = n_nationkey ORDER BY ... LIMIT 2)`. The declarative
+    * twin of q11/q58: Catalyst DECORRELATES the lateral into a ranked
+    * join (DecorrelateInnerQuery → window + filter shape), so the
+    * per-group-limit never executes as N correlated probes — the plan is
+    * one customer shuffle regardless of |nation|, which is the property
+    * that makes LATERAL safe at 100 TB. Registered through the SQL
+    * entry path (`spark.sql`), exercising parser → analyzer
+    * decorrelation end-to-end; DuckDB runs the same text shape natively.
+    */
+  def lateralTopPerNation(spark: SparkSession, dir: String): DataFrame = {
+    nation(spark, dir).createOrReplaceTempView("nation_v")
+    customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer_v
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin)
+  }
+
+  val lateralTopPerNationSql: String =
+    """SELECT n.n_name, c.c_custkey, c.c_name, c.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey, c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_lateral_topk"    -> lateralTopPerNation,
     "q11_topk_per_group"   -> topkPerGroup,
     "q12_sort_limit"       -> sortLimit,
     "q13_anti_join"        -> antiJoin,
@@ -217,6 +251,7 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_lateral_topk"    -> lateralTopPerNationSql,
     "q11_topk_per_group"   -> topkPerGroupSql,
     "q12_sort_limit"       -> sortLimitSql,
     "q13_anti_join"        -> antiJoinSql,

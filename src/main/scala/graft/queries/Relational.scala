@@ -343,7 +343,48 @@ object Relational {
       |GROUP BY 1
       |ORDER BY month""".stripMargin
 
+  /** q155: INTERSECT / EXCEPT — the two §2.6 set operators the U1/U2
+    * queries don't exercise, as a retention/churn report: customers who
+    * ordered in 1996 ∩ 1997 (retained), 1996 ∖ 1997 (churned), and
+    * 1997 ∖ 1996 (new). Catalyst rewrites `intersect`/`except` into
+    * left-semi / left-anti joins over the deduplicated key sets
+    * (ReplaceIntersectWithSemiJoin / ReplaceExceptWithAntiJoin), so at
+    * 100 TB each branch is one hash-dedup + one key-only join — never a
+    * row-level comparison. The tag column makes the three sets one
+    * union-able result.
+    */
+  def setOpsRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir)
+    def buyers(year: Int) = o
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val y96 = buyers(1996); val y97 = buyers(1997)
+    y96.intersect(y97).select($"o_custkey", lit("retained").as("tag"))
+      .unionByName(y96.except(y97).select($"o_custkey", lit("churned").as("tag")))
+      .unionByName(y97.except(y96).select($"o_custkey", lit("new").as("tag")))
+      .orderBy($"tag", $"o_custkey")
+  }
+
+  val setOpsRetentionSql: String =
+    """WITH y96 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |y97 AS (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, 'retained' AS tag FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) t
+      |UNION ALL
+      |SELECT o_custkey, 'churned' AS tag FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) t
+      |UNION ALL
+      |SELECT o_custkey, 'new' AS tag FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) t
+      |ORDER BY tag, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_set_ops"       -> setOpsRetention,
     "q150_observed_agg"  -> observedMonthlyRevenue,
     "q143_reconciliation" -> reconciliation,
     "q142_dq_audit"      -> dqAudit,
@@ -356,6 +397,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_set_ops"       -> setOpsRetentionSql,
     "q150_observed_agg"  -> observedMonthlyRevenueSql,
     "q143_reconciliation" -> reconciliationSql,
     "q142_dq_audit"      -> dqAuditSql,

@@ -225,13 +225,18 @@ object ScaleOps {
     val w = (h / m).cast("long") // h >= 0: truncation == floor division
     val rho = when(w === 0, lit(53L))
       .otherwise(lit(53L) - length(bin(w)).cast("long"))
-    val regs = lineitem(spark, dir)
-      .select($"l_returnflag", array(pmod(h, lit(m)).cast("long"), rho).as("br"),
-        $"l_orderkey")
+    val li = lineitem(spark, dir).select($"l_returnflag", $"l_orderkey")
+    // the sketch aggregate stays SEPARATE from the exact anchor: fused,
+    // Spark's distinct-aggregate rewrite would route the HLL partials
+    // through the anchor's per-key (flag, orderkey) exchange — exactly
+    // the shuffle the sketch exists to avoid (HllPlanSpec pins this)
+    val sketch = li
+      .select($"l_returnflag", array(pmod(h, lit(m)).cast("long"), rho).as("br"))
       .groupBy($"l_returnflag")
-      .agg(
-        graft.functions.expressions.HyperLogLog.hll($"br", m).as("regs"),
-        countDistinct($"l_orderkey").as("exact_distinct"))
+      .agg(graft.functions.expressions.HyperLogLog.hll($"br", m).as("regs"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+    val regs = sketch.join(exact, "l_returnflag") // |flags| rows
     regs.select(
         $"l_returnflag",
         $"exact_distinct",
