@@ -73,6 +73,8 @@ object ScaleProbe {
     // replicas (replicas replicate orders, not the catalog), so the part
     // dimension stays a single copy, exactly how a dimension scales
     stage("part")(spark.read.parquet(s"$srcDir/part.parquet"))
+    // nation: dimension, single copy (same rationale as part)
+    stage("nation")(spark.read.parquet(s"$srcDir/nation.parquet"))
 
     // embeddings: 10 replicas with offset vec_ids; each replica's vectors
     // get a replica-specific bump on one coordinate so cross-replica
