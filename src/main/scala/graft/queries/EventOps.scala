@@ -1547,7 +1547,80 @@ object EventOps {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** q161: resample + LINEAR interpolation — the interpolating twin of
+    * q119's zero-fill: every user's daily value series is densified over
+    * their own [first, last] span and missing days take the straight line
+    * between the surrounding observed days,
+    * v(d) = vp + (vn − vp) · (d−p)/(n−p). Inputs are exact (decimal-sum
+    * → round(2) daily totals, integer day distances), and the interp is
+    * ONE fixed IEEE expression tree mirrored verbatim in the oracle —
+    * cross-engine-stable without transcendentals. Edges can't dangle:
+    * spans start/end on observed days by construction. Scale: one
+    * (user, day) aggregate; the calendar frame is span-bounded (linear
+    * in users, never events); prev/next lookups are two frames over ONE
+    * user_id sort — no self-join.
+    */
+  def interpolateDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(round(sum($"value".cast(MoneyDec)), 2).cast("double").as("v"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val joined = cal.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("obs_day", when($"v".isNotNull, $"day"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pd", last($"obs_day", ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last($"v", ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first($"obs_day", ignoreNulls = true).over(wNext))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(wNext))
+      .select($"user_id", $"day", $"v".isNotNull.as("observed"),
+        when($"v".isNotNull, $"v").otherwise(
+          $"pv" + ($"nv" - $"pv") *
+            (datediff($"day", $"pd").cast("double") / datediff($"nd", $"pd").cast("double")))
+          .as("value_interp"))
+      .orderBy($"user_id", $"day")
+  }
+
+  val interpolateDailySql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span),
+      |j AS (
+      |  SELECT cal.user_id, cal.day, daily.v,
+      |    CASE WHEN daily.v IS NOT NULL THEN cal.day END AS obs_day
+      |  FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day),
+      |f AS (
+      |  SELECT *,
+      |    last_value(obs_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    first_value(obs_day IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM j)
+      |SELECT user_id, day, v IS NOT NULL AS observed,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) *
+      |            (CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE))
+      |  END AS value_interp
+      |FROM f
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_interpolate" -> interpolateDaily,
     "q157_native_session_window" -> nativeSessionWindow,
     "q153_forecast_residuals" -> forecastResiduals,
     "q144_drift_report" -> driftReport,
@@ -1579,6 +1652,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q161_interpolate" -> interpolateDailySql,
     "q157_native_session_window" -> nativeSessionWindowSql,
     "q153_forecast_residuals" -> forecastResidualsSql,
     "q144_drift_report" -> driftReportSql,

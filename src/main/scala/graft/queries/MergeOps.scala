@@ -407,7 +407,82 @@ object MergeOps {
       |GROUP BY o_orderpriority, o_orderstatus
       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
 
+  /** q160: cascading copy-on-write DELETE — the right-to-be-forgotten
+    * path ([[TableStore.deleteRows]], the S5 complement): forget every
+    * customer with custkey ≡ 0 (mod 97), cascade to their orders, then
+    * to those orders' lineitems, each a key-frame anti-join rewrite with
+    * an atomic swap. The output audits the operation per table:
+    * before/deleted/after counts plus a surviving-key checksum
+    * (Σ keys — any wrongly kept or dropped row shifts it), all read BACK
+    * from the store after the swaps, so the grade covers the on-disk
+    * result, not the plan. Cascade frames carry keys only; the
+    * partition-pruned variant (only victim-bearing partitions rewritten)
+    * is spec-tested in TableStoreSpec.
+    */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runCascade")
+    deleteRecursive(run)
+    val cPath = run.resolve("customer").toString
+    val oPath = run.resolve("orders").toString
+    val lPath = run.resolve("lineitem").toString
+    TableStore.atomicWrite(spark, customer(spark, dir), cPath)
+    TableStore.atomicWrite(spark, orders(spark, dir), oPath)
+    TableStore.atomicWrite(spark, lineitem(spark, dir), lPath)
+    val nC = customer(spark, dir).count()
+    val nO = orders(spark, dir).count()
+    val nL = lineitem(spark, dir).count()
+    val victims = TableStore.read(spark, cPath)
+      .filter(pmod($"c_custkey", lit(97)) === 0).select($"c_custkey")
+      .localCheckpoint(true)
+    val deadOrders = TableStore.read(spark, oPath)
+      .join(victims.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left_semi")
+      .select($"o_orderkey").localCheckpoint(true)
+    val dC = TableStore.deleteRows(spark, cPath, victims, Seq("c_custkey"))
+    val dO = TableStore.deleteRows(spark, oPath,
+      victims.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+    val dL = TableStore.deleteRows(spark, lPath,
+      deadOrders.withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+    def audit(table: String, path: String, keyCol: String, before: Long, deleted: Long) =
+      TableStore.read(spark, path)
+        .agg(count(lit(1)).as("rows_after"), sum(col(keyCol)).as("key_checksum"))
+        .select(lit(table).as("table"), lit(before).as("rows_before"),
+          lit(deleted).as("rows_deleted"), $"rows_after", $"key_checksum")
+    audit("customer", cPath, "c_custkey", nC, dC)
+      .unionByName(audit("orders", oPath, "o_orderkey", nO, dO))
+      .unionByName(audit("lineitem", lPath, "l_orderkey", nL, dL))
+      .orderBy($"table")
+  }
+
+  val cascadeDeleteSql: String =
+    """WITH vic AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |dord AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM vic)),
+      |c AS (
+      |  SELECT 'customer' AS "table",
+      |    (SELECT COUNT(*) FROM customer) AS rows_before,
+      |    (SELECT COUNT(*) FROM vic) AS rows_deleted,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_after,
+      |    CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+      |  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM vic)),
+      |o AS (
+      |  SELECT 'orders' AS "table",
+      |    (SELECT COUNT(*) FROM orders) AS rows_before,
+      |    (SELECT COUNT(*) FROM dord) AS rows_deleted,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_after,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      |  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dord)),
+      |l AS (
+      |  SELECT 'lineitem' AS "table",
+      |    (SELECT COUNT(*) FROM lineitem) AS rows_before,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM dord)) AS rows_deleted,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_after,
+      |    CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dord))
+      |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+      |ORDER BY "table"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
     "q113_scd2" -> scd2,
@@ -420,6 +495,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,
     "q113_scd2" -> scd2Sql,

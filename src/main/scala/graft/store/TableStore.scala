@@ -205,6 +205,70 @@ object TableStore {
       throw new java.io.IOException(s"atomic swap failed for $path")
   }
 
+  /** Copy-on-write DELETE by key set — the S5 complement (and the
+    * right-to-be-forgotten path a compliant 100 TB store must have):
+    * rows whose `joinCols` match a row in `victims` are dropped via
+    * left_anti, the survivors swap in atomically. `victims` needs only
+    * the join columns, so a cascade passes key frames around, never
+    * table payloads. Returns the deleted-row count (computed from counts,
+    * not a second scan of the anti-join).
+    */
+  def deleteRows(spark: SparkSession, path: String, victims: DataFrame,
+                 joinCols: Seq[String]): Long = {
+    val before = read(spark, path)
+    val nBefore = before.count()
+    val keep = before.join(
+      victims.select(joinCols.map(col): _*).distinct(), joinCols, "left_anti")
+    // stage-then-swap (atomicWrite) keeps the lazy self-read safe
+    atomicWrite(spark, keep, path)
+    nBefore - read(spark, path).count()
+  }
+
+  /** Partition-pruned DELETE: only partitions that actually CONTAIN a
+    * victim row are rewritten — discovered with a key-only semi-join,
+    * then the same anti-join rewrite swaps just those partition dirs
+    * (untouched partitions' files are never opened — the same contract
+    * as [[upsertPartitioned]]). The delete predicate may be on ANY
+    * column, not just the partition column: pruning comes from where the
+    * victims LIVE, not from the predicate's shape.
+    */
+  def deleteRowsPartitioned(spark: SparkSession, path: String, victims: DataFrame,
+                            joinCols: Seq[String], partitionCol: String): Long = {
+    val v = victims.select(joinCols.map(col): _*).distinct()
+    val table = read(spark, path)
+    val parts = table.join(v, joinCols, "left_semi")
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (parts.isEmpty) return 0L
+    val nonNull = parts.filter(_ != null).toSeq
+    val touched =
+      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+      else col(partitionCol).isin(nonNull: _*)
+    val affected = table.filter(touched)
+    val nBefore = affected.count()
+    val keep = affected.join(v, joinCols, "left_anti")
+    val tmp = path + "__dtmp"
+    keep.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+    val f = fs(spark, new Path(path))
+    // a partition whose rows were ALL victims produces no tmp dir — it
+    // must still be dropped from the target, or the delete silently keeps it
+    val written = f.listStatus(new Path(tmp)).filter(_.isDirectory).map(_.getPath.getName).toSet
+    parts.foreach { p =>
+      val dirName = s"$partitionCol=" + (if (p == null) "__HIVE_DEFAULT_PARTITION__" else p.toString)
+      if (!written.contains(dirName)) {
+        val dead = new Path(path, dirName)
+        if (f.exists(dead)) f.delete(dead, true)
+      }
+    }
+    f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
+      val target = new Path(path, st.getPath.getName)
+      if (f.exists(target)) f.delete(target, true)
+      if (!f.rename(st.getPath, target))
+        throw new java.io.IOException(s"partition swap failed for $target")
+    }
+    f.delete(new Path(tmp), true)
+    nBefore - read(spark, path).filter(touched).count()
+  }
+
   /** Scale-path upsert over a partitioned layout: only the partitions
     * present in the incoming batch are read, merged, and rewritten
     * (dynamic partition overwrite); untouched partitions' files are never

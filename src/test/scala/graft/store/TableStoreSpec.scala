@@ -143,4 +143,42 @@ class TableStoreSpec extends SparkSuite {
       assert(got == expected, s"iteration $i")
     }
   }
+
+  test("deleteRows: anti-join rewrite, count, idempotence, non-key columns") {
+    val dir = java.nio.file.Files.createTempDirectory("tablestore_del").toString
+    val path = s"$dir/t"
+    TableStore.atomicWrite(spark, base, path)
+    // delete on a NON-key column: every row with status in (a, c)
+    val victims = Seq("a", "c").toDF("status")
+    assert(TableStore.deleteRows(spark, path, victims, Seq("status")) == 2L)
+    assert(TableStore.read(spark, path).select("id").as[Long].collect().toSeq == Seq(2L))
+    // idempotent: deleting the same victims again removes nothing
+    assert(TableStore.deleteRows(spark, path, victims, Seq("status")) == 0L)
+    assert(!new java.io.File(path + "__tmp").exists)
+  }
+
+  test("deleteRowsPartitioned rewrites only victim-bearing partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("tablestore_delp").toString
+    val path = s"$dir/t"
+    val rows = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0),
+      (3L, "p2", 30.0),
+      (4L, "p3", 40.0), (5L, "p3", 50.0)
+    ).toDF("id", "part", "price")
+    rows.write.partitionBy("part").parquet(path)
+    val untouched = new java.io.File(s"$path/part=p2")
+    val mtimeBefore = untouched.listFiles().map(_.lastModified()).max
+    // victims live in p1 (one of two rows) and p3 (ALL rows)
+    val victims = Seq(1L, 4L, 5L).toDF("id")
+    assert(TableStore.deleteRowsPartitioned(spark, path, victims, Seq("id"), "part") == 3L)
+    val left = TableStore.read(spark, path)
+      .select($"id", $"part".cast("string")).as[(Long, String)].collect().toSeq.sorted
+    assert(left == Seq((2L, "p1"), (3L, "p2")))
+    // the fully-deleted partition directory is gone
+    assert(!new java.io.File(s"$path/part=p3").exists)
+    // the untouched partition's files were never rewritten
+    assert(untouched.listFiles().map(_.lastModified()).max == mtimeBefore,
+      "untouched partition must not be rewritten")
+    assert(!new java.io.File(path + "__dtmp").exists)
+  }
 }
