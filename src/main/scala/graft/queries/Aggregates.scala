@@ -430,7 +430,108 @@ object Aggregates {
       |GROUP BY l_suppkey
       |ORDER BY l_suppkey""".stripMargin
 
+  /** q163: grouped Pearson correlation from EXACT integer sufficient
+    * statistics — does a bigger order (whole-dollar total) come with more
+    * line items? Per priority: n, Σx, Σy, Σxy, Σx², Σy² accumulate as
+    * longs in ONE pass (q133's OLS discipline: whole-dollar x keeps
+    * n·Σx² under 2⁶³ through ~sf10 per group; beyond that the same stats
+    * go DECIMAL(38,0) unchanged), and floats appear only in the final
+    * fixed-shape tree r = num / (√dx · √dy) — long→double casts and
+    * IEEE sqrt are correctly rounded on both engines, so r is
+    * bit-stable. The integer stats ride along as the audit columns.
+    */
+  def correlation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perOrder = lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("y"))
+      .join(orders(spark, dir).select($"o_orderkey".as("l_orderkey"),
+        $"o_orderpriority".as("prio"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("x")), "l_orderkey")
+    perOrder.groupBy($"prio")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"prio", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy",
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          (sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)")) *
+           sqrt(expr("CAST(n * syy - sy * sy AS DOUBLE)")))).as("r"))
+      .orderBy($"prio")
+  }
+
+  val correlationSql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority AS prio, CAST(ROUND(o_totalprice) AS BIGINT) AS x, po.y
+      |  FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey),
+      |s AS (
+      |  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y*y) AS BIGINT) AS syy
+      |  FROM j GROUP BY prio)
+      |SELECT prio, n, sx, sy, sxy, sxx, syy,
+      |  CAST(n*sxy - sx*sy AS DOUBLE)
+      |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r
+      |FROM s ORDER BY prio""".stripMargin
+
+  /** q164: chi-square test of independence (market segment × order
+    * status) with an EXACT integer decomposition: per cell, observed
+    * count, expected in integer milli-units ((rt·ct·1000) div N), and
+    * the χ² contribution in integer micro-units —
+    * ((O·N − rt·ct)²·10⁶) div (rt·ct·N) — computed in DECIMAL(38,0)
+    * (the squared term reaches ~10²² at sf1, past 2⁶³ but far inside 38
+    * digits), so every cell AND the total are bit-identical cross-engine
+    * with zero float summation anywhere. The standard contingency
+    * analysis; one (seg, status) count + two broadcast marginals.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = orders(spark, dir).select($"o_custkey", $"o_orderstatus")
+      .join(broadcast(customer(spark, dir).select($"c_custkey".as("o_custkey"),
+        $"c_mktsegment")), "o_custkey")
+    val cells = joined.groupBy($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy($"c_mktsegment").agg(sum($"o").as("rt"))
+    val colT = cells.groupBy($"o_orderstatus").agg(sum($"o").as("ct"))
+    val total = cells.agg(sum($"o").as("nn"))
+    cells.join(broadcast(rowT), "c_mktsegment")
+      .join(broadcast(colT), "o_orderstatus")
+      .crossJoin(broadcast(total))
+      .select($"c_mktsegment", $"o_orderstatus", $"o",
+        expr("(rt * ct * 1000) DIV nn").as("expected_milli"),
+        expr("""CAST(
+            CAST(o * nn - rt * ct AS DECIMAL(38,0)) * CAST(o * nn - rt * ct AS DECIMAL(38,0)) * 1000000
+            div (CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)) * CAST(nn AS DECIMAL(38,0)))
+          AS BIGINT)""").as("contrib_micro"))
+      .orderBy($"c_mktsegment", $"o_orderstatus")
+  }
+
+  val chiSquareSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment, o.o_orderstatus
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells AS (
+      |  SELECT c_mktsegment, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM j GROUP BY 1, 2),
+      |rt AS (SELECT c_mktsegment, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM cells)
+      |SELECT cells.c_mktsegment, cells.o_orderstatus, cells.o,
+      |  (rt.rt * ct.ct * 1000) // nn.nn AS expected_milli,
+      |  CAST(
+      |    CAST(cells.o * nn.nn - rt.rt * ct.ct AS HUGEINT)
+      |      * CAST(cells.o * nn.nn - rt.rt * ct.ct AS HUGEINT) * 1000000
+      |      // (CAST(rt.rt AS HUGEINT) * CAST(ct.ct AS HUGEINT) * CAST(nn.nn AS HUGEINT))
+      |    AS BIGINT) AS contrib_micro
+      |FROM cells JOIN rt USING (c_mktsegment) JOIN ct USING (o_orderstatus), nn
+      |ORDER BY cells.c_mktsegment, cells.o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_correlation"    -> correlation,
+    "q164_chi_square"     -> chiSquare,
     "q149_typed_agg"      -> typedSupplierStats,
     "q133_ols_trend"      -> olsTrend,
     "q17_distinct_pairs"  -> distinctPairs,
@@ -449,6 +550,8 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_correlation"    -> correlationSql,
+    "q164_chi_square"     -> chiSquareSql,
     "q149_typed_agg"      -> typedSupplierStatsSql,
     "q133_ols_trend"      -> olsTrendSql,
     "q44_rollup"          -> rollupAggSql,

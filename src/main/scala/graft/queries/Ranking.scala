@@ -238,7 +238,35 @@ object Ranking {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
       |ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey""".stripMargin
 
+  /** q162: top-k WITH ties — `rank() <= k`, the semantics `row_number()`
+    * silently gets wrong when the boundary value repeats: every order
+    * tying the 3rd-highest price per priority is kept (so groups can
+    * return MORE than k rows), and no arbitrary tie-break invents an
+    * ordering the data doesn't have. Same single keyed window exchange
+    * as q11; only the rank function differs — the pair documents the
+    * choice: row_number for "exactly k, deterministically tie-broken",
+    * rank for "all rows as good as the k-th".
+    */
+  def topkWithTies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)
+    orders(spark, dir)
+      .withColumn("rnk", rank().over(w))
+      .filter($"rnk" <= 3)
+      .select($"o_orderpriority", $"rnk", $"o_totalprice", $"o_orderkey")
+      .orderBy($"o_orderpriority", $"rnk", $"o_orderkey")
+  }
+
+  val topkWithTiesSql: String =
+    """SELECT o_orderpriority, rnk, o_totalprice, o_orderkey FROM (
+      |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+      |    RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+      |  FROM orders) t
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_topk_ties"       -> topkWithTies,
     "q158_lateral_topk"    -> lateralTopPerNation,
     "q11_topk_per_group"   -> topkPerGroup,
     "q12_sort_limit"       -> sortLimit,
@@ -251,6 +279,7 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    "q162_topk_ties"       -> topkWithTiesSql,
     "q158_lateral_topk"    -> lateralTopPerNationSql,
     "q11_topk_per_group"   -> topkPerGroupSql,
     "q12_sort_limit"       -> sortLimitSql,
