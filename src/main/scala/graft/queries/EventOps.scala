@@ -1619,7 +1619,120 @@ object EventOps {
       |FROM f
       |ORDER BY user_id, day""".stripMargin
 
+  // q165 fixture: the q93 ts-ranged mtime-ordered replay plus THREE global
+  // far-future sentinel files (one row each, user_id = -1): the watermark
+  // a batch computes applies from the NEXT batch, so sentinel-1 raises it
+  // past every real session end, sentinel-2's batch evicts-and-emits the
+  // finalized sessions, sentinel-3 absorbs the extra batch of lag the
+  // engine shows between watermark and state eviction (q145's ritual).
+  // Sentinel sessions are dropped by id sign on read-back.
+  private val streamSessWinStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamSessWinFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamSessWinStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "sesswinfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val ev = events(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+          lit("{}").as("props"))
+      val stage = fix.resolve("stage")
+      ev.repartitionByRange(4, $"ts", $"event_id")
+        .write.mode("overwrite").parquet(stage.toString)
+      val flushTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      (1 to 3).foreach { i =>
+        val s = Seq((-i.toLong,
+          new java.sql.Timestamp(flushTs.getTime + (3 + i) * 3600L * 1000),
+          -1L, "flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        s.coalesce(1).write.mode("overwrite").parquet(stage.resolve(s"flush$i").toString)
+      }
+      val src = fix.resolve("src")
+      java.nio.file.Files.createDirectories(src)
+      val dataFiles = new java.io.File(stage.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      var t = System.currentTimeMillis() - 1000L * (dataFiles.length + 5)
+      dataFiles.zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(src.toFile, f.getName)
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+        dst.setLastModified(t + i * 1000L)
+      }
+      (1 to 3).foreach { i =>
+        val fl = new java.io.File(stage.resolve(s"flush$i").toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(src.toFile, s"zz-flush$i.parquet")
+        java.nio.file.Files.copy(fl.toPath, dst.toPath)
+        dst.setLastModified(t + (dataFiles.length + i) * 1000L)
+      }
+      fix
+    })
+
+  /** q165: ENGINE-NATIVE session windows on the REAL streaming path —
+    * `session_window` + watermark in append mode, replayed through
+    * several micro-batches (`maxFilesPerTrigger=1` over ts-ranged
+    * mtime-ordered files), so sessions that SPAN batch boundaries must
+    * merge in the session store (UpdatingSessions state) before the
+    * advancing watermark finalizes and emits them. The batch twin is
+    * q157; the oracle is the same ≥-gap islands SQL extended with the
+    * per-session value total — any failure of cross-batch session merge,
+    * premature emission, or watermark mishandling changes rows and
+    * hash-mismatches. Sentinel mechanics documented at the fixture.
+    */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamSessWinFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runSessWin")
+    deleteRecursive(run)
+    val schema = events(spark, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        lit("{}").as("props")).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val sessions = graft.streaming.EventStream.sessionWindowCounts(
+      stream, gap = "30 minutes", watermark = "1 minute")
+    val out = run.resolve("out")
+    val query = sessions.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString)
+      .filter($"user_id" >= 0) // drop sentinel sessions (see fixture note)
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  } }
+
+  val streamSessionWindowSql: String =
+    """WITH t1 AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |t2 AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN prev_ts IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000 THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM t1),
+      |t3 AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM t2)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
+      |FROM t3
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
     "q157_native_session_window" -> nativeSessionWindow,
     "q153_forecast_residuals" -> forecastResiduals,
@@ -1652,6 +1765,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,
     "q157_native_session_window" -> nativeSessionWindowSql,
     "q153_forecast_residuals" -> forecastResidualsSql,

@@ -87,7 +87,7 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+        round(sum(col("value").cast("decimal(38,6)")), 2).cast("double").as("total_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("total_value"))
 
