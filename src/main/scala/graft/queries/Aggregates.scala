@@ -529,7 +529,57 @@ object Aggregates {
       |FROM cells JOIN rt USING (c_mktsegment) JOIN ct USING (o_orderstatus), nn
       |ORDER BY cells.c_mktsegment, cells.o_orderstatus""".stripMargin
 
+  /** q168: grouped WEIGHTED median — per priority, the order value at
+    * which half the LINE-ITEM mass sits below (weight = the order's line
+    * count; the plain median ignores that a 7-line order matters 7× a
+    * 1-line one). Lower-weighted-median convention, all integer: running
+    * weight via a keyed window over (value, orderkey), the winner is the
+    * first row where 2·cumw ≥ W — selected as min-(value, key) among
+    * qualifying rows, so ties can't flap. One orderkey-join + one keyed
+    * window; nothing global.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perOrder = lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("wgt"))
+      .join(orders(spark, dir).select($"o_orderkey".as("l_orderkey"),
+        $"o_orderpriority".as("prio"),
+        expr("CAST(ROUND(o_totalprice) AS BIGINT)").as("v")), "l_orderkey")
+    val w = Window.partitionBy($"prio").orderBy($"v", $"l_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"prio")
+    perOrder
+      .withColumn("cumw", sum($"wgt").over(w))
+      .withColumn("wtot", sum($"wgt").over(wAll))
+      .filter($"cumw" * 2 >= $"wtot")
+      .groupBy($"prio")
+      .agg(min($"v").as("median_value"), max($"wtot").as("w_total"))
+      .select($"prio", $"w_total", $"median_value")
+      .orderBy($"prio")
+  }
+
+  val weightedMedianSql: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS wgt FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority AS prio, po.l_orderkey,
+      |    CAST(ROUND(o_totalprice) AS BIGINT) AS v, po.wgt
+      |  FROM po JOIN orders o ON o.o_orderkey = po.l_orderkey),
+      |c AS (
+      |  SELECT prio, l_orderkey, v, wgt,
+      |    SUM(wgt) OVER (PARTITION BY prio ORDER BY v, l_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(wgt) OVER (PARTITION BY prio) AS wtot
+      |  FROM j)
+      |SELECT prio, CAST(MAX(wtot) AS BIGINT) AS w_total,
+      |  CAST(MIN(v) AS BIGINT) AS median_value
+      |FROM c WHERE cumw * 2 >= wtot
+      |GROUP BY prio
+      |ORDER BY prio""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_weighted_median" -> weightedMedian,
     "q163_correlation"    -> correlation,
     "q164_chi_square"     -> chiSquare,
     "q149_typed_agg"      -> typedSupplierStats,
@@ -550,6 +600,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q168_weighted_median" -> weightedMedianSql,
     "q163_correlation"    -> correlationSql,
     "q164_chi_square"     -> chiSquareSql,
     "q149_typed_agg"      -> typedSupplierStatsSql,

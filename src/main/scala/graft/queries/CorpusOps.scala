@@ -882,7 +882,61 @@ object CorpusOps {
       |HAVING COUNT(*) >= 5
       |ORDER BY n DESC, gram""".stripMargin
 
+  /** q166: Zipf-law fit — the rank-frequency diagnostic for corpus
+    * health (natural text slopes near −1 on log rank vs log frequency;
+    * synthetic/boilerplate corpora bend away). Ranks come from
+    * [[globalRank]] over (freq desc, token) — range-partitioned, no
+    * single-partition window — and the regression runs on INTEGER
+    * bit-lengths (x = bits(rank), y = bits(freq), the q124 floor-log2)
+    * so the sufficient statistics are exact longs and the slope/
+    * intercept are fixed IEEE trees: bit-stable cross-engine, no libm
+    * log anywhere. Output: per-corpus n, the integer sums, slope and
+    * intercept in bits-per-bit.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = documents(spark, dir)
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val ranked = globalRank(vocab, "rank", $"freq".desc, $"tok".asc)
+      .select(length(bin($"rank")).cast("long").as("x"),
+        length(bin($"freq")).cast("long").as("y"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .select($"n", $"sx", $"sy", $"sxy", $"sxx",
+        (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+          expr("CAST(n * sxx - sx * sx AS DOUBLE)")).as("slope_bits"),
+        ((expr("CAST(sy AS DOUBLE)") -
+          (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+            expr("CAST(n * sxx - sx * sx AS DOUBLE)")) * expr("CAST(sx AS DOUBLE)")) /
+          expr("CAST(n AS DOUBLE)")).as("intercept_bits"))
+  }
+
+  val zipfFitSql: String =
+    """WITH v AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  WHERE tok <> '' GROUP BY tok),
+      |r AS (
+      |  SELECT CAST(length(format('{:b}', ROW_NUMBER() OVER (ORDER BY freq DESC, tok))) AS BIGINT) AS x,
+      |         CAST(length(format('{:b}', freq)) AS BIGINT) AS y
+      |  FROM v),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+      |  FROM r)
+      |SELECT n, sx, sy, sxy, sxx,
+      |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_bits,
+      |  (CAST(sy AS DOUBLE)
+      |   - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |  / CAST(n AS DOUBLE) AS intercept_bits
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_zipf_fit"      -> zipfFit,
     "q152_ngram_generate" -> ngramGenerate,
     "q70_zorder_keys"    -> zorderKeys,
     "q62_tfidf_top"      -> tfidfTop,
@@ -904,6 +958,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_zipf_fit"      -> zipfFitSql,
     "q152_ngram_generate" -> ngramGenerateSql,
     "q70_zorder_keys"    -> zorderKeysSql,
     "q62_tfidf_top"      -> tfidfTopSql,

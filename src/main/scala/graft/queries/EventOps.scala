@@ -1731,7 +1731,58 @@ object EventOps {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** q167: inter-arrival burstiness per user — the bot/organic traffic
+    * signal: σ and μ of a user's gap distribution combine into
+    * B = (σ−μ)/(σ+μ) (Goh & Barabási 2008): ~−1 for metronome-regular
+    * automation, → 0 for Poisson arrivals, > 0 for bursty humans. Gaps
+    * are INTEGER seconds (epoch-micros diff div 10⁶), so n, Σg, Σg² are
+    * exact longs (one user_id window pass + one aggregate) and σ/μ/B are
+    * fixed IEEE trees over them — bit-stable cross-engine. Users need
+    * ≥ 3 events (≥ 2 gaps) for a defined σ.
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gaps = events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .filter($"prev_ts".isNotNull)
+      .select($"user_id",
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) DIV 1000000").as("g"))
+    gaps.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum($"g").as("sg"), sum($"g" * $"g").as("sgg"))
+      .filter($"n_gaps" >= 2)
+      .select($"user_id", $"n_gaps", $"sg", $"sgg",
+        (expr("CAST(sg AS DOUBLE)") / expr("CAST(n_gaps AS DOUBLE)")).as("mean_s"),
+        ((sqrt(expr("CAST(n_gaps * sgg - sg * sg AS DOUBLE)")) / expr("CAST(n_gaps AS DOUBLE)")) -
+          (expr("CAST(sg AS DOUBLE)") / expr("CAST(n_gaps AS DOUBLE)"))).as("sigma_minus_mu"))
+      .withColumn("burstiness",
+        $"sigma_minus_mu" /
+          ((sqrt(expr("CAST(n_gaps * sgg - sg * sg AS DOUBLE)")) / expr("CAST(n_gaps AS DOUBLE)")) +
+            (expr("CAST(sg AS DOUBLE)") / expr("CAST(n_gaps AS DOUBLE)"))))
+      .select($"user_id", $"n_gaps", $"sg", $"sgg", $"mean_s", $"burstiness")
+      .orderBy($"user_id")
+  }
+
+  val burstinessSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS g
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(g) AS BIGINT) AS sg, CAST(SUM(g*g) AS BIGINT) AS sgg
+      |  FROM g WHERE g IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2)
+      |SELECT user_id, n_gaps, sg, sgg,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_s,
+      |  (sqrt(CAST(n_gaps*sgg - sg*sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+      |   - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |  / (sqrt(CAST(n_gaps*sgg - sg*sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)
+      |     + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+      |FROM s
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_burstiness" -> burstiness,
     "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
     "q157_native_session_window" -> nativeSessionWindow,
@@ -1765,6 +1816,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_burstiness" -> burstinessSql,
     "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,
     "q157_native_session_window" -> nativeSessionWindowSql,
