@@ -935,7 +935,86 @@ object TextOps {
 
   val bpeEncodeSql: String = graft.operators.Bpe.encodeOracleSql(6, 30)
 
+  /** q169: KMV set ALGEBRA — the sketch-union/-intersection layer q57's
+    * single-set estimate doesn't exercise: min-256 signatures of the EN
+    * and DE trigram-shingle sets (built through the q152 Generator)
+    * support |A∪B| by sketch union (min-k of the merged signatures — the
+    * KMV property: union of sketches IS the sketch of the union) and
+    * |A∩B| by inclusion–exclusion, each next to its exact anchor. The
+    * estimator is integer-exact cross-engine: est = (k−1)·2⁶⁰ div h_k
+    * over the portable 60-bit hash space (DECIMAL(38,0) / HUGEINT — no
+    * float in the estimate), exact below k by construction. Scale: each
+    * signature is one TakeOrdered over hashed shingles — 256 longs per
+    * corpus regardless of size; only the anchors pay distinct shuffles.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.NGramGenerate.register(spark)
+    val k = 256
+    val big = "CAST(255 AS DECIMAL(38,0)) * CAST(1152921504606846976 AS DECIMAL(38,0))"
+    def grams(lang: String) = documents(spark, dir)
+      .filter($"lang" === lang)
+      .select(TextFunctions.tokens($"text").as("t"))
+      .select(expr("graft_ngrams(t, 3)").as(Seq("pos", "gram")))
+      .select(TextFunctions.portableHash60($"gram").as("h")).distinct()
+    val a = grams("en").localCheckpoint(true)
+    val b = grams("de").localCheckpoint(true)
+    def kminStats(df: DataFrame, tag: String) =
+      df.orderBy($"h").limit(k)
+        .agg(count(lit(1)).as(s"nk_$tag"), max($"h").as(s"hk_$tag"))
+        .select(expr(s"CASE WHEN nk_$tag < $k THEN nk_$tag ELSE CAST($big div hk_$tag AS BIGINT) END")
+          .as(s"est_$tag"))
+    val estA = kminStats(a, "a")
+    val estB = kminStats(b, "b")
+    val estU = kminStats(a.unionByName(b).distinct(), "u")
+    val exacts = a.agg(count(lit(1)).as("exact_a")).crossJoin(
+        b.agg(count(lit(1)).as("exact_b"))).crossJoin(
+        a.unionByName(b).distinct().agg(count(lit(1)).as("exact_union")))
+    exacts.crossJoin(estA).crossJoin(estB).crossJoin(estU)
+      .select($"exact_a", $"est_a", $"exact_b", $"est_b",
+        $"exact_union", $"est_u".as("est_union"),
+        ($"exact_a" + $"exact_b" - $"exact_union").as("exact_inter"),
+        ($"est_a" + $"est_b" - $"est_u").as("est_inter"))
+  }
+
+  val kmvSetOpsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents WHERE lang IN ('en', 'de')),
+      |tri AS (
+      |  SELECT a.lang, ('0x' || substr(md5(a.w || ' ' || b.w || ' ' || c.w), 1, 15))::BIGINT AS h
+      |  FROM tok a
+      |  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+      |ga AS (SELECT DISTINCT h FROM tri WHERE lang = 'en'),
+      |gb AS (SELECT DISTINCT h FROM tri WHERE lang = 'de'),
+      |gu AS (SELECT h FROM ga UNION SELECT h FROM gb),
+      |ka AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(MAX(h) AS BIGINT) AS hk
+      |       FROM (SELECT h FROM ga ORDER BY h LIMIT 256) t),
+      |kb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(MAX(h) AS BIGINT) AS hk
+      |       FROM (SELECT h FROM gb ORDER BY h LIMIT 256) t),
+      |ku AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, CAST(MAX(h) AS BIGINT) AS hk
+      |       FROM (SELECT h FROM gu ORDER BY h LIMIT 256) t),
+      |ex AS (SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ga) AS exact_a,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gb) AS exact_b,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM gu) AS exact_union),
+      |es AS (SELECT
+      |  (SELECT CASE WHEN nk < 256 THEN nk
+      |          ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 // hk AS BIGINT) END FROM ka) AS est_a,
+      |  (SELECT CASE WHEN nk < 256 THEN nk
+      |          ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 // hk AS BIGINT) END FROM kb) AS est_b,
+      |  (SELECT CASE WHEN nk < 256 THEN nk
+      |          ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976 // hk AS BIGINT) END FROM ku) AS est_u)
+      |SELECT ex.exact_a, es.est_a, ex.exact_b, es.est_b,
+      |  ex.exact_union, es.est_u AS est_union,
+      |  ex.exact_a + ex.exact_b - ex.exact_union AS exact_inter,
+      |  es.est_a + es.est_b - es.est_u AS est_inter
+      |FROM ex, es""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_kmv_set_ops"    -> kmvSetOps,
     "q141_bpe_encode"     -> bpeEncode,
     "q139_weighted_jaccard" -> weightedJaccard,
     "q138_repeated_spans" -> repeatedSpans,
@@ -985,6 +1064,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q169_kmv_set_ops"    -> kmvSetOpsSql,
     "q141_bpe_encode"     -> bpeEncodeSql,
     "q139_weighted_jaccard" -> weightedJaccardSql,
     "q138_repeated_spans" -> repeatedSpansSql,

@@ -665,7 +665,66 @@ object VectorOps {
        |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
+  /** q170: cluster labeling via c-TF-IDF (the BERTopic topic-word shape,
+    * Grootendorst 2022): embed-cluster the corpus with the SAME IVF
+    * pipeline q42/q83 grade (seeds → one Lloyd step → assignment — the
+    * oracle reuses `ivfAssignCte` verbatim, so the three queries share
+    * one clustering that cannot drift), join cluster ids onto the
+    * aligned documents, and rank each cluster's most characteristic
+    * tokens: score = tf_in_cluster × bits(N_docs div df) — the integer
+    * floor-log2 idf (q124's discipline), deterministic ties broken by
+    * token. Top-5 per cluster; one (cluster, token) aggregate + one
+    * token-keyed df join; the embeddings never shuffle beyond the
+    * broadcast-centroid assignment.
+    */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, dir)
+    val seeds = graft.operators.IvfIndex.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cent = graft.operators.IvfIndex.lloydStep(emb, "vec_id", "embedding", seeds)
+    val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", cent)
+    val docTok = documents(spark, dir)
+      .join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select($"centroid_id", $"doc_id",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    val ctf = docTok.groupBy($"centroid_id", $"tok").agg(count(lit(1)).as("ctf"))
+    val dfreq = docTok.select($"doc_id", $"tok").distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("dfreq"))
+    val nd = docTok.agg(countDistinct($"doc_id").as("nd")) // 1 row
+    val scored = ctf.join(dfreq, "tok").crossJoin(broadcast(nd))
+      .select($"centroid_id", $"tok", $"ctf", $"dfreq",
+        ($"ctf" * length(bin(expr("nd DIV dfreq"))).cast("long")).as("score"))
+    val w = Window.partitionBy($"centroid_id").orderBy($"score".desc, $"tok".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"centroid_id", $"rk", $"tok", $"ctf", $"dfreq", $"score")
+      .orderBy($"centroid_id", $"rk")
+  }
+
+  val clusterLabelsSql: String = ivfAssignCte +
+    """,
+      |dt AS (
+      |  SELECT a1.centroid_id, d.doc_id, unnest(string_split(d.text, ' ')) AS tok
+      |  FROM documents d JOIN a1 ON a1.vec_id = d.doc_id),
+      |dt2 AS (SELECT * FROM dt WHERE tok <> ''),
+      |ctf AS (SELECT centroid_id, tok, CAST(COUNT(*) AS BIGINT) AS ctf
+      |        FROM dt2 GROUP BY 1, 2),
+      |dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS dfreq FROM (
+      |          SELECT DISTINCT doc_id, tok FROM dt2) t GROUP BY tok),
+      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM dt2),
+      |sc AS (
+      |  SELECT ctf.centroid_id, ctf.tok, ctf.ctf, dfr.dfreq,
+      |    ctf.ctf * CAST(length(format('{:b}', nd.nd // dfr.dfreq)) AS BIGINT) AS score
+      |  FROM ctf JOIN dfr USING (tok), nd)
+      |SELECT centroid_id, rk, tok, ctf, dfreq, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+      |    ORDER BY score DESC, tok) AS rk FROM sc) t
+      |WHERE rk <= 5
+      |ORDER BY centroid_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_cluster_labels" -> clusterLabels,
     "q135_pq_ann"     -> pqAnn,
     "q33_vec_stats"   -> vecStats,
     "q34_cosine_topk" -> cosineTopK,
@@ -680,6 +739,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_cluster_labels" -> clusterLabelsSql,
     "q135_pq_ann"     -> pqAnnSql,
     "q33_vec_stats"   -> vecStatsSql,
     "q34_cosine_topk" -> cosineTopKSql,
