@@ -481,7 +481,49 @@ object MergeOps {
       |SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
       |ORDER BY "table"""".stripMargin
 
+  /** q171: JSON-lines round-trip — completes the format matrix
+    * (parquet store / ORC q156 / `;`-CSV S6-S7 / JSONL here): orders
+    * project → timestamp-explicit JSONL write → schema-pinned re-read →
+    * exact money aggregate, with the oracle recomputing from the
+    * ORIGINAL table so the text encode/decode must be lossless to pass.
+    * Timestamps round-trip through an explicit micros format
+    * (JSON has no timestamp type — the format option IS the contract;
+    * the default would silently truncate sub-second precision on a
+    * fixture with micros), doubles through JacksonGenerator's shortest
+    * round-trip rendering.
+    */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runJsonl")
+    deleteRecursive(run)
+    val path = run.resolve("orders_jsonl").toString
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val src = orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+    src.write.option("timestampFormat", fmt).json(path)
+    spark.read.schema(src.schema).option("timestampFormat", fmt).json(path)
+      .filter($"o_orderstatus" =!= "P")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val jsonlRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
+      |  MIN(o_orderdate) AS first_order,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_jsonl_roundtrip" -> jsonlRoundtrip,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -495,6 +537,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

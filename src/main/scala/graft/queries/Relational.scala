@@ -383,7 +383,45 @@ object Relational {
       |SELECT o_custkey, 'new' AS tag FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96) t
       |ORDER BY tag, o_custkey""".stripMargin
 
+  /** q172: join-strategy hints — the same orders⨝customer aggregate
+    * executed THREE ways (`BROADCAST`, `SHUFFLE_HASH`, `MERGE` hints on
+    * the build side) and unioned under a strategy tag: the graded result
+    * proves physical-strategy invariance (any strategy-dependent
+    * nondeterminism — build-side dup handling, null matching — would
+    * hash-mismatch one branch), and JoinHintPlanSpec pins that each hint
+    * actually planned its operator (BroadcastHashJoin / ShuffledHashJoin
+    * / SortMergeJoin). Hints are the manual override lane next to the
+    * engine's own choices (AQE flips, the DSv2 stats tier): at 100 TB
+    * you hint when you know the dimension fits and the optimizer can't.
+    */
+  def joinHints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = orders(spark, dir).select($"o_custkey", $"o_totalprice")
+    val c = customer(spark, dir).select($"c_custkey".as("o_custkey"), $"c_mktsegment")
+    def branch(hint: String, tag: String) = o.join(c.hint(hint), "o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"))
+      .select(lit(tag).as("strategy"), $"c_mktsegment", $"n", $"total")
+    branch("BROADCAST", "broadcast")
+      .unionByName(branch("SHUFFLE_HASH", "shuffle_hash"))
+      .unionByName(branch("MERGE", "sort_merge"))
+      .orderBy($"strategy", $"c_mktsegment")
+  }
+
+  val joinHintsSql: String =
+    """WITH agg AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY c_mktsegment)
+      |SELECT t.strategy, agg.c_mktsegment, agg.n, agg.total
+      |FROM (VALUES ('broadcast'), ('shuffle_hash'), ('sort_merge')) t(strategy)
+      |CROSS JOIN agg
+      |ORDER BY t.strategy, agg.c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_join_hints"    -> joinHints,
     "q155_set_ops"       -> setOpsRetention,
     "q150_observed_agg"  -> observedMonthlyRevenue,
     "q143_reconciliation" -> reconciliation,
@@ -397,6 +435,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q172_join_hints"    -> joinHintsSql,
     "q155_set_ops"       -> setOpsRetentionSql,
     "q150_observed_agg"  -> observedMonthlyRevenueSql,
     "q143_reconciliation" -> reconciliationSql,
