@@ -522,7 +522,134 @@ object MergeOps {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** q173: error-tolerant ingestion — PERMISSIVE JSON parsing with a
+    * corrupt-record column, the contract that keeps a 100 TB ingest
+    * running when 0.1% of upstream lines are garbage (FAILFAST kills the
+    * job; DROPMALFORMED silently loses data — this path QUARANTINES).
+    * The fixture derives deterministically from orders: every line whose
+    * orderkey ≡ 0 (mod 10) is written truncated (unparseable), the rest
+    * as valid JSON. The query re-reads PERMISSIVE with
+    * `_corrupt_record`, audits good/bad counts, and aggregates ONLY the
+    * clean rows — the oracle recomputes both populations relationally
+    * from the original table, so a parser that drops, double-counts, or
+    * mis-quarantines any line hash-mismatches.
+    */
+  def corruptRecords(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runCorrupt")
+    deleteRecursive(run)
+    val path = run.resolve("orders_dirty").toString
+    // zone-less micros format: the 'XXX' offset pattern round-trips on
+    // WRITE but fails JSON-read timestamp parsing against the rendered
+    // 'Z' (observed: every good line partially parsed with a null
+    // timestamp AND quarantined) — session-TZ-local text is the stable
+    // JSON contract here
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    val src = orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderdate")
+    val lines = src
+      .select(when(pmod($"o_orderkey", lit(10)) === 0,
+          concat(lit("{\"o_orderkey\":"), $"o_orderkey".cast("string"), lit(",GARBAGE")))
+        .otherwise(to_json(struct($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          date_format($"o_orderdate", fmt).as("o_orderdate")))).as("value"))
+    lines.write.text(path)
+    val schema = org.apache.spark.sql.types.StructType(
+      src.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_corrupt_record", org.apache.spark.sql.types.StringType, nullable = true))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", fmt)
+      .json(path)
+      .localCheckpoint(true) // corrupt-record parsing caches poorly across actions
+    val audit = read.agg(
+      count(lit(1)).as("n_lines"),
+      count($"_corrupt_record").as("n_quarantined"))
+    val clean = read.filter($"_corrupt_record".isNull)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"))
+    clean.crossJoin(broadcast(audit))
+      .select($"o_orderstatus", $"n", $"total", $"n_lines", $"n_quarantined")
+      .orderBy($"o_orderstatus")
+  }
+
+  val corruptRecordsSql: String =
+    """WITH audit AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(SUM(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+      |  FROM orders),
+      |clean AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  GROUP BY o_orderstatus)
+      |SELECT clean.o_orderstatus, clean.n, clean.total,
+      |  audit.n_lines, audit.n_quarantined
+      |FROM clean, audit
+      |ORDER BY clean.o_orderstatus""".stripMargin
+
+  /** q174: CDC APPLY — the replication sink closing the change-data loop
+    * (q96 PRODUCES a changelog, q101/q103 fold one into aggregates; this
+    * applies one to a TABLE): a mixed batch of deletes (event_id ≡ 0
+    * mod 7), updates (≡ 1 or 2: value doubled via exact cents), and
+    * inserts (cloned rows at +10⁸ ids) lands through
+    * [[TableStore.applyCdc]] — one read → anti-join → merge plan, ONE
+    * atomic swap, so no reader can observe deletes-without-upserts. The
+    * audit re-reads the post-swap table: per event_type counts, exact
+    * summed cents, min/max ids — any misapplied op class shifts one of
+    * them. Oracle applies the same feed relationally to the original
+    * table.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runCdcApply")
+    deleteRecursive(run)
+    val path = run.resolve("events_cdc").toString
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    TableStore.atomicWrite(spark, ev, path)
+    val feed = ev.filter(pmod($"event_id", lit(7)) <= 2)
+      .select(
+        when(pmod($"event_id", lit(7)) === 0, lit("D")).otherwise(lit("U")).as("op"),
+        when(pmod($"event_id", lit(7)) === 0, $"event_id")
+          .otherwise($"event_id").as("event_id"),
+        $"user_id", $"event_type", ($"cents" * 2).as("cents"))
+      .unionByName(ev.filter(pmod($"event_id", lit(7)) === 3)
+        .select(lit("I").as("op"), ($"event_id" + 100000000L).as("event_id"),
+          $"user_id", $"event_type", $"cents"))
+    TableStore.applyCdc(spark, path, feed, Seq("event_id"))
+    TableStore.read(spark, path)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  val cdcApplySql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |applied AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 7 IN (1, 2) THEN cents * 2 ELSE cents END AS cents
+      |  FROM ev WHERE event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 100000000, event_type, cents
+      |  FROM ev WHERE event_id % 7 = 3)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_id
+      |FROM applied
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_cdc_apply"     -> cdcApply,
+    "q173_corrupt_records" -> corruptRecords,
     "q171_jsonl_roundtrip" -> jsonlRoundtrip,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
@@ -537,6 +664,8 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_cdc_apply"     -> cdcApplySql,
+    "q173_corrupt_records" -> corruptRecordsSql,
     "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,

@@ -269,6 +269,24 @@ object TableStore {
     nBefore - read(spark, path).filter(touched).count()
   }
 
+  /** Apply a CDC feed — the replication-sink counterpart of [[changelog]]
+    * (which PRODUCES a feed): one batch carrying inserts/updates (any op
+    * but 'D') and deletes ('D' rows, keys only needed) lands in ONE
+    * read → anti-join(deletes) → merge(upserts) plan and ONE atomic
+    * swap — no intermediate state where deletes applied but upserts
+    * didn't. Contract: at most one op per key per batch (dedupe upstream
+    * with [[dedupeByKey]] — a key carrying both 'D' and 'U' in the same
+    * batch has no defined order here, exactly like SQL MERGE).
+    */
+  def applyCdc(spark: SparkSession, path: String, feed: DataFrame,
+               keys: Seq[String], opCol: String = "op"): Unit = {
+    val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
+    val ups = feed.filter(col(opCol) =!= "D").drop(opCol)
+    val existing = read(spark, path)
+    val afterDel = existing.join(dels, keys, "left_anti")
+    atomicWrite(spark, mergePlan(afterDel, ups, keys, None), path)
+  }
+
   /** Scale-path upsert over a partitioned layout: only the partitions
     * present in the incoming batch are read, merged, and rewritten
     * (dynamic partition overwrite); untouched partitions' files are never

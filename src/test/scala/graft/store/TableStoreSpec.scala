@@ -157,6 +157,23 @@ class TableStoreSpec extends SparkSuite {
     assert(!new java.io.File(path + "__tmp").exists)
   }
 
+  test("applyCdc: one batch of inserts/updates/deletes, one swap, idempotent-safe contract") {
+    val dir = java.nio.file.Files.createTempDirectory("tablestore_cdc").toString
+    val path = s"$dir/t"
+    TableStore.atomicWrite(spark, base, path)
+    val feed = Seq(
+      ("D", 1L, null.asInstanceOf[String], 0.0),   // delete existing
+      ("U", 2L, "upd", 99.0),                      // update existing
+      ("I", 4L, "new", 40.0),                      // insert fresh
+      ("D", 9L, null.asInstanceOf[String], 0.0)    // delete of absent key: no-op
+    ).toDF("op", "id", "status", "price")
+    TableStore.applyCdc(spark, path, feed, Seq("id"))
+    val got = TableStore.read(spark, path).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((2L, "upd", 99.0), (3L, "c", 30.0), (4L, "new", 40.0)))
+    assert(!new java.io.File(path + "__tmp").exists)
+  }
+
   test("deleteRowsPartitioned rewrites only victim-bearing partitions") {
     val dir = java.nio.file.Files.createTempDirectory("tablestore_delp").toString
     val path = s"$dir/t"
