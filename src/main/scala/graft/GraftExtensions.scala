@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.HyperLogLog.FunctionName),
       graft.functions.expressions.HyperLogLog.builder))
     ext.injectFunction((FunctionIdentifier(
+      graft.functions.expressions.HyperLogLog.MergeFunctionName),
+      new ExpressionInfo(classOf[graft.functions.expressions.HllMerge].getName,
+        graft.functions.expressions.HyperLogLog.MergeFunctionName),
+      graft.functions.expressions.HyperLogLog.mergeBuilder))
+    ext.injectFunction((FunctionIdentifier(
       graft.functions.expressions.NGramGenerate.FunctionName),
       new ExpressionInfo(classOf[graft.functions.expressions.NGramGenerate].getName,
         graft.functions.expressions.NGramGenerate.FunctionName),

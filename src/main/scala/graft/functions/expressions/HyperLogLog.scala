@@ -94,8 +94,77 @@ case class HyperLogLog(child: Expression, m: Int,
     copy(child = newChildren.head)
 }
 
+/** Re-aggregation of STORED HLL register arrays — the `hll_union_agg`
+  * warehouse primitive: input rows are m-long register arrays (what
+  * [[HyperLogLog]] emits and a table stores per partition/day), the
+  * aggregate is the same elementwise max, so distinct-over-any-subset
+  * reduces to one GROUP BY over 2 KB rows without touching raw data.
+  * Same merge algebra as the base sketch — idempotent, commutative,
+  * associative — so the union of sketches IS the sketch of the union.
+  */
+case class HllMerge(child: Expression, m: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16: $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hll_merge"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[ArrayData]
+      require(regs.numElements() == m, s"expected $m registers, got ${regs.numElements()}")
+      var i = 0
+      while (i < m) {
+        val r = regs.getLong(i)
+        if (r > buf(i)) buf(i) = r
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object HyperLogLog {
   val FunctionName = "graft_hll"
+  val MergeFunctionName = "graft_hll_merge"
 
   /** `graft_hll(array(bucket, rho), m)` with literal register count. */
   val builder: Seq[Expression] => Expression = { exprs =>
@@ -107,13 +176,31 @@ object HyperLogLog {
     HyperLogLog(exprs.head, m).toAggregateExpression()
   }
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  val mergeBuilder: Seq[Expression] => Expression = { exprs =>
+    val m = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$MergeFunctionName m must be an integer literal, got $other")
+    }
+    HllMerge(exprs.head, m).toAggregateExpression()
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FunctionName, builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MergeFunctionName, mergeBuilder, "built-in")
+  }
 
   /** Column-API entry point; requires [[register]] (or GraftExtensions). */
   def hll(bucketRho: Column, m: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function(FunctionName, bucketRho, lit(m))
+  }
+
+  /** Union of stored register arrays; requires [[register]]. */
+  def hllMerge(registers: Column, m: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function(MergeFunctionName, registers, lit(m))
   }
 }

@@ -437,6 +437,50 @@ object ScaleOps {
       |FROM agg a JOIN ex USING (wday)
       |ORDER BY a.wday""".stripMargin
 
+  /** q175: sketch RE-aggregation as a first-class aggregate —
+    * `graft_hll_merge` ([[graft.functions.expressions.HllMerge]], the
+    * `hll_union_agg` warehouse primitive): q154's trailing-7-day roll-up
+    * again, but the per-window union of stored register arrays is ONE
+    * grouped aggregate over 2 KB rows instead of a posexplode + two
+    * groupBys — the shape a BI layer actually issues against a sketch
+    * column. Output and oracle are IDENTICAL to q154 (the oracle string
+    * is shared verbatim), so the two physical paths — relational
+    * register max vs native merge aggregate — are pinned equal by
+    * construction.
+    */
+  def hllRollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.expressions.HyperLogLog.register(spark)
+    val m = 256
+    val h = TextFunctions.portableHash60($"user_id".cast("string"))
+    val w = (h / m).cast("long")
+    val rho = when(w === 0, lit(53L))
+      .otherwise(lit(53L) - length(bin(w)).cast("long"))
+    val ev = events(spark, dir).select(to_date($"ts").as("day"), $"user_id",
+      array(pmod(h, lit(m)).cast("long"), rho).as("br"))
+    val dayRegs = ev.groupBy($"day")
+      .agg(graft.functions.expressions.HyperLogLog.hll($"br", m).as("regs"))
+    val minDay = ev.agg(min($"day").as("min_day"))
+    val windows = dayRegs.select($"day".as("wday")).crossJoin(broadcast(minDay))
+      .filter(datediff($"wday", $"min_day") >= 6).select($"wday")
+    val mapping = windows.select($"wday", explode(sequence(lit(0), lit(6))).as("off"))
+      .select($"wday", date_sub($"wday", col("off").cast("int")).as("day"))
+    val rolled = mapping.join(dayRegs, "day")
+      .groupBy($"wday")
+      .agg(graft.functions.expressions.HyperLogLog.hllMerge($"regs", m).as("regs"))
+      .select($"wday",
+        expr("size(filter(regs, r -> r = 0))").cast("long").as("n_zero"),
+        expr("aggregate(regs, CAST(0 AS BIGINT), (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT)))")
+          .as("s_scaled"))
+      .withColumn("est_milli",
+        expr("CAST('544998871055020014822227968000' AS DECIMAL(38,0)) div (CAST(1285395 AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"))
+    val exact = mapping.join(ev.select($"day", $"user_id"), "day")
+      .groupBy($"wday").agg(countDistinct($"user_id").as("exact_distinct"))
+    rolled.join(exact, "wday")
+      .select($"wday", $"exact_distinct", $"n_zero", $"s_scaled", $"est_milli")
+      .orderBy($"wday")
+  }
+
   /** q121: join-key skew diagnostics — the report you run BEFORE deciding
     * whether a join needs q40's salting. Per-key frequencies of
     * `lineitem.l_suppkey` reduce to one row of distribution stats: key
@@ -588,6 +632,7 @@ object ScaleOps {
     "q146_hll_distinct" -> hllDistinct,
     "q151_join_size_est" -> joinSizeEstimate,
     "q154_hll_rollup"  -> hllRollup,
+    "q175_hll_merge_agg" -> hllRollupAgg,
     "q122_rfm"         -> rfm,
     "q123_pareto_abc"  -> paretoAbc,
     "q40_salted_join"  -> saltedJoinAgg,
@@ -602,6 +647,7 @@ object ScaleOps {
     "q146_hll_distinct" -> hllDistinctSql,
     "q151_join_size_est" -> joinSizeEstimateSql,
     "q154_hll_rollup"  -> hllRollupSql,
+    "q175_hll_merge_agg" -> hllRollupSql, // shared verbatim — see q175 scaladoc
     "q122_rfm"         -> rfmSql,
     "q123_pareto_abc"  -> paretoAbcSql,
     "q40_salted_join"  -> saltedJoinAggSql,

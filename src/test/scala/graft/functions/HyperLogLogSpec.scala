@@ -66,6 +66,19 @@ class HyperLogLogSpec extends SparkSuite {
     }
   }
 
+  test("graft_hll_merge over stored register arrays equals one direct sketch") {
+    HyperLogLog.register(spark)
+    val items = (0 until 3000).map(i => (i % 5, s"u$i")) // 5 "days"
+    val df = items.toDF("day", "item")
+    val perDay = df.groupBy($"day")
+      .agg(HyperLogLog.hll(bucketRho($"item"), m).as("regs"))
+    val merged = perDay.agg(HyperLogLog.hllMerge($"regs", m).as("regs"))
+      .head().getSeq[Long](0).toArray
+    val direct = registersOf(items.map(_._2), 4)
+    assert(merged.toSeq == direct.toSeq,
+      "union of per-day sketches must equal the sketch of the union")
+  }
+
   test("malformed input fails loudly") {
     HyperLogLog.register(spark)
     val bad = Seq(1L).toDF("x")
