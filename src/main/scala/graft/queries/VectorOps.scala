@@ -723,7 +723,58 @@ object VectorOps {
       |WHERE rk <= 5
       |ORDER BY centroid_id, rk""".stripMargin
 
+  /** q176: embedding-space outlier pruning — the curation step between
+    * clustering and SemDeDup: within each IVF cluster (the SAME q42/q83
+    * pipeline; oracle reuses `ivfAssignCte`), the members FURTHEST from
+    * their centroid — the bottom decile by cosine — are flagged as
+    * stragglers (mislabeled/noise points that pollute cluster-level
+    * decisions). Selection is RANK-based, not threshold-based: ranks are
+    * integers with vec_id tie-breaks and the decile cut is the integer
+    * `(n_members + 9) div 10`, so the flagged set is deterministic
+    * cross-engine even though cosines are floats (the q42 precedent:
+    * identical ranking, no bit-equality on the scores). One broadcast-
+    * centroid pass + one cluster-keyed window; nothing global.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, dir)
+    val seeds = graft.operators.IvfIndex.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cent = graft.operators.IvfIndex.lloydStep(emb, "vec_id", "embedding", seeds)
+    graft.operators.Similarity.registerNative(spark)
+    import graft.operators.Similarity.{ndot, nnorm}
+    val w = Window.partitionBy($"centroid_id").orderBy($"cos".asc, $"vec_id".asc)
+    val wAll = Window.partitionBy($"centroid_id")
+    graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", cent)
+      .join(emb, "vec_id")
+      .join(broadcast(cent), "centroid_id")
+      .withColumn("cos",
+        ndot($"embedding", $"centroid") / (nnorm($"embedding") * nnorm($"centroid")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter($"rk" <= expr("(n_members + 9) DIV 10"))
+      .select($"centroid_id", $"rk", $"vec_id", $"n_members")
+      .orderBy($"centroid_id", $"rk")
+  }
+
+  val embeddingOutliersSql: String = ivfAssignCte +
+    """,
+      |scored AS (
+      |  SELECT a1.centroid_id, a1.vec_id,
+      |    list_cosine_similarity(e.embedding, c.centroid) AS cos
+      |  FROM a1 JOIN embeddings e USING (vec_id)
+      |  JOIN c1 c USING (centroid_id)),
+      |r AS (
+      |  SELECT centroid_id, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY cos ASC, vec_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY centroid_id) AS n_members
+      |  FROM scored)
+      |SELECT centroid_id, rk, vec_id, CAST(n_members AS BIGINT) AS n_members
+      |FROM r WHERE rk <= (n_members + 9) // 10
+      |ORDER BY centroid_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_embedding_outliers" -> embeddingOutliers,
     "q170_cluster_labels" -> clusterLabels,
     "q135_pq_ann"     -> pqAnn,
     "q33_vec_stats"   -> vecStats,
@@ -739,6 +790,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_embedding_outliers" -> embeddingOutliersSql,
     "q170_cluster_labels" -> clusterLabelsSql,
     "q135_pq_ann"     -> pqAnnSql,
     "q33_vec_stats"   -> vecStatsSql,
