@@ -70,6 +70,55 @@ object MediaFormats {
   def encodePpm(p: Ppm): Array[Byte] =
     s"P6\n${p.width} ${p.height}\n255\n".getBytes("US-ASCII") ++ p.pixels
 
+  /** Average-hash (aHash) perceptual fingerprint of a decoded PPM — the
+    * image near-dup primitive: the GREEN channel mean-pools onto an 8×8
+    * grid (pixel (x, y) → cell (8x div w, 8y div h); cell value =
+    * integer mean), each cell compares against the integer mean of the
+    * 64 cell values, and the 64 comparison bits pack row-major
+    * (idx = by·8 + bx). ALL-INTEGER — pooling, thresholds, packing — so
+    * a DuckDB oracle recomputes the hash bit-for-bit from the pixel
+    * formula while THIS path computes it from the parsed binary.
+    * Returned as (hi, lo) unsigned 32-bit halves (bit 63 would wrap a
+    * signed BIGINT in SQL) plus the popcount.
+    */
+  def aHashPpm(p: Ppm): (Long, Long, Int) = {
+    val w = p.width; val h = p.height
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = 8 * y / h
+      var x = 0
+      while (x < w) {
+        val bx = 8 * x / w
+        val cell = by * 8 + bx
+        sums(cell) += (p.pixels(3 * (y * w + x) + 1) & 0xFF).toLong
+        counts(cell) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    val cellMeans = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      cellMeans(i) = if (counts(i) == 0) 0L else sums(i) / counts(i)
+      total += cellMeans(i)
+      i += 1
+    }
+    val m = total / 64
+    var hi = 0L; var lo = 0L; var pop = 0
+    i = 0
+    while (i < 64) {
+      if (cellMeans(i) > m) {
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        pop += 1
+      }
+      i += 1
+    }
+    (hi, lo, pop)
+  }
+
   /** Nearest-neighbor resample to (tw, th): target pixel (x, y) reads
     * source pixel (⌊x·sw/tw⌋, ⌊y·sh/th⌋) — the standard NN resize, fully
     * integer so the q79 oracle recomputes it in closed form.

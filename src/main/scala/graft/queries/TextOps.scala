@@ -424,6 +424,57 @@ object TextOps {
       |GROUP BY media_id
       |ORDER BY media_id""".stripMargin
 
+  /** q177: perceptual image fingerprints — aHash over REAL decoded PPM
+    * payloads ([[graft.operators.MediaFormats.aHashPpm]]): green channel
+    * mean-pooled onto an 8×8 grid, thresholded at the integer mean of
+    * the 64 cells, packed row-major into (hi, lo) 32-bit halves. The
+    * image-dedup primitive (near-dup pairs then follow the q31 SimHash
+    * byte-band machinery on these 64 bits); here every image's full hash
+    * is the graded artifact — any decode, pooling-boundary, threshold,
+    * or packing slip flips bits. Spark computes from the PARSED binary;
+    * the oracle recomputes bit-for-bit from the generator's pixel
+    * formula — the same decode-vs-formula cross-grading as q56/q79/q80.
+    */
+  def imageAHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.realMedia(spark, documents(spark, dir))
+      .filter(_.modality == "image")
+      .map { r =>
+        val p = graft.operators.MediaFormats.parsePpm(r.payload)
+        val (hi, lo, pop) = graft.operators.MediaFormats.aHashPpm(p)
+        (r.media_id, p.width, p.height, hi, lo, pop)
+      }.toDF("media_id", "w", "h", "phash_hi", "phash_lo", "n_bits")
+      .orderBy($"media_id")
+  }
+
+  val imageAHashSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id, CAST(doc_id % 16 * 4 + 16 AS BIGINT) AS w,
+      |         CAST(doc_id % 9 * 4 + 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT id, w, h, unnest(range(0, w)) AS x FROM m),
+      |pxy AS (SELECT id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |g AS (
+      |  SELECT id, (8 * x) // w AS bx, (8 * y) // h AS by,
+      |    (id * 31 + (3 * (y * w + x) + 1) * 7) % 256 AS gv
+      |  FROM pxy),
+      |cells AS (SELECT id, by, bx, SUM(gv) // COUNT(*) AS cm FROM g GROUP BY 1, 2, 3),
+      |ov AS (SELECT id, SUM(cm) // 64 AS mean64 FROM cells GROUP BY id),
+      |bits AS (
+      |  SELECT c.id, c.by * 8 + c.bx AS idx,
+      |    CASE WHEN c.cm > ov.mean64 THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN ov ON ov.id = c.id),
+      |hashes AS (
+      |  SELECT id,
+      |    CAST(SUM(CASE WHEN idx >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN idx < 32 THEN b * (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo,
+      |    CAST(SUM(b) AS INTEGER) AS n_bits
+      |  FROM bits GROUP BY id)
+      |SELECT m.id AS media_id, CAST(m.w AS INTEGER) AS w, CAST(m.h AS INTEGER) AS h,
+      |  hashes.phash_hi, hashes.phash_lo, hashes.n_bits
+      |FROM m JOIN hashes ON hashes.id = m.id
+      |ORDER BY media_id""".stripMargin
+
   /** q80: REAL video frame sampling — every 2nd frame of each Y4M stream
     * (stride-2 temporal downsample, the standard frame-sample primitive),
     * graded on sampled-frame count and the luma mean over the sampled
@@ -1030,6 +1081,7 @@ object TextOps {
     "q31_simhash_pairs"   -> simhashPairs,
     "q32_multimodal_meta" -> multimodalMeta,
     "q56_multimodal_decode" -> multimodalDecode,
+    "q177_image_ahash"    -> imageAHash,
     "q73_jpeg_decode" -> jpegDecode,
     "q57_kmv_distinct"    -> kmvDistinct,
     "q74_editdist_pairs"  -> editDistPairs,
@@ -1080,6 +1132,7 @@ object TextOps {
     "q31_simhash_pairs"   -> simhashPairsSql,
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
+    "q177_image_ahash"    -> imageAHashSql,
     "q73_jpeg_decode" -> jpegDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,
     "q74_editdist_pairs"  -> editDistPairsSql,
