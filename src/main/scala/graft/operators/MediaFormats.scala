@@ -303,6 +303,44 @@ object MediaFormats {
     Y4m(w, h, fpsNum, fpsDen, frames.result())
   }
 
+  /** Energy-contour fingerprint of decoded PCM16 audio — the audio twin
+    * of [[aHashPpm]]: samples split into 16 contiguous windows
+    * (sample i → window 16·i div n), each window's integer mean |sample|
+    * compares against the integer mean of the 16 window values, and the
+    * 16 comparison bits pack LSB-first into an Int. All-integer, so the
+    * oracle recomputes it from the sample formula while this path parses
+    * the RIFF binary. 16 bits is the coarse "loudness shape" signature —
+    * the blocking key an audio near-dup pass buckets on.
+    */
+  def energyFingerprint(w: Wav): (Int, Int) = {
+    val n = w.samples.length
+    val sums = new Array[Long](16)
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val win = (16L * i / n).toInt
+      sums(win) += math.abs(w.samples(i).toLong)
+      counts(win) += 1L
+      i += 1
+    }
+    val means = new Array[Long](16)
+    var total = 0L
+    var j = 0
+    while (j < 16) {
+      means(j) = if (counts(j) == 0) 0L else sums(j) / counts(j)
+      total += means(j)
+      j += 1
+    }
+    val m = total / 16
+    var sig = 0; var pop = 0
+    j = 0
+    while (j < 16) {
+      if (means(j) > m) { sig |= 1 << j; pop += 1 }
+      j += 1
+    }
+    (sig, pop)
+  }
+
   case class Wav(sampleRate: Int, samples: Array[Short])
 
   /** Parse a PCM16 mono WAV by walking RIFF chunks to fmt/data. Every

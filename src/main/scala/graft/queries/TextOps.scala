@@ -475,6 +475,48 @@ object TextOps {
       |FROM m JOIN hashes ON hashes.id = m.id
       |ORDER BY media_id""".stripMargin
 
+  /** q178: audio energy-contour fingerprints — the audio twin of q177
+    * ([[graft.operators.MediaFormats.energyFingerprint]]): each decoded
+    * PCM16 stream's 16-window mean-|sample| contour thresholds at the
+    * contour mean into a 16-bit signature, the blocking key an audio
+    * near-dup pass buckets on. Spark parses the RIFF binaries; the
+    * oracle recomputes every signature from the sample formula —
+    * decode-vs-formula cross-grading, bit-for-bit.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.realMedia(spark, documents(spark, dir))
+      .filter(_.modality == "audio")
+      .map { r =>
+        val wv = graft.operators.MediaFormats.parseWav(r.payload)
+        val (sig, pop) = graft.operators.MediaFormats.energyFingerprint(wv)
+        (r.media_id, wv.samples.length, sig, pop)
+      }.toDF("media_id", "n_samples", "sig", "n_bits")
+      .orderBy($"media_id")
+  }
+
+  val audioFingerprintSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id, CAST(400 + doc_id % 100 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |sm AS (SELECT id, n, unnest(range(0, n)) AS i FROM m),
+      |v AS (
+      |  SELECT id, (16 * i) // n AS win,
+      |    ABS(((id * 13 + i * 11) % 65536) - 32768) AS a
+      |  FROM sm),
+      |wm AS (SELECT id, win, SUM(a) // COUNT(*) AS wmean FROM v GROUP BY 1, 2),
+      |ov AS (SELECT id, SUM(wmean) // 16 AS m16 FROM wm GROUP BY id),
+      |bits AS (
+      |  SELECT wm.id, wm.win, CASE WHEN wm.wmean > ov.m16 THEN 1 ELSE 0 END AS b
+      |  FROM wm JOIN ov ON ov.id = wm.id),
+      |sg AS (
+      |  SELECT id, CAST(SUM(b * (1 << CAST(win AS INTEGER))) AS INTEGER) AS sig,
+      |         CAST(SUM(b) AS INTEGER) AS n_bits
+      |  FROM bits GROUP BY id)
+      |SELECT m.id AS media_id, CAST(m.n AS INTEGER) AS n_samples, sg.sig, sg.n_bits
+      |FROM m JOIN sg ON sg.id = m.id
+      |ORDER BY media_id""".stripMargin
+
   /** q80: REAL video frame sampling — every 2nd frame of each Y4M stream
     * (stride-2 temporal downsample, the standard frame-sample primitive),
     * graded on sampled-frame count and the luma mean over the sampled
@@ -1082,6 +1124,7 @@ object TextOps {
     "q32_multimodal_meta" -> multimodalMeta,
     "q56_multimodal_decode" -> multimodalDecode,
     "q177_image_ahash"    -> imageAHash,
+    "q178_audio_fingerprint" -> audioFingerprint,
     "q73_jpeg_decode" -> jpegDecode,
     "q57_kmv_distinct"    -> kmvDistinct,
     "q74_editdist_pairs"  -> editDistPairs,
@@ -1133,6 +1176,7 @@ object TextOps {
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
     "q177_image_ahash"    -> imageAHashSql,
+    "q178_audio_fingerprint" -> audioFingerprintSql,
     "q73_jpeg_decode" -> jpegDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,
     "q74_editdist_pairs"  -> editDistPairsSql,
