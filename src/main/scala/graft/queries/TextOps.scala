@@ -517,6 +517,57 @@ object TextOps {
       |FROM m JOIN sg ON sg.id = m.id
       |ORDER BY media_id""".stripMargin
 
+  /** q179: video motion fingerprints — the third modality signature
+    * (q177 image aHash, q178 audio contour): per consecutive-frame
+    * transition, the integer mean |Y_t − Y_{t−1}| over the luma plane of
+    * the PARSED Y4M stream — the scene-cut/static-content signal a video
+    * dedup or sampling policy keys on (a transition's mad ≈ 0 means a
+    * near-duplicate frame worth dropping; q80's stride-2 sampler is the
+    * blind version of that decision). All integer (abs-diff sum, one
+    * div); the oracle recomputes every transition from the generator's
+    * global-index pixel formula. One row per (video, transition).
+    */
+  def videoMotion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.realMedia(spark, documents(spark, dir))
+      .filter(_.modality == "video")
+      .flatMap { r =>
+        val v = graft.operators.MediaFormats.parseY4m(r.payload)
+        val ySize = v.width * v.height
+        (1 until v.frames.length).map { t =>
+          var s = 0L
+          var p = 0
+          while (p < ySize) {
+            s += math.abs((v.frames(t)(p) & 0xFF) - (v.frames(t - 1)(p) & 0xFF))
+            p += 1
+          }
+          (r.media_id, t, v.frames.length, s / ySize)
+        }
+      }.toDF("media_id", "transition", "n_frames", "mad")
+      .orderBy($"media_id", $"transition")
+  }
+
+  val videoMotionSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id,
+      |    CAST(doc_id % 16 * 4 + 16 AS BIGINT) AS w,
+      |    CAST(doc_id % 9 * 4 + 16 AS BIGINT) AS h,
+      |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |tr AS (SELECT id, w, h, nf, unnest(range(1, nf)) AS t FROM m),
+      |px AS (SELECT id, w, h, nf, t, unnest(range(0, w * h)) AS p FROM tr),
+      |d AS (
+      |  SELECT id, t, nf, w, h,
+      |    ABS((id*31 + (t * (w*h*3//2) + p) * 7) % 256
+      |      - (id*31 + ((t-1) * (w*h*3//2) + p) * 7) % 256) AS ad
+      |  FROM px)
+      |SELECT id AS media_id, CAST(t AS INTEGER) AS transition,
+      |  CAST(nf AS INTEGER) AS n_frames,
+      |  CAST(SUM(ad) // (w * h) AS BIGINT) AS mad
+      |FROM d
+      |GROUP BY id, t, nf, w, h
+      |ORDER BY media_id, transition""".stripMargin
+
   /** q80: REAL video frame sampling — every 2nd frame of each Y4M stream
     * (stride-2 temporal downsample, the standard frame-sample primitive),
     * graded on sampled-frame count and the luma mean over the sampled
@@ -1125,6 +1176,7 @@ object TextOps {
     "q56_multimodal_decode" -> multimodalDecode,
     "q177_image_ahash"    -> imageAHash,
     "q178_audio_fingerprint" -> audioFingerprint,
+    "q179_video_motion"   -> videoMotion,
     "q73_jpeg_decode" -> jpegDecode,
     "q57_kmv_distinct"    -> kmvDistinct,
     "q74_editdist_pairs"  -> editDistPairs,
@@ -1177,6 +1229,7 @@ object TextOps {
     "q56_multimodal_decode" -> multimodalDecodeSql,
     "q177_image_ahash"    -> imageAHashSql,
     "q178_audio_fingerprint" -> audioFingerprintSql,
+    "q179_video_motion"   -> videoMotionSql,
     "q73_jpeg_decode" -> jpegDecodeSql,
     "q57_kmv_distinct"    -> kmvDistinctSql,
     "q74_editdist_pairs"  -> editDistPairsSql,
