@@ -157,6 +157,58 @@ class TableStoreSpec extends SparkSuite {
     assert(!new java.io.File(path + "__tmp").exists)
   }
 
+  test("property: applyCdc equals a reference map fold over random op sequences") {
+    import org.scalacheck.Gen
+    val opGen: Gen[List[(String, Long, String, Double)]] =
+      Gen.listOfN(40, for {
+        op <- Gen.oneOf("U", "D")
+        id <- Gen.choose(1L, 12L)
+        s  <- Gen.alphaStr.map(_.take(3))
+        p  <- Gen.choose(0, 9999).map(_ / 100.0)
+      } yield (op, id, s, p))
+    (0 until 6).foreach { i =>
+      // dedupe to one op per key per batch (the documented contract),
+      // last-in-list wins — mirrored exactly in the reference fold
+      val raw = sample(opGen, 7000L + i)
+      val perKey = raw.zipWithIndex.groupBy(_._1._2).values
+        .map(_.maxBy(_._2)._1).toList.sortBy(_._2)
+      val dir = java.nio.file.Files.createTempDirectory(s"ts_cdc_prop$i").toString
+      val path = s"$dir/t"
+      TableStore.atomicWrite(spark, base, path)
+      TableStore.applyCdc(spark, path,
+        perKey.toDF("op", "id", "status", "price"), Seq("id"))
+      val got = snapshot(TableStore.read(spark, path))
+      // reference: plain Map fold of the same deduped batch over base
+      val ref0 = Map(1L -> ("a", 10.0), 2L -> ("b", 20.0), 3L -> ("c", 30.0))
+      val ref = perKey.foldLeft(ref0) {
+        case (m, ("D", id, _, _)) => m - id
+        case (m, (_, id, s, p))   => m.updated(id, (s, p))
+      }
+      val refSnap = ref.toSeq.map { case (id, (s, p)) => (id, Option(s), p) }.sortBy(_._1)
+      assert(got == refSnap, s"iteration $i")
+    }
+  }
+
+  test("property: deleteRows(victims) then deleteRows(rest) empties any table") {
+    import org.scalacheck.Gen
+    (0 until 4).foreach { i =>
+      val rows = sample(batchGen(1, 30), 9000L + i)
+      val deduped = TableStore.dedupeByKey(
+        rows.zipWithIndex.map { case ((id, s, p), n) => (id, s, p, n.toLong) }
+          .toDF("id", "status", "price", "seq"), Seq("id"), "seq").drop("seq")
+      val n = deduped.count()
+      val dir = java.nio.file.Files.createTempDirectory(s"ts_del_prop$i").toString
+      val path = s"$dir/t"
+      TableStore.atomicWrite(spark, deduped, path)
+      val some = deduped.filter($"id" % 2 === 0).select("id")
+      val d1 = TableStore.deleteRows(spark, path, some, Seq("id"))
+      val d2 = TableStore.deleteRows(spark, path,
+        deduped.select("id"), Seq("id")) // the rest (already-deleted keys no-op)
+      assert(d1 + d2 == n, s"iteration $i: $d1 + $d2 != $n")
+      assert(TableStore.read(spark, path).count() == 0)
+    }
+  }
+
   test("applyCdc: one batch of inserts/updates/deletes, one swap, idempotent-safe contract") {
     val dir = java.nio.file.Files.createTempDirectory("tablestore_cdc").toString
     val path = s"$dir/t"
