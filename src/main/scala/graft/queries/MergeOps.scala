@@ -647,7 +647,58 @@ object MergeOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q180: partition-pruned DELETE — q160's 100 TB shape on a
+    * day-partitioned events table: victims (every user_id ≡ 0 mod 11)
+    * live in SOME partitions; [[TableStore.deleteRowsPartitioned]]
+    * discovers the victim-bearing days with a key-only semi-join and
+    * rewrites ONLY those partition directories (untouched days' files
+    * never open — asserted by mtime in TableStoreSpec; here the graded
+    * artifact is the post-delete on-disk state: per-day survivors, the
+    * deleted count, and a user checksum). The delete predicate is on
+    * user_id, NOT the partition column — pruning comes from where the
+    * victims live, which is what makes a selective delete affordable
+    * over thousands of date partitions.
+    */
+  def partitionedDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runPartDelete")
+    deleteRecursive(run)
+    val path = run.resolve("events_part").toString
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        to_date($"ts").cast("string").as("day"))
+    ev.write.partitionBy("day").parquet(path)
+    val victims = ev.filter(pmod($"user_id", lit(11)) === 0)
+      .select($"user_id").distinct()
+    val nDeleted = TableStore.deleteRowsPartitioned(
+      spark, path, victims, Seq("user_id"), "day")
+    TableStore.read(spark, path)
+      // partition-type inference reads day= dirs back as DATE; the flat
+      // oracle keeps VARCHAR — re-pin the string type (skill-notes gotcha)
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct($"user_id").as("n_users"),
+        sum($"user_id").as("user_checksum"))
+      .withColumn("n_deleted_total", lit(nDeleted))
+      .orderBy($"day")
+  }
+
+  val partitionedDeleteSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |  FROM events),
+      |kept AS (SELECT * FROM ev WHERE user_id % 11 <> 0),
+      |del AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted_total
+      |        FROM ev WHERE user_id % 11 = 0)
+      |SELECT day, COUNT(*) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(user_id) AS BIGINT) AS user_checksum,
+      |  del.n_deleted_total
+      |FROM kept, del
+      |GROUP BY day, del.n_deleted_total
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_partitioned_delete" -> partitionedDelete,
     "q174_cdc_apply"     -> cdcApply,
     "q173_corrupt_records" -> corruptRecords,
     "q171_jsonl_roundtrip" -> jsonlRoundtrip,
@@ -664,6 +715,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_partitioned_delete" -> partitionedDeleteSql,
     "q174_cdc_apply"     -> cdcApplySql,
     "q173_corrupt_records" -> corruptRecordsSql,
     "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
