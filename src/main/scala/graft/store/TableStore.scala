@@ -120,24 +120,83 @@ object TableStore {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists(spark: SparkSession, path: String): Boolean =
+  /** Test seam for crash-safety specs: invoked between the swap protocol's
+    * steps with a step label (`staged`, `backedUp`, `committed`); a spec
+    * throws from here to simulate a JVM death at that exact point, then
+    * asserts [[recover]] restores a readable table. Production no-op.
+    */
+  private[store] var crashHook: String => Unit = _ => ()
+
+  /** Heal a table left mid-swap by a crash. The swap protocol (below)
+    * never deletes the only copy: at every step either `<path>` or
+    * `<path>__old` holds a complete version. Recovery cases:
+    *  - target + `__old` both present → crash after the commit rename:
+    *    the new version is live, drop the stale backup;
+    *  - target missing, `__old` + `__tmp` present → crash between backup
+    *    and commit: `__tmp` is complete (it was fully written before the
+    *    backup rename), so roll FORWARD — commit tmp, drop the backup;
+    *  - target missing, only `__old` present → roll back to the backup.
+    * Stray `__tmp` next to a healthy target (crash mid-stage) is left for
+    * the next write to clobber. Idempotent; called from [[read]]/[[exists]]
+    * so readers self-heal without an external fsck.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    val old = new Path(path + "__old")
+    val tmp = new Path(path + "__tmp")
+    val f = fs(spark, target)
+    if (f.exists(old)) {
+      if (f.exists(target)) {
+        f.delete(old, true)
+      } else if (f.exists(tmp)) {
+        if (!f.rename(tmp, target))
+          throw new java.io.IOException(s"crash recovery roll-forward failed for $path")
+        f.delete(old, true)
+      } else {
+        if (!f.rename(old, target))
+          throw new java.io.IOException(s"crash recovery roll-back failed for $path")
+      }
+    }
+  }
+
+  /** Self-healing existence check: a table mid-crash-recovery (live copy
+    * parked at `__old`) EXISTS logically — recover first, then probe.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    recover(spark, path)
     fs(spark, new Path(path)).exists(new Path(path))
+  }
 
-  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
+    spark.read.parquet(path)
+  }
 
-  /** Atomic overwrite: stage to `<path>__tmp`, then swap. The brief window
-    * between delete and rename is the local-FS analogue of an HDFS rename
-    * pair; on an object store this would be a manifest pointer flip.
+  /** Atomic overwrite, crash-safe: stage to `<path>__tmp`, park the live
+    * table at `<path>__old`, commit tmp→target, drop the backup. A crash
+    * between ANY two steps leaves a complete version on disk under one of
+    * the three names, and [[recover]] (run by every read) restores it —
+    * unlike delete-then-rename, which had a window with no readable table.
+    * On an object store the same protocol is a manifest pointer flip.
     */
   def atomicWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    recover(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (f.exists(target)) f.delete(target, true)
+    crashHook("staged")
+    if (f.exists(target)) {
+      if (!f.rename(target, old))
+        throw new java.io.IOException(s"backup rename failed for $path")
+    }
+    crashHook("backedUp")
     if (!f.rename(tmp, target))
       throw new java.io.IOException(s"atomic swap failed for $path")
+    crashHook("committed")
+    if (f.exists(old)) f.delete(old, true)
   }
 
   /** Change-data-capture plan for an upsert: one row per incoming key,
@@ -189,20 +248,74 @@ object TableStore {
   }
 
   /** Atomic overwrite in a partitioned layout: stage the partitionBy write
-    * to `<path>__tmp`, then swap the whole directory (used for one-time
-    * flat→partitioned migrations; steady-state upserts go through
-    * [[upsertPartitioned]] and swap only the touched partition dirs).
+    * to `<path>__tmp`, then run the same crash-safe backup-rename commit as
+    * [[atomicWrite]] (used for one-time flat→partitioned migrations;
+    * steady-state upserts go through [[upsertPartitioned]] and swap only
+    * the touched partition dirs).
     */
   def atomicWritePartitioned(spark: SparkSession, df: DataFrame, path: String,
                              partitionCol: String): Unit = {
+    recover(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + "__tmp")
+    val old = new Path(path + "__old")
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
-    if (f.exists(target)) f.delete(target, true)
+    crashHook("staged")
+    if (f.exists(target)) {
+      if (!f.rename(target, old))
+        throw new java.io.IOException(s"backup rename failed for $path")
+    }
+    crashHook("backedUp")
     if (!f.rename(tmp, target))
       throw new java.io.IOException(s"atomic swap failed for $path")
+    crashHook("committed")
+    if (f.exists(old)) f.delete(old, true)
+  }
+
+  /** Render a partition value the way Spark's writer renders its directory
+    * (Hive path escaping — ':', '%', '=', '#' etc. are %-encoded, null is
+    * the Hive default-partition sentinel). Using raw `toString` here would
+    * silently miss the escaped dir on cleanup — a data-deletion API must
+    * match the writer's rendering exactly. Non-string partition values
+    * should be pre-rendered to strings by the caller (dates render
+    * identically; timestamps do not — documented on the partitioned ops).
+    */
+  private[store] def partitionDirName(partitionCol: String, value: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val rendered =
+      if (value == null) "__HIVE_DEFAULT_PARTITION__"
+      else ExternalCatalogUtils.escapePathName(value.toString)
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$rendered"
+  }
+
+  /** Swap staged partition directories into the target table: every dir
+    * under `tmp` replaces its same-named dir under `path`, and any expected
+    * partition that produced NO staged dir (all of its rows were deleted)
+    * is dropped from the target — otherwise a fully-victim partition would
+    * silently survive. `expectedParts` are raw partition VALUES (null ok);
+    * they are rendered with Hive escaping to match the writer's dirs.
+    */
+  private def swapPartitionDirs(spark: SparkSession, path: String, tmp: String,
+                                partitionCol: String, expectedParts: Seq[Any]): Unit = {
+    val f = fs(spark, new Path(path))
+    val written = f.listStatus(new Path(tmp)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    expectedParts.foreach { p =>
+      val dirName = partitionDirName(partitionCol, p)
+      if (!written.contains(dirName)) {
+        val dead = new Path(path, dirName)
+        if (f.exists(dead)) f.delete(dead, true)
+      }
+    }
+    f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
+      val target = new Path(path, st.getPath.getName)
+      if (f.exists(target)) f.delete(target, true)
+      if (!f.rename(st.getPath, target))
+        throw new java.io.IOException(s"partition swap failed for $target")
+    }
+    f.delete(new Path(tmp), true)
   }
 
   /** Copy-on-write DELETE by key set — the S5 complement (and the
@@ -248,24 +361,9 @@ object TableStore {
     val keep = affected.join(v, joinCols, "left_anti")
     val tmp = path + "__dtmp"
     keep.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    val f = fs(spark, new Path(path))
-    // a partition whose rows were ALL victims produces no tmp dir — it
-    // must still be dropped from the target, or the delete silently keeps it
-    val written = f.listStatus(new Path(tmp)).filter(_.isDirectory).map(_.getPath.getName).toSet
-    parts.foreach { p =>
-      val dirName = s"$partitionCol=" + (if (p == null) "__HIVE_DEFAULT_PARTITION__" else p.toString)
-      if (!written.contains(dirName)) {
-        val dead = new Path(path, dirName)
-        if (f.exists(dead)) f.delete(dead, true)
-      }
-    }
-    f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
-      val target = new Path(path, st.getPath.getName)
-      if (f.exists(target)) f.delete(target, true)
-      if (!f.rename(st.getPath, target))
-        throw new java.io.IOException(s"partition swap failed for $target")
-    }
-    f.delete(new Path(tmp), true)
+    // a partition whose rows were ALL victims produces no tmp dir — the
+    // swap helper drops it from the target (Hive-escaped dir rendering)
+    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
     nBefore - read(spark, path).filter(touched).count()
   }
 
@@ -276,15 +374,40 @@ object TableStore {
     * swap — no intermediate state where deletes applied but upserts
     * didn't. Contract: at most one op per key per batch (dedupe upstream
     * with [[dedupeByKey]] — a key carrying both 'D' and 'U' in the same
-    * batch has no defined order here, exactly like SQL MERGE).
+    * batch has no defined order here, exactly like SQL MERGE); ENFORCED by
+    * a cheap key-only probe unless `checkUnique=false`. A missing table is
+    * an empty table (first batch of a replication sink = pure insert).
     */
   def applyCdc(spark: SparkSession, path: String, feed: DataFrame,
-               keys: Seq[String], opCol: String = "op"): Unit = {
+               keys: Seq[String], opCol: String = "op",
+               checkUnique: Boolean = true): Unit = {
+    if (checkUnique) requireUniqueKeys(feed, keys, opCol)
     val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
     val ups = feed.filter(col(opCol) =!= "D").drop(opCol)
-    val existing = read(spark, path)
-    val afterDel = existing.join(dels, keys, "left_anti")
-    atomicWrite(spark, mergePlan(afterDel, ups, keys, None), path)
+    if (!exists(spark, path)) {
+      // missing table ≡ empty table: a replication sink's first batch is a
+      // pure insert of the non-delete rows (deletes of absent keys no-op)
+      atomicWrite(spark, ups, path)
+    } else {
+      val existing = read(spark, path)
+      val afterDel = existing.join(dels, keys, "left_anti")
+      atomicWrite(spark, mergePlan(afterDel, ups, keys, None), path)
+    }
+  }
+
+  /** Enforce the CDC contract cheaply: a key carrying two ops in one batch
+    * (e.g. 'D' then 'U') has no defined order — fail loudly instead of
+    * silently applying both. One key-only hash-agg, short-circuited at the
+    * first duplicate (`limit(1)`), so the probe costs one scan of the feed's
+    * key columns regardless of feed width.
+    */
+  private def requireUniqueKeys(feed: DataFrame, keys: Seq[String], opCol: String): Unit = {
+    val dup = feed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CDC feed carries multiple ops for key ${keys.zip(dup.head.toSeq).mkString(",")} — " +
+          "dedupe upstream (TableStore.dedupeByKey) to one op per key per batch")
   }
 
   /** Scale-path upsert over a partitioned layout: only the partitions
@@ -321,14 +444,92 @@ object TableStore {
       // untouched partitions are never read or rewritten.
       val tmp = path + "__ptmp"
       merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-      val f = fs(spark, new Path(path))
-      f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
-        val target = new Path(path, st.getPath.getName)
-        if (f.exists(target)) f.delete(target, true)
-        if (!f.rename(st.getPath, target))
-          throw new java.io.IOException(s"partition swap failed for $target")
-      }
-      f.delete(new Path(tmp), true)
+      swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
     }
+  }
+
+  /** Read a partitioned table whose partitions may carry DIFFERENT schemas
+    * (the steady state after [[upsertPartitionedEvolve]]): footer-merge
+    * across files yields the union schema, with absent columns null-padded
+    * per file. The footer reads are distributed, but on a very wide table
+    * prefer evolving all partitions once and pinning a table-level schema.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+  }
+
+  /** [[upsertPartitioned]] with schema evolution: the incoming batch may
+    * carry columns the table lacks (and omit columns it has) —
+    * [[mergePlanEvolve]] semantics applied per touched partition. Only the
+    * touched partitions are rewritten (and gain the new columns); untouched
+    * partitions keep their old files AND old schema, so reads of the mixed
+    * table must go through [[readEvolved]]. Same immutable-partition-column
+    * constraint as [[upsertPartitioned]].
+    */
+  def upsertPartitionedEvolve(spark: SparkSession, path: String, incoming: DataFrame,
+                              keys: Seq[String], partitionCol: String): Unit = {
+    require(incoming.columns.contains(partitionCol),
+      s"incoming batch must carry partition column $partitionCol")
+    if (!exists(spark, path)) {
+      incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+    } else {
+      val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      val nonNull = parts.filter(_ != null).toSeq
+      val touched =
+        if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+        else col(partitionCol).isin(nonNull: _*)
+      val existingAffected = readEvolved(spark, path).filter(touched)
+      val merged = mergePlanEvolve(existingAffected, incoming, keys)
+      val tmp = path + "__ptmp"
+      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+      swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
+    }
+  }
+
+  /** Partition-pruned CDC apply — [[applyCdc]]'s 100 TB shape, and the
+    * missing piece next to [[deleteRowsPartitioned]]/[[upsertPartitioned]]:
+    * a continuously-running replication sink must not rewrite the whole
+    * table per feed. Touched partitions are discovered two ways and
+    * unioned: where the DELETE victims live (key-only semi-join against the
+    * table — the predicate's shape doesn't matter, residency does) and
+    * where the upsert rows LAND (their own partition values). Then one
+    * anti-join → merge plan over just those partitions, staged and swapped
+    * per partition dir; a partition whose rows were all deleted is dropped.
+    * Upsert rows must carry `partitionCol` (immutable under updates, as in
+    * [[upsertPartitioned]]); delete rows need keys only.
+    */
+  def applyCdcPartitioned(spark: SparkSession, path: String, feed: DataFrame,
+                          keys: Seq[String], partitionCol: String,
+                          opCol: String = "op",
+                          checkUnique: Boolean = true): Unit = {
+    if (checkUnique) requireUniqueKeys(feed, keys, opCol)
+    if (!exists(spark, path)) {
+      feed.filter(col(opCol) =!= "D").drop(opCol)
+        .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+      return
+    }
+    val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
+    val ups = feed.filter(col(opCol) =!= "D").drop(opCol)
+    require(ups.columns.contains(partitionCol),
+      s"CDC upsert rows must carry partition column $partitionCol")
+    val table = read(spark, path)
+    // victim-bearing partitions: key-only semi-join, reads only key+partition
+    // columns of the table; upsert-landing partitions: from the feed itself
+    val parts = table.join(dels, keys, "left_semi")
+      .select(col(partitionCol))
+      .union(ups.select(col(partitionCol)))
+      .distinct().collect().map(_.get(0))
+    if (parts.isEmpty) return
+    val nonNull = parts.filter(_ != null).toSeq
+    val touched =
+      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+      else col(partitionCol).isin(nonNull: _*)
+    val affected = table.filter(touched)
+      .select(ups.columns.map(col).toSeq: _*) // align field order
+    val merged = mergePlan(affected.join(dels, keys, "left_anti"), ups, keys, None)
+    val tmp = path + "__ctmp"
+    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
   }
 }
