@@ -268,6 +268,73 @@ object EventOps {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // q182 fixtures, staged once per (JVM, sfDir): a seeded replica (missing
+  // the %5==4 rows, values corrupted on %5==0) and the 4-file CDC feed the
+  // stream replays (D for %5==1, U restoring %5==0, I adding %5==4). Every
+  // key carries exactly ONE op across the whole feed, so the final replica
+  // is deterministic regardless of micro-batch boundaries.
+  private val streamCdcStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamCdcFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamCdcStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val ev = events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+      val fix = streamUpsertRoot.resolve(
+        "fixcdc_" + java.lang.Integer.toHexString(dir.hashCode))
+      val m5 = pmod($"event_id", lit(5))
+      val seed = ev.filter(m5 =!= 4)
+        .withColumn("value", when(m5 === 0, lit(-1.0)).otherwise($"value"))
+      seed.write.mode("overwrite").parquet(fix.resolve("replica_seed").toString)
+      val feed = ev.filter(m5 === 1)
+        .select(lit("D").as("op"), $"event_id", $"user_id", $"event_type", $"value")
+        .unionByName(ev.filter(m5 === 0)
+          .select(lit("U").as("op"), $"event_id", $"user_id", $"event_type", $"value"))
+        .unionByName(ev.filter(m5 === 4)
+          .select(lit("I").as("op"), $"event_id", $"user_id", $"event_type", $"value"))
+      feed.repartitionByRange(4, $"event_id").write.mode("overwrite")
+        .parquet(fix.resolve("feed").toString)
+      fix
+    })
+
+  /** q182: the CDC replication loop END-TO-END on the real micro-batch
+    * path — the round-8 pieces (q96 changelog production, q174 batch
+    * apply, q71 streaming upsert) wired together: a changelog FEED
+    * replayed by Structured Streaming (`maxFilesPerTrigger=1` under
+    * `Trigger.AvailableNow` → several real micro-batches) maintains a
+    * replica via `foreachBatch { TableStore.applyCdc }`
+    * ([[graft.streaming.EventStream.cdcSink]]). The replica starts WRONG
+    * three ways — rows missing (%5==4), rows that must die (%5==1), rows
+    * with corrupted values (%5==0) — and every op class must land for the
+    * final state to hash-match the primary-derived oracle. Keys are
+    * globally unique across the feed, so micro-batch boundaries can't
+    * change the result; applyCdc's one-swap-per-batch keeps every
+    * intermediate replica state consistent.
+    */
+  def streamCdcReplica(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamCdcFixtures(spark, dir)
+    val feedSchema = spark.read.parquet(fix.resolve("feed").toString).schema
+    val run = streamUpsertRoot.resolve("runCdc")
+    deleteRecursive(run)
+    val replica = run.resolve("replica_tbl")
+    java.nio.file.Files.createDirectories(replica)
+    copyRecursive(fix.resolve("replica_seed"), replica)
+    val feed = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("feed").toString)
+    val query = graft.streaming.EventStream.cdcSink(
+      feed, replica.toString, Seq("event_id"), run.resolve("ckpt").toString)
+    query.awaitTermination()
+    spark.read.parquet(replica.toString).orderBy($"event_id")
+  } }
+
+  val streamCdcReplicaSql: String =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE event_id % 5 <> 1
+      |ORDER BY event_id""".stripMargin
+
   // q84 fixture: the full events projection INCLUDING ts (q71's fixture
   // drops it), staged once per (JVM, sfDir) as 4 event_id-ranged files so
   // AvailableNow + maxFilesPerTrigger=1 replays several real micro-batches
@@ -1802,6 +1869,7 @@ object EventOps {
     "q54_asof_join"      -> asofPurchase,
     "q55_range_join"     -> rangeJoinWindows,
     "q71_stream_upsert"  -> streamUpsert,
+    "q182_stream_cdc_replica" -> streamCdcReplica,
     "q84_stream_interval_join" -> streamIntervalJoin,
     "q145_stream_outer_join" -> streamOuterJoin,
     "q86_range_frame"    -> rangeFrameTrailing,
@@ -1836,6 +1904,7 @@ object EventOps {
     "q54_asof_join"      -> asofPurchaseSql,
     "q55_range_join"     -> rangeJoinWindowsSql,
     "q71_stream_upsert"  -> streamUpsertSql,
+    "q182_stream_cdc_replica" -> streamCdcReplicaSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
     "q145_stream_outer_join" -> streamOuterJoinSql,
     "q86_range_frame"    -> rangeFrameTrailingSql,

@@ -697,7 +697,70 @@ object MergeOps {
       |GROUP BY day, del.n_deleted_total
       |ORDER BY day""".stripMargin
 
+  /** q181: partition-pruned CDC APPLY — q174's 100 TB shape, closing the
+    * round-8 gap where the replication sink (the op most likely to run
+    * CONTINUOUSLY at scale) rewrote the whole table per feed. The events
+    * table is day-partitioned; the feed carries deletes (event_id ≡ 0
+    * mod 7, keys only), updates (≡ 1, 2: cents doubled — `day` immutable,
+    * as derived from ts), and inserts (≡ 3 cloned at +10⁸, same day).
+    * [[TableStore.applyCdcPartitioned]] discovers touched days from
+    * victim residency ∪ upsert landing partitions and rewrites ONLY those
+    * dirs (untouched-day files proven untouched in CrashSafeStoreSpec).
+    * The graded artifact is the post-swap ON-DISK state per day — any op
+    * class applied to a wrong partition, a missed escaped dir, or a
+    * whole-table rewrite that drops a day shifts a row. Oracle applies
+    * the same feed relationally.
+    */
+  def cdcApplyPartitioned(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runCdcApplyPart")
+    deleteRecursive(run)
+    val path = run.resolve("events_cdcp").toString
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        to_date($"ts").cast("string").as("day"))
+    ev.write.partitionBy("day").parquet(path)
+    val feed = ev.filter(pmod($"event_id", lit(7)) <= 2)
+      .select(
+        when(pmod($"event_id", lit(7)) === 0, lit("D")).otherwise(lit("U")).as("op"),
+        $"event_id", $"user_id", $"event_type",
+        ($"cents" * 2).as("cents"), $"day")
+      .unionByName(ev.filter(pmod($"event_id", lit(7)) === 3)
+        .select(lit("I").as("op"), ($"event_id" + 100000000L).as("event_id"),
+          $"user_id", $"event_type", $"cents", $"day"))
+    TableStore.applyCdcPartitioned(spark, path, feed, Seq("event_id"), "day")
+    TableStore.read(spark, path)
+      // partition-dir read-back infers day= as DATE; oracle keeps VARCHAR
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+      .orderBy($"day")
+  }
+
+  val cdcApplyPartitionedSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |  FROM events),
+      |applied AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 7 IN (1, 2) THEN cents * 2 ELSE cents END AS cents
+      |  FROM ev WHERE event_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT event_id + 100000000, day, cents
+      |  FROM ev WHERE event_id % 7 = 3)
+      |SELECT day, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+      |  CAST(MAX(event_id) AS BIGINT) AS max_id
+      |FROM applied
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_cdc_apply_partitioned" -> cdcApplyPartitioned,
     "q180_partitioned_delete" -> partitionedDelete,
     "q174_cdc_apply"     -> cdcApply,
     "q173_corrupt_records" -> corruptRecords,
@@ -715,6 +778,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_cdc_apply_partitioned" -> cdcApplyPartitionedSql,
     "q180_partitioned_delete" -> partitionedDeleteSql,
     "q174_cdc_apply"     -> cdcApplySql,
     "q173_corrupt_records" -> corruptRecordsSql,

@@ -217,4 +217,29 @@ object EventStream {
         } finally materialized.unpersist()
       }
       .start()
+
+  /** Streaming CDC-apply sink — the replication loop closed end-to-end:
+    * a changelog FEED (op column: 'D' deletes by key, anything else
+    * upserts) maintains a replica table through the real micro-batch path,
+    * each batch landing via [[TableStore.applyCdc]]'s single
+    * read → anti-join → merge plan and ONE atomic swap. foreachBatch is
+    * at-least-once; a replayed batch re-applies cleanly because applyCdc
+    * is idempotent per batch (delete-again no-ops, merge-again converges) —
+    * the same idempotent re-ingest contract as the reference's date-bounded
+    * refetch (`/root/reference/db.py:115-144`). A missing replica
+    * bootstraps from the feed's first non-delete rows.
+    */
+  def cdcSink(feed: DataFrame, targetPath: String, keys: Seq[String],
+              checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try TableStore.applyCdc(spark, targetPath, materialized, keys)
+        finally materialized.unpersist()
+      }
+      .start()
 }

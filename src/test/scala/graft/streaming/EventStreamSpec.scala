@@ -109,6 +109,41 @@ class EventStreamSpec extends SparkSuite {
     assert(a == b, "streamed replay state must equal the batch upsert state")
   }
 
+  test("streaming CDC sink: replay equals batch applyCdc; re-apply is idempotent") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val m5 = pmod($"event_id", lit(5))
+    // one op per key across the feed: D(%5==1), U(%5==0, value+1), I(clones)
+    val feed = ev.filter(m5 === 1)
+      .select(lit("D").as("op"), $"event_id", $"user_id", $"event_type", $"value")
+      .unionByName(ev.filter(m5 === 0)
+        .select(lit("U").as("op"), $"event_id", $"user_id", $"event_type",
+          ($"value" + 1.0).as("value")))
+      .unionByName(ev.filter(m5 === 4)
+        .select(lit("I").as("op"), ($"event_id" + 900000L).as("event_id"),
+          $"user_id", $"event_type", $"value"))
+    val feedDir = Files.createTempDirectory("cdc-feed").toString
+    feed.repartitionByRange(3, $"event_id").write.mode("overwrite").parquet(feedDir)
+    def feedStream = spark.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    // streaming replica: several micro-batches, then a FULL re-apply from a
+    // fresh checkpoint (the at-least-once worst case)
+    val streamTarget = Files.createTempDirectory("cdc-stream").toString + "/t"
+    TableStore.atomicWrite(spark, ev, streamTarget)
+    for (_ <- 1 to 2) {
+      val cp = Files.createTempDirectory("cdc-cp").toString
+      EventStream.cdcSink(feedStream, streamTarget, Seq("event_id"), cp)
+        .awaitTermination()
+    }
+    // batch reference: one applyCdc of the whole feed
+    val batchTarget = Files.createTempDirectory("cdc-batch").toString + "/t"
+    TableStore.atomicWrite(spark, ev, batchTarget)
+    TableStore.applyCdc(spark, batchTarget, feed, Seq("event_id"))
+    val a = TableStore.read(spark, streamTarget).orderBy($"event_id").collect().toSeq
+    val b = TableStore.read(spark, batchTarget).orderBy($"event_id").collect().toSeq
+    assert(a == b, "streamed CDC replica must equal the batch applyCdc state")
+  }
+
   test("streaming dedup drops re-delivered events (both state modes)") {
     // stage the events TWICE (two files) — a full at-least-once redelivery
     val dir = Files.createTempDirectory("events-dup").toString
