@@ -35,48 +35,64 @@ object DedupGroups {
   def connectedComponents(vertices: DataFrame, idCol: String,
                           pairs: DataFrame, maxRounds: Int = 20,
                           localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val vs = vertices.select(col(idCol).as("id"))
-    // Materialize the pair generator ONCE with flat lineage before anything
-    // else touches it: the two union orientations below would otherwise
-    // each carry the full (expensive — quadratic shingle join or LSH
-    // pipeline) lineage, and the loop's persists would re-anchor it every
-    // round. One eager job here, tiny rows thereafter.
-    val pr = pairs.select(col("d1"), col("d2")).localCheckpoint(eager = true)
+    // Materialize the pair generator ONCE before anything else touches it:
+    // the two union orientations below would otherwise each re-run the full
+    // (expensive — quadratic shingle join or LSH pipeline) lineage. A
+    // persist suffices here — both consumers land inside ONE job (the gate
+    // count below), which caches pr mid-flight instead of paying a separate
+    // eager-checkpoint materialization pass (the round-8 q47/q48 bench
+    // regression). Lineage CUTTING is only needed by the iterative loop,
+    // and is applied there, above the gate only.
+    val pr = pairs.select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
     // undirected: keep each edge in both orientations, restricted to the
     // vertex set (edges referencing unknown ids never influenced labels in
     // the all-vertices formulation either — the src side fell out of the
     // label join and the dst side fell out of the left join). Duplicate
     // edges are harmless under the min-aggregate, so no distinct() pass.
-    val e = pr.toDF("src", "dst")
+    val e0 = pr.toDF("src", "dst")
       .unionByName(pr.select(col("d2").as("src"), col("d1").as("dst")))
       .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      .localCheckpoint(eager = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e0.count() // the one materializing job below the gate
     // Size-gated LOCAL solve — the connected-components analog of a
     // broadcast join: near-dup edge sets are minuscule relative to the
     // corpus (pairs of re-posts, small mirror clusters), so when the
     // materialized edge list is driver-sized, union-find on the driver
     // replaces ~6 shuffle jobs + convergence probes with one collect and
-    // one broadcast join back. The count is a metadata read (e is
-    // checkpointed). Numeric-id corpora only (min-rep needs an ordering);
-    // anything bigger or non-numeric takes the distributed loop below —
-    // the 100 TB path.
+    // one broadcast join back. Numeric-id corpora only (min-rep needs an
+    // ordering); anything bigger or non-numeric takes the distributed loop
+    // below — the 100 TB path.
     val numericIds = vs.schema.head.dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
-    if (numericIds && e.count() <= localSolveMaxEdges) {
-      val reps = localUnionFind(e.collect().map(r =>
+    if (numericIds && nEdges <= localSolveMaxEdges) {
+      val edgeRows = e0.collect() // cache hit from the gate count's job
+      pr.unpersist(); e0.unpersist()
+      val reps = localUnionFind(edgeRows.map(r =>
         (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())))
-      val sub = e.sparkSession
+      val sub = vs.sparkSession
         .createDataFrame(reps.toSeq).toDF("id", "rep")
         .select(col("id").cast(vs.schema.head.dataType),
           col("rep").cast(vs.schema.head.dataType).as("rep"))
       return vs.join(broadcast(sub), Seq("id"), "left")
         .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
     }
+    // Distributed path: NOW cut lineage — the loop references the edge
+    // frame every round and the labels twice per step, so without a
+    // checkpoint the plan STRING doubles per step (4^round; persist keeps
+    // execution flat but the SQL listener still renders the full tree per
+    // job, combinatorial around round ~6). NOTE: localCheckpoint blocks
+    // are lost on executor failure (single-JVM local mode has no such
+    // mode of loss; on a real cluster prefer reliable checkpointing for
+    // multi-hour loops).
+    val e = e0.localCheckpoint(eager = true)
+    pr.unpersist(); e0.unpersist()
     // only vertices incident to an edge can ever change label — iterate
     // over that induced subgraph; everyone else is their own rep, stitched
     // back after the loop
@@ -100,28 +116,37 @@ object DedupGroups {
       // TWO steps per convergence probe: the probe is a driver round-trip
       // as expensive as a step, and near-dup components have tiny
       // diameters, so most inputs converge with a single probe.
-      // The lineage is CUT every round (eager localCheckpoint), not just
-      // persisted: each step references the prior labels twice, so the
-      // un-truncated plan doubles per step — 4^round — and while persist
-      // kept EXECUTION flat, the SQL listener still renders the full plan
-      // string per job, which goes combinatorial around round ~6 and
-      // turns convergence into an hours-long treeString. Checkpointing
-      // keeps plan and execution both O(1) per round.
       val next = step(step(labels)).localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count()
+      // the prior round's checkpoint blocks are dead as soon as `next` is
+      // materialized AND the convergence probe (which reads both) has run —
+      // free them NOW instead of letting storage grow with round count
+      // until driver GC + ContextCleaner get around to it (round-8 ADVICE)
+      freeLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
       round += 1
     }
-    // loop labels are already checkpointed with flat lineage; the blocks
-    // belong to the returned frame and are released with it by the
-    // ContextCleaner
+    // the FINAL labels' checkpoint blocks belong to the returned frame and
+    // are released with it by the ContextCleaner
     val sub = labels
     // untouched vertices (no incident edge) are their own representative
     vs.join(sub, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
   }
+
+  /** Unpersist the cached RDD behind a localCheckpoint-ed frame. The
+    * Dataset API offers no handle to it (`df.unpersist` only consults the
+    * CacheManager, which doesn't track checkpoint blocks) — the RDD lives
+    * inside the plan's LogicalRDD leaf.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Driver-side union-find with path compression for the size-gated local
     * solve: returns node → component-minimum-id for every node incident to

@@ -247,7 +247,16 @@ object InvoiceView {
     lip.select(
       col("order_id"), col("quantity"), col("title"), col("variant_title"),
       col("unit_price"), col("total_price"), col("total_discount_amount"),
-      col("sku")).distinct()
+      col("sku"))
+      // one order_id exchange serves BOTH the distinct and the downstream
+      // order_id join: hash-partitioning on order_id (a subset of the 8
+      // dedup keys) satisfies the aggregate's clustered distribution, so
+      // the distinct runs single-phase with no 8-column exchange, and the
+      // product_lines join finds its side already partitioned (the stp
+      // side arrives order_id-partitioned from its rank window). Two
+      // exchanges of line-level data become one.
+      .repartition(col("order_id"))
+      .distinct()
 
   /** Align a branch to the canonical 21-column shape with unified types
     * (PG's set-op type resolution made the branches union-compatible).
