@@ -167,22 +167,25 @@ final class ShopifyClient(
   def fetchAll(endpoint: String, fields: Seq[String], limit: Int = 250,
                createdAtMin: Option[String] = None, createdAtMax: Option[String] = None,
                filterOnStatus: Boolean = true): Seq[String] = {
-    @tailrec def loop(cursor: Option[String], acc: Vector[String]): Vector[String] = {
+    @tailrec def loop(cursor: Option[String], seen: Set[String],
+                      acc: Vector[String]): Vector[String] = {
       val (body, next) = fetchPage(endpoint, fields, limit, createdAtMin,
         createdAtMax, filterOnStatus, pageInfo = cursor)
       val acc2 = acc :+ body
       next match {
-        case Some(_) =>
-          // A server echoing the cursor we just used would loop forever —
-          // fail loudly instead (also catches caller-side cursor plumbing
-          // bugs: this exact stall once shipped as a positional-arg slip).
-          if (next == cursor) throw new IllegalStateException(
-            s"$endpoint pagination stalled on cursor $cursor")
-          loop(next, acc2)
+        case Some(c) =>
+          // A server re-issuing ANY previously-seen cursor (echo of the one
+          // just used, or a longer A→B→A cycle) would loop forever — fail
+          // loudly instead (also catches caller-side cursor plumbing bugs:
+          // the echo form of this stall once shipped as a positional-arg
+          // slip). The seen-set is bounded by the true page count.
+          if (seen.contains(c)) throw new IllegalStateException(
+            s"$endpoint pagination cycled back to cursor $c after ${acc2.size} pages")
+          loop(next, seen + c, acc2)
         case None => acc2
       }
     }
-    loop(None, Vector.empty)
+    loop(None, Set.empty, Vector.empty)
   }
 
   /** Resource count via the REST count endpoint (`<resource>/count.json`):

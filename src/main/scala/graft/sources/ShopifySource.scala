@@ -276,22 +276,42 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
     * enrichment join instead of forcing a sort-merge shuffle
     * (ShopifySourceSpec pins the flip). Row width is a conservative
     * per-field estimate over the PRUNED schema, so projection pushdown
-    * shrinks the reported size too. Cached per scan (planning may ask
-    * more than once); failures report empty stats — the planner then
-    * falls back to its defaults rather than the query failing over a
-    * monitoring call.
+    * shrinks the reported size too. Cached per scan AND per window in the
+    * companion (re-planning builds fresh Scan instances — without the
+    * shared cache every re-plan re-fires the HTTP probe); failures report
+    * empty stats — the planner then falls back to its defaults rather
+    * than the query failing over a monitoring call — and are LOGGED, so
+    * missing stats are diagnosable. The probe client gets NO retry budget
+    * (retryLimit=1): this runs during query PLANNING, where an
+    * unresponsive endpoint must cost one round-trip, not the transport's
+    * full multi-minute backoff ladder. Opt out with `.option("stats",
+    * "false")` for endpoints whose count.json is expensive.
     */
   @transient private lazy val reportedStats: Statistics = {
+    val resource = opts.getOrElse("resource", "orders")
+    val statsEnabled = opts.getOrElse("stats", "true").toBoolean
     val counted: Option[Long] =
-      try {
-        val resource = opts.getOrElse("resource", "orders")
-        val client = new ShopifyClient(
-          ShopifySource.transportFor(opts), opts.getOrElse("baseurl", ""),
-          maxRequestsPerSec = opts.getOrElse("maxrequestspersec", "0").toDouble)
-        Some(client.fetchCount(s"$resource/count.json",
-          createdAtMin = minBound, createdAtMax = maxBound,
-          filterOnStatus = resource == "orders"))
-      } catch { case scala.util.control.NonFatal(_) => None }
+      if (!statsEnabled) None
+      else ShopifyScan.cachedCount((opts.getOrElse("baseurl", "") +
+        opts.get("transport").map("#" + _).getOrElse(""), resource,
+        minBound, maxBound), {
+        try {
+          val client = new ShopifyClient(
+            ShopifySource.transportFor(opts), opts.getOrElse("baseurl", ""),
+            maxRequestsPerSec = opts.getOrElse("maxrequestspersec", "0").toDouble,
+            retryLimit = 1)
+          Some(client.fetchCount(s"$resource/count.json",
+            createdAtMin = minBound, createdAtMax = maxBound,
+            filterOnStatus = resource == "orders"))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] stats probe for $resource/count.json failed " +
+                s"(planner falls back to defaults): ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(200)}")
+            None
+        }
+      })
     val rows = limit match {
       case Some(l) => counted.map(n => math.min(n, l.toLong))
       case None    => counted
@@ -335,6 +355,26 @@ final class ShopifyScan(required: StructType, opts: Map[String, String],
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ShopifyMicroBatchStream(required, opts, minBound, maxBound)
+}
+
+object ShopifyScan {
+  /** Successful stats-probe counts per (baseurl, resource, window), shared
+    * across Scan instances so re-planning doesn't re-fire the HTTP probe.
+    * Failures are NOT cached — the next plan retries (one cheap no-retry
+    * round-trip) instead of pinning empty stats past endpoint recovery.
+    */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String, Option[String], Option[String]), Long]
+
+  private[sources] def cachedCount(
+      key: (String, String, Option[String], Option[String]),
+      probe: => Option[Long]): Option[Long] =
+    statsCache.get(key).orElse {
+      val r = probe
+      r.foreach(statsCache.update(key, _))
+      r
+    }
 }
 
 /** Stream offset: the `created_at` high-watermark (ISO instant). */

@@ -80,7 +80,28 @@ class ShopifyClientSpec extends AnyFunSuite {
     }
     val c = new ShopifyClient(t, "https://base/")
     val e = intercept[IllegalStateException](c.fetchAll("orders.json", Seq("id")))
-    assert(e.getMessage.contains("stalled on cursor"))
+    assert(e.getMessage.contains("cycled back to cursor"))
+  }
+
+  test("page loop detects cursor cycles longer than one (A→B→A)") {
+    // an echo guard alone misses a 2-cycle: the server alternates cursors
+    // A and B forever — the seen-set must trip on the first repeat
+    val t = new Transport {
+      def get(url: String, params: Map[String, String]): HttpResponse = {
+        val next = params.get("page_info") match {
+          case None      => "A"
+          case Some("A") => "B"
+          case Some("B") => "A"
+          case Some(x)   => x
+        }
+        HttpResponse(200, "OK",
+          Map("Link" -> s"""<https://x/o.json?page_info=$next>; rel="next""""),
+          """{"orders":[]}""")
+      }
+    }
+    val c = new ShopifyClient(t, "https://base/")
+    val e = intercept[IllegalStateException](c.fetchAll("orders.json", Seq("id")))
+    assert(e.getMessage.contains("cycled back to cursor A"))
   }
 
   test("fetchOrderResource hits the configured base url (reference bug fixed)") {

@@ -75,6 +75,69 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: DHT (huffman table) bytes bit-flipped → typed error or clean parse") {
+    val base = Jpeg.buildJpeg(4242L, 24, 16)
+    val dht = base.indices.find(i => (base(i) & 0xff) == 0xFF &&
+      i + 1 < base.length && (base(i + 1) & 0xff) == 0xC4).get
+    val dhtLen = ((base(dht + 2) & 0xff) << 8) | (base(dht + 3) & 0xff)
+    // corrupt bytes INSIDE the huffman segment: bits counts, code values,
+    // table ids — the decoder must reject malformed tables (counts > 256,
+    // over-long codes, dangling selectors) or decode, never loop/OOM
+    samples(for {
+      off <- Gen.choose(2, dhtLen + 1) // within the segment body
+      b <- Gen.choose(Byte.MinValue, Byte.MaxValue)
+    } yield (off, b), 150).foreach { case (off, b) =>
+      val c = base.clone(); c(dht + off) = b
+      try { Jpeg.parseJpeg(c); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"DHT corruption@$off raised ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("fuzz: DRI/restart-marker abuse → typed error, never a hang") {
+    val base = Jpeg.buildJpeg(777L, 32, 32)
+    val sos = base.indices.find(i => (base(i) & 0xff) == 0xFF &&
+      i + 1 < base.length && (base(i + 1) & 0xff) == 0xDA).get
+    // splice a DRI segment claiming various restart intervals before SOS;
+    // the entropy stream carries NO RST markers, so any interval that
+    // triggers a restart must fail typed at the missing marker
+    samples(Gen.choose(1, 64), 24).foreach { interval =>
+      val dri = Array[Byte](0xFF.toByte, 0xDD.toByte, 0, 4,
+        ((interval >> 8) & 0xff).toByte, (interval & 0xff).toByte)
+      val spliced = base.take(sos) ++ dri ++ base.drop(sos)
+      try { Jpeg.parseJpeg(spliced); () } catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable => fail(s"DRI=$interval raised ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
+  test("forged SOF dimensions cannot drive allocation past the payload (no OOM)") {
+    val base = Jpeg.buildJpeg(5L, 16, 16)
+    val sof = base.indices.find(i => (base(i) & 0xff) == 0xFF &&
+      i + 1 < base.length && (base(i + 1) & 0xff) == 0xC0).get
+    // SOF0 body: len(2) precision(1) h(2) w(2) — forge h=w=0xFFFF: a
+    // 4-gigapixel claim from a ~200-byte stream must be rejected typed
+    // BEFORE the luma allocation (Int overflow would otherwise raise
+    // NegativeArraySizeException, or a near-overflow a multi-GB OOM)
+    val forged = base.clone()
+    for (off <- 5 to 8) forged(sof + off) = 0xFF.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.parseJpeg(forged))
+    assert(e.getMessage.contains("payload holds at most"),
+      s"unexpected rejection path: ${e.getMessage}")
+    // moderate forgeries (plausible dims, tiny payload) reject the same way
+    samples(for {
+      hw <- Gen.choose(1024, 8192)
+    } yield hw, 10).foreach { hw =>
+      val f2 = base.clone()
+      f2(sof + 5) = ((hw >> 8) & 0xff).toByte; f2(sof + 6) = (hw & 0xff).toByte
+      f2(sof + 7) = ((hw >> 8) & 0xff).toByte; f2(sof + 8) = (hw & 0xff).toByte
+      val ex = intercept[IllegalArgumentException](Jpeg.parseJpeg(f2))
+      assert(ex.getMessage.contains("payload holds at most"))
+    }
+  }
+
   test("unsupported shapes reject typed (progressive, multi-component, 12-bit)") {
     val base = Jpeg.buildJpeg(7L, 16, 16)
     // find SOF0 (FFC0) and flip to progressive (FFC2)

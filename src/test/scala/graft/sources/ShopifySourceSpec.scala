@@ -258,6 +258,52 @@ class ShopifySourceSpec extends SparkSuite {
       s"expected broadcast from reported stats:\n${initial.take(1200)}")
   }
 
+  test("stats probe: no retry ladder, failure logged-and-swallowed, opt-out honored") {
+    // a transport whose count endpoint always fails: planning must cost
+    // exactly ONE count probe (retryLimit=1 — not the ingest transport's
+    // multi-minute backoff budget) and still plan with default stats
+    class FailingCount extends ShopifyClient.Transport {
+      var countCalls = 0
+      private val inner = new RecordingTransport
+      def get(url: String, params: Map[String, String]): ShopifyClient.HttpResponse =
+        if (url.endsWith("/count.json")) {
+          countCalls += 1
+          ShopifyClient.HttpResponse(503, "unavailable", Map.empty, "")
+        } else inner.get(url, params)
+    }
+    val t = new FailingCount
+    ShopifySource.registerTransport("t-stats-fail", t)
+    val src = read("t-stats-fail").load()
+    val stats = src.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.isEmpty, "failed probe must fall back to default stats")
+    assert(t.countCalls == 1,
+      s"planning-time probe must not retry: ${t.countCalls} calls")
+    // rows still readable — a monitoring failure never fails the query.
+    // (collect, not count(): count(*) legitimately pushes down to the
+    // count endpoint, which this transport genuinely breaks)
+    assert(src.collect().length == 3)
+    assert(t.countCalls == 1, "row fetch must not re-probe stats")
+
+    // stats=false: the probe never fires at all
+    val t2 = new FailingCount
+    ShopifySource.registerTransport("t-stats-off", t2)
+    val off = spark.read.format("shopify")
+      .option("resource", "orders").option("transport", "t-stats-off")
+      .option("baseurl", Fixtures.base).option("stats", "false").load()
+    off.queryExecution.optimizedPlan.stats
+    assert(t2.countCalls == 0, "stats=false must suppress the probe")
+  }
+
+  test("stats probe: successful counts are cached across Scan instances (re-plans)") {
+    val t = register("t-stats-cache")
+    // two independent reads = two ScanBuilder/Scan instances; the second
+    // plan must reuse the first's probed count instead of re-firing HTTP
+    read("t-stats-cache").load().queryExecution.optimizedPlan.stats
+    read("t-stats-cache").load().queryExecution.optimizedPlan.stats
+    val probes = t.requests.asScala.count(_._1.endsWith("orders/count.json"))
+    assert(probes == 1, s"expected one cached probe, saw $probes")
+  }
+
   test("streaming honors a configured created_at_max (rows past it never leak)") {
     register("t-stream-max")
     val q = spark.readStream.format("shopify")
