@@ -117,6 +117,40 @@ object TextFunctions {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
 
+  /** Canonical URL form for web-corpus dedup — the normalization every
+    * crawl pipeline applies before URL-level dedup so trivially-different
+    * spellings of one resource collapse:
+    *  - scheme and host lowercased; leading `www.` dropped;
+    *  - default ports stripped (`:443` under https, `:80` under http);
+    *  - fragment dropped (client-side only, never a distinct resource);
+    *  - tracking query params removed (`utm_*`, `ref`), the survivors
+    *    SORTED (param order is not semantic) and re-joined;
+    *  - trailing slashes trimmed from the path (root stays `/`; an empty
+    *    path becomes `/`).
+    * Built-ins only (regexp + higher-order array functions — codegen'd,
+    * no UDF), RE2-safe regex text (no lookarounds) so the same patterns
+    * run identically in DuckDB — oracle parity by construction.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(afterScheme, "^([^/?]*)", 1))
+    val hostNoWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .otherwise(hostNoWww)
+    val rawPath = regexp_extract(afterScheme, "^[^/?]*([^?]*)", 1)
+    val trimmed = regexp_replace(rawPath, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)$", 1)
+    val params = filter(split(rawQuery, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("ref=") && p =!= "ref")
+    val query = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
   /** Distinct token n-gram shingles per document, via lead() windows — ONE
     * shuffle on the doc key rather than n-1 self-joins. Returns
     * (idCol, shingle) rows.

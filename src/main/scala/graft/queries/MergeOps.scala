@@ -759,7 +759,74 @@ object MergeOps {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  /** q183: schema-evolving upsert on the PARTITIONED path, graded on the
+    * post-swap on-disk state — the steady-state reality of a long-lived
+    * partitioned ingest whose upstream adds fields
+    * ([[TableStore.upsertPartitionedEvolve]], round-8 verdict item 8;
+    * the flat evolve path shipped round 8, the partitioned one here).
+    * A day-partitioned events table receives a drifted batch (event_id ≡
+    * 2 mod 5): it DROPS event_type (stored values must survive on
+    * conflict, NOT null out) and ADDS a score column (backfilled null on
+    * every untouched row; only the touched day partitions gain the
+    * column — mixed schemas merge on read). The audit groups the evolved
+    * table per day: row count, surviving event_type count, exact summed
+    * score of the new column — any clobbered column, lost row, or
+    * mis-backfilled partition shifts a value.
+    */
+  def evolveUpsertPartitioned(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runEvolvePart")
+    deleteRecursive(run)
+    val path = run.resolve("events_evolve").toString
+    // 'd'-prefixed day strings: bare ISO dates read back from day= dirs as
+    // DATE (partition type inference), which mergePlanEvolve's type-drift
+    // check rightly rejects against the batch's strings
+    val ev = events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type",
+        concat(lit("d"), to_date($"ts").cast("string")).as("day"))
+    ev.write.partitionBy("day").parquet(path)
+    val batch = ev.filter(pmod($"event_id", lit(5)) === 2)
+      .select($"event_id", ($"user_id" + 1000000L).as("user_id"),
+        ($"event_id" % 97).cast("long").as("score"), $"day")
+      // insert rows (new keys): event_type absent from the batch → typed
+      // null, landing in their original day partitions
+      .unionByName(ev.filter(pmod($"event_id", lit(5)) === 3)
+        .select(($"event_id" + 100000000L).as("event_id"), $"user_id",
+          ($"event_id" % 53).cast("long").as("score"), $"day"))
+    TableStore.upsertPartitionedEvolve(spark, path, batch, Seq("event_id"), "day")
+    TableStore.readEvolved(spark, path)
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count($"event_type").as("n_type_kept"),
+        sum($"score").as("sum_score"),
+        sum($"user_id").as("sum_users"))
+      .orderBy($"day")
+  }
+
+  val evolveUpsertPartitionedSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type,
+      |    'd' || CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |  FROM events),
+      |merged AS (
+      |  SELECT event_id, day,
+      |    CASE WHEN event_id % 5 = 2 THEN user_id + 1000000 ELSE user_id END AS user_id,
+      |    event_type,
+      |    CASE WHEN event_id % 5 = 2 THEN event_id % 97 ELSE NULL END AS score
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT event_id + 100000000, day, user_id, NULL, event_id % 53
+      |  FROM ev WHERE event_id % 5 = 3)
+      |SELECT day, COUNT(*) AS n,
+      |  CAST(COUNT(event_type) AS BIGINT) AS n_type_kept,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_users
+      |FROM merged
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_evolve_upsert_partitioned" -> evolveUpsertPartitioned,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitioned,
     "q180_partitioned_delete" -> partitionedDelete,
     "q174_cdc_apply"     -> cdcApply,
@@ -778,6 +845,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q183_evolve_upsert_partitioned" -> evolveUpsertPartitionedSql,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitionedSql,
     "q180_partitioned_delete" -> partitionedDeleteSql,
     "q174_cdc_apply"     -> cdcApplySql,

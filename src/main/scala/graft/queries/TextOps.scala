@@ -1157,7 +1157,96 @@ object TextOps {
       |  es.est_a + es.est_b - es.est_u AS est_inter
       |FROM ex, es""".stripMargin
 
+  /** q184: URL canonicalization + URL-level dedup — the step every web
+    * crawl pipeline (CommonCrawl/C4/RefinedWeb lineage) applies before
+    * content dedup: trivially-different spellings of one resource
+    * (case-folded scheme/host, `www.`, default ports, fragments, tracking
+    * params, param order, trailing slashes) must collapse to ONE canonical
+    * key. Each document derives a deterministic messy URL (four spelling
+    * variants by doc_id mod 4 over a shared path space); the op is
+    * [[TextFunctions.canonicalizeUrl]] — built-in regex + higher-order
+    * array functions, no UDF — followed by the canonical-key group: doc
+    * count, representative (min doc_id), id checksum. The oracle repeats
+    * the ENTIRE string surgery in DuckDB (RE2-compatible patterns by
+    * construction), so any normalization drift hash-mismatches.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = pgConcatPath($"source", $"lang", pmod($"doc_id", lit(50)))
+    val url = when(pmod($"doc_id", lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), $"source", lit(".Example.COM:443/"), base,
+          lit("/?utm_source=feed&b=2&a=1")))
+      .when(pmod($"doc_id", lit(4)) === 1,
+        concat(lit("https://"), $"source", lit(".example.com/"), base,
+          lit("?a=1&ref=tw&b=2")))
+      .when(pmod($"doc_id", lit(4)) === 2,
+        concat(lit("https://"), $"source", lit(".EXAMPLE.com/"), base,
+          lit("#section-3")))
+      .otherwise(
+        concat(lit("https://www."), $"source", lit(".example.com:443/"), base, lit("//")))
+    documents(spark, dir)
+      .select($"doc_id", TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("rep_doc"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"canonical_url")
+  }
+
+  /** Shared messy-path fragment: source-scoped lang/id path. */
+  private def pgConcatPath(source: org.apache.spark.sql.Column,
+                           lang: org.apache.spark.sql.Column,
+                           id: org.apache.spark.sql.Column) =
+    concat(lang, lit("/doc/"), id.cast("string"))
+
+  val urlDedupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
+      |      WHEN 1 THEN 'https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&ref=tw&b=2'
+      |      WHEN 2 THEN 'https://' || source || '.EXAMPLE.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '#section-3'
+      |      ELSE 'https://www.' || source || '.example.com:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '//'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    regexp_replace(url, '#.*$', '') AS nofrag
+      |  FROM raw),
+      |comp AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+      |    regexp_extract(nofrag, '\?([^#]*)$', 1) AS rawq
+      |  FROM parts),
+      |hostpath AS (
+      |  SELECT doc_id, scheme, rawq,
+      |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', '') AS host0,
+      |    regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0
+      |  FROM comp),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+      |          WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+      |          ELSE host0 END) ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |  FROM (
+      |    -- array_to_string([]) is NULL in DuckDB (Spark's array_join
+      |    -- gives '') — coalesce, or every query-less URL goes NULL
+      |    SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |           AND NOT starts_with(p, 'ref=') AND p <> 'ref')), '&'), '') AS q
+      |    FROM hostpath) t)
+      |SELECT canonical_url, COUNT(*) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS rep_doc,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM canon
+      |GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_url_dedup"      -> urlDedup,
     "q169_kmv_set_ops"    -> kmvSetOps,
     "q141_bpe_encode"     -> bpeEncode,
     "q139_weighted_jaccard" -> weightedJaccard,
@@ -1211,6 +1300,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q184_url_dedup"      -> urlDedupSql,
     "q169_kmv_set_ops"    -> kmvSetOpsSql,
     "q141_bpe_encode"     -> bpeEncodeSql,
     "q139_weighted_jaccard" -> weightedJaccardSql,
