@@ -935,7 +935,91 @@ object CorpusOps {
       |  / CAST(n AS DOUBLE) AS intercept_bits
       |FROM s""".stripMargin
 
+  /** q185: temperature-scaled source mixture — the multilingual/source
+    * rebalancing every LLM mixture applies (sample source s with weight
+    * ∝ nₛ^α, α = 1/2 here): big sources are down-weighted, small sources
+    * up-weighted relative to natural proportions. All quota math is
+    * integer so no engine can drift: weights wₛ = ⌊√nₛ⌋ (IEEE sqrt of a
+    * small integer is exact in both engines, floor makes it an integer),
+    * base quotas ⌊N·wₛ/W⌋ by integer division, and the leftover
+    * N − Σ base seats assigned by LARGEST REMAINDER ((N·wₛ) mod W,
+    * source tie-break) — the same penny-exact apportionment as q134.
+    * Document selection inside each source is the deterministic
+    * portable-hash order (the q66 idiom). Output: one audit row per
+    * source (natural size, weight, quota, picked count, id checksum) —
+    * any drifted quota, hash order, or off-by-one seat shifts a value.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 200L
+    val docs = documents(spark, dir).select($"doc_id", $"source")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+      .withColumn("w", floor(sqrt($"n_source".cast("double"))).cast("long"))
+    val tot = counts.agg(sum($"w").as("w_total")) // "W" would collide: Spark resolves case-insensitively
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) DIV w_total"))
+      .withColumn("rem", ($"w" * budget) % $"w_total")
+    val leftover = based.agg((lit(budget) - sum($"base")).as("leftover"))
+    val wRem = Window.orderBy($"rem".desc, $"source".asc)
+    val quotas = based.crossJoin(broadcast(leftover))
+      // the remainder ranking runs over ≤ |sources| rows (tiny) — the one
+      // intentionally-global window here, same as q134's largest remainder
+      .withColumn("seat_rank", row_number().over(wRem))
+      .withColumn("quota",
+        $"base" + when($"seat_rank" <= $"leftover", 1L).otherwise(0L))
+      .select($"source", $"n_source", $"w", $"quota")
+    val h = TextFunctions.portableHash60($"doc_id".cast("string"))
+    val wPick = Window.partitionBy($"source").orderBy(h.asc, $"doc_id".asc)
+    docs
+      .withColumn("pick_rank", row_number().over(wPick))
+      .join(broadcast(quotas), Seq("source"))
+      .filter($"pick_rank" <= $"quota")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_picked"), sum($"doc_id").as("id_checksum"))
+      .join(broadcast(quotas), Seq("source"), "right")
+      .select($"source", $"n_source", $"w", $"quota",
+        coalesce($"n_picked", lit(0L)).as("n_picked"),
+        coalesce($"id_checksum", lit(0L)).as("id_checksum"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixtureSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_source,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM counts),
+      |based AS (
+      |  SELECT source, n_source, w,
+      |    CAST((200 * w) // w_total AS BIGINT) AS base,
+      |    CAST((200 * w) % w_total AS BIGINT) AS rem
+      |  FROM counts, tot),
+      |lo AS (SELECT 200 - CAST(SUM(base) AS BIGINT) AS leftover FROM based),
+      |quotas AS (
+      |  SELECT source, n_source, w,
+      |    base + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+      |                      <= leftover THEN 1 ELSE 0 END) AS quota
+      |  FROM based, lo),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               d.doc_id) AS pick_rank
+      |  FROM documents d),
+      |picked AS (
+      |  SELECT r.source, COUNT(*) AS n_picked,
+      |    CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+      |  FROM ranked r JOIN quotas q USING (source)
+      |  WHERE r.pick_rank <= q.quota
+      |  GROUP BY r.source)
+      |SELECT q.source, q.n_source, q.w, CAST(q.quota AS BIGINT) AS quota,
+      |  COALESCE(p.n_picked, 0) AS n_picked,
+      |  COALESCE(p.id_checksum, 0) AS id_checksum
+      |FROM quotas q LEFT JOIN picked p USING (source)
+      |ORDER BY q.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_temperature_mixture" -> temperatureMixture,
     "q166_zipf_fit"      -> zipfFit,
     "q152_ngram_generate" -> ngramGenerate,
     "q70_zorder_keys"    -> zorderKeys,
@@ -958,6 +1042,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_temperature_mixture" -> temperatureMixtureSql,
     "q166_zipf_fit"      -> zipfFitSql,
     "q152_ngram_generate" -> ngramGenerateSql,
     "q70_zorder_keys"    -> zorderKeysSql,

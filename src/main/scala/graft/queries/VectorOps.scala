@@ -773,7 +773,61 @@ object VectorOps {
       |FROM r WHERE rk <= (n_members + 9) // 10
       |ORDER BY centroid_id, rk""".stripMargin
 
+  /** q186: Matryoshka-style truncated-embedding retrieval recall — the
+    * dimension-reduction tradeoff every embedding pipeline prices: search
+    * on only the FIRST 16 of 64 dims (cosine is scale-invariant, so no
+    * renormalization is needed after truncation) and grade its top-5
+    * against the full-dimension exact top-5 per query. The truncated
+    * index is 4× smaller/faster at 100 TB; this query measures what that
+    * buys and costs ON THIS CORPUS, the same recall contract as q72
+    * (IVF) and q78 (LSH). The DuckDB oracle recomputes BOTH rankings
+    * from the same vectors (list slicing + list_cosine_similarity).
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"nbr_id")
+    val embT = emb.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    val queriesT = queries.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    val trunc = Similarity.cosineTopK(embT, queriesT, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"nbr_id").withColumn("hit", lit(1))
+    exact.join(trunc, Seq("query_id", "nbr_id"), "left")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", $"n_hit" / lit(5.0))
+      .select($"query_id", $"n_hit", $"recall")
+      .orderBy($"query_id")
+  }
+
+  val matryoshkaRecallSql: String =
+    """WITH exq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+      |exs AS (SELECT query_id, vec_id AS nbr_id,
+      |          list_cosine_similarity(qv, embedding) AS cos
+      |        FROM exq JOIN embeddings ON vec_id <> query_id),
+      |exr AS (SELECT query_id, nbr_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |        FROM exs),
+      |exact AS (SELECT query_id, nbr_id FROM exr WHERE rk <= 5),
+      |tq AS (SELECT vec_id AS query_id, qv[1:16] AS qv
+      |       FROM (SELECT vec_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0) t),
+      |ts AS (SELECT query_id, vec_id AS nbr_id,
+      |          list_cosine_similarity(tq.qv, embedding[1:16]) AS cos
+      |        FROM tq JOIN embeddings ON vec_id <> query_id),
+      |tr AS (SELECT query_id, nbr_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |        FROM ts),
+      |trunc AS (SELECT query_id, nbr_id FROM tr WHERE rk <= 5)
+      |SELECT e.query_id,
+      |  CAST(SUM(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      |  SUM(CASE WHEN t.nbr_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS recall
+      |FROM exact e LEFT JOIN trunc t ON t.query_id = e.query_id AND t.nbr_id = e.nbr_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_matryoshka_recall" -> matryoshkaRecall,
     "q176_embedding_outliers" -> embeddingOutliers,
     "q170_cluster_labels" -> clusterLabels,
     "q135_pq_ann"     -> pqAnn,
@@ -790,6 +844,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q186_matryoshka_recall" -> matryoshkaRecallSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q170_cluster_labels" -> clusterLabelsSql,
     "q135_pq_ann"     -> pqAnnSql,
