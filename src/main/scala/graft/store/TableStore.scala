@@ -141,6 +141,7 @@ object TableStore {
     * so readers self-heal without an external fsck.
     */
   def recover(spark: SparkSession, path: String): Unit = {
+    recoverPartitionStages(spark, path)
     val target = new Path(path)
     val old = new Path(path + "__old")
     val tmp = new Path(path + "__tmp")
@@ -290,32 +291,89 @@ object TableStore {
     s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$rendered"
   }
 
+  /** Marker written into a staging dir AFTER its partition write completes
+    * and its drop-plan is persisted: its presence is what lets crash
+    * recovery distinguish "staging finished, roll the swap FORWARD" from
+    * "staging died mid-write, discard the stage" — the same role the
+    * `__old` backup plays for the flat swap.
+    */
+  private val StagedMarker = "_GRAFT_STAGED"
+  private val DropPlan = "_GRAFT_DROPS"
+
   /** Swap staged partition directories into the target table: every dir
     * under `tmp` replaces its same-named dir under `path`, and any expected
     * partition that produced NO staged dir (all of its rows were deleted)
     * is dropped from the target — otherwise a fully-victim partition would
     * silently survive. `expectedParts` are raw partition VALUES (null ok);
     * they are rendered with Hive escaping to match the writer's dirs.
+    *
+    * Crash-safe: the drop plan is persisted INTO the staging dir and a
+    * staging marker is written before the target is touched, so a writer
+    * killed anywhere in the swap leaves either (a) a complete stage that
+    * [[recover]] rolls forward, or (b) an incomplete stage it discards —
+    * never a half-dropped table with no way to finish. Individual
+    * partition replacements are per-dir atomic renames; a crash between
+    * two dirs resumes with the remaining staged dirs (already-committed
+    * ones are gone from the stage, so the resume is idempotent).
     */
   private def swapPartitionDirs(spark: SparkSession, path: String, tmp: String,
                                 partitionCol: String, expectedParts: Seq[Any]): Unit = {
     val f = fs(spark, new Path(path))
     val written = f.listStatus(new Path(tmp)).filter(_.isDirectory)
       .map(_.getPath.getName).toSet
-    expectedParts.foreach { p =>
-      val dirName = partitionDirName(partitionCol, p)
-      if (!written.contains(dirName)) {
+    val drops = expectedParts.map(partitionDirName(partitionCol, _))
+      .filterNot(written.contains)
+    val out = f.create(new Path(tmp, DropPlan), true)
+    try out.write(drops.mkString("\n").getBytes("UTF-8")) finally out.close()
+    f.create(new Path(tmp, StagedMarker), true).close()
+    crashHook("partStaged")
+    commitPartitionSwap(f, path, tmp)
+  }
+
+  /** The roll-forward half of the partition swap — also the recovery
+    * entrypoint for a stage left behind by a crashed writer. Idempotent:
+    * every step checks state before acting.
+    */
+  private def commitPartitionSwap(f: org.apache.hadoop.fs.FileSystem,
+                                  path: String, tmp: String): Unit = {
+    val planPath = new Path(tmp, DropPlan)
+    if (f.exists(planPath)) {
+      val in = f.open(planPath)
+      val plan = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+      plan.split("\n").filter(_.nonEmpty).foreach { dirName =>
         val dead = new Path(path, dirName)
         if (f.exists(dead)) f.delete(dead, true)
       }
     }
+    crashHook("partDropped")
     f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
       val target = new Path(path, st.getPath.getName)
       if (f.exists(target)) f.delete(target, true)
       if (!f.rename(st.getPath, target))
         throw new java.io.IOException(s"partition swap failed for $target")
     }
+    crashHook("partCommitted")
     f.delete(new Path(tmp), true)
+  }
+
+  /** Heal a partitioned table whose per-partition swap was interrupted:
+    * a staging dir carrying the staged marker is a COMPLETE stage — roll
+    * it forward (finish drops + renames); one without the marker died
+    * mid-write — discard it (the target was never touched: the marker is
+    * written before the first mutation). Called from [[recover]].
+    */
+  private def recoverPartitionStages(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, new Path(path))
+    Seq("__ptmp", "__dtmp", "__ctmp").foreach { suffix =>
+      val tmp = new Path(path + suffix)
+      if (f.exists(tmp)) {
+        if (f.exists(new Path(tmp, StagedMarker)))
+          commitPartitionSwap(f, path, tmp.toString)
+        else
+          f.delete(tmp, true)
+      }
+    }
   }
 
   /** Copy-on-write DELETE by key set — the S5 complement (and the

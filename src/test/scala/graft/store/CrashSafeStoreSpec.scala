@@ -83,6 +83,63 @@ class CrashSafeStoreSpec extends SparkSuite {
     assert(snap(path) == v1Snap)
   }
 
+  private def partTable(path: String): Unit =
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+      .toDF("id", "status", "part")
+      .write.partitionBy("part").parquet(path)
+
+  private def partSnap(path: String): Set[(Long, String, String)] =
+    TableStore.read(spark, path)
+      .select($"id", $"status", $"part".cast("string"))
+      .as[(Long, String, String)].collect().toSet
+
+  for (step <- Seq("partStaged", "partDropped", "partCommitted")) {
+    test(s"partition swap crash after '$step': recovery rolls the swap forward") {
+      val dir = java.nio.file.Files.createTempDirectory(s"pcrash_$step").toString
+      val path = s"$dir/t"
+      partTable(path)
+      // delete id 1 (p1 partial rewrite) and id 3 (p2 fully dropped)
+      val victims = Seq(1L, 3L).toDF("id")
+      crashAt(step) {
+        TableStore.deleteRowsPartitioned(spark, path, victims, Seq("id"), "part")
+      }
+      // the stage carries the marker → read() must self-heal to the
+      // POST-delete state (roll forward), with no stage dir left behind
+      val got = partSnap(path)
+      assert(got == Set((2L, "b", "p1"), (4L, "d", "p3")), s"after $step: $got")
+      assert(!new java.io.File(path + "__dtmp").exists, "stage cleaned up")
+      assert(!new java.io.File(s"$path/part=p2").exists, "drop plan replayed")
+    }
+  }
+
+  test("a stage WITHOUT the staged marker is discarded, table untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("pcrash_nostage").toString
+    val path = s"$dir/t"
+    partTable(path)
+    val before = partSnap(path)
+    // simulate a writer that died mid-stage: a half-written tmp dir with
+    // no marker (and garbage content)
+    val tmp = new java.io.File(path + "__ptmp/part=p1")
+    tmp.mkdirs()
+    java.nio.file.Files.writeString(tmp.toPath.resolve("partial.parquet"), "garbage")
+    assert(partSnap(path) == before, "read self-heals by discarding the stage")
+    assert(!new java.io.File(path + "__ptmp").exists)
+  }
+
+  test("upsertPartitioned crash mid-swap also recovers forward") {
+    val dir = java.nio.file.Files.createTempDirectory("pcrash_upsert").toString
+    val path = s"$dir/t"
+    partTable(path)
+    val batch = Seq((1L, "a2", "p1"), (9L, "i", "p9")).toDF("id", "status", "part")
+    crashAt("partDropped") {
+      TableStore.upsertPartitioned(spark, path, batch, Seq("id"), "part")
+    }
+    val got = partSnap(path)
+    assert(got == Set((1L, "a2", "p1"), (2L, "b", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p3"), (9L, "i", "p9")), s"got $got")
+    assert(!new java.io.File(path + "__ptmp").exists)
+  }
+
   test("applyCdcPartitioned rewrites only touched partitions; drops emptied ones") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_part").toString
     val path = s"$dir/t"
