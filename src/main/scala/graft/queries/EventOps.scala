@@ -335,6 +335,78 @@ object EventOps {
       |WHERE event_id % 5 <> 1
       |ORDER BY event_id""".stripMargin
 
+  // q187 fixtures: q182's seed/feed over a DAY-PARTITIONED replica with
+  // exact integer cents, staged once per (JVM, sfDir)
+  private val streamCdcPartStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamCdcPartFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamCdcPartStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val ev = events(spark, dir).select($"event_id", $"user_id",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        to_date($"ts").cast("string").as("day"))
+      val fix = streamUpsertRoot.resolve(
+        "fixcdcp_" + java.lang.Integer.toHexString(dir.hashCode))
+      val m5 = pmod($"event_id", lit(5))
+      val seed = ev.filter(m5 =!= 4)
+        .withColumn("cents", when(m5 === 0, lit(-1L)).otherwise($"cents"))
+      seed.write.mode("overwrite").partitionBy("day")
+        .parquet(fix.resolve("replica_seed").toString)
+      val feed = ev.filter(m5 === 1)
+        .select(lit("D").as("op"), $"event_id", $"user_id", $"cents", $"day")
+        .unionByName(ev.filter(m5 === 0)
+          .select(lit("U").as("op"), $"event_id", $"user_id", $"cents", $"day"))
+        .unionByName(ev.filter(m5 === 4)
+          .select(lit("I").as("op"), $"event_id", $"user_id", $"cents", $"day"))
+      feed.repartitionByRange(4, $"event_id").write.mode("overwrite")
+        .parquet(fix.resolve("feed").toString)
+      fix
+    })
+
+  /** q187: the partitioned CDC replication loop on the real micro-batch
+    * path — q182's streaming harness against q181's partition-pruned sink
+    * ([[graft.streaming.EventStream.cdcSinkPartitioned]] →
+    * `foreachBatch { applyCdcPartitioned }`): each micro-batch discovers
+    * the days its deletes live in ∪ its upserts land in and rewrites ONLY
+    * those partition dirs — the shape a continuously-replicating 100 TB
+    * table requires (per-batch whole-table rewrites were the round-8
+    * gap). The replica starts wrong three ways (missing %5==4 rows,
+    * doomed %5==1 rows, corrupted cents on %5==0); the graded artifact is
+    * the post-replication ON-DISK state per day against the
+    * primary-derived oracle. Keys are unique across the feed, so
+    * micro-batch boundaries cannot change the result.
+    */
+  def streamCdcPartitioned(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamCdcPartFixtures(spark, dir)
+    val feedSchema = spark.read.parquet(fix.resolve("feed").toString).schema
+    val run = streamUpsertRoot.resolve("runCdcPart")
+    deleteRecursive(run)
+    val replica = run.resolve("replica_tbl")
+    java.nio.file.Files.createDirectories(replica)
+    copyRecursive(fix.resolve("replica_seed"), replica)
+    val feed = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("feed").toString)
+    val query = graft.streaming.EventStream.cdcSinkPartitioned(
+      feed, replica.toString, Seq("event_id"), "day", run.resolve("ckpt").toString)
+    query.awaitTermination()
+    spark.read.parquet(replica.toString)
+      .groupBy($"day".cast("string").as("day"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        sum($"event_id").as("id_checksum"))
+      .orderBy($"day")
+  } }
+
+  val streamCdcPartitionedSql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+      |FROM events
+      |WHERE event_id % 5 <> 1
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
   // q84 fixture: the full events projection INCLUDING ts (q71's fixture
   // drops it), staged once per (JVM, sfDir) as 4 event_id-ranged files so
   // AvailableNow + maxFilesPerTrigger=1 replays several real micro-batches
@@ -1870,6 +1942,7 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindows,
     "q71_stream_upsert"  -> streamUpsert,
     "q182_stream_cdc_replica" -> streamCdcReplica,
+    "q187_stream_cdc_partitioned" -> streamCdcPartitioned,
     "q84_stream_interval_join" -> streamIntervalJoin,
     "q145_stream_outer_join" -> streamOuterJoin,
     "q86_range_frame"    -> rangeFrameTrailing,
@@ -1905,6 +1978,7 @@ object EventOps {
     "q55_range_join"     -> rangeJoinWindowsSql,
     "q71_stream_upsert"  -> streamUpsertSql,
     "q182_stream_cdc_replica" -> streamCdcReplicaSql,
+    "q187_stream_cdc_partitioned" -> streamCdcPartitionedSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
     "q145_stream_outer_join" -> streamOuterJoinSql,
     "q86_range_frame"    -> rangeFrameTrailingSql,

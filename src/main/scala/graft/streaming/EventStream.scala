@@ -242,4 +242,27 @@ object EventStream {
         finally materialized.unpersist()
       }
       .start()
+
+  /** [[cdcSink]] against a PARTITIONED replica — the 100 TB steady state:
+    * a continuously-running replication stream must touch only the
+    * partitions each micro-batch's deletes live in and upserts land in
+    * ([[TableStore.applyCdcPartitioned]]), never rewrite the table. Same
+    * at-least-once idempotence argument as [[cdcSink]]; upsert rows must
+    * carry the (immutable) partition column, deletes need keys only.
+    */
+  def cdcSinkPartitioned(feed: DataFrame, targetPath: String, keys: Seq[String],
+                         partitionCol: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try TableStore.applyCdcPartitioned(
+          spark, targetPath, materialized, keys, partitionCol)
+        finally materialized.unpersist()
+      }
+      .start()
 }
