@@ -46,6 +46,14 @@ object DedupGroups {
     // regression). Lineage CUTTING is only needed by the iterative loop,
     // and is applied there, above the gate only.
     val pr = pairs.select(col("d1"), col("d2")).persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize pr in its OWN job before the union consumes it twice:
+    // two concurrently-scheduled branch stages inside one job can each
+    // miss the still-cold cache and run the expensive pair pipeline in
+    // parallel. (A/B vs the round-8 eager-checkpoint pre-gate measured
+    // IDENTICAL wall time under load — the persist form is kept because
+    // cached InMemoryRelation blocks are recomputable on block loss,
+    // where localCheckpoint blocks are fatally lost; see the loop note.)
+    pr.count()
     // undirected: keep each edge in both orientations, restricted to the
     // vertex set (edges referencing unknown ids never influenced labels in
     // the all-vertices formulation either — the src side fell out of the
@@ -56,7 +64,7 @@ object DedupGroups {
       .join(vs.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(vs.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e0.count() // the one materializing job below the gate
+    val nEdges = e0.count() // cheap: reads the cached pair blocks
     // Size-gated LOCAL solve — the connected-components analog of a
     // broadcast join: near-dup edge sets are minuscule relative to the
     // corpus (pairs of re-posts, small mirror clusters), so when the
