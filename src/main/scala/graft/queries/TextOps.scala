@@ -1172,7 +1172,7 @@ object TextOps {
     */
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = pgConcatPath($"source", $"lang", pmod($"doc_id", lit(50)))
+    val base = docPath($"lang", pmod($"doc_id", lit(50)))
     val url = when(pmod($"doc_id", lit(4)) === 0,
         concat(lit("HTTPS://WWW."), $"source", lit(".Example.COM:443/"), base,
           lit("/?utm_source=feed&b=2&a=1")))
@@ -1192,10 +1192,11 @@ object TextOps {
       .orderBy($"canonical_url")
   }
 
-  /** Shared messy-path fragment: source-scoped lang/id path. */
-  private def pgConcatPath(source: org.apache.spark.sql.Column,
-                           lang: org.apache.spark.sql.Column,
-                           id: org.apache.spark.sql.Column) =
+  /** Shared messy-path fragment: lang/id path (the source lives in the
+    * hostname, not the path).
+    */
+  private def docPath(lang: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column) =
     concat(lang, lit("/doc/"), id.cast("string"))
 
   val urlDedupSql: String =

@@ -362,19 +362,32 @@ object ShopifyScan {
     * across Scan instances so re-planning doesn't re-fire the HTTP probe.
     * Failures are NOT cached — the next plan retries (one cheap no-retry
     * round-trip) instead of pinning empty stats past endpoint recovery.
+    * Entries expire after [[StatsTtlNanos]] (a long-lived session must not
+    * pin a count from before the store grew past the broadcast threshold —
+    * planner stats staleness becomes an executor-OOM risk, not just an
+    * inefficiency), and the map is size-bounded (streaming sessions mint a
+    * fresh window key per batch).
     */
+  private val StatsTtlNanos = 10L * 60 * 1000 * 1000 * 1000 // 10 minutes
+  private val StatsMaxEntries = 256
   private val statsCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, String, Option[String], Option[String]), Long]
+      .empty[(String, String, Option[String], Option[String]), (Long, Long)]
 
   private[sources] def cachedCount(
       key: (String, String, Option[String], Option[String]),
-      probe: => Option[Long]): Option[Long] =
-    statsCache.get(key).orElse {
+      probe: => Option[Long]): Option[Long] = {
+    val now = System.nanoTime()
+    statsCache.get(key).filter(now - _._2 < StatsTtlNanos).map(_._1).orElse {
       val r = probe
-      r.foreach(statsCache.update(key, _))
+      r.foreach { n =>
+        if (statsCache.size >= StatsMaxEntries)
+          statsCache.clear() // rare, cheap: worst case is one re-probe per key
+        statsCache.update(key, (n, now))
+      }
       r
     }
+  }
 }
 
 /** Stream offset: the `created_at` high-watermark (ISO instant). */

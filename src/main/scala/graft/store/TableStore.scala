@@ -139,6 +139,14 @@ object TableStore {
     * Stray `__tmp` next to a healthy target (crash mid-stage) is left for
     * the next write to clobber. Idempotent; called from [[read]]/[[exists]]
     * so readers self-heal without an external fsck.
+    *
+    * Concurrency contract (same as any log-less table store): ONE writer
+    * per table. Recovery run by a concurrent reader can complete an
+    * in-flight writer's commit rename for it (the writer's own rename then
+    * reports a spurious failure even though the new version is live) —
+    * readers racing an ACTIVE healthy writer are only safe for the
+    * partition-stage protocol (which never touches unmarked stages), not
+    * for the flat backup-rename window. Serialize writers externally.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     recoverPartitionStages(spark, path)
@@ -300,6 +308,13 @@ object TableStore {
   private val StagedMarker = "_GRAFT_STAGED"
   private val DropPlan = "_GRAFT_DROPS"
 
+  /** The ONLY valid partition-stage suffixes: recovery scans exactly this
+    * list, so a new partitioned op must stage under one of these (enforced
+    * in [[swapPartitionDirs]]) or its crashed stages would be invisible to
+    * [[recover]] — the exact failure class the protocol exists to close.
+    */
+  private[store] val StageSuffixes = Seq("__ptmp", "__dtmp", "__ctmp")
+
   /** Swap staged partition directories into the target table: every dir
     * under `tmp` replaces its same-named dir under `path`, and any expected
     * partition that produced NO staged dir (all of its rows were deleted)
@@ -318,6 +333,8 @@ object TableStore {
     */
   private def swapPartitionDirs(spark: SparkSession, path: String, tmp: String,
                                 partitionCol: String, expectedParts: Seq[Any]): Unit = {
+    require(StageSuffixes.exists(tmp.endsWith),
+      s"partition stage $tmp must use a suffix recovery scans: $StageSuffixes")
     val f = fs(spark, new Path(path))
     val written = f.listStatus(new Path(tmp)).filter(_.isDirectory)
       .map(_.getPath.getName).toSet
@@ -359,20 +376,18 @@ object TableStore {
 
   /** Heal a partitioned table whose per-partition swap was interrupted:
     * a staging dir carrying the staged marker is a COMPLETE stage — roll
-    * it forward (finish drops + renames); one without the marker died
-    * mid-write — discard it (the target was never touched: the marker is
-    * written before the first mutation). Called from [[recover]].
+    * it forward (finish drops + renames). One WITHOUT the marker is left
+    * alone: it is either a dead mid-write stage (the target was never
+    * touched — harmless, and the next writer's mode("overwrite") clobbers
+    * it) or a LIVE writer's in-progress stage that a concurrent reader
+    * must not delete out from under it. Called from [[recover]].
     */
   private def recoverPartitionStages(spark: SparkSession, path: String): Unit = {
     val f = fs(spark, new Path(path))
-    Seq("__ptmp", "__dtmp", "__ctmp").foreach { suffix =>
+    StageSuffixes.foreach { suffix =>
       val tmp = new Path(path + suffix)
-      if (f.exists(tmp)) {
-        if (f.exists(new Path(tmp, StagedMarker)))
-          commitPartitionSwap(f, path, tmp.toString)
-        else
-          f.delete(tmp, true)
-      }
+      if (f.exists(tmp) && f.exists(new Path(tmp, StagedMarker)))
+        commitPartitionSwap(f, path, tmp.toString)
     }
   }
 
@@ -484,7 +499,9 @@ object TableStore {
                         keys: Seq[String], partitionCol: String,
                         updateColumns: Option[Seq[String]] = None): Unit = {
     if (!exists(spark, path)) {
-      incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+      // zero-row bootstrap guard: see applyCdcPartitioned
+      if (!incoming.isEmpty)
+        incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
     } else {
       val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
       // isin() is null-rejecting: a null partition value in the batch must
@@ -530,7 +547,10 @@ object TableStore {
     require(incoming.columns.contains(partitionCol),
       s"incoming batch must carry partition column $partitionCol")
     if (!exists(spark, path)) {
-      incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+      // zero-row bootstrap guard: see applyCdcPartitioned — an empty
+      // dynamic-partition write creates a schema-less unreadable dir
+      if (!incoming.isEmpty)
+        incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
     } else {
       val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
       val nonNull = parts.filter(_ != null).toSeq
@@ -563,8 +583,13 @@ object TableStore {
                           checkUnique: Boolean = true): Unit = {
     if (checkUnique) requireUniqueKeys(feed, keys, opCol)
     if (!exists(spark, path)) {
-      feed.filter(col(opCol) =!= "D").drop(opCol)
-        .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+      val firstRows = feed.filter(col(opCol) =!= "D").drop(opCol)
+      // an all-deletes first batch must NOT create the table: a zero-row
+      // dynamic-partition write leaves a schema-less dir (only _SUCCESS —
+      // unlike the flat path, which writes a schema-bearing empty file)
+      // that wedges every subsequent read with 'unable to infer schema'
+      if (!firstRows.isEmpty)
+        firstRows.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
       return
     }
     val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
@@ -572,6 +597,12 @@ object TableStore {
     require(ups.columns.contains(partitionCol),
       s"CDC upsert rows must carry partition column $partitionCol")
     val table = read(spark, path)
+    // same loud schema contract as the flat path: a feed missing table
+    // columns would otherwise silently project them away in the touched
+    // partitions (mergePlan's require only sees the post-select columns)
+    require(table.columns.toSet == ups.columns.toSet,
+      s"schema mismatch: feed carries ${ups.columns.sorted.toSeq}, " +
+        s"table has ${table.columns.sorted.toSeq} — use upsertPartitionedEvolve for drift")
     // victim-bearing partitions: key-only semi-join, reads only key+partition
     // columns of the table; upsert-landing partitions: from the feed itself
     val parts = table.join(dels, keys, "left_semi")

@@ -112,18 +112,54 @@ class CrashSafeStoreSpec extends SparkSuite {
     }
   }
 
-  test("a stage WITHOUT the staged marker is discarded, table untouched") {
+  test("a stage WITHOUT the staged marker is left alone, table untouched") {
     val dir = java.nio.file.Files.createTempDirectory("pcrash_nostage").toString
     val path = s"$dir/t"
     partTable(path)
     val before = partSnap(path)
-    // simulate a writer that died mid-stage: a half-written tmp dir with
-    // no marker (and garbage content)
+    // simulate a writer mid-stage (dead OR still alive in another process):
+    // a half-written tmp dir with no marker. Recovery must neither roll it
+    // forward nor DELETE it — deleting would abort a live writer's job; a
+    // dead one's next attempt clobbers it with mode("overwrite").
     val tmp = new java.io.File(path + "__ptmp/part=p1")
     tmp.mkdirs()
     java.nio.file.Files.writeString(tmp.toPath.resolve("partial.parquet"), "garbage")
-    assert(partSnap(path) == before, "read self-heals by discarding the stage")
+    assert(partSnap(path) == before, "read ignores the unmarked stage")
+    assert(new java.io.File(path + "__ptmp").exists,
+      "a possibly-live writer's stage must not be deleted by a reader")
+    // and a subsequent real write through the same suffix clobbers it
+    val batch = Seq((9L, "i", "p1")).toDF("id", "status", "part")
+    TableStore.upsertPartitioned(spark, path, batch, Seq("id"), "part")
     assert(!new java.io.File(path + "__ptmp").exists)
+    assert(partSnap(path) == before + ((9L, "i", "p1")))
+  }
+
+  test("all-deletes first batch does not create a schema-less partitioned table") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_first_dels").toString
+    val path = s"$dir/t"
+    val dels = Seq(("D", 1L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("op", "id", "status", "part")
+    TableStore.applyCdcPartitioned(spark, path, dels, Seq("id"), "part")
+    assert(!new java.io.File(path).exists,
+      "a zero-row dynamic-partition write would leave an unreadable dir")
+    // the sink keeps working: the NEXT batch with real rows bootstraps
+    val ins = Seq(("I", 1L, "a", "p1")).toDF("op", "id", "status", "part")
+    TableStore.applyCdcPartitioned(spark, path, ins, Seq("id"), "part")
+    assert(partSnap(path) == Set((1L, "a", "p1")))
+  }
+
+  test("applyCdcPartitioned rejects a feed missing table columns (no silent projection)") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_schema").toString
+    val path = s"$dir/t"
+    partTable(path)
+    // feed lacks `status`: the flat path fails on this too — the
+    // partitioned path must not silently drop the column in touched
+    // partitions (mixed per-partition schemas, data loss)
+    val feed = Seq(("U", 1L, "p1")).toDF("op", "id", "part")
+    val e = intercept[IllegalArgumentException] {
+      TableStore.applyCdcPartitioned(spark, path, feed, Seq("id"), "part")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
   }
 
   test("upsertPartitioned crash mid-swap also recovers forward") {
