@@ -391,6 +391,31 @@ object TableStore {
     }
   }
 
+  /** Garbage-collect UNMARKED stage dirs abandoned by dead writers.
+    * Recovery deliberately never deletes these (they may belong to a LIVE
+    * writer in another process — see [[recoverPartitionStages]]); an
+    * operator runs this housekeeping pass with a TTL comfortably above
+    * the longest plausible stage write. Age = the stage dir's
+    * modification time; a writer actively staging keeps touching files
+    * inside, but the DIR mtime only changes on direct child creation, so
+    * pick TTLs in hours, not minutes. Marked stages are never touched
+    * here — they belong to [[recover]], which completes them. Returns the
+    * deleted stage paths.
+    */
+  def vacuumStages(spark: SparkSession, path: String,
+                   olderThanMs: Long): Seq[String] = {
+    val f = fs(spark, new Path(path))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    StageSuffixes.flatMap { suffix =>
+      val tmp = new Path(path + suffix)
+      if (f.exists(tmp) && !f.exists(new Path(tmp, StagedMarker)) &&
+          f.getFileStatus(tmp).getModificationTime < cutoff) {
+        f.delete(tmp, true)
+        Some(tmp.toString)
+      } else None
+    }
+  }
+
   /** Copy-on-write DELETE by key set — the S5 complement (and the
     * right-to-be-forgotten path a compliant 100 TB store must have):
     * rows whose `joinCols` match a row in `victims` are dropped via

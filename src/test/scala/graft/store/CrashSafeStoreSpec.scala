@@ -134,6 +134,23 @@ class CrashSafeStoreSpec extends SparkSuite {
     assert(partSnap(path) == before + ((9L, "i", "p1")))
   }
 
+  test("vacuumStages deletes only OLD unmarked stages; marked ones stay for recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("vac_stage").toString
+    val path = s"$dir/t"
+    partTable(path)
+    // an old unmarked stage (dead writer) and a marked one (crash mid-swap)
+    val dead = new java.io.File(path + "__ptmp"); dead.mkdirs()
+    val marked = new java.io.File(path + "__dtmp"); marked.mkdirs()
+    java.nio.file.Files.createFile(marked.toPath.resolve("_GRAFT_STAGED"))
+    dead.setLastModified(System.currentTimeMillis() - 3600_000L)
+    marked.setLastModified(System.currentTimeMillis() - 3600_000L)
+    // fresh unmarked stage (possibly a live writer) must survive any TTL
+    val fresh = new java.io.File(path + "__ctmp"); fresh.mkdirs()
+    val deleted = TableStore.vacuumStages(spark, path, olderThanMs = 1800_000L)
+    assert(deleted == Seq(path + "__ptmp"), s"deleted: $deleted")
+    assert(!dead.exists && marked.exists && fresh.exists)
+  }
+
   test("all-deletes first batch does not create a schema-less partitioned table") {
     val dir = java.nio.file.Files.createTempDirectory("cdc_first_dels").toString
     val path = s"$dir/t"
