@@ -131,6 +131,22 @@ object TextFunctions {
     * no UDF), RE2-safe regex text (no lookarounds) so the same patterns
     * run identically in DuckDB — oracle parity by construction.
     */
+  /** Canonical HOST alone (the registrable-domain-ish aggregation key for
+    * per-domain corpus stats and blocklists): lowercased, `www.`-stripped,
+    * default-port-stripped — the host component of [[canonicalizeUrl]],
+    * shared regex text so the two can never drift.
+    */
+  def canonicalHost(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = lower(regexp_extract(afterScheme, "^([^/?]*)", 1))
+    val hostNoWww = regexp_replace(hostPort, "^www\\.", "")
+    when(scheme === "https", regexp_replace(hostNoWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostNoWww, ":80$", ""))
+      .otherwise(hostNoWww)
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

@@ -1246,7 +1246,94 @@ object TextOps {
       |GROUP BY canonical_url
       |ORDER BY canonical_url""".stripMargin
 
+  /** q188: per-domain corpus statistics — the aggregation axis behind
+    * domain blocklists and per-site quality decisions in crawl pipelines:
+    * group the corpus by CANONICAL host ([[TextFunctions.canonicalHost]],
+    * case/www/default-port-folded so spelling variants of one site can't
+    * split its stats), then per domain: doc count, distinct canonical
+    * URLs (the q184 key — docs-per-URL is the domain's internal dup
+    * rate), token volume, language spread, and a doc-id checksum. One
+    * hash-agg over codegen'd string surgery; the oracle repeats host
+    * canonicalization + URL canonicalization in SQL.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docPath($"lang", pmod($"doc_id", lit(50)))
+    val url = when(pmod($"doc_id", lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), $"source", lit(".Example.COM:443/"), base,
+          lit("/?utm_source=feed&b=2&a=1")))
+      .when(pmod($"doc_id", lit(4)) === 1,
+        concat(lit("https://"), $"source", lit(".example.com/"), base,
+          lit("?a=1&ref=tw&b=2")))
+      .when(pmod($"doc_id", lit(4)) === 2,
+        concat(lit("https://"), $"source", lit(".EXAMPLE.com/"), base,
+          lit("#section-3")))
+      .otherwise(
+        concat(lit("https://www."), $"source", lit(".example.com:443/"), base, lit("//")))
+    documents(spark, dir)
+      .select($"doc_id", $"lang",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        TextFunctions.canonicalHost(url).as("domain"),
+        TextFunctions.canonicalizeUrl(url).as("canonical_url"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"canonical_url").as("n_urls"),
+        sum($"n_tokens").as("n_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"doc_id").as("id_checksum"))
+      .orderBy($"domain")
+  }
+
+  val domainStatsSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
+      |      WHEN 1 THEN 'https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&ref=tw&b=2'
+      |      WHEN 2 THEN 'https://' || source || '.EXAMPLE.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '#section-3'
+      |      ELSE 'https://www.' || source || '.example.com:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '//'
+      |    END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id, lang, n_tokens, regexp_replace(url, '#.*$', '') AS nofrag FROM raw),
+      |comp AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+      |    regexp_extract(nofrag, '\?([^#]*)$', 1) AS rawq
+      |  FROM parts),
+      |hostpath AS (
+      |  SELECT doc_id, lang, n_tokens, scheme, rawq,
+      |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', '') AS host0,
+      |    regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path0
+      |  FROM comp),
+      |canon AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+      |          WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+      |          ELSE host0 END) AS domain,
+      |    scheme || '://' ||
+      |    (CASE WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+      |          WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+      |          ELSE host0 END) ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      |  FROM (
+      |    SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      p -> p <> '' AND NOT starts_with(p, 'utm_')
+      |           AND NOT starts_with(p, 'ref=') AND p <> 'ref')), '&'), '') AS q
+      |    FROM hostpath) t)
+      |SELECT domain, COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM canon
+      |GROUP BY domain
+      |ORDER BY domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_domain_stats"   -> domainStats,
     "q184_url_dedup"      -> urlDedup,
     "q169_kmv_set_ops"    -> kmvSetOps,
     "q141_bpe_encode"     -> bpeEncode,
@@ -1301,6 +1388,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q188_domain_stats"   -> domainStatsSql,
     "q184_url_dedup"      -> urlDedupSql,
     "q169_kmv_set_ops"    -> kmvSetOpsSql,
     "q141_bpe_encode"     -> bpeEncodeSql,

@@ -63,4 +63,31 @@ class CanonicalUrlSpec extends SparkSuite {
   test("fragment after the query is dropped, query kept") {
     assert(canon("https://s.com/p?a=1#sec?b=2") == Seq("https://s.com/p?a=1"))
   }
+
+  private def host(urls: String*): Seq[String] =
+    urls.toDF("u")
+      .select(TextFunctions.canonicalHost($"u").as("h"))
+      .as[String].collect().toSeq
+
+  test("canonicalHost folds case/www/default ports; keeps others") {
+    assert(host(
+      "HTTPS://WWW.Site.COM:443/A/b#frag",
+      "http://www.site.com:80/A/b?x=1",
+      "https://site.com:8443/x",
+      "http://site.com:443/x", // 443 is NOT http's default — kept
+      "https://site.com"       // bare host, no path
+    ) == Seq("site.com", "site.com", "site.com:8443", "site.com:443", "site.com"))
+  }
+
+  test("canonicalHost agrees with the host component of canonicalizeUrl") {
+    val urls = Seq(
+      "HTTPS://WWW.A.COM:443/p?b=2&a=1", "http://B.org:80//", "https://c.net:8080/x#f",
+      "http://www.d.io/p?utm_source=x", "https://e.co")
+    val got = urls.toDF("u").select(
+      TextFunctions.canonicalHost($"u").as("h"),
+      // host slice of the canonical URL: between "://" and the next "/" or "?"
+      regexp_extract(TextFunctions.canonicalizeUrl($"u"), "^[a-z+.-]+://([^/?]*)", 1).as("uh"))
+      .as[(String, String)].collect()
+    got.foreach { case (h, uh) => assert(h == uh, s"host mismatch: $h vs $uh") }
+  }
 }
