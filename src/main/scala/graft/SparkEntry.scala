@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Aggregates, CorpusOps, EventOps, GraphOps, InvoicePipeline, MergeOps, Nested, PipelineOps, Ranking, Relational, Scalar, ScaleOps, TextOps, VectorOps}
+import graft.queries.{Aggregates, CorpusOps, EventOps, GraphOps, InvoicePipeline, MediaOps, MergeOps, Nested, PipelineOps, Ranking, Relational, Scalar, ScaleOps, TextOps, VectorOps}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -12,7 +12,7 @@ object SparkEntry {
       Aggregates.queries ++ Nested.queries ++ MergeOps.queries ++
       TextOps.queries ++ VectorOps.queries ++ InvoicePipeline.queries ++
       EventOps.queries ++ ScaleOps.queries ++ PipelineOps.queries ++
-      CorpusOps.queries ++ GraphOps.queries
+      CorpusOps.queries ++ GraphOps.queries ++ MediaOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -20,5 +20,5 @@ object SparkEntry {
       Aggregates.oracles ++ Nested.oracles ++ MergeOps.oracles ++
       TextOps.oracles ++ VectorOps.oracles ++ InvoicePipeline.oracles ++
       EventOps.oracles ++ ScaleOps.oracles ++ PipelineOps.oracles ++
-      CorpusOps.oracles ++ GraphOps.oracles
+      CorpusOps.oracles ++ GraphOps.oracles ++ MediaOps.oracles
 }

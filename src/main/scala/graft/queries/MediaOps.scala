@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.Tables.documents
+
+/** Compressed-container metadata extraction — the q73/q75 decode-vs-formula
+  * contract extended to the last two codec seams at the structural level:
+  *
+  *  - q189: MPEG-1 Layer III (MP3) frame walk — ID3v2 syncsafe skip, frame
+  *    sync validation, VBR bitrate/samplerate table decode, padding-aware
+  *    frame-length recurrence ([[graft.operators.Mp3]]).
+  *  - q190: H.264 Annex-B NAL walk — start-code scan, emulation-prevention
+  *    removal, Exp-Golomb SPS parse with crop-unit arithmetic
+  *    ([[graft.operators.H264]]).
+  *
+  * Executors build a real stream per document from deterministic formulas,
+  * parse it with the general parser, and the DuckDB oracle recomputes every
+  * output field in closed form — a wrong table entry, missed padding bit,
+  * or off-by-one Exp-Golomb prefix hash-mismatches. The per-item work is
+  * payload-bounded and embarrassingly parallel: at 100 TB this is one
+  * narrow mapPartitions-shaped pass with no shuffle before the final
+  * presentation sort.
+  *
+  * Reference anchor: media payloads as opaque binaries + typed metadata
+  * (SURVEY §2 multimodal rows); full audio/video sample decode remains the
+  * documented MediaCodec stub.
+  */
+object MediaOps {
+
+  /** q189: MP3 frame-header walk over generated VBR streams. */
+  def mp3Walk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val info = graft.operators.Mp3.parseMp3(graft.operators.Mp3.buildMp3(id))
+      (id, info.sampleRate, info.nFrames, info.tagBytes, info.audioBytes,
+        info.kbpsSum, info.durationMs)
+    }.toDF("media_id", "sample_rate", "n_frames", "tag_bytes", "audio_bytes",
+      "kbps_sum", "duration_ms")
+      .orderBy($"media_id")
+  }
+
+  val mp3WalkSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, g.f,
+      |    [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+      |      [CAST((doc_id+g.f)%14 AS INTEGER)+1] AS kbps,
+      |    [44100,48000,32000][CAST(doc_id%3 AS INTEGER)+1] AS sr,
+      |    CAST((doc_id+g.f)%2 AS BIGINT) AS pad
+      |  FROM documents
+      |  JOIN generate_series(0, 8) g(f) ON g.f < 3 + doc_id % 6),
+      |s AS (
+      |  SELECT doc_id, MAX(sr) AS sample_rate, COUNT(*) AS n_frames,
+      |    SUM(144*kbps*1000 // sr + pad) AS audio_bytes,
+      |    SUM(kbps) AS kbps_sum
+      |  FROM f GROUP BY doc_id)
+      |SELECT doc_id AS media_id,
+      |  CAST(sample_rate AS INTEGER) AS sample_rate,
+      |  CAST(n_frames AS INTEGER) AS n_frames,
+      |  CAST(20 + doc_id % 64 * 3 AS INTEGER) AS tag_bytes,
+      |  CAST(audio_bytes AS BIGINT) AS audio_bytes,
+      |  CAST(kbps_sum AS BIGINT) AS kbps_sum,
+      |  CAST(n_frames*1152*1000 AS DOUBLE) / sample_rate AS duration_ms
+      |FROM s ORDER BY media_id""".stripMargin
+
+  /** q190: H.264 Annex-B walk + SPS parse over generated streams. */
+  def h264Walk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val info = graft.operators.H264.parseH264(graft.operators.H264.buildH264(id))
+      (id, info.sps.profileIdc, info.sps.levelIdc, info.sps.width,
+        info.sps.height, info.sps.log2MaxFrameNum, info.sps.maxNumRefFrames,
+        info.nNals, info.nIdr)
+    }.toDF("media_id", "profile_idc", "level_idc", "width", "height",
+      "log2_max_frame_num", "max_ref_frames", "n_nals", "n_idr")
+      .orderBy($"media_id")
+  }
+
+  val h264WalkSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(66 AS INTEGER) AS profile_idc,
+      |  CAST(10 + doc_id % 5 * 10 AS INTEGER) AS level_idc,
+      |  CAST(16 * (2 + doc_id % 8)
+      |    - CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 * (doc_id % 3) END
+      |    AS INTEGER) AS width,
+      |  CAST(16 * (2 + doc_id % 6)
+      |    - CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 2 * (doc_id % 2) END
+      |    AS INTEGER) AS height,
+      |  CAST(4 + doc_id % 5 AS INTEGER) AS log2_max_frame_num,
+      |  CAST(1 + doc_id % 3 AS INTEGER) AS max_ref_frames,
+      |  CAST(3 + doc_id % 4 AS INTEGER) AS n_nals,
+      |  CAST(1 + doc_id % 4 AS INTEGER) AS n_idr
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_mp3_walk"  -> mp3Walk,
+    "q190_h264_walk" -> h264Walk,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q189_mp3_walk"  -> mp3WalkSql,
+    "q190_h264_walk" -> h264WalkSql,
+  )
+}
