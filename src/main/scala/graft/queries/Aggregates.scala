@@ -578,7 +578,47 @@ object Aggregates {
       |GROUP BY prio
       |ORDER BY prio""".stripMargin
 
+  /** q191: k-anonymity / l-diversity audit — the privacy gate a
+    * training-data release runs before shipping records keyed on
+    * quasi-identifiers. Each (nation, market-segment) equivalence class
+    * reports its size, whether it meets k=5 anonymity, and its l-diversity
+    * (distinct sensitive-attribute buckets — here the account-balance
+    * thousand-bucket): a class below k or with l=1 re-identifies or
+    * attribute-discloses its members. One map-side-combinable hash
+    * aggregate over the quasi-identifier key — the reduce side is
+    * |nations|×|segments| rows regardless of table size, the ideal 100 TB
+    * shape. Bucketing is floor(acctbal/1000) on the raw double (exact and
+    * engine-identical); counts and flags are all integer.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment",
+        floor($"c_acctbal" / 1000).cast("long").as("bal_bucket"))
+      .groupBy($"c_nationkey", $"c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct($"bal_bucket").as("l_diversity"))
+      .select($"c_nationkey", $"c_mktsegment", $"class_size", $"l_diversity",
+        ($"class_size" >= 5).as("k_anonymous"),
+        ($"class_size" >= 5 && $"l_diversity" >= 3).as("releasable"))
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val kAnonymitySql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |  COUNT(*) AS class_size,
+      |  CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT)
+      |    AS l_diversity,
+      |  COUNT(*) >= 5 AS k_anonymous,
+      |  COUNT(*) >= 5 AND
+      |    COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3
+      |    AS releasable
+      |FROM customer
+      |GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_k_anonymity"    -> kAnonymity,
     "q168_weighted_median" -> weightedMedian,
     "q163_correlation"    -> correlation,
     "q164_chi_square"     -> chiSquare,
@@ -600,6 +640,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "q191_k_anonymity"    -> kAnonymitySql,
     "q168_weighted_median" -> weightedMedianSql,
     "q163_correlation"    -> correlationSql,
     "q164_chi_square"     -> chiSquareSql,

@@ -1920,7 +1920,47 @@ object EventOps {
       |FROM s
       |ORDER BY user_id""".stripMargin
 
+  /** q192: sequence-pattern matching over per-user event histories — the
+    * MATCH_RECOGNIZE workload expressed with the tools Spark has: each
+    * user's events collapse (ordered by ts, event_id) into a one-char-per-
+    * event string, and regexes count behavioural motifs — `vc*p`
+    * (view → any clicks → purchase, the conversion path) and `e{2,}`
+    * (consecutive-error bursts, the instability signal). One user_id
+    * hash aggregate; per-user sequences are session-bounded in practice
+    * (same cardinality contract as q93's sessionize), so collect_list
+    * state stays small while users scale out. The regex runs once per
+    * USER, not per event — leftmost non-overlapping greedy semantics are
+    * identical in Java regex and RE2, which the oracle leans on.
+    */
+  def eventPattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"user_id",
+        struct($"ts", $"event_id", substring($"event_type", 1, 1).as("ch")).as("s"))
+      .groupBy($"user_id")
+      .agg(array_join(
+        transform(sort_array(collect_list($"s")), x => x.getField("ch")), "").as("seq"))
+      .select($"user_id",
+        length($"seq").cast("long").as("seq_len"),
+        regexp_count($"seq", lit("vc*p")).cast("long").as("n_conversions"),
+        regexp_count($"seq", lit("e{2,}")).cast("long").as("n_error_bursts"))
+      .orderBy($"user_id")
+  }
+
+  val eventPatternSql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(seq) AS BIGINT) AS seq_len,
+      |  CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_conversions,
+      |  CAST(len(regexp_extract_all(seq, 'e{2,}')) AS BIGINT) AS n_error_bursts
+      |FROM s
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_event_pattern" -> eventPattern,
     "q167_burstiness" -> burstiness,
     "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
@@ -1957,6 +1997,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_event_pattern" -> eventPatternSql,
     "q167_burstiness" -> burstinessSql,
     "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,

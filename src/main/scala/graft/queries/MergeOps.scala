@@ -512,6 +512,44 @@ object MergeOps {
       .orderBy($"o_orderstatus")
   }
 
+  /** q194: XML round-trip — Spark 4's NATIVE XML source (the spark-xml
+    * donation) completing the format matrix (parquet/ORC/CSV/JSONL/XML):
+    * explicit `rowTag` element per order, micros `timestampFormat` on both
+    * sides, schema-pinned re-read (no inference on the hot path — the
+    * same contract as q171). The aggregate runs over the RE-PARSED rows,
+    * so a field dropped, mis-nested, or re-typed by either direction of
+    * the XML codec hash-mismatches against the original-table oracle.
+    */
+  def xmlRoundtrip(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runXml")
+    deleteRecursive(run)
+    val path = run.resolve("orders_xml").toString
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val src = orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderdate", $"o_orderpriority")
+    src.write.format("xml").option("rowTag", "order")
+      .option("timestampFormat", fmt).save(path)
+    spark.read.format("xml").schema(src.schema).option("rowTag", "order")
+      .option("timestampFormat", fmt).load(path)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"),
+        min($"o_orderdate").as("first_order"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val xmlRoundtripSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
+      |  MIN(o_orderdate) AS first_order,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val jsonlRoundtripSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total,
@@ -832,6 +870,7 @@ object MergeOps {
     "q174_cdc_apply"     -> cdcApply,
     "q173_corrupt_records" -> corruptRecords,
     "q171_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q194_xml_roundtrip"   -> xmlRoundtrip,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -851,6 +890,7 @@ object MergeOps {
     "q174_cdc_apply"     -> cdcApplySql,
     "q173_corrupt_records" -> corruptRecordsSql,
     "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q194_xml_roundtrip"   -> xmlRoundtripSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

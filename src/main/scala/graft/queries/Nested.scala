@@ -127,11 +127,43 @@ object Nested {
       |HAVING COUNT(*) >= 2
       |ORDER BY o_custkey, status""".stripMargin
 
+  /** q193: the Spark 4 VARIANT tier — semi-structured data held as the
+    * binary variant encoding instead of strings, the open-format answer to
+    * schemaless ingest at scale. `parse_json` builds the variant ONCE per
+    * row; typed projections come out of `variant_get` with path + target
+    * type (shredded access, no re-parse per field, unlike repeated
+    * `get_json_object` calls), `try_variant_get` demonstrates the
+    * non-throwing path for absent keys. Row-level extraction is graded
+    * (not just an aggregate): every surviving (event_id, typed k, string
+    * k, missing-key null) must match the oracle's JSON operators.
+    */
+  def variantExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .select($"event_id", $"event_type", parse_json($"props").as("v"))
+      .select($"event_id", $"event_type",
+        expr("variant_get(v, '$.k', 'int')").as("k_int"),
+        expr("variant_get(v, '$.k', 'string')").as("k_str"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("k_absent"))
+      .filter($"k_int" >= 90)
+      .orderBy($"event_id")
+  }
+
+  val variantExtractSql: String =
+    """SELECT event_id, event_type,
+      |  CAST(props->>'k' AS INTEGER) AS k_int,
+      |  props->>'k' AS k_str,
+      |  CAST(NULL AS INTEGER) AS k_absent
+      |FROM events
+      |WHERE CAST(props->>'k' AS INTEGER) >= 90
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_json_extract"   -> jsonExtract,
     "q23_explode_tokens" -> explodeTokens,
     "q24_array_ops"      -> arrayOps,
     "q159_map_functions" -> mapFunctions,
+    "q193_variant_extract" -> variantExtract,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +171,6 @@ object Nested {
     "q23_explode_tokens" -> explodeTokensSql,
     "q24_array_ops"      -> arrayOpsSql,
     "q159_map_functions" -> mapFunctionsSql,
+    "q193_variant_extract" -> variantExtractSql,
   )
 }
