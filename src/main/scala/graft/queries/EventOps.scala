@@ -806,6 +806,87 @@ object EventOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // q195 fixture: the q88 shape plus event_type, so the processor's
+  // MapState (per-type counters) has something real to key on.
+  private val streamTwsStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamTwsFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamTwsStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "twsfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          $"value".cast(MoneyDec).as("value_dec"))
+        .repartitionByRange(4, $"event_id")
+        .write.mode("overwrite").parquet(fix.resolve("src").toString)
+      fix
+    })
+
+  /** Run `body` with the RocksDB state-store provider (required by
+    * transformWithState), restoring the session's provider after.
+    */
+  private def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** q195: the q88 contract on Spark 4's `transformWithState` API — the
+    * arbitrary-stateful-processing successor with TYPED COMPOSITE state:
+    * three ValueStates (count, exact decimal sum, max event id) plus a
+    * MapState of per-event-type counters per user, held in RocksDB (the
+    * provider the operator requires). Replayed across 4 real micro-batches
+    * (`maxFilesPerTrigger=1` under AvailableNow), each batch's updated
+    * aggregates upserted into a parquet table keyed on user_id. Every
+    * state update is associative and exact, so the converged table equals
+    * the batch GROUP BY whatever the batch boundaries — a lost MapState
+    * entry, double-counted replay, or mis-merged ValueState
+    * hash-mismatches against the oracle.
+    */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame =
+    streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) { withRocksDbStateStore(spark) {
+      import spark.implicits._
+      val fix = streamTwsFixtures(spark, dir)
+      val run = streamUpsertRoot.resolve("runTws")
+      deleteRecursive(run)
+      val target = run.resolve("user_tws")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value_dec",
+          org.apache.spark.sql.types.DataType.fromDDL("decimal(38,6)"))))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+      val aggs = graft.streaming.EventStream.userStatsTws(
+        stream.as[graft.streaming.EventStream.UserEventTyped])
+      val query = graft.streaming.EventStream.upsertSink(
+        aggs.toDF(), target.toString, Seq("user_id"), run.resolve("ckpt").toString)
+      query.awaitTermination()
+      spark.read.parquet(target.toString)
+        .select($"user_id", $"n_events",
+          round($"total_value", 2).cast("double").as("total_value"),
+          $"n_types", $"n_purchases", $"max_event_id")
+        .orderBy($"user_id")
+    } } }
+
+  val streamTransformWithStateSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value,
+      | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+      | MAX(event_id) AS max_event_id
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // q90 fixture: the events projection in 3 ranged files PLUS a fourth
   // file re-delivering every third event — the at-least-once delivery
   // shape a streaming dedup exists for. Duplicates are byte-identical to
@@ -1987,6 +2068,7 @@ object EventOps {
     "q145_stream_outer_join" -> streamOuterJoin,
     "q86_range_frame"    -> rangeFrameTrailing,
     "q88_stream_state_agg" -> streamStateAgg,
+    "q195_stream_tws" -> streamTransformWithState,
     "q90_stream_dedup"   -> streamDedup,
     "q92_stream_windowed_agg" -> streamWindowedAgg,
     "q93_stream_sessionize" -> streamSessionize,
@@ -2024,6 +2106,7 @@ object EventOps {
     "q145_stream_outer_join" -> streamOuterJoinSql,
     "q86_range_frame"    -> rangeFrameTrailingSql,
     "q88_stream_state_agg" -> streamStateAggSql,
+    "q195_stream_tws" -> streamTransformWithStateSql,
     "q90_stream_dedup"   -> streamDedupSql,
     "q92_stream_windowed_agg" -> streamWindowedAggSql,
     "q93_stream_sessionize" -> streamSessionizeSql,

