@@ -704,6 +704,108 @@ object CorpusOps {
       |HAVING COUNT(*) >= 3
       |ORDER BY n DESC, w1, w2""".stripMargin
 
+  /** q196: PMI-scored co-occurrence — the association statistic on top of
+    * q127's skip-gram counts (collocation mining / phrase detection, the
+    * word2vec-era signal for merging "new york"-style units). PMI =
+    * log2(P(w1,w2)/(P(w1)P(w2))) reduced to the INTEGER floor-log2
+    * difference bits(n12·N) − bits(c1·c2) (the q148 DSIR trick), so both
+    * engines compute it from binary-string lengths — no libm. Marginals
+    * c1/c2 derive from the pair table itself (re-aggregates of the one
+    * (w1,w2) exchange, map-side combinable); the 1-row total broadcasts.
+    * The BIGINT products bound: n12·N ≤ N², fine to N ≈ 3·10⁹ pairs; above
+    * that promote the two products to DECIMAL(38,0) — noted, not needed
+    * at any graded SF.
+    */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // Materialize the pair table ONCE: four consumers (pairs + two
+    // marginals + total) would otherwise each re-run the corpus-sized
+    // explode+aggregate lineage (the q125 lesson — measured 12.2× at the
+    // 10× probe before this cut, 4.6× on ~19× pair volume after).
+    // localCheckpoint rather than cache so AQE keeps real size stats for
+    // the downstream joins.
+    val pairs = documents(spark, dir)
+      .select(TextFunctions.tokens($"text").as("t"))
+      .select(explode(skipgramExpr).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2")
+      .agg(count(lit(1)).as("n12"))
+      .localCheckpoint()
+    val left = pairs.groupBy($"w1").agg(sum($"n12").as("c1"))
+    val right = pairs.groupBy($"w2").agg(sum($"n12").as("c2"))
+    val total = pairs.agg(sum($"n12").as("n_pairs")) // 1 row
+    pairs.join(left, "w1").join(right, "w2").crossJoin(broadcast(total))
+      .filter($"n12" >= 5)
+      .select($"w1", $"w2", $"n12",
+        (length(bin(expr("n12 * n_pairs"))) - length(bin(expr("c1 * c2"))))
+          .cast("long").as("pmi_bits"))
+      .orderBy($"pmi_bits".desc, $"w1", $"w2")
+  }
+
+  val pmiPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n12
+      |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+      |  GROUP BY 1, 2),
+      |l AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+      |r AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n12) AS BIGINT) AS n_pairs FROM p)
+      |SELECT w1, w2, n12,
+      |  CAST(length(format('{:b}', n12 * n_pairs))
+      |     - length(format('{:b}', c1 * c2)) AS BIGINT) AS pmi_bits
+      |FROM p JOIN l USING (w1) JOIN r USING (w2), t
+      |WHERE n12 >= 5
+      |ORDER BY pmi_bits DESC, w1, w2""".stripMargin
+
+  /** q198: Wilson-score source ranking — ordering corpus sources by the
+    * LOWER CONFIDENCE BOUND of their quality-pass rate instead of the raw
+    * proportion, so a source with 3/3 passes does not outrank one with
+    * 180/200 (the standard small-sample correction a mixture policy
+    * applies before allocating token budget). Pass = n_chars ≥ 300
+    * (~corpus median). The bound is computed through ONE fixed IEEE
+    * expression tree mirrored verbatim in the oracle (the q137 z-test
+    * discipline: double literals, correctly-rounded sqrt and identical
+    * op order make it bit-identical cross-engine). One source-keyed
+    * hash-agg; reduce side is |sources| rows.
+    */
+  def wilsonSources(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = documents(spark, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"n_chars" >= 300, 1L).otherwise(0L)).as("c"))
+    val n = $"n".cast("double")
+    val c = $"c".cast("double")
+    val phat = c / n
+    g.select($"source", $"n", $"c",
+        ((phat + lit(3.8416) / (lit(2.0) * n)
+          - lit(1.96) * sqrt((phat * (lit(1.0) - phat) + lit(3.8416) / (lit(4.0) * n)) / n))
+          / (lit(1.0) + lit(3.8416) / n)).as("wilson_lb"))
+      .orderBy($"wilson_lb".desc, $"source")
+  }
+
+  val wilsonSourcesSql: String =
+    """WITH g AS (
+      |  SELECT source, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM documents GROUP BY source),
+      |d AS (
+      |  SELECT source, n, c,
+      |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM g)
+      |SELECT source, n, c,
+      |  (phat + CAST(3.8416 AS DOUBLE) / (2.0 * nd)
+      |   - CAST(1.96 AS DOUBLE)
+      |     * sqrt((phat * (1.0 - phat) + CAST(3.8416 AS DOUBLE) / (4.0 * nd)) / nd))
+      |  / (1.0 + CAST(3.8416 AS DOUBLE) / nd) AS wilson_lb
+      |FROM d
+      |ORDER BY wilson_lb DESC, source""".stripMargin
+
   /** q147: bigram-LM surprisal — the order-2 step up from q124's unigram
     * perplexity filter, i.e. the KenLM-shaped quality signal that unigram
     * statistics are blind to (a document of common words in an
@@ -1037,6 +1139,8 @@ object CorpusOps {
     "q112_epoch_shuffle" -> epochShuffle,
     "q124_unigram_surprisal" -> unigramSurprisal,
     "q127_skipgram_pairs" -> skipgramPairs,
+    "q196_pmi_pairs" -> pmiPairs,
+    "q198_wilson_sources" -> wilsonSources,
     "q147_bigram_surprisal" -> bigramSurprisal,
     "q148_dsir_weights"  -> dsirWeights,
   )
@@ -1060,6 +1164,8 @@ object CorpusOps {
     "q112_epoch_shuffle" -> epochShuffleSql,
     "q124_unigram_surprisal" -> unigramSurprisalSql,
     "q127_skipgram_pairs" -> skipgramPairsSql,
+    "q196_pmi_pairs" -> pmiPairsSql,
+    "q198_wilson_sources" -> wilsonSourcesSql,
     "q147_bigram_surprisal" -> bigramSurprisalSql,
     "q148_dsir_weights"  -> dsirWeightsSql,
   )

@@ -1332,7 +1332,59 @@ object TextOps {
       |GROUP BY domain
       |ORDER BY domain""".stripMargin
 
+  /** q197: per-domain document cap — the crawl-curation rule that stops
+    * one giant host from dominating a corpus (cap docs per registrable
+    * domain, keep the best): each doc's canonical host comes from the
+    * REAL [[TextFunctions.canonicalHost]] path (q188's derivation), and
+    * the keep-set is the top 15 per domain by (n_chars desc, doc_id) —
+    * executed through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator (partial per-partition heaps → one grouped exchange →
+    * final heaps; no full sort, no rank-then-filter window), the exact
+    * two-phase shape a 100 TB per-domain cap needs. The oracle expresses
+    * the same contract as a row_number window.
+    */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docPath($"lang", pmod($"doc_id", lit(50)))
+    val url = when(pmod($"doc_id", lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), $"source", lit(".Example.COM:443/"), base,
+          lit("/?utm_source=feed&b=2&a=1")))
+      .when(pmod($"doc_id", lit(4)) === 1,
+        concat(lit("https://"), $"source", lit(".example.com/"), base,
+          lit("?a=1&ref=tw&b=2")))
+      .when(pmod($"doc_id", lit(4)) === 2,
+        concat(lit("https://"), $"source", lit(".EXAMPLE.com/"), base,
+          lit("#section-3")))
+      .otherwise(
+        concat(lit("https://www."), $"source", lit(".example.com:443/"), base, lit("//")))
+    val d = documents(spark, dir)
+      .select($"doc_id", $"n_chars", TextFunctions.canonicalHost(url).as("domain"))
+    graft.plans.TopKPerGroup.topK(d, Seq("domain"),
+        Seq($"n_chars".desc, $"doc_id".asc), 15)
+      .select($"domain", $"doc_id", $"n_chars")
+      .orderBy($"domain", $"n_chars".desc, $"doc_id")
+  }
+
+  /** Every synthesized URL variant canonicalizes to `source.example.com`,
+    * so the oracle derives the domain directly while the Spark side goes
+    * through the full scheme/www/port/case surgery — a canonicalization
+    * regression changes the grouping and hash-mismatches.
+    */
+  val domainCapSql: String =
+    """WITH d AS (
+      |  SELECT source || '.example.com' AS domain, doc_id, n_chars
+      |  FROM documents),
+      |r AS (
+      |  SELECT domain, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM d)
+      |SELECT domain, doc_id, n_chars
+      |FROM r WHERE rk <= 15
+      |ORDER BY domain, n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_domain_cap"     -> domainCap,
     "q188_domain_stats"   -> domainStats,
     "q184_url_dedup"      -> urlDedup,
     "q169_kmv_set_ops"    -> kmvSetOps,
@@ -1388,6 +1440,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q197_domain_cap"     -> domainCapSql,
     "q188_domain_stats"   -> domainStatsSql,
     "q184_url_dedup"      -> urlDedupSql,
     "q169_kmv_set_ops"    -> kmvSetOpsSql,
