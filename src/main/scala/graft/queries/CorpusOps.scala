@@ -806,6 +806,65 @@ object CorpusOps {
       |FROM d
       |ORDER BY wilson_lb DESC, source""".stripMargin
 
+  /** q199: Pareto skyline (maximal vectors) — the docs no other doc
+    * dominates on (n_tokens MAX, n_chars MIN): the compactness frontier
+    * ("most tokens in fewest characters") a multi-criteria curation picks
+    * from, which rank-by-one-score flattens. 2-D skyline reduces to a
+    * running extremum: group docs by x = n_tokens (one hash-agg,
+    * map-side combinable to |distinct x| rows), scan x descending and keep
+    * groups whose char-minimum strictly beats every higher-x group's, then
+    * join the ≤|skyline| surviving (x, ymin) pairs back (broadcast). The
+    * scan's running extremum is TWO-PHASE (per-range-partition min
+    * collected once + exclusive within-partition window) — the
+    * globalRank/globalCumsum discipline, no single-partition exchange
+    * anywhere. Oracle: the quadratic NOT EXISTS dominance definition,
+    * verbatim. (Negating n_chars turns min-dominance into the max scan.)
+    */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+      .select($"doc_id", $"n_chars",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("y", -$"n_chars")
+    val xg = d.groupBy($"n_tokens").agg(max($"y").as("ymax"))
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // equal x keys land in one range partition, and after the x-groupBy
+    // rows are unique per x — the exclusive ROWS frame is deterministic
+    val ranged = xg.repartitionByRange(parts, $"n_tokens".desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val partMax = ranged.groupBy($"__pid").agg(max($"ymax").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val prefix = (0 until parts).scanLeft(Long.MinValue)(
+      (acc, p) => math.max(acc, partMax.getOrElse(p, Long.MinValue)))
+    val prefixCol = element_at(
+      typedLit((0 until parts).map(p => p -> prefix(p)).toMap), $"__pid")
+    val w = Window.partitionBy($"__pid").orderBy($"n_tokens".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val keptX = ranged
+      .withColumn("prevMax",
+        greatest(coalesce(max($"ymax").over(w), lit(Long.MinValue)), prefixCol))
+      .filter($"ymax" > $"prevMax")
+      .select($"n_tokens".as("sk_tokens"), $"ymax")
+    d.join(broadcast(keptX),
+        d("n_tokens") === keptX("sk_tokens") && d("y") === keptX("ymax"))
+      .select($"doc_id", $"n_chars", $"n_tokens")
+      .orderBy($"n_tokens".desc, $"doc_id")
+  }
+
+  val skylineSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, n_chars, n_tokens
+      |FROM d a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM d b
+      |  WHERE b.n_tokens >= a.n_tokens AND b.n_chars <= a.n_chars
+      |    AND (b.n_tokens > a.n_tokens OR b.n_chars < a.n_chars))
+      |ORDER BY n_tokens DESC, doc_id""".stripMargin
+
   /** q147: bigram-LM surprisal — the order-2 step up from q124's unigram
     * perplexity filter, i.e. the KenLM-shaped quality signal that unigram
     * statistics are blind to (a document of common words in an
@@ -1140,6 +1199,7 @@ object CorpusOps {
     "q124_unigram_surprisal" -> unigramSurprisal,
     "q127_skipgram_pairs" -> skipgramPairs,
     "q196_pmi_pairs" -> pmiPairs,
+    "q199_skyline" -> skyline,
     "q198_wilson_sources" -> wilsonSources,
     "q147_bigram_surprisal" -> bigramSurprisal,
     "q148_dsir_weights"  -> dsirWeights,
@@ -1165,6 +1225,7 @@ object CorpusOps {
     "q124_unigram_surprisal" -> unigramSurprisalSql,
     "q127_skipgram_pairs" -> skipgramPairsSql,
     "q196_pmi_pairs" -> pmiPairsSql,
+    "q199_skyline" -> skylineSql,
     "q198_wilson_sources" -> wilsonSourcesSql,
     "q147_bigram_surprisal" -> bigramSurprisalSql,
     "q148_dsir_weights"  -> dsirWeightsSql,

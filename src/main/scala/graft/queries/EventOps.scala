@@ -2001,6 +2001,52 @@ object EventOps {
       |FROM s
       |ORDER BY user_id""".stripMargin
 
+  /** q200: CUSUM change-point detection over the daily event series — the
+    * drift monitor a pipeline runs on its own intake volume. The classic
+    * recursion S_t = max(0, S_{t-1} + x_t − k) is not window-expressible,
+    * but its closed form is: S_t = C_t − min_{i≤t} C_i with
+    * C_t = Σ(x_i − k) — one cumulative sum and one running min. Everything
+    * is integer (counts scaled ×1000 against the integer daily-mean
+    * reference k_milli, alarm at h = 2·k_milli ≈ two average days of
+    * accumulated drift), so both engines agree exactly. The ordered
+    * windows run over the DAILY series — calendar-bounded (≤36.5k rows per
+    * century), the same bounded-index argument as invoice numbering; the
+    * day aggregate itself is the only corpus-sized exchange.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val k = daily.agg(expr("CAST(sum(n) * 1000 DIV count(*) AS LONG)").as("k_milli"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(k))
+      .withColumn("c_milli", sum($"n" * 1000L - $"k_milli").over(w))
+      .withColumn("s_milli", $"c_milli" - min($"c_milli").over(w))
+      .select($"day", $"n", $"k_milli", $"s_milli",
+        ($"s_milli" >= $"k_milli" * 2L).as("alarm"))
+      .orderBy($"day")
+  }
+
+  val cusumSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |k AS (SELECT CAST(SUM(n) * 1000 // COUNT(*) AS BIGINT) AS k_milli FROM daily),
+      |c AS (
+      |  SELECT day, n, k_milli,
+      |    SUM(n * 1000 - k_milli) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_milli
+      |  FROM daily, k)
+      |SELECT day, n, k_milli,
+      |  CAST(c_milli - MIN(c_milli) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_milli,
+      |  c_milli - MIN(c_milli) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) >= k_milli * 2 AS alarm
+      |FROM c
+      |ORDER BY day""".stripMargin
+
   /** q192: sequence-pattern matching over per-user event histories — the
     * MATCH_RECOGNIZE workload expressed with the tools Spark has: each
     * user's events collapse (ordered by ts, event_id) into a one-char-per-
@@ -2042,6 +2088,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_event_pattern" -> eventPattern,
+    "q200_cusum" -> cusum,
     "q167_burstiness" -> burstiness,
     "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
@@ -2080,6 +2127,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q192_event_pattern" -> eventPatternSql,
+    "q200_cusum" -> cusumSql,
     "q167_burstiness" -> burstinessSql,
     "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,
