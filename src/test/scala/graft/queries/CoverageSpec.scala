@@ -65,7 +65,13 @@ class CoverageSpec extends SparkSuite {
     "q120_session_transitions",
     "q121_key_skew",
     "q122_rfm",
-    "q123_pareto_abc") // q74 may legitimately find 0 pairs at sf0.001
+    "q123_pareto_abc",
+    "q189_mp3_walk", "q190_h264_walk", "q191_k_anonymity",
+    "q192_event_pattern", "q193_variant_extract", "q194_xml_roundtrip",
+    "q195_stream_tws", "q197_domain_cap", "q198_wilson_sources",
+    "q199_skyline", "q200_cusum")
+  // q74 may legitimately find 0 pairs at sf0.001; q196's n12 ≥ 5 floor can
+  // be empty on the 50-doc fixture — both consciously absent above
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
