@@ -163,4 +163,28 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"),
       plan.take(600))
   }
+
+  test("q197: domain cap runs through the TopK operator, not a rank window") {
+    val plan = executed(TextOps.domainCap(spark, sf))
+    assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"),
+      plan.take(600))
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("row_number"),
+      "the cap must not fall back to a rank-then-filter window")
+  }
+
+  test("q199: skyline has no single-partition exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = CorpusOps.skyline(spark, sf).queryExecution.executedPlan
+      val single = plan.collectWithSubqueries {
+        case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => e
+      }
+      assert(single.isEmpty,
+        s"two-phase running extremum must not collapse to one partition:\n" +
+          single.map(_.treeString.take(500)).mkString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
