@@ -2047,6 +2047,60 @@ object EventOps {
       |FROM c
       |ORDER BY day""".stripMargin
 
+  /** q202: Theil–Sen robust slope — the median of pairwise slopes of each
+    * user's daily event counts, the outlier-immune trend estimator (one
+    * anomalous day corrupts OLS (q133); it moves the pairwise-slope
+    * median by at most one rank). Pairs form per user over the
+    * calendar-bounded daily series (≤ d(d−1)/2 with d = days observed —
+    * bounded by the window, not the corpus), so the self-join is
+    * key-local and the corpus-sized work is only the (user, day)
+    * aggregate. Slopes are floor((Δy·1000)/Δx) — double divide then
+    * floor, bit-identical cross-engine; the median is the deterministic
+    * lower median by rank.
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = events(spark, dir)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .select($"user_id",
+        datediff($"day", to_date(lit("1970-01-01"))).cast("long").as("x"), $"y")
+    val a = daily.select($"user_id", $"x".as("ax"), $"y".as("ay"))
+    val b = daily.select($"user_id", $"x".as("bx"), $"y".as("by"))
+    val slopes = a.join(b, Seq("user_id")).filter($"bx" > $"ax")
+      .select($"user_id", $"ax", $"bx",
+        floor(($"by" - $"ay").cast("double") * 1000.0 / ($"bx" - $"ax").cast("double"))
+          .cast("long").as("slope_milli"))
+    val w = Window.partitionBy($"user_id").orderBy($"slope_milli", $"ax", $"bx")
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === expr("(n_pairs + 1) DIV 2"))
+      .select($"user_id", $"n_pairs", $"slope_milli".as("med_slope_milli"))
+      .orderBy($"user_id")
+  }
+
+  val theilSenSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM daily),
+      |s AS (
+      |  SELECT a.user_id, a.x AS ax, b.x AS bx,
+      |    CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) * 1000.0
+      |      / CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS slope_milli
+      |  FROM d a JOIN d b ON a.user_id = b.user_id AND b.x > a.x),
+      |r AS (
+      |  SELECT user_id, slope_milli,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY slope_milli, ax, bx) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_pairs
+      |  FROM s)
+      |SELECT user_id, n_pairs, slope_milli AS med_slope_milli
+      |FROM r WHERE rn = (n_pairs + 1) // 2
+      |ORDER BY user_id""".stripMargin
+
   /** q192: sequence-pattern matching over per-user event histories — the
     * MATCH_RECOGNIZE workload expressed with the tools Spark has: each
     * user's events collapse (ordered by ts, event_id) into a one-char-per-
@@ -2089,6 +2143,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_event_pattern" -> eventPattern,
     "q200_cusum" -> cusum,
+    "q202_theil_sen" -> theilSen,
     "q167_burstiness" -> burstiness,
     "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
@@ -2128,6 +2183,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q192_event_pattern" -> eventPatternSql,
     "q200_cusum" -> cusumSql,
+    "q202_theil_sen" -> theilSenSql,
     "q167_burstiness" -> burstinessSql,
     "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,

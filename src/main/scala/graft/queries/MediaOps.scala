@@ -91,13 +91,48 @@ object MediaOps {
       |  CAST(1 + doc_id % 4 AS INTEGER) AS n_idr
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** q201: GIF decode — the LOSSLESS compressed-codec tier beside q73's
+    * (lossy, constant-block-constructed) JPEG: executors build a real
+    * GIF87a per document and decode it through the full variable-width
+    * LZW path (clear-code resets, cScSc case, width growth at every
+    * 2^k boundary — GifSpec round-trips all of them), so decoded pixels
+    * equal the generator formula EXACTLY with no special construction,
+    * and the oracle recomputes dimensions and pixel mean in closed form.
+    */
+  def gifDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val w = 8 + (id % 16).toInt * 4
+      val h = 8 + (id % 12).toInt * 4
+      val img = graft.operators.Gif.parseGif(graft.operators.Gif.buildGif(id, w, h))
+      var s = 0L
+      img.pixels.foreach(p => s += (p & 0xFF))
+      (id, img.width, img.height, s.toDouble / (img.width * img.height))
+    }.toDF("media_id", "parsed_width", "parsed_height", "pixel_mean")
+      .orderBy($"media_id")
+  }
+
+  val gifDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 16 * 4 AS INTEGER) AS parsed_width,
+      |  CAST(8 + doc_id % 12 * 4 AS INTEGER) AS parsed_height,
+      |  CAST(CAST(SUM((doc_id*31 + g.i*7) % 256) AS BIGINT) AS DOUBLE)
+      |    / ((8 + doc_id % 16 * 4) * (8 + doc_id % 12 * 4)) AS pixel_mean
+      |FROM documents
+      |JOIN generate_series(0, 3600) g(i)
+      |  ON g.i < (8 + doc_id % 16 * 4) * (8 + doc_id % 12 * 4)
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
+    "q201_gif_decode" -> gifDecode,
   )
 
   val oracles: Map[String, String] = Map(
     "q189_mp3_walk"  -> mp3WalkSql,
     "q190_h264_walk" -> h264WalkSql,
+    "q201_gif_decode" -> gifDecodeSql,
   )
 }

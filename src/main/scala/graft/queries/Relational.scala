@@ -420,7 +420,60 @@ object Relational {
       |CROSS JOIN agg
       |ORDER BY t.strategy, agg.c_mktsegment""".stripMargin
 
+  /** q203: Benford first-digit audit — the books-cooking / synthetic-data
+    * detector: leading digits of order totals against Benford's law, with
+    * the expected distribution as FIXED per-mille integer literals
+    * (301, 176, … — no libm log10 at query time) and the observed side as
+    * integer per-mille shares, so the deviation report is exact and
+    * engine-identical. First digit comes from the integer part's string
+    * rendering (floor → BIGINT → first char), not a log — same value both
+    * engines. One digit-keyed hash-agg (9-row reduce side) + a broadcast
+    * 1-row total.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = orders(spark, dir)
+      .filter($"o_totalprice" >= 1.0)
+      .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum($"n_obs").as("n_total")) // 1 row
+    val expected = typedLit(Map(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+      5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L))
+    digits.crossJoin(broadcast(total))
+      .withColumn("o_mille", expr("n_obs * 1000 DIV n_total"))
+      .withColumn("e_mille", element_at(expected, $"digit"))
+      .select($"digit", $"n_obs", $"o_mille", $"e_mille",
+        ($"o_mille" - $"e_mille").as("dev_mille"),
+        (abs($"o_mille" - $"e_mille") > 15L).as("suspicious"))
+      .orderBy($"digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS INTEGER) AS digit
+      |  FROM orders WHERE o_totalprice >= 1.0),
+      |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM g)
+      |SELECT digit, n_obs,
+      |  CAST(n_obs * 1000 // n_total AS BIGINT) AS o_mille,
+      |  CAST(CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+      |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+      |    WHEN 8 THEN 51 ELSE 46 END AS BIGINT) AS e_mille,
+      |  CAST(n_obs * 1000 // n_total AS BIGINT)
+      |    - CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+      |        WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+      |        WHEN 8 THEN 51 ELSE 46 END AS dev_mille,
+      |  abs(CAST(n_obs * 1000 // n_total AS BIGINT)
+      |    - CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+      |        WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+      |        WHEN 8 THEN 51 ELSE 46 END) > 15 AS suspicious
+      |FROM g, t
+      |ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_benford_audit" -> benfordAudit,
     "q172_join_hints"    -> joinHints,
     "q155_set_ops"       -> setOpsRetention,
     "q150_observed_agg"  -> observedMonthlyRevenue,
@@ -435,6 +488,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q203_benford_audit" -> benfordAuditSql,
     "q172_join_hints"    -> joinHintsSql,
     "q155_set_ops"       -> setOpsRetentionSql,
     "q150_observed_agg"  -> observedMonthlyRevenueSql,

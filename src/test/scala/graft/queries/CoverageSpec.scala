@@ -69,7 +69,8 @@ class CoverageSpec extends SparkSuite {
     "q189_mp3_walk", "q190_h264_walk", "q191_k_anonymity",
     "q192_event_pattern", "q193_variant_extract", "q194_xml_roundtrip",
     "q195_stream_tws", "q197_domain_cap", "q198_wilson_sources",
-    "q199_skyline", "q200_cusum")
+    "q199_skyline", "q200_cusum", "q201_gif_decode", "q202_theil_sen",
+    "q203_benford_audit")
   // q74 may legitimately find 0 pairs at sf0.001; q196's n12 ≥ 5 floor can
   // be empty on the 50-doc fixture — both consciously absent above
 
