@@ -2047,6 +2047,85 @@ object EventOps {
       |FROM c
       |ORDER BY day""".stripMargin
 
+  // q204 fixture: the q93 event files but with ONE global sentinel row
+  // (user −1, max ts + 4 h) instead of per-user flush rows — closing every
+  // user's final session is the TIMERS' job, not a synthetic event's.
+  private val streamTimerSessStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamTimerSessFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamTimerSessStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "timersessfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val ev = events(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+          lit("{}").as("props"))
+      val stage = fix.resolve("stage")
+      ev.repartitionByRange(4, $"ts", $"event_id")
+        .write.mode("overwrite").parquet(stage.toString)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000),
+          -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.resolve("flush").toString)
+      val src = fix.resolve("src")
+      java.nio.file.Files.createDirectories(src)
+      import scala.jdk.CollectionConverters._
+      val ranged = java.nio.file.Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val flushPart = java.nio.file.Files.list(stage.resolve("flush")).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      val base = System.currentTimeMillis() - 1000000L
+      (ranged ++ flushPart).zipWithIndex.foreach { case (f, i) =>
+        val dst = src.resolve(f.getFileName)
+        java.nio.file.Files.copy(f, dst)
+        dst.toFile.setLastModified(base + i * 10000L)
+      }
+      fix
+    })
+
+  /** q204: gap-sessionization closed by EVENT-TIME TIMERS on
+    * transformWithState — the q93 contract re-proven on the v2 API's
+    * timer surface. Mid-stream sessions emit eagerly when a later event
+    * proves the gap; every user's FINAL session emits from
+    * [[graft.streaming.EventStream.SessionTimerProcessor.handleExpiredTimer]]
+    * when ONE global sentinel pushes the watermark past lastTs + gap (the
+    * per-key flush rows q93 needs are gone — that is the point of
+    * timers). Same oracle as q93, shared verbatim: a session split across
+    * batches, a timer that fires early (session split), late (session
+    * never emitted before termination), or survives its delete
+    * (double-emit) all hash-mismatch.
+    */
+  def streamTimerSessions(spark: SparkSession, dir: String): DataFrame =
+    streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) { withRocksDbStateStore(spark) {
+      import spark.implicits._
+      val fix = streamTimerSessFixtures(spark, dir)
+      val run = streamUpsertRoot.resolve("runTimerSess")
+      deleteRecursive(run)
+      val schema = events(spark, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+          lit("{}").as("props")).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+      val sessions = graft.streaming.EventStream.sessionizeWithTimers(
+        stream.as[graft.streaming.EventStream.Event], gapMs = 1800L * 1000)
+      val out = run.resolve("out")
+      val query = sessions.toDF().writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", run.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      spark.read.parquet(out.toString)
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"first_ms", $"last_ms", $"n_events")
+        .orderBy($"user_id", $"first_ms")
+    } } }
+
   /** q202: Theil–Sen robust slope — the median of pairwise slopes of each
     * user's daily event counts, the outlier-immune trend estimator (one
     * anomalous day corrupts OLS (q133); it moves the pairwise-slope
@@ -2144,6 +2223,7 @@ object EventOps {
     "q192_event_pattern" -> eventPattern,
     "q200_cusum" -> cusum,
     "q202_theil_sen" -> theilSen,
+    "q204_stream_timer_sessions" -> streamTimerSessions,
     "q167_burstiness" -> burstiness,
     "q165_stream_session_window" -> streamSessionWindow,
     "q161_interpolate" -> interpolateDaily,
@@ -2184,6 +2264,7 @@ object EventOps {
     "q192_event_pattern" -> eventPatternSql,
     "q200_cusum" -> cusumSql,
     "q202_theil_sen" -> theilSenSql,
+    "q204_stream_timer_sessions" -> streamSessionizeSql,
     "q167_burstiness" -> burstinessSql,
     "q165_stream_session_window" -> streamSessionWindowSql,
     "q161_interpolate" -> interpolateDailySql,

@@ -512,6 +512,64 @@ object MergeOps {
       .orderBy($"o_orderstatus")
   }
 
+  /** q205: incremental VIEW maintenance — the delta-join algebra that
+    * keeps a materialized join view current without recomputing it:
+    * V = A ⋈ B maintained under a batch of updates/inserts ΔA as
+    * upsert(V, ΔA ⋈ B) — the JOIN runs only over the delta (B broadcast),
+    * the stored view is touched by key-merge, and A0 is never rescanned.
+    * This is the join-shaped sibling of q101/q103's incremental
+    * aggregates; at 100 TB the delta join is minutes of work where the
+    * full recompute is hours. The delta reuses the q25 derivation rule
+    * (keys ≡ 0 mod 10 updated with doubled price + status X, clones at
+    * +10M inserted), so the oracle is simply the full join of the MERGED
+    * fact state with the dimension — a view row missed (stale A0 value
+    * surviving), double-applied delta, or lost insert hash-mismatches.
+    */
+  def incrementalViewMaintenance(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runIvm")
+    deleteRecursive(run)
+    val target = run.resolve("order_view").toString
+    val c = customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", $"c_nationkey")
+    def joined(a: DataFrame): DataFrame =
+      a.join(broadcast(c), a("o_custkey") === c("c_custkey"), "left")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          $"c_mktsegment", $"c_nationkey")
+    // V0: the view materialized from the base fact state
+    val base = orders(spark, dir).select(cols.map(col): _*)
+    TableStore.atomicWrite(spark, joined(base), target)
+    // ΔA: updates + inserts; maintenance = upsert(V, ΔA ⋈ B)
+    val conflicts = base.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+      .withColumn("o_orderstatus", lit("X"))
+    val news = base.filter($"o_orderkey" % 10 === 3)
+      .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+      .withColumn("o_orderstatus", lit("X"))
+    TableStore.upsert(spark, target,
+      joined(conflicts.unionByName(news)), Seq("o_orderkey"))
+    TableStore.read(spark, target)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        round($"o_totalprice".cast(MoneyDec), 2).cast("double").as("price"),
+        $"c_mktsegment", $"c_nationkey")
+      .orderBy($"o_orderkey")
+  }
+
+  val incrementalViewMaintenanceSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 'X', o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3)
+      |SELECT m.o_orderkey, m.o_custkey, m.o_orderstatus,
+      |  CAST(ROUND(CAST(m.o_totalprice AS DECIMAL(38,6)), 2) AS DOUBLE) AS price,
+      |  c.c_mktsegment, c.c_nationkey
+      |FROM merged m LEFT JOIN customer c ON m.o_custkey = c.c_custkey
+      |ORDER BY m.o_orderkey""".stripMargin
+
   /** q194: XML round-trip — Spark 4's NATIVE XML source (the spark-xml
     * donation) completing the format matrix (parquet/ORC/CSV/JSONL/XML):
     * explicit `rowTag` element per order, micros `timestampFormat` on both
@@ -871,6 +929,7 @@ object MergeOps {
     "q173_corrupt_records" -> corruptRecords,
     "q171_jsonl_roundtrip" -> jsonlRoundtrip,
     "q194_xml_roundtrip"   -> xmlRoundtrip,
+    "q205_incremental_view" -> incrementalViewMaintenance,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -891,6 +950,7 @@ object MergeOps {
     "q173_corrupt_records" -> corruptRecordsSql,
     "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q194_xml_roundtrip"   -> xmlRoundtripSql,
+    "q205_incremental_view" -> incrementalViewMaintenanceSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

@@ -420,6 +420,65 @@ object Relational {
       |CROSS JOIN agg
       |ORDER BY t.strategy, agg.c_mktsegment""".stripMargin
 
+  /** Run `body` with a conf key pinned, restoring the prior value. */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** q206: runtime Bloom-filter join (Catalyst's InjectRuntimeFilter) —
+    * the optimizer builds a Bloom filter from the SELECTIVE side of a
+    * shuffle join (orders filtered to one priority) and pushes
+    * `bloom_filter_might_contain` into the fact-side scan, so ~80% of
+    * lineitem rows die at the scan instead of crossing the exchange — at
+    * 100 TB this is the difference between shuffling the whole fact table
+    * and shuffling a fifth of it. The MERGE hint keeps the join a shuffle
+    * join (broadcast joins don't take runtime filters; semi-join
+    * reduction stays off). BloomJoinPlanSpec pins the injected filter in
+    * the executed plan AND result-invariance with the rule disabled; the
+    * oracle grades the plain relational semantics.
+    */
+  def bloomFilterJoin(spark: SparkSession, dir: String): DataFrame =
+    withConf(spark, "spark.sql.optimizer.runtime.bloomFilter.enabled", "true") {
+    // the rule only fires when the application-side scan is big enough to
+    // be worth filtering (default 10 GB — the real-scale posture); the
+    // graded fixtures are MBs, so scale the threshold with them exactly
+    // like shuffle.partitions=32 scales the exchange fan-out
+    withConf(spark, "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB") {
+    // InjectRuntimeFilter only fires for joins that will genuinely
+    // shuffle (isProbablyShuffleJoin checks canBroadcastBySize on BOTH
+    // sides); at 100 TB the filtered creation side is far beyond any
+    // broadcast threshold, which the MB-scale fixture models by turning
+    // auto-broadcast off for this query
+    withConf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+      import spark.implicits._
+      val li = lineitem(spark, dir)
+      val o = orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      val df = li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast(MoneyDec)), 2)
+            .cast("double").as("revenue"))
+        .orderBy($"l_returnflag")
+      // optimization is lazy: force it HERE so InjectRuntimeFilter sees
+      // the pinned confs (queryExecution caches the optimized plan; the
+      // restored session confs no longer matter at action time)
+      df.queryExecution.optimizedPlan
+      df
+    } } }
+
+  val bloomFilterJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q203: Benford first-digit audit — the books-cooking / synthetic-data
     * detector: leading digits of order totals against Benford's law, with
     * the expected distribution as FIXED per-mille integer literals
@@ -474,6 +533,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q203_benford_audit" -> benfordAudit,
+    "q206_bloom_join" -> bloomFilterJoin,
     "q172_join_hints"    -> joinHints,
     "q155_set_ops"       -> setOpsRetention,
     "q150_observed_agg"  -> observedMonthlyRevenue,
@@ -489,6 +549,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q203_benford_audit" -> benfordAuditSql,
+    "q206_bloom_join" -> bloomFilterJoinSql,
     "q172_join_hints"    -> joinHintsSql,
     "q155_set_ops"       -> setOpsRetentionSql,
     "q150_observed_agg"  -> observedMonthlyRevenueSql,

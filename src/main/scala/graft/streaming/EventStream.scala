@@ -337,4 +337,82 @@ object EventStream {
     events.groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  case class TimerSession(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
+
+  /** Gap-sessionization driven by EVENT-TIME TIMERS on the
+    * transformWithState API — the timer surface q195 doesn't touch.
+    * Sessions that a later event proves closed (gap exceeded inside the
+    * buffer) emit eagerly from [[handleInputRows]]; the FINAL session of
+    * each key emits from [[handleExpiredTimer]] when the watermark passes
+    * lastTs + gap — no per-user flush row needed, one global sentinel
+    * advances the watermark for every key at once (the state-eviction
+    * contract q145 proves for stream-stream joins, here for typed timer
+    * state). Input events re-register a fresh timer and delete the stale
+    * one, so a continuing session never closes early.
+    */
+  class SessionTimerProcessor(gapMs: Long) extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, TimerSession] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ExpiredTimerInfo, ListState, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var buf: ListState[Event] = _
+    @transient private var timerAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState("open_session", Encoders.product[Event], TTLConfig.NONE)
+      timerAt = getHandle.getValueState("timer_at", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def split(all: List[Event]): List[List[Event]] =
+      all.foldLeft(List.empty[List[Event]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) if e.ts.getTime - cur.head.ts.getTime <= gapMs =>
+          (e :: cur) :: done
+        case (acc, e) => List(e) :: acc
+      }.map(_.reverse).reverse
+
+    private def summarize(uid: Long, s: List[Event]): TimerSession =
+      TimerSession(uid, s.length.toLong, s.head.ts.getTime, s.last.ts.getTime)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[TimerSession] = {
+      val existing = if (buf.exists()) buf.get().toList else Nil
+      val all = (existing ++ rows).sortBy(e => (e.ts.getTime, e.event_id))
+      if (all.isEmpty) Iterator.empty
+      else {
+        val ss = split(all)
+        val open = ss.last
+        buf.clear()
+        buf.put(open.toArray)
+        if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+        val t = open.last.ts.getTime + gapMs
+        getHandle.registerTimer(t)
+        timerAt.update(t)
+        ss.init.map(summarize(uid, _)).iterator
+      }
+    }
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[TimerSession] = {
+      // watermark ≥ lastTs + gap: nothing can extend any buffered session
+      val all = if (buf.exists()) buf.get().toList.sortBy(e => (e.ts.getTime, e.event_id)) else Nil
+      buf.clear()
+      timerAt.clear()
+      split(all).map(summarize(uid, _)).iterator
+    }
+  }
+
+  /** Wire [[SessionTimerProcessor]]: event-time mode requires the
+    * watermark; 0 s delay because the replay fixtures are ts-ordered.
+    */
+  def sessionizeWithTimers(events: Dataset[Event], gapMs: Long): Dataset[TimerSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", "0 seconds")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
