@@ -578,6 +578,61 @@ object EventOps {
       |WHERE v.event_type = 'view'
       |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** q208: FULL OUTER stream-stream interval join — the reconciliation
+    * completion of the join trio (q84 inner, q145 left-outer): views with
+    * no purchase in the next 30 minutes emit (view_id, null), AND
+    * purchases preceded by no view emit (null, purchase_id) — the
+    * two-feed audit where orphans on EITHER side are findings. Right-side
+    * outer rows exercise the state-expiry direction q145 cannot: the
+    * engine derives the purchase-state watermark from the range condition
+    * (l.ts > r.ts − window) and emits the orphan only when no future view
+    * could still claim it. Same single-source + three-sentinel ritual as
+    * q145 ([[streamOuterFixtures]]); both sentinel families are dropped
+    * AFTER the join (null-safe ≥ 0 guards on both sides) so they advance
+    * watermarks without polluting the result.
+    */
+  def streamFullOuterJoin(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type").schema
+    val fix = streamOuterFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runFullOuter")
+    deleteRecursive(run)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+      .withWatermark("ts", "35 days")
+    val views = stream.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id", $"ts")
+    val purchases = stream.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val joined = graft.streaming.EventStream.intervalJoinFull(
+        views, purchases, Seq("user_id"), windowMs = 30L * 60L * 1000L)
+      // drop BOTH sentinel families: the sentinel view's left-outer row
+      // and the sentinel purchase's right-outer row (negative ids)
+      .filter((col("l.view_id").isNull || col("l.view_id") >= 0) &&
+        (col("r.purchase_id").isNull || col("r.purchase_id") >= 0))
+      .select(col("l.view_id"), col("r.purchase_id"))
+    val out = run.resolve("out")
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"view_id", $"purchase_id")
+  } }
+
+  val streamFullOuterJoinSql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+      |     p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT v.view_id, p.purchase_id
+      |FROM v FULL JOIN p
+      |  ON p.user_id = v.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   val streamIntervalJoinSql: String =
     """SELECT v.event_id AS view_id, p.event_id AS purchase_id
       |FROM events v JOIN events p
@@ -1544,6 +1599,57 @@ object EventOps {
       |           * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS z
       |FROM f ORDER BY seg""".stripMargin
 
+  /** q209: exponential time-decay weighting — the recency score a
+    * training-data mixture uses to over-sample fresh sources (and a
+    * monitoring system uses for decayed revenue): each event's value is
+    * weighted by exp(−age/30d) relative to the corpus's newest day.
+    * Scale/determinism design in one move: group to (event_type,
+    * age_days) FIRST — one map-side-combinable agg over integer ages, a
+    * few hundred buckets regardless of corpus size — then apply the
+    * transcendental weight to the per-bucket EXACT decimal sums and
+    * re-quantize each term to DECIMAL(38,4). Per-row exp() products
+    * would hit the double→decimal cast divergence documented at q140
+    * (Spark casts the shortest repr, DuckDB the binary expansion — 2dp
+    * values × rational weights sit exactly on boundaries); per-bucket
+    * terms carry an irrational factor for every age>0 and a 4dp-rounded
+    * 2dp-sum for age=0, both measure-zero from any rounding boundary.
+    * Final render routes through DECIMAL(18,2) (q140's int128 note).
+    */
+  def decayedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = events(spark, dir).filter($"value".isNotNull)
+    val mx = ev.agg(max(to_date($"ts")).as("mxd"))
+    val byAge = ev.crossJoin(broadcast(mx))
+      .withColumn("age", datediff($"mxd", to_date($"ts")))
+      .groupBy($"event_type", $"age")
+      .agg(sum($"value".cast("decimal(18,6)")).as("sv"), count(lit(1)).as("n"))
+    byAge
+      .withColumn("term",
+        round($"sv".cast("double") * exp(-$"age".cast("double") / lit(30.0)), 4)
+          .cast("decimal(38,4)"))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"),
+        round(sum($"sv"), 2).cast("decimal(18,2)").cast("double").as("raw_total"),
+        round(sum($"term"), 2).cast("decimal(18,2)").cast("double").as("decayed_total"))
+      .orderBy($"event_type")
+  }
+
+  val decayedRevenueSql: String =
+    """WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events),
+      |b AS (
+      |  SELECT event_type, DATEDIFF('day', CAST(ts AS DATE), mxd) AS age,
+      |         SUM(CAST(value AS DECIMAL(18,6))) AS sv, COUNT(*) AS n
+      |  FROM events, mx WHERE value IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, n, sv,
+      |    CAST(ROUND(CAST(sv AS DOUBLE) * EXP(-CAST(age AS DOUBLE) / 30.0), 4)
+      |         AS DECIMAL(38,4)) AS term
+      |  FROM b)
+      |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(CAST(ROUND(SUM(sv), 2) AS DECIMAL(18,2)) AS DOUBLE) AS raw_total,
+      |  CAST(CAST(ROUND(SUM(term), 2) AS DECIMAL(18,2)) AS DOUBLE) AS decayed_total
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q140: time-weighted average (TWAP) per user — each observation is
     * weighted by how long it was the latest value (lead-ts delta in
     * millis), the metric finance/monitoring systems use where plain AVG
@@ -2231,6 +2337,7 @@ object EventOps {
     "q153_forecast_residuals" -> forecastResiduals,
     "q144_drift_report" -> driftReport,
     "q140_twap" -> twap,
+    "q209_decay_weights" -> decayedRevenue,
     "q137_ab_test" -> abTest,
     "q134_attribution" -> linearAttribution,
     "q130_pit_features" -> pitFeatures,
@@ -2248,6 +2355,7 @@ object EventOps {
     "q187_stream_cdc_partitioned" -> streamCdcPartitioned,
     "q84_stream_interval_join" -> streamIntervalJoin,
     "q145_stream_outer_join" -> streamOuterJoin,
+    "q208_stream_full_outer" -> streamFullOuterJoin,
     "q86_range_frame"    -> rangeFrameTrailing,
     "q88_stream_state_agg" -> streamStateAgg,
     "q195_stream_tws" -> streamTransformWithState,
@@ -2272,6 +2380,7 @@ object EventOps {
     "q153_forecast_residuals" -> forecastResidualsSql,
     "q144_drift_report" -> driftReportSql,
     "q140_twap" -> twapSql,
+    "q209_decay_weights" -> decayedRevenueSql,
     "q137_ab_test" -> abTestSql,
     "q134_attribution" -> linearAttributionSql,
     "q130_pit_features" -> pitFeaturesSql,
@@ -2289,6 +2398,7 @@ object EventOps {
     "q187_stream_cdc_partitioned" -> streamCdcPartitionedSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
     "q145_stream_outer_join" -> streamOuterJoinSql,
+    "q208_stream_full_outer" -> streamFullOuterJoinSql,
     "q86_range_frame"    -> rangeFrameTrailingSql,
     "q88_stream_state_agg" -> streamStateAggSql,
     "q195_stream_tws" -> streamTransformWithStateSql,

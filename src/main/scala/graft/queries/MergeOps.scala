@@ -570,6 +570,55 @@ object MergeOps {
       |FROM merged m LEFT JOIN customer c ON m.o_custkey = c.c_custkey
       |ORDER BY m.o_orderkey""".stripMargin
 
+  /** q207: DYNAMIC partition overwrite — the third table-mutation protocol
+    * beside key-merge (q25/q183) and copy-on-write delete (q160/q180): a
+    * recomputed batch REPLACES exactly the partitions it carries rows for
+    * (`spark.sql.sources.partitionOverwriteMode=dynamic` on a plain
+    * `mode(Overwrite).partitionBy(...)` parquet write) and every other
+    * partition's files are untouched — the nightly-recompute shape for a
+    * 100 TB date-partitioned table where a backfill rewrites 3 days out of
+    * 3 years without the read-merge-swap cost of an upsert. STATIC mode
+    * (the default) would truncate the whole table first; the oracle —
+    * replaced partitions from the batch, every other partition from the
+    * base state — hash-catches exactly that failure, and
+    * DynamicOverwriteSpec pins the file-level contract (untouched
+    * partition dirs keep their physical files byte-for-byte).
+    */
+  def dynamicOverwrite(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runDynOverwrite")
+    deleteRecursive(run)
+    val path = run.resolve("orders_by_priority").toString
+    val base = orders(spark, dir).select(cols.map(col): _*)
+    base.write.partitionBy("o_orderpriority").parquet(path)
+    // the backfill batch: two priorities fully recomputed (every third
+    // order survives review with a doubled price) — rows exist ONLY for
+    // the partitions being replaced, which is what scopes the overwrite
+    val repl = base
+      .filter($"o_orderpriority".isin("1-URGENT", "3-MEDIUM") &&
+        $"o_orderkey" % 3 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+    withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      repl.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    }
+    spark.read.parquet(path)
+      .groupBy($"o_orderpriority".cast("string").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val dynamicOverwriteSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderpriority, o_totalprice * 2.0 AS o_totalprice FROM orders
+      |   WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM') AND o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderpriority, o_totalprice FROM orders
+      |   WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM'))
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** q194: XML round-trip — Spark 4's NATIVE XML source (the spark-xml
     * donation) completing the format matrix (parquet/ORC/CSV/JSONL/XML):
     * explicit `rowTag` element per order, micros `timestampFormat` on both
@@ -930,6 +979,7 @@ object MergeOps {
     "q171_jsonl_roundtrip" -> jsonlRoundtrip,
     "q194_xml_roundtrip"   -> xmlRoundtrip,
     "q205_incremental_view" -> incrementalViewMaintenance,
+    "q207_dynamic_overwrite" -> dynamicOverwrite,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -951,6 +1001,7 @@ object MergeOps {
     "q171_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q194_xml_roundtrip"   -> xmlRoundtripSql,
     "q205_incremental_view" -> incrementalViewMaintenanceSql,
+    "q207_dynamic_overwrite" -> dynamicOverwriteSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

@@ -420,16 +420,6 @@ object Relational {
       |CROSS JOIN agg
       |ORDER BY t.strategy, agg.c_mktsegment""".stripMargin
 
-  /** Run `body` with a conf key pinned, restoring the prior value. */
-  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   /** q206: runtime Bloom-filter join (Catalyst's InjectRuntimeFilter) —
     * the optimizer builds a Bloom filter from the SELECTIVE side of a
     * shuffle join (orders filtered to one priority) and pushes

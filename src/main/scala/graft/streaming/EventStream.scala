@@ -184,6 +184,26 @@ object EventStream {
     l.join(r, keyCond && timeCond, "leftOuter")
   }
 
+  /** FULL OUTER stream-stream interval join — both directions of state
+    * expiry at once: an unmatched LEFT row emits (l, null) when the
+    * watermark passes `l.ts + window`, and an unmatched RIGHT row emits
+    * (null, r) when it passes `r.ts` (the engine derives each side's
+    * state watermark from the range condition). This is the reconciliation
+    * shape — two feeds that should pair 1:1 within a time bound, where
+    * BOTH a feed-A orphan and a feed-B orphan are findings. Same caller
+    * contract as [[intervalJoinOuter]]: watermarks applied upstream of any
+    * event-type filter, sentinels fed through both inputs.
+    */
+  def intervalJoinFull(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       windowMs: Long): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col("r.ts") >= col("l.ts") &&
+      col("r.ts") < col("l.ts") + expr(s"INTERVAL ${windowMs / 1000} SECOND")
+    l.join(r, keyCond && timeCond, "fullOuter")
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * the STATIC dimension frame — the lookup-table pattern of an ingest
     * pipeline (user profile, product catalog, geo table). Stateless for
