@@ -180,7 +180,8 @@ object EventOps {
   // One temp root per JVM for q71's fixtures and run dirs, deleted on JVM
   // exit — earlier rounds leaked a fresh createTempDirectory per invocation
   // (4 dirs per bench run, never reclaimed).
-  private lazy val streamUpsertRoot: java.nio.file.Path = {
+  // package-private: StateStoreSpec introspects run checkpoints post-hoc
+  private[queries] lazy val streamUpsertRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_stream_upsert")
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursive(p)))
     p
@@ -997,6 +998,132 @@ object EventOps {
     query.awaitTermination()
     spark.read.parquet(out.toString).orderBy($"event_id")
   } }
+
+  // q213 fixture: ts-range files interleaved with PROMPT duplicate
+  // redeliveries — file k's dups staged right after file k (mtime order),
+  // so every duplicate arrives while its key is still inside the
+  // watermark horizon and the bounded-state dedup stays exact
+  private val dedupWmStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def dedupWmFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    dedupWmStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val fix = streamUpsertRoot.resolve(
+        "dedupwmfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      val src = fix.resolve("src")
+      val ev = events(spark, dir)
+        .select($"event_id", $"user_id", $"ts", $"event_type", $"value")
+      // quartile ts cuts keep the fixture builder shuffle-shaped (no
+      // global window); exact boundaries don't matter — the oracle is
+      // DISTINCT regardless, only "dups arrive promptly" does
+      val evU = ev.withColumn("tsu", unix_micros($"ts").cast("double"))
+      val cuts = evU.stat.approxQuantile("tsu", Array(0.25, 0.5, 0.75), 0.001)
+      val lo = Seq(None, Some(cuts(0)), Some(cuts(1)), Some(cuts(2)))
+      val hi = Seq(Some(cuts(0)), Some(cuts(1)), Some(cuts(2)), None)
+      java.nio.file.Files.createDirectories(src)
+      var seq = 0
+      (0 until 4).foreach { k =>
+        val f = evU
+          .filter(lo(k).map($"tsu" >= lit(_)).getOrElse(lit(true)))
+          .filter(hi(k).map($"tsu" < lit(_)).getOrElse(lit(true)))
+          .drop("tsu")
+        // staging order IS arrival order (oldest-first mtimes): originals,
+        // then THIS range's redeliveries right behind them
+        Seq(f, f.filter(pmod($"event_id", lit(3)) === 0)).foreach { part =>
+          val before = java.nio.file.Files.list(src).toArray.toSet
+          part.coalesce(1).write.mode("append").parquet(src.toString)
+          seq += 1
+          val later = java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + seq * 60000L)
+          java.nio.file.Files.list(src).toArray.toSet.diff(before).foreach { p =>
+            java.nio.file.Files.setLastModifiedTime(
+              p.asInstanceOf[java.nio.file.Path], later)
+          }
+        }
+      }
+      fix
+    })
+
+  /** q213: BOUNDED-state streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the production variant of q90 whose state holds only the watermark
+    * horizon instead of every key ever seen (at 100 TB/day the difference
+    * between a fixed-size store and an unbounded one). The fixture
+    * redelivers every third event immediately after its original file, so
+    * each duplicate lands while its key is still within the horizon and
+    * the output must equal the batch DISTINCT exactly; a dup that slipped
+    * past eviction (horizon too small / eviction too eager) or an
+    * over-dropped key hash-mismatches. StateStoreSpec proves the state
+    * actually SHRANK below the distinct-key count after the run — the
+    * eviction q90 deliberately disables.
+    */
+  def streamDedupBounded(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value").schema
+    val fix = dedupWmFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runDedupWm")
+    deleteRecursive(run)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    // horizon: one quarter-range of the span plus slack covers the
+    // "dup in the file right after" redelivery distance at any SF
+    val deduped = graft.streaming.EventStream.dedupStream(
+      stream, Seq("event_id"), watermark = "10 days", withinWatermark = true)
+    val out = run.resolve("out")
+    val query = deduped.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(out.toString).orderBy($"event_id")
+  } }
+
+  /** q212: streaming STATE-STORE introspection — the operational surface
+    * a 100 TB streaming deployment debugs with: after the q90-style dedup
+    * replay completes, `spark.read.format("statestore")` opens the
+    * checkpoint's state files directly (Spark 4 State Data Source) and
+    * the query audits WHAT the operator is holding — here the
+    * dropDuplicates key set, which with an exactness watermark must be
+    * precisely one key per distinct event_id. A leaked duplicate key, a
+    * key dropped by premature eviction, or a state file unreadable after
+    * the run each break the count/min/max against the batch oracle. The
+    * reader is partition-parallel over the state files (one per shuffle
+    * partition), so the audit scales with the state, not the stream.
+    */
+  def stateStoreRead(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val schema = events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type", $"value").schema
+    val fix = streamDedupFixtures(spark, dir)
+    val run = streamUpsertRoot.resolve("runStateRead")
+    deleteRecursive(run)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
+    val deduped = graft.streaming.EventStream.dedupStream(
+      stream, Seq("event_id"), watermark = "3650 days", withinWatermark = false)
+    val query = deduped.writeStream
+      .format("parquet")
+      .option("path", run.resolve("out").toString)
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.format("statestore").load(run.resolve("ckpt").toString)
+      .select(col("key.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_state_keys"),
+        count_distinct(col("event_id")).as("n_distinct_keys"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  } }
+
+  val stateStoreReadSql: String =
+    """SELECT COUNT(*) AS n_state_keys, COUNT(DISTINCT event_id) AS n_distinct_keys,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events""".stripMargin
 
   val streamDedupSql: String =
     """SELECT event_id, user_id, ts, event_type, value
@@ -2360,6 +2487,8 @@ object EventOps {
     "q88_stream_state_agg" -> streamStateAgg,
     "q195_stream_tws" -> streamTransformWithState,
     "q90_stream_dedup"   -> streamDedup,
+    "q212_statestore_read" -> stateStoreRead,
+    "q213_dedup_bounded" -> streamDedupBounded,
     "q92_stream_windowed_agg" -> streamWindowedAgg,
     "q93_stream_sessionize" -> streamSessionize,
     "q105_interval_merge" -> intervalMerge,
@@ -2403,6 +2532,8 @@ object EventOps {
     "q88_stream_state_agg" -> streamStateAggSql,
     "q195_stream_tws" -> streamTransformWithStateSql,
     "q90_stream_dedup"   -> streamDedupSql,
+    "q212_statestore_read" -> stateStoreReadSql,
+    "q213_dedup_bounded" -> streamDedupSql,
     "q92_stream_windowed_agg" -> streamWindowedAggSql,
     "q93_stream_sessionize" -> streamSessionizeSql,
     "q105_interval_merge" -> intervalMergeSql,
