@@ -186,4 +186,17 @@ object TextFunctions {
           s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shingle"))
       .distinct()
   }
+
+  /** [[shingles]] keeping the 0-based start position and duplicates —
+    * the ordered n-gram stream winnowing selects from (position is the
+    * tie-breaker and the window axis, so neither may be collapsed).
+    */
+  def shinglesWithPos(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)), " +
+          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "shingle")
+  }
 }

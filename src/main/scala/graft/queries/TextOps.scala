@@ -1434,7 +1434,60 @@ object TextOps {
       |  CAST(SUM(CASE WHEN hq < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy
       |FROM h GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q214: MOSS winnowing fingerprints ([[graft.operators.Winnowing]]) —
+    * the rolling-hash document fingerprint with the detection GUARANTEE
+    * (any shared run of ≥ w+k−1 = 6 tokens contributes a common print),
+    * reported as doc pairs sharing ≥ 2 winnowed prints with per-doc print
+    * counts. Complements the dedup family: q30's MinHash estimates
+    * whole-doc similarity, q138 finds exact repeated spans, winnowing is
+    * the compact plagiarism/boilerplate detector between them. All
+    * integer arithmetic on the portable 40-bit hash — bit-identical in
+    * the oracle, which re-derives the window minima with SQL frames.
+    */
+  def winnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val prints = graft.operators.Winnowing.fingerprints(
+      documents(spark, dir), "doc_id", "text", k = 3, w = 4)
+    graft.operators.Winnowing.sharedPairs(prints, "doc_id", minShared = 2L,
+      maxDf = 50L)
+  }
+
+  val winnowingPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS i
+      |  FROM documents),
+      |tri AS (
+      |  SELECT a.doc_id, a.i - 1 AS pos, a.tok||' '||b.tok||' '||c.tok AS s
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id=b.doc_id AND b.i=a.i+1
+      |  JOIN toks c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+      |k AS (
+      |  SELECT doc_id, pos,
+      |    (('0x' || substr(md5(s),1,15))::BIGINT % 1099511627776) * 1048576
+      |      + (1048575 - pos) AS key
+      |  FROM tri),
+      |wmin AS (
+      |  SELECT doc_id,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel,
+      |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+      |  FROM k),
+      |fp AS (SELECT DISTINCT doc_id, sel // 1048576 AS hh FROM wmin WHERE cnt = 4),
+      |n AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY 1),
+      |keep AS (SELECT hh FROM fp GROUP BY hh HAVING COUNT(*) <= 50),
+      |fk AS (SELECT fp.doc_id, fp.hh FROM fp JOIN keep USING(hh)),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      |  FROM fk a JOIN fk b USING(hh) WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, shared, n1.nf AS n1, n2.nf AS n2
+      |FROM pairs JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+      |WHERE shared >= 2
+      |ORDER BY d1, d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_winnowing"      -> winnowingPairs,
     "q210_char_entropy"   -> charEntropy,
     "q197_domain_cap"     -> domainCap,
     "q188_domain_stats"   -> domainStats,
@@ -1492,6 +1545,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q214_winnowing"      -> winnowingPairsSql,
     "q210_char_entropy"   -> charEntropySql,
     "q197_domain_cap"     -> domainCapSql,
     "q188_domain_stats"   -> domainStatsSql,
