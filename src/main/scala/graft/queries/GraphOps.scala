@@ -132,6 +132,166 @@ object GraphOps {
       |SELECT node AS part_id, rk AS rank_fp FROM r3
       |ORDER BY rank_fp DESC, part_id""".stripMargin
 
+  /** q215: label-propagation communities over the q114 co-purchase graph —
+    * the third graph algorithm beside PageRank (q115) and connected
+    * components (q47): LPA finds DENSE communities where CC finds mere
+    * reachability, the clustering a catalog/taxonomy pipeline wants.
+    * Three SYNCHRONOUS rounds: every node adopts the most frequent label
+    * among its neighbors, ties to the smallest label — made deterministic
+    * and engine-exact by packing the argmax into one integer key,
+    * cnt·2^32 − label, so a plain MAX does frequency-then-min-label in a
+    * single aggregate (no window, no arg_max with unspecified ties).
+    * Per round: one label join + two hash-aggs, all keyed by node — at
+    * 100 TB each round is two exchanges of the label frame, never
+    * edge-quadratic. The edge list materializes once (the q115 pattern);
+    * rounds are unrolled so Catalyst sees a straight-line plan.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = pairEdges(spark, dir, 2L).localCheckpoint(eager = true)
+    val edges = pairs.select($"p1".as("src"), $"p2".as("dst"))
+      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.select($"node".as("dst"), $"label"), "dst")
+        .groupBy($"src", $"label").agg(count(lit(1)).as("cnt"))
+        .select($"src", ($"cnt" * lit(4294967296L) - $"label").as("key"))
+        .groupBy($"src").agg(max($"key").as("k"))
+        .select($"src".as("node"),
+          (expr("(k + 4294967295) DIV 4294967296") * lit(4294967296L) - $"k").as("label"))
+    }
+    labels.groupBy($"label".as("community"))
+      .agg(count(lit(1)).as("n_members"), sum($"node").as("sum_nodes"))
+      .orderBy($"community")
+  }
+
+  val labelPropagationSql: String = {
+    def round(i: Int, prev: String) =
+      s"""n$i AS (SELECT e.src, l.label, COUNT(*) AS cnt
+         |       FROM edges e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+         |k$i AS (SELECT src, MAX(cnt * 4294967296 - label) AS k FROM n$i GROUP BY 1),
+         |l$i AS (SELECT src AS node,
+         |        ((k + 4294967295) // 4294967296) * 4294967296 - k AS label FROM k$i)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pr AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT p1 AS src, p2 AS dst FROM pr
+       |          UNION ALL SELECT p2, p1 FROM pr),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")}
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q216: multi-source BFS hop distance (3 relaxation rounds) over the
+    * co-purchase graph — the reachability-with-DISTANCE query beside
+    * q47's plain connectivity: "how many recommendation hops from any
+    * anchor product reach this part?" Seeds are every part ≡ 0 (mod 100);
+    * each round relaxes d(v) = min(d(v), min over in-neighbors d(u)+1) as
+    * one edge⋈label join + one min-aggregate — the frontier never
+    * materializes driver-side and each round is one node-keyed exchange.
+    * Output is the distance histogram with per-ring id sums (stronger
+    * than counts: a node placed in the wrong ring flips two sums).
+    * Unreached-within-3 nodes report as distance −1.
+    */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = pairEdges(spark, dir, 2L).localCheckpoint(eager = true)
+    val edges = pairs.select($"p1".as("src"), $"p2".as("dst"))
+      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
+    val nodes = edges.select($"src".as("node")).distinct()
+    var dist = nodes.filter($"node" % 100 === 0)
+      .select($"node", lit(0L).as("d"))
+    for (_ <- 1 to 3) {
+      dist = edges
+        .join(dist.select($"node".as("dst"), $"d"), "dst")
+        .select($"src".as("node"), ($"d" + 1L).as("d"))
+        .unionByName(dist)
+        .groupBy($"node").agg(min($"d").as("d"))
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select($"node", coalesce($"d", lit(-1L)).as("d"))
+      .groupBy($"d".as("distance"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"node").as("sum_nodes"))
+      .orderBy($"distance")
+  }
+
+  val bfsHopsSql: String = {
+    def relax(i: Int, prev: String) =
+      s"""d$i AS (
+         |  SELECT node, MIN(d) AS d FROM (
+         |    SELECT e.src AS node, l.d + 1 AS d
+         |    FROM edges e JOIN $prev l ON e.dst = l.node
+         |    UNION ALL SELECT node, d FROM $prev) u
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pr AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |edges AS (SELECT p1 AS src, p2 AS dst FROM pr
+       |          UNION ALL SELECT p2, p1 FROM pr),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes WHERE node % 100 = 0),
+       |${relax(1, "d0")},
+       |${relax(2, "d1")},
+       |${relax(3, "d2")}
+       |SELECT COALESCE(l.d, -1) AS distance, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(n.node) AS BIGINT) AS sum_nodes
+       |FROM nodes n LEFT JOIN d3 l ON n.node = l.node
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q217: association rules — the confidence/lift completion of q114's
+    * support mining (the recommender/market-basket triple). For each
+    * supported pair: conf(a→b) = n12/n1, conf(b→a) = n12/n2, and
+    * lift = n12·N/(n1·n2) — each a SINGLE IEEE division of exact 64-bit
+    * counts, so values are bit-identical cross-engine with no rounding
+    * discipline needed. Item marginals reuse the one deduped basket scan;
+    * everything aggregates map-side before the part-keyed exchanges.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val op = orderParts(spark, dir).localCheckpoint(eager = true)
+    val total = op.select($"l_orderkey").distinct().count()
+    val marg = op.groupBy($"l_partkey").agg(count(lit(1)).as("n1"))
+    val pairs = pairEdges(spark, dir, 3L)
+    pairs
+      .join(marg.select($"l_partkey".as("p1"), $"n1"), "p1")
+      .join(marg.select($"l_partkey".as("p2"), $"n1".as("n2")), "p2")
+      .select($"p1", $"p2", $"n_orders", $"n1", $"n2",
+        ($"n_orders".cast("double") / $"n1".cast("double")).as("conf_12"),
+        ($"n_orders".cast("double") / $"n2".cast("double")).as("conf_21"),
+        (($"n_orders" * lit(total)).cast("double") / ($"n1" * $"n2").cast("double")).as("lift"))
+      .orderBy($"p1", $"p2")
+  }
+
+  val associationRulesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM op),
+      |marg AS (SELECT l_partkey, COUNT(*) AS n1 FROM op GROUP BY 1),
+      |pr AS (
+      |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p1, p2, n_orders, m1.n1 AS n1, m2.n1 AS n2,
+      |  CAST(n_orders AS DOUBLE) / CAST(m1.n1 AS DOUBLE) AS conf_12,
+      |  CAST(n_orders AS DOUBLE) / CAST(m2.n1 AS DOUBLE) AS conf_21,
+      |  CAST(n_orders * tot.n AS DOUBLE) / CAST(m1.n1 * m2.n1 AS DOUBLE) AS lift
+      |FROM pr JOIN marg m1 ON p1 = m1.l_partkey
+      |        JOIN marg m2 ON p2 = m2.l_partkey, tot
+      |ORDER BY p1, p2""".stripMargin
+
   /** q126: per-node triangle counts over the q114 co-purchase graph via
     * DEGREE-ORIENTED wedge join — the standard scale-out triangle algorithm
     * (each undirected edge points low→high in the (degree, id) total order,
@@ -217,6 +377,9 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_copurchase_pairs" -> copurchasePairs,
     "q115_copurchase_rank"  -> copurchaseRank,
+    "q215_label_propagation" -> labelPropagation,
+    "q216_bfs_hops"          -> bfsHops,
+    "q217_assoc_rules"       -> associationRules,
     "q126_triangle_stats"   -> triangleStats,
   )
 
@@ -224,5 +387,8 @@ object GraphOps {
     "q114_copurchase_pairs" -> copurchasePairsSql,
     "q115_copurchase_rank"  -> copurchaseRankSql,
     "q126_triangle_stats"   -> triangleStatsSql,
+    "q215_label_propagation" -> labelPropagationSql,
+    "q216_bfs_hops"          -> bfsHopsSql,
+    "q217_assoc_rules"       -> associationRulesSql,
   )
 }
