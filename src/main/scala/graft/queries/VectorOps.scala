@@ -826,7 +826,57 @@ object VectorOps {
       |GROUP BY e.query_id
       |ORDER BY e.query_id""".stripMargin
 
+  /** q218: per-dimension feature standardization — the z-score pass a
+    * feature store / embedding-curation pipeline runs before training:
+    * per-dimension mean and σ from EXACT decimal sums (the q33
+    * discipline: per-element products quantize to DECIMAL(38,15), sums
+    * are order-independent, the render routes through DECIMAL(18,9)),
+    * then one broadcast join-back counts per-dimension |z| > 3 outliers.
+    * mean/σ/z stay raw doubles with NO rounding: every post-sum step is
+    * the same single-rooted IEEE expression tree in both engines (sqrt is
+    * IEEE-correctly-rounded by definition), so the values are
+    * bit-identical by construction. Two exchanges at any scale: the
+    * 64-row dim aggregate and its broadcast back across the element
+    * stream.
+    */
+  def embedStandardize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding"))
+      .select($"vec_id", $"pos".as("dim"), $"col".cast("double").as("x"))
+    val stats = e.groupBy($"dim").agg(
+      count(lit(1)).as("n"),
+      sum($"x".cast("decimal(38,15)")).cast("decimal(18,9)").cast("double").as("sx"),
+      sum(($"x" * $"x").cast("decimal(38,15)")).cast("decimal(18,9)").cast("double").as("sxx"))
+      .withColumn("mean", $"sx" / $"n")
+      .withColumn("std", sqrt($"sxx" / $"n" - $"mean" * $"mean"))
+    e.join(broadcast(stats), "dim")
+      .groupBy($"dim")
+      .agg(first($"n").as("n"), first($"mean").as("mean"), first($"std").as("std"),
+        sum(when(abs(($"x" - $"mean") / $"std") > 3.0, 1L).otherwise(0L)).as("n_clipped"))
+      .orderBy($"dim")
+  }
+
+  val embedStandardizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,15))), 9) AS DECIMAL(18,9)) AS DOUBLE) AS sx,
+      |    CAST(CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,15))), 9) AS DECIMAL(18,9)) AS DOUBLE) AS sxx
+      |  FROM e GROUP BY dim),
+      |m AS (SELECT dim, n, sx / n AS mean, sxx, sx FROM s),
+      |d AS (SELECT dim, n, mean, SQRT(sxx / n - mean * mean) AS std FROM m)
+      |SELECT e.dim, d.n, d.mean, d.std,
+      |  CAST(SUM(CASE WHEN ABS((e.x - d.mean) / d.std) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM e JOIN d ON e.dim = d.dim
+      |GROUP BY e.dim, d.n, d.mean, d.std
+      |ORDER BY e.dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_embed_standardize" -> embedStandardize,
     "q186_matryoshka_recall" -> matryoshkaRecall,
     "q176_embedding_outliers" -> embeddingOutliers,
     "q170_cluster_labels" -> clusterLabels,
@@ -844,6 +894,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q218_embed_standardize" -> embedStandardizeSql,
     "q186_matryoshka_recall" -> matryoshkaRecallSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q170_cluster_labels" -> clusterLabelsSql,
