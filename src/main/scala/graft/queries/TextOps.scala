@@ -475,6 +475,83 @@ object TextOps {
       |FROM m JOIN hashes ON hashes.id = m.id
       |ORDER BY media_id""".stripMargin
 
+  /** q219: IMAGE near-dup pairs — the multimodal dedup loop closed
+    * end-to-end: real PPM decode → q177 aHash → multi-index Hamming
+    * blocking → exact verify. The 64-bit hash splits into EIGHT 8-bit
+    * bands; by pigeonhole any pair within Hamming distance 7 shares at
+    * least one unchanged band, so candidates from the 8 band-equality
+    * buckets are LOSS-FREE for the ≤6 threshold (the image twin of q31's
+    * SimHash banding). Verify is a local popcount of the XOR halves on
+    * candidates only — the corpus never goes pairwise. At 100 TB each
+    * band bucket holds n/256 of the images in expectation; a skewed
+    * bucket (monochrome boilerplate) would salt exactly like q30's
+    * bands.
+    */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = imageAHash(spark, dir)
+      .select($"media_id", $"phash_hi", $"phash_lo")
+      .localCheckpoint(eager = true) // consumed by band explode + 2 verify joins
+    val bandExprs = (0 until 4).map(j =>
+        s"struct($j AS bi, shiftright(phash_lo, ${8 * j}) & 255 AS bv)") ++
+      (4 until 8).map(j =>
+        s"struct($j AS bi, shiftright(phash_hi, ${8 * (j - 4)}) & 255 AS bv)")
+    val bands = hs.select($"media_id",
+        explode(expr(bandExprs.mkString("array(", ", ", ")"))).as("b"))
+      .select($"media_id", $"b.bi".as("bi"), $"b.bv".as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("d1"), col("b.media_id").as("d2"))
+      .distinct()
+    cand
+      .join(hs.select($"media_id".as("d1"), $"phash_hi".as("h1"), $"phash_lo".as("l1")), "d1")
+      .join(hs.select($"media_id".as("d2"), $"phash_hi".as("h2"), $"phash_lo".as("l2")), "d2")
+      .withColumn("hamming",
+        expr("CAST(bit_count(h1 ^ h2) + bit_count(l1 ^ l2) AS INTEGER)"))
+      .filter($"hamming" <= 6)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+
+  val imageNearDupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id, CAST(doc_id % 16 * 4 + 16 AS BIGINT) AS w,
+      |         CAST(doc_id % 9 * 4 + 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |xs AS (SELECT id, w, h, unnest(range(0, w)) AS x FROM m),
+      |pxy AS (SELECT id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |g AS (
+      |  SELECT id, (8 * x) // w AS bx, (8 * y) // h AS by,
+      |    (id * 31 + (3 * (y * w + x) + 1) * 7) % 256 AS gv
+      |  FROM pxy),
+      |cells AS (SELECT id, by, bx, SUM(gv) // COUNT(*) AS cm FROM g GROUP BY 1, 2, 3),
+      |ov AS (SELECT id, SUM(cm) // 64 AS mean64 FROM cells GROUP BY id),
+      |bits AS (
+      |  SELECT c.id, c.by * 8 + c.bx AS idx,
+      |    CASE WHEN c.cm > ov.mean64 THEN 1 ELSE 0 END AS b
+      |  FROM cells c JOIN ov ON ov.id = c.id),
+      |hashes AS (
+      |  SELECT id,
+      |    CAST(SUM(CASE WHEN idx >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN idx < 32 THEN b * (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bits GROUP BY id),
+      |bands AS (
+      |  SELECT id, j,
+      |    CASE WHEN j < 4 THEN (phash_lo >> (8 * j)) & 255
+      |         ELSE (phash_hi >> (8 * (j - 4))) & 255 END AS bv
+      |  FROM hashes, unnest(range(0, 8)) AS t(j)),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS d1, b.id AS d2
+      |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.id < b.id)
+      |SELECT d1, d2,
+      |  CAST(bit_count(CAST(xor(h1.phash_hi, h2.phash_hi) AS UBIGINT))
+      |     + bit_count(CAST(xor(h1.phash_lo, h2.phash_lo) AS UBIGINT)) AS INTEGER) AS hamming
+      |FROM cand JOIN hashes h1 ON d1 = h1.id JOIN hashes h2 ON d2 = h2.id
+      |WHERE bit_count(CAST(xor(h1.phash_hi, h2.phash_hi) AS UBIGINT))
+      |    + bit_count(CAST(xor(h1.phash_lo, h2.phash_lo) AS UBIGINT)) <= 6
+      |ORDER BY d1, d2""".stripMargin
+
   /** q178: audio energy-contour fingerprints — the audio twin of q177
     * ([[graft.operators.MediaFormats.energyFingerprint]]): each decoded
     * PCM16 stream's 16-window mean-|sample| contour thresholds at the
@@ -1509,6 +1586,7 @@ object TextOps {
     "q32_multimodal_meta" -> multimodalMeta,
     "q56_multimodal_decode" -> multimodalDecode,
     "q177_image_ahash"    -> imageAHash,
+    "q219_image_neardup"  -> imageNearDup,
     "q178_audio_fingerprint" -> audioFingerprint,
     "q179_video_motion"   -> videoMotion,
     "q73_jpeg_decode" -> jpegDecode,
@@ -1567,6 +1645,7 @@ object TextOps {
     "q32_multimodal_meta" -> multimodalMetaSql,
     "q56_multimodal_decode" -> multimodalDecodeSql,
     "q177_image_ahash"    -> imageAHashSql,
+    "q219_image_neardup"  -> imageNearDupSql,
     "q178_audio_fingerprint" -> audioFingerprintSql,
     "q179_video_motion"   -> videoMotionSql,
     "q73_jpeg_decode" -> jpegDecodeSql,
