@@ -251,6 +251,59 @@ object GraphOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q220: k-core peeling (3 bounded rounds, k=2) — the graph-robustness
+    * filter a recommender or fraud pipeline runs before trusting
+    * co-occurrence signals: repeatedly delete nodes with degree < k,
+    * because a part whose only co-purchase links hang off casual one-off
+    * baskets is noise, not structure (k=2 strips the tree-like whiskers
+    * and keeps only nodes on cycles). Each peel is one degree aggregate
+    * + one semi-join restriction of the edge list — two node-keyed
+    * exchanges, nothing pairwise; rounds are UNROLLED as a BOUNDED-round
+    * peel (a fixed-depth filter, not a convergence loop — the oracle
+    * runs the identical 3 rounds, so the grade is exact at any depth).
+    * Graded as the surviving-degree histogram with per-bucket id sums.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = pairEdges(spark, dir, 2L).localCheckpoint(eager = true)
+    var edges = pairs.select($"p1".as("src"), $"p2".as("dst"))
+      .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= 2).select($"src".as("node"))
+      edges = edges
+        .join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+    }
+    edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg".as("degree"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"src").as("sum_nodes"))
+      .orderBy($"degree")
+  }
+
+  val kCoreSql: String = {
+    def peel(i: Int, prev: String) =
+      s"""k$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING COUNT(*) >= 2),
+         |e$i AS (SELECT e.src, e.dst FROM $prev e
+         |        JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pr AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM op a JOIN op b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS (SELECT p1 AS src, p2 AS dst FROM pr
+       |       UNION ALL SELECT p2, p1 FROM pr),
+       |${peel(1, "e0")},
+       |${peel(2, "e1")},
+       |${peel(3, "e2")}
+       |SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(src) AS BIGINT) AS sum_nodes
+       |FROM (SELECT src, COUNT(*) AS deg FROM e3 GROUP BY src) d
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q217: association rules — the confidence/lift completion of q114's
     * support mining (the recommender/market-basket triple). For each
     * supported pair: conf(a→b) = n12/n1, conf(b→a) = n12/n2, and
@@ -380,6 +433,7 @@ object GraphOps {
     "q215_label_propagation" -> labelPropagation,
     "q216_bfs_hops"          -> bfsHops,
     "q217_assoc_rules"       -> associationRules,
+    "q220_kcore"             -> kCore,
     "q126_triangle_stats"   -> triangleStats,
   )
 
@@ -390,5 +444,6 @@ object GraphOps {
     "q215_label_propagation" -> labelPropagationSql,
     "q216_bfs_hops"          -> bfsHopsSql,
     "q217_assoc_rules"       -> associationRulesSql,
+    "q220_kcore"             -> kCoreSql,
   )
 }

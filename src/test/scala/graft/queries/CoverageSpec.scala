@@ -75,7 +75,8 @@ class CoverageSpec extends SparkSuite {
     "q208_stream_full_outer", "q209_decay_weights", "q210_char_entropy",
     "q211_logreg_quality", "q212_statestore_read", "q213_dedup_bounded",
     "q214_winnowing", "q215_label_propagation", "q216_bfs_hops",
-    "q217_assoc_rules", "q218_embed_standardize", "q219_image_neardup")
+    "q217_assoc_rules", "q218_embed_standardize", "q219_image_neardup",
+    "q220_kcore")
   // q74 may legitimately find 0 pairs at sf0.001; q196's n12 ≥ 5 floor can
   // be empty on the 50-doc fixture — both consciously absent above
 
