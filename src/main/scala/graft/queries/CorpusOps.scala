@@ -1283,8 +1283,63 @@ object CorpusOps {
        |FROM p GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q222: QUANTILE NORMALIZATION across sources — the batch-effect
+    * correction a multi-source corpus needs before its quality/length
+    * signals are comparable: each document's value maps to the GLOBAL
+    * value found at its within-source quantile, so "long for src3" and
+    * "long for src9" land on the same scale even when the sources'
+    * distributions differ (the microarray-normalization classic, here on
+    * doc lengths). All integer: within-source rank r of n_s maps to
+    * global position ⌈r·N/n_s⌉ = (r·N + n_s − 1) DIV n_s, and the
+    * normalized value is the global order statistic at that rank —
+    * looked up by equi-join against the [[globalRank]] table (two-phase,
+    * no single-partition window; the within-source windows are keyed by
+    * source). The ranks-to-values join is the only extra exchange.
+    */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir).select($"doc_id", $"source", $"n_chars")
+    val n = d.count()
+    val g = globalRank(d.select($"n_chars", $"doc_id"), "g",
+        $"n_chars".asc, $"doc_id".asc)
+      .select($"g", $"n_chars".as("norm_chars"))
+    val wSrc = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val ranked = d
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("g", expr(s"(r * $n + ns - 1) DIV ns"))
+    ranked.join(g, "g")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"norm_chars").as("sum_norm"),
+        min($"norm_chars").as("min_norm"),
+        max($"norm_chars").as("max_norm"),
+        sum($"n_chars").as("sum_raw"))
+      .orderBy($"source")
+  }
+
+  val quantileNormSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM d),
+      |g AS (SELECT n_chars AS norm_chars,
+      |        ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS g
+      |      FROM d),
+      |r AS (SELECT doc_id, source, n_chars,
+      |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |        COUNT(*) OVER (PARTITION BY source) AS ns
+      |      FROM d),
+      |m AS (SELECT r.source, r.n_chars, g.norm_chars
+      |      FROM r CROSS JOIN n
+      |      JOIN g ON (r.r * n.n + r.ns - 1) // r.ns = g.g)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(norm_chars) AS BIGINT) AS sum_norm,
+      |  MIN(norm_chars) AS min_norm, MAX(norm_chars) AS max_norm,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_raw
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q211_logreg_quality" -> logregQuality,
+    "q222_quantile_norm" -> quantileNorm,
     "q185_temperature_mixture" -> temperatureMixture,
     "q166_zipf_fit"      -> zipfFit,
     "q152_ngram_generate" -> ngramGenerate,
@@ -1312,6 +1367,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q211_logreg_quality" -> logregQualitySql,
+    "q222_quantile_norm" -> quantileNormSql,
     "q185_temperature_mixture" -> temperatureMixtureSql,
     "q166_zipf_fit"      -> zipfFitSql,
     "q152_ngram_generate" -> ngramGenerateSql,

@@ -619,6 +619,58 @@ object MergeOps {
       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
       |FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q221: atomic MULTI-table publish
+    * ([[graft.store.MultiTablePublish]]) — a fact table and its derived
+    * aggregate land together under one group version pointer, so a
+    * reader can never join a v2 fact against a v1 aggregate (the torn
+    * cross-table state independent single-table swaps allow). Two
+    * publishes run (base, then a revision that deletes and reprices
+    * rows); the graded result reads BOTH tables back at the live version
+    * and lays the aggregate beside a recompute from the published fact —
+    * a torn publish, stale pointer, or wrong-version resolution breaks
+    * the pairwise equality the oracle asserts. MultiPublishSpec drives
+    * the crash-window cases through the hook seam.
+    */
+  def multiPublish(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runMultiPub")
+    deleteRecursive(run)
+    val root = run.resolve("warehouse").toString
+    def aggOf(of: DataFrame): DataFrame = of
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_pub"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total_pub"))
+    val base = orders(spark, dir).select(cols.map(col): _*)
+    graft.store.MultiTablePublish.publish(spark, root,
+      Map("orders" -> base, "by_priority" -> aggOf(base)))
+    val revised = base.filter($"o_orderkey" % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2.0).otherwise($"o_totalprice"))
+    graft.store.MultiTablePublish.publish(spark, root,
+      Map("orders" -> revised, "by_priority" -> aggOf(revised)))
+    val fact = graft.store.MultiTablePublish.read(spark, root, "orders")
+    val pub = graft.store.MultiTablePublish.read(spark, root, "by_priority")
+    fact.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_fact"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total_fact"))
+      .join(pub, "o_orderpriority")
+      .select($"o_orderpriority", $"n_fact", $"total_fact", $"n_pub", $"total_pub")
+      .orderBy($"o_orderpriority")
+  }
+
+  val multiPublishSql: String =
+    """WITH revised AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |a AS (
+      |  SELECT o_orderpriority, COUNT(*) AS n,
+      |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |  FROM revised GROUP BY 1)
+      |SELECT o_orderpriority, n AS n_fact, total AS total_fact,
+      |       n AS n_pub, total AS total_pub
+      |FROM a ORDER BY o_orderpriority""".stripMargin
+
   /** q194: XML round-trip — Spark 4's NATIVE XML source (the spark-xml
     * donation) completing the format matrix (parquet/ORC/CSV/JSONL/XML):
     * explicit `rowTag` element per order, micros `timestampFormat` on both
@@ -980,6 +1032,7 @@ object MergeOps {
     "q194_xml_roundtrip"   -> xmlRoundtrip,
     "q205_incremental_view" -> incrementalViewMaintenance,
     "q207_dynamic_overwrite" -> dynamicOverwrite,
+    "q221_multi_publish" -> multiPublish,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -1002,6 +1055,7 @@ object MergeOps {
     "q194_xml_roundtrip"   -> xmlRoundtripSql,
     "q205_incremental_view" -> incrementalViewMaintenanceSql,
     "q207_dynamic_overwrite" -> dynamicOverwriteSql,
+    "q221_multi_publish" -> multiPublishSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

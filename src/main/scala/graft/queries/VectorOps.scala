@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Mmr, Similarity}
 import Tables._
@@ -875,8 +875,100 @@ object VectorOps {
       |GROUP BY e.dim, d.n, d.mean, d.std
       |ORDER BY e.dim""".stripMargin
 
+  /** q223: GEOMETRIC MEDIAN per label (two Weiszfeld iterations) — the
+    * robust class centroid an embedding-curation pipeline wants where
+    * the arithmetic mean is dragged by outliers: c ← Σ(xᵢ/dᵢ)/Σ(1/dᵢ),
+    * dᵢ = ‖xᵢ−c‖. Determinism engineering mirrors q211: the center is
+    * QUANTIZED to DECIMAL(18,6) after every step (init = per-dim mean
+    * from exact decimal sums), per-vector weights and weighted
+    * coordinates quantize to 8dp decimals before their exact sums, and
+    * each new coordinate is one double division of two exact-decimal
+    * renders — so both engines carry bit-identical centers even though
+    * the distance sqrt itself may differ in the last ulp (that noise
+    * dies in the 8dp weight quantization, measure-zero from any
+    * boundary). Driver holds only the 5×64 center matrix; each
+    * iteration is one broadcast join + one (label, dim)-keyed aggregate.
+    */
+  def geometricMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddings(spark, dir)
+      .select($"label", $"vec_id", posexplode($"embedding"))
+      .select($"label", $"vec_id", $"pos".as("dim"), $"col".cast("double").as("x"))
+      .persist()
+    // c0: per-dim mean, quantized — (label, dim) -> double
+    def quantize(c: Column): Column = round(c, 6).cast("decimal(18,6)").cast("double")
+    var c = e.groupBy($"label", $"dim")
+      .agg((sum($"x".cast("decimal(38,15)")).cast("decimal(18,9)").cast("double") /
+        count(lit(1))).as("craw"))
+      .select($"label", $"dim", quantize($"craw").as("c"))
+    for (_ <- 1 to 2) {
+      val dist = e.join(broadcast(c), Seq("label", "dim"))
+        .withColumn("sq", ($"x" - $"c") * ($"x" - $"c"))
+        .groupBy($"label", $"vec_id")
+        .agg(sqrt(sum($"sq".cast("decimal(38,15)")).cast("decimal(18,9)").cast("double")).as("d"))
+        .filter($"d" > 1e-9)
+        .withColumn("w", round(lit(1.0) / $"d", 8).cast("decimal(18,8)"))
+      c = e.join(dist.select($"label", $"vec_id", $"w"), Seq("label", "vec_id"))
+        .groupBy($"label", $"dim")
+        .agg((sum(round($"w".cast("double") * $"x", 8).cast("decimal(38,8)"))
+            .cast("decimal(18,8)").cast("double") /
+          sum($"w").cast("decimal(18,8)").cast("double")).as("craw"))
+        .select($"label", $"dim", quantize($"craw").as("c"))
+    }
+    val out = c.filter($"dim" < 4)
+      .groupBy($"label")
+      .agg(round(sum(when($"dim" === 0, $"c").otherwise(0.0)), 6).as("c0"),
+        round(sum(when($"dim" === 1, $"c").otherwise(0.0)), 6).as("c1"),
+        round(sum(when($"dim" === 2, $"c").otherwise(0.0)), 6).as("c2"),
+        round(sum(when($"dim" === 3, $"c").otherwise(0.0)), 6).as("c3"))
+      .orderBy($"label")
+    val materialized = out.localCheckpoint(eager = true)
+    e.unpersist()
+    materialized
+  }
+
+  /** The two Weiszfeld steps unrolled; distances sum per-vector over the
+    * exploded dims — the float-sum ORDER differs from Spark's, but the
+    * noise is killed by the same 8dp weight quantization (scaladoc).
+    */
+  val geometricMedianSql: String = {
+    def distOf(cTab: String) =
+      s"""SELECT e.label, e.vec_id,
+         |  SQRT(CAST(CAST(ROUND(SUM(CAST((e.x - $cTab.c) * (e.x - $cTab.c) AS DECIMAL(38,15))), 9) AS DECIMAL(18,9)) AS DOUBLE)) AS d
+         |FROM e JOIN $cTab ON e.label = $cTab.label AND e.dim = $cTab.dim
+         |GROUP BY e.label, e.vec_id""".stripMargin
+    def stepOf(dTab: String) =
+      s"""SELECT e.label, e.dim,
+         |  CAST(CAST(ROUND(CAST(CAST(ROUND(SUM(CAST(ROUND(CAST(w.w AS DOUBLE) * e.x, 8) AS DECIMAL(38,8))), 8) AS DECIMAL(18,8)) AS DOUBLE)
+         |    / CAST(CAST(ROUND(SUM(w.w), 8) AS DECIMAL(18,8)) AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+         |FROM e JOIN $dTab w ON e.label = w.label AND e.vec_id = w.vec_id
+         |GROUP BY e.label, e.dim""".stripMargin
+    s"""WITH e AS (
+       |  SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT label, dim,
+       |    CAST(CAST(ROUND(CAST(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,15))), 9) AS DECIMAL(18,9)) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS DOUBLE) AS c
+       |  FROM e GROUP BY label, dim),
+       |d1 AS (SELECT label, vec_id, CAST(ROUND(1.0 / d, 8) AS DECIMAL(18,8)) AS w
+       |       FROM (${distOf("c0")}) t WHERE d > 0.000000001),
+       |c1 AS (${stepOf("d1")}),
+       |d2 AS (SELECT label, vec_id, CAST(ROUND(1.0 / d, 8) AS DECIMAL(18,8)) AS w
+       |       FROM (${distOf("c1")}) t WHERE d > 0.000000001),
+       |c2 AS (${stepOf("d2")})
+       |SELECT label,
+       |  ROUND(SUM(CASE WHEN dim = 0 THEN c ELSE 0.0 END), 6) AS c0,
+       |  ROUND(SUM(CASE WHEN dim = 1 THEN c ELSE 0.0 END), 6) AS c1,
+       |  ROUND(SUM(CASE WHEN dim = 2 THEN c ELSE 0.0 END), 6) AS c2,
+       |  ROUND(SUM(CASE WHEN dim = 3 THEN c ELSE 0.0 END), 6) AS c3
+       |FROM c2 WHERE dim < 4
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_embed_standardize" -> embedStandardize,
+    "q223_geometric_median" -> geometricMedian,
     "q186_matryoshka_recall" -> matryoshkaRecall,
     "q176_embedding_outliers" -> embeddingOutliers,
     "q170_cluster_labels" -> clusterLabels,
@@ -895,6 +987,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q218_embed_standardize" -> embedStandardizeSql,
+    "q223_geometric_median" -> geometricMedianSql,
     "q186_matryoshka_recall" -> matryoshkaRecallSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q170_cluster_labels" -> clusterLabelsSql,

@@ -76,7 +76,8 @@ class CoverageSpec extends SparkSuite {
     "q211_logreg_quality", "q212_statestore_read", "q213_dedup_bounded",
     "q214_winnowing", "q215_label_propagation", "q216_bfs_hops",
     "q217_assoc_rules", "q218_embed_standardize", "q219_image_neardup",
-    "q220_kcore")
+    "q220_kcore", "q221_multi_publish", "q222_quantile_norm",
+    "q223_geometric_median")
   // q74 may legitimately find 0 pairs at sf0.001; q196's n12 ≥ 5 floor can
   // be empty on the 50-doc fixture — both consciously absent above
 
