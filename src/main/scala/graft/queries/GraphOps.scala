@@ -191,6 +191,48 @@ object GraphOps {
        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q224: frequent 3-itemsets — the Apriori step above q114's pair
+    * mining: parts bought together in ≥2 orders as TRIPLES. The basket
+    * 3-way self-join is bounded by basket size (O(7³) per order, never
+    * table-quadratic), and the Apriori DOWNWARD-CLOSURE prune semi-joins
+    * the (p1,p2) and (p2,p3) legs against the supported-pair list BEFORE
+    * the aggregate — candidate volume drops to pairs-supported triples
+    * only, which is the property that makes level-wise itemset mining
+    * feasible at scale (the support≥2 result is unchanged by the prune —
+    * closure guarantees it — so the oracle is the plain HAVING filter).
+    */
+  def itemsetTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val op = orderParts(spark, dir).localCheckpoint(eager = true)
+    val sup = pairEdges(spark, dir, 2L).select($"p1", $"p2")
+      .localCheckpoint(eager = true)
+    val tri = op.as("a")
+      .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .join(op.as("c"), col("a.l_orderkey") === col("c.l_orderkey") &&
+        col("b.l_partkey") < col("c.l_partkey"))
+      .select(col("a.l_orderkey").as("o"),
+        col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"),
+        col("c.l_partkey").as("p3"))
+    tri
+      .join(sup, Seq("p1", "p2"), "left_semi")
+      .join(sup.select($"p1".as("p2"), $"p2".as("p3")), Seq("p2", "p3"), "left_semi")
+      .groupBy($"p1", $"p2", $"p3")
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"p1", $"p2", $"p3")
+  }
+
+  val itemsetTriplesSql: String =
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+      |       COUNT(*) AS support
+      |FROM op a
+      |JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      |ORDER BY p1, p2, p3""".stripMargin
+
   /** q216: multi-source BFS hop distance (3 relaxation rounds) over the
     * co-purchase graph — the reachability-with-DISTANCE query beside
     * q47's plain connectivity: "how many recommendation hops from any
@@ -434,6 +476,7 @@ object GraphOps {
     "q216_bfs_hops"          -> bfsHops,
     "q217_assoc_rules"       -> associationRules,
     "q220_kcore"             -> kCore,
+    "q224_itemset_triples"   -> itemsetTriples,
     "q126_triangle_stats"   -> triangleStats,
   )
 
@@ -445,5 +488,6 @@ object GraphOps {
     "q216_bfs_hops"          -> bfsHopsSql,
     "q217_assoc_rules"       -> associationRulesSql,
     "q220_kcore"             -> kCoreSql,
+    "q224_itemset_triples"   -> itemsetTriplesSql,
   )
 }
