@@ -106,7 +106,11 @@ object ScaleProbe {
       // corpus-build composite (19x token volume through the per-source/
       // per-lang window chain — the few-streams skew case the q64
       // scaladoc's (lang, shard) note is about)
-      "q96_upsert_changelog", "q99_quantile_sketch", "q100_corpus_build")
+      "q96_upsert_changelog", "q99_quantile_sketch", "q100_corpus_build",
+      // round-9 continuation: the heaviest new streaming replay (both-side
+      // state expiry), the bounded-state dedup (10x keys through fixed
+      // stores), and the culled winnowing join (the pre-cull 47x case)
+      "q208_stream_full_outer", "q213_dedup_bounded", "q214_winnowing")
     // args beyond srcDir/outDir select a probe subset (re-runs stay cheap)
     val probes = if (args.length > 2) args.drop(2).toSeq else defaultProbes
     def opHistogram(df: DataFrame): Map[String, Int] =
