@@ -73,10 +73,24 @@ object IvfIndex {
     (0 until lloydIters).foreach { _ =>
       centroids = lloydStep(corpus, idCol, vecCol, centroids)
     }
-    centroids = centroids.cache()
-    val lists = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    searchAssigned(corpus, assign(corpus, idCol, vecCol, centroids),
+      centroids.cache(), queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The probe/score tail over a PREBUILT index: `assignments` is
+    * (idCol, centroid_id) — possibly grown incrementally by assigning
+    * delta vectors to frozen centroids (q225), which is exactly how an
+    * IVF index absorbs new data between periodic re-trainings at 100 TB
+    * (one broadcast join per delta, no re-cluster, no corpus rescan).
+    */
+  def searchAssigned(vectors: DataFrame, assignments: DataFrame,
+                     centroids: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    registerNative(vectors.sparkSession)
+    val lists = vectors.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
       .withColumn("nbr_norm", nnorm(col("nbr_vec")))
-      .join(assign(corpus, idCol, vecCol, centroids)
+      .join(assignments
         .select(col(idCol).as("nbr_id"), col("centroid_id")), Seq("nbr_id"))
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("c").desc, col("centroid_id").asc)
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))

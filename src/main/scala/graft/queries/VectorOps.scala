@@ -966,9 +966,90 @@ object VectorOps {
        |GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** q225: INCREMENTAL IVF maintenance — the index-lifecycle op q42's
+    * one-shot build doesn't cover: new vectors (10% delta) are absorbed
+    * by assigning them to the FROZEN centroids trained on the base —
+    * one broadcast join per delta batch, no re-cluster, no corpus
+    * rescan — and queries immediately retrieve across base + delta
+    * through the union index ([[graft.operators.IvfIndex.searchAssigned]]).
+    * This is how an IVF deployment runs between periodic re-trainings at
+    * 100 TB: train rarely, assign continuously. The oracle re-derives
+    * the whole pipeline with centroids FROM THE BASE ONLY and the
+    * assignment over all vectors — a delta vector missing from the
+    * index, or centroids polluted by the delta, hash-mismatches.
+    */
+  def cosineIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val base = emb.filter($"vec_id" % 10 =!= 7)
+    val delta = emb.filter($"vec_id" % 10 === 7)
+    val ivf = graft.operators.IvfIndex
+    val centroids = ivf.lloydStep(base, "vec_id", "embedding",
+      ivf.seedCentroids(base, "vec_id", "embedding", 8)).cache()
+    val assignments = ivf.assign(base, "vec_id", "embedding", centroids)
+      .unionByName(ivf.assign(delta, "vec_id", "embedding", centroids))
+    ivf.searchAssigned(emb, assignments, centroids,
+        emb.filter($"vec_id" % 50 === 0), "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"query_id", $"rk", $"nbr_id")
+      .orderBy($"query_id", $"rk")
+  }
+
+  /** q42's CTE with centroids trained on the BASE subset only; the final
+    * assignment + probes run over ALL embeddings (base ∪ delta).
+    */
+  val cosineIvfIncrementalSql: String =
+    """WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 7),
+      |seeds AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+      |         embedding AS centroid
+      |  FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) t),
+      |a0 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, s.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, s.centroid) DESC, s.centroid_id) AS rn
+      |    FROM base e CROSS JOIN seeds s) t WHERE rn = 1),
+      |cmeans AS (
+      |  SELECT centroid_id, dim, AVG(x) AS m FROM (
+      |    SELECT a0.centroid_id,
+      |      unnest(range(1, len(e.embedding)+1)) AS dim,
+      |      unnest(CAST(e.embedding AS DOUBLE[])) AS x
+      |    FROM base e JOIN a0 USING (vec_id)) t
+      |  GROUP BY centroid_id, dim),
+      |c1 AS (
+      |  SELECT centroid_id, CAST(list(m ORDER BY dim) AS REAL[]) AS centroid
+      |  FROM cmeans GROUP BY centroid_id),
+      |a1 AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT e.vec_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, centroid_id FROM (
+      |    SELECT e.vec_id AS query_id, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding, c.centroid) DESC, c.centroid_id) AS rn
+      |    FROM embeddings e CROSS JOIN c1 c WHERE e.vec_id % 50 = 0) t WHERE rn <= 4),
+      |scored AS (
+      |  SELECT p.query_id, n.vec_id AS nbr_id,
+      |    list_cosine_similarity(q.embedding, n.embedding) AS cos
+      |  FROM probes p
+      |  JOIN embeddings q ON q.vec_id = p.query_id
+      |  JOIN a1 ON a1.centroid_id = p.centroid_id
+      |  JOIN embeddings n ON n.vec_id = a1.vec_id
+      |  WHERE n.vec_id <> p.query_id),
+      |r AS (
+      |  SELECT query_id, nbr_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_embed_standardize" -> embedStandardize,
     "q223_geometric_median" -> geometricMedian,
+    "q225_ivf_incremental" -> cosineIvfIncremental,
     "q186_matryoshka_recall" -> matryoshkaRecall,
     "q176_embedding_outliers" -> embeddingOutliers,
     "q170_cluster_labels" -> clusterLabels,
@@ -988,6 +1069,7 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "q218_embed_standardize" -> embedStandardizeSql,
     "q223_geometric_median" -> geometricMedianSql,
+    "q225_ivf_incremental" -> cosineIvfIncrementalSql,
     "q186_matryoshka_recall" -> matryoshkaRecallSql,
     "q176_embedding_outliers" -> embeddingOutliersSql,
     "q170_cluster_labels" -> clusterLabelsSql,
