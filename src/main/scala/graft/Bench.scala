@@ -48,17 +48,57 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    // Untimed cleanup. clearCache drops per-query persists; the explicit
-    // SYNCHRONOUS unpersist of whatever is still registered (localCheckpoint
-    // RDDs) removes those blocks now, on this thread, instead of leaving
-    // them to the async ContextCleaner whose deletion work would otherwise
-    // land inside the NEXT timed trial.
-    def dropBlocks(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // Fixed-work CPU reference probe (round-9 verdict item 3): the box this
+    // runs on is observably bimodal — identical code measured 1.5-2× apart
+    // across same-day runs with zero residual storage, zero page-cache
+    // effect (17 MB dataset) and an idle loadavg, i.e. hypervisor-level
+    // contention. A single-threaded integer loop and a 32-thread variant
+    // timed before/after the run give every bench artifact a machine-speed
+    // denominator: driver-vs-clean drift beyond the probe ratio is ours,
+    // drift matching it is the box.
+    def cpuProbeOnce(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0
+      while (i < 300000000) { s += i.toLong * i; i += 1 }
+      if (s == 42L) System.err.print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
     }
-    def cleanup(): Unit = { dropBlocks(); System.gc() }
+    def cpuProbe(): (Double, Double) = {
+      cpuProbeOnce() // JIT warm
+      val single = cpuProbeOnce()
+      val t0 = System.nanoTime()
+      val threads = (1 to cpus.toInt).map(_ => new Thread(() => { cpuProbeOnce(); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (single, (System.nanoTime() - t0) / 1e9)
+    }
+    // Untimed cleanup. Order matters (round-9 q47 bench-context
+    // regression): Catalog.clearCache() unpersists cached plans with
+    // blocking=false AND deregisters their RDDs from getPersistentRDDs, so
+    // running it FIRST hid those blocks from the blocking loop and their
+    // deletion landed inside the NEXT timed trial — each q47 trial ran
+    // against the previous trial's still-evicting multi-GB shingle cache.
+    // The blocking unpersist now runs first and covers Dataset caches,
+    // explicit persists, and localCheckpoint blocks alike; clearCache()
+    // afterwards only clears the (now block-less) CacheManager registry.
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    def cleanup(): Unit = {
+      dropBlocks()
+      System.gc() // enqueue dead broadcast/shuffle refs for the ContextCleaner
+      // The ContextCleaner drains that queue ASYNC — scrub surviving
+      // broadcast blocks synchronously so their eviction cannot land in the
+      // next timed trial (safe here: between trials no plan is live, and a
+      // fresh plan re-broadcasts what it needs).
+      org.apache.spark.graft.BlockHygiene.dropBroadcasts(spark.sparkContext)
+    }
+    // SPARK_GRAFT_ONLY="q29,q47_dedup_groups": run only queries whose name
+    // starts with one of the comma-separated prefixes — local iteration on a
+    // family without paying the full run (driver leaves it unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1) // stable run order
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // Warm-up runs PER QUERY, immediately before that query's timed trials
     // (not one global warmup pass before a global timed pass): with 100+
     // queries in one JVM, a query warmed at the start of the run is cold
@@ -71,6 +111,14 @@ object Bench {
     // Per-trial times; a trial whose query THROWS records None (surfaced as
     // -1 in bench_detail.json and an "errors" entry on the JSON line), so a
     // failure never masquerades as an ordinary duration.
+    // Per-query post-cleanup residual storage (blocks, memBytes, diskBytes,
+    // broadcasts) after the LAST trial — the round-9 drift-attribution
+    // instrument: a nonzero residual here is exactly the storage pressure
+    // the next query's trials would have run under.
+    val residual = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, Long, Int)]
+    val probeBefore = cpuProbe()
+    System.err.println(f"[bench] cpu probe before: single ${probeBefore._1}%.3f s, " +
+      f"${cpus}x ${probeBefore._2}%.3f s")
     val results: Seq[(String, Seq[Option[Double]])] = ordered.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       cleanup() // drop the warmup's result blocks before the timed trials
@@ -81,9 +129,12 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val gcIn = gcMs - gc0
         cleanup()
-        // stderr diagnostic (never the stdout JSON): how much of the trial
-        // was GC stall — the round-5 variance investigation's instrument
-        System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok")
+        // stderr diagnostic (never the stdout JSON): GC stall share plus the
+        // storage left behind AFTER cleanup — what the next trial runs under
+        val (rb, rm, rd, rbc) = org.apache.spark.graft.BlockHygiene.snapshot(spark.sparkContext)
+        if (t == trials) residual(name) = (rb, rm, rd, rbc)
+        System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok, " +
+          f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc")
         if (ok) Some(dt) else None
       }
       name -> times
@@ -105,7 +156,11 @@ object Bench {
       catch { case _: Throwable => () }
     // Full fidelity (every trial of every query under its FULL name, in run
     // order) plus the [min,median,max] spread per query, for variance work.
-    val detail = BenchFormat.detail(results, trials, sfDir)
+    val probeAfter = cpuProbe()
+    System.err.println(f"[bench] cpu probe after: single ${probeAfter._1}%.3f s, " +
+      f"${cpus}x ${probeAfter._2}%.3f s")
+    val detail = BenchFormat.detail(results, trials, sfDir, residual.toSeq,
+      Seq(probeBefore._1, probeBefore._2, probeAfter._1, probeAfter._2))
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }

@@ -102,7 +102,9 @@ object BenchFormat {
     * every query under its FULL name (failed trials as -1), plus the
     * [min, median, max] spread over the successful trials.
     */
-  def detail(results: Seq[(String, Seq[Option[Double]])], trials: Int, sf: String): String = {
+  def detail(results: Seq[(String, Seq[Option[Double]])], trials: Int, sf: String,
+             residual: Seq[(String, (Int, Long, Long, Int))] = Nil,
+             cpuProbe: Seq[Double] = Nil): String = {
     val trialsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(o => f3(o.getOrElse(-1.0))).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -115,7 +117,22 @@ object BenchFormat {
     val total = results.map { case (_, ts) =>
       val good = ts.flatten; if (good.nonEmpty) median(good) else 0.0
     }.sum
+    // drift attribution (round-9 verdict item 3): the storage residue left
+    // AFTER the query's final cleanup — [blocks, memBytes, diskBytes,
+    // broadcastIds]. Nonzero rows name exactly the queries whose leftovers
+    // the NEXT query's trials ran under.
+    val residJson = residual.map { case (k, (b, m, d, bc)) =>
+      "\"" + k + "\":[" + b + "," + m + "," + d + "," + bc + "]"
+    }.mkString("{", ",", "}")
+    // machine-speed denominator: [singleBefore, multiBefore, singleAfter,
+    // multiAfter] of a fixed-work CPU loop — normalize cross-run drift by
+    // this before attributing it to code (the box is observably bimodal)
+    val probeJson =
+      if (cpuProbe.isEmpty) ""
+      else cpuProbe.map(f3).mkString(""","cpu_probe_sec":[""", ",", "]")
     s"""{"sf":"$sf","trials":$trials,"total_of_medians":${f3(total)},""" +
-      s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson}"""
+      s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson""" +
+      (if (residual.nonEmpty) s""","residual_after_cleanup":$residJson""" else "") +
+      probeJson + "}"
   }
 }

@@ -167,8 +167,7 @@ object TextFunctions {
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
 
-  /** Distinct token n-gram shingles per document, via lead() windows — ONE
-    * shuffle on the doc key rather than n-1 self-joins. Returns
+  /** Distinct token n-gram shingles per document — ZERO shuffles. Returns
     * (idCol, shingle) rows.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -179,12 +178,25 @@ object TextFunctions {
     // cost a full shuffle of the token stream per call and dominated every
     // shingle consumer (q29/q30/q31/q49/q65/q125, the benches' heaviest
     // family). Only complete n-grams survive: start positions stop at
-    // size − (n−1).
+    // size − (n−1). Dedup scope is PER DOCUMENT (idCol is part of the
+    // distinct key), so array_distinct on the local array before the
+    // explode is exactly the old global `.distinct()` minus its full
+    // shuffle of the shingle stream — the round-10 q29/q30/q47/q48 win.
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("shs")).as("shingle"))
+  }
+
+  /** Per-document DISTINCT shingle set as one array row (idCol, shs) —
+    * the un-exploded form of [[shingles]]. One row per doc, zero shuffles;
+    * set-level consumers (MinHash signatures, array_intersect verify) work
+    * on it directly without ever exploding the shingle stream.
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
     df.select(col(idCol), tokens(col(textCol)).as("t"))
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), array_distinct(expr(
         s"transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)), " +
-          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shingle"))
-      .distinct()
+          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shs"))
   }
 
   /** [[shingles]] keeping the 0-based start position and duplicates —

@@ -67,6 +67,11 @@ object Dedup {
                                     numHashes: Int): DataFrame =
     minhashSignaturesAndCounts(sh, idCol, numHashes).select(col(idCol), col("sig"))
 
+  // 31-bit hash space: a*h+b stays under 2^63 (ANSI-safe, no overflow)
+  private val p = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def aCoef(i: Int): Long = 2L * (1103515245L * (i + 1) % (p / 4)) + 1L
+  private def bCoef(i: Int): Long = 472882027L * (i + 7) % p
+
   /** One-pass per-doc aggregate over the shingle table: the shingle COUNT
     * and all k permutation minima from a single groupBy — one shuffle where
     * computing signatures and counts separately pays two passes over the
@@ -74,10 +79,6 @@ object Dedup {
     */
   def minhashSignaturesAndCounts(sh: DataFrame, idCol: String,
                                  numHashes: Int): DataFrame = {
-    // 31-bit hash space: a*h+b stays under 2^63 (ANSI-safe, no overflow)
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime)
-    def aCoef(i: Int): Long = 2L * (1103515245L * (i + 1) % (p / 4)) + 1L
-    def bCoef(i: Int): Long = 472882027L * (i + 7) % p
     val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
     val aggs = count(lit(1)).as("n_sh") +: (0 until numHashes).map { i =>
       min(pmod(col("h") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
@@ -152,6 +153,14 @@ object Dedup {
     * Jaccard verification on candidates only. This is the 100 TB shape:
     * one shuffle over the shingle table, and the quadratic step touches
     * only bucket collisions.
+    *
+    * Two alternatives were A/B'd in round 10 and REJECTED on measurement:
+    * a per-row whole-signature expression (64 higher-order transforms per
+    * doc — zero shuffles but interpreted, 4× slower than the codegen'd
+    * partial-agg groupBy), and array_intersect verification against
+    * un-exploded per-doc shingle arrays (uncached nested arrays columnar-
+    * cache poorly and recomputing them per consumer re-pays the tokenize —
+    * 2× slower than re-joining the cached flat shingle rows).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
