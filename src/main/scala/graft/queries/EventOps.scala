@@ -1066,10 +1066,18 @@ object EventOps {
     deleteRecursive(run)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(fix.resolve("src").toString)
-    // horizon: one quarter-range of the span plus slack covers the
-    // "dup in the file right after" redelivery distance at any SF
+    // horizon DERIVED from the observed event-time span: the fixture
+    // redelivers within one quartile range, so span/4 plus a day of slack
+    // covers the redelivery distance whatever span a fixture generator
+    // produces (a fixed "10 days" was only exact because the current
+    // generator fixes the span at 30 days — round-9 advice: a longer-span
+    // fixture would evict originals before their duplicates arrive and
+    // silently diverge from the DISTINCT oracle)
+    val b = events(spark, dir)
+      .agg(unix_micros(min($"ts")).as("lo"), unix_micros(max($"ts")).as("hi")).head()
+    val horizonSec = (b.getLong(1) - b.getLong(0)) / 1000000L / 4L + 86400L
     val deduped = graft.streaming.EventStream.dedupStream(
-      stream, Seq("event_id"), watermark = "10 days", withinWatermark = true)
+      stream, Seq("event_id"), watermark = s"$horizonSec seconds", withinWatermark = true)
     val out = run.resolve("out")
     val query = deduped.writeStream
       .format("parquet")

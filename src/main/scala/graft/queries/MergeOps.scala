@@ -648,8 +648,12 @@ object MergeOps {
         when($"o_orderkey" % 5 === 0, $"o_totalprice" * 2.0).otherwise($"o_totalprice"))
     graft.store.MultiTablePublish.publish(spark, root,
       Map("orders" -> revised, "by_priority" -> aggOf(revised)))
-    val fact = graft.store.MultiTablePublish.read(spark, root, "orders")
-    val pub = graft.store.MultiTablePublish.read(spark, root, "by_priority")
+    // readAll pins ONE resolved version for both tables — per-call read()
+    // could observe different versions under a concurrent publisher
+    val (_, pinned) = graft.store.MultiTablePublish.readAll(
+      spark, root, Seq("orders", "by_priority"))
+    val fact = pinned("orders")
+    val pub = pinned("by_priority")
     fact.groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_fact"),
         round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total_fact"))

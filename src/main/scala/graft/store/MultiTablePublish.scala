@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Atomic MULTI-table publish: N tables land together or not at all —
@@ -15,19 +15,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  1. stage every table under `root/v=N/<table>` — old version untouched;
   *  2. create the `_STAGED` marker inside `v=N` (atomic create, written
   *     only after every table dir is complete);
-  *  3. flip the group's single `CURRENT` pointer to N.
+  *  3. create the `_COMMIT` intent marker inside `v=N` — the durable
+  *     commit point;
+  *  4. flip the group's single `CURRENT` pointer to N with an ATOMIC
+  *     OVERWRITE rename (`FileContext.rename(..., Rename.OVERWRITE)`), so
+  *     the pointer is never absent — no delete+rename window.
   * Crash cases: during staging → no marker, readers stay on the old
-  * pointer; after the marker but before the flip → pointer still names
-  * the old version (both tables consistent; the publish is simply lost
-  * and a re-publish is safe); inside the pointer's delete+rename window →
-  * pointer absent, and [[currentVersion]] rolls FORWARD to the highest
-  * `_STAGED` version, which the marker guarantees complete. At every
-  * point all tables resolve through ONE version number — torn cross-table
-  * reads are structurally impossible. MultiPublishSpec drives each crash
+  * pointer; after `_STAGED` but before `_COMMIT` → the publish is simply
+  * lost (pointer still names the old version; both tables consistent; a
+  * re-publish allocates past the orphan) and crucially the stage can
+  * NEVER be silently resurrected — [[currentVersion]]'s pointer-absent
+  * fallback only ever resolves versions that reached their `_COMMIT`
+  * point (round-9 advice: the old roll-forward to merely-_STAGED versions
+  * could revive a crashed, never-committed publish the moment the pointer
+  * file was lost); after `_COMMIT` but before the flip → pointer still
+  * names the old version (consistent; the intent matters only for the
+  * bootstrap publish, where no pointer exists yet to keep naming the old
+  * version). At every point all tables resolve through ONE version
+  * number — torn cross-table reads are structurally impossible when read
+  * through [[readAll]]/[[readAt]]. MultiPublishSpec drives each crash
   * point through the [[crashHook]] seam.
   *
-  * Concurrency: one publisher per root (the standard log-less contract,
-  * TableStore.recover's note); readers are always safe.
+  * Concurrency: one publisher per root — enforceable with
+  * [[WriterLease.withLease]] on `root` (the flip fences first; a
+  * publisher whose lease was broken dies loudly with the group intact).
+  * Readers are always safe; for MULTI-table reads use [[readAll]] (or
+  * [[readAt]] with a version from [[currentVersion]]): per-call [[read]]
+  * resolves the pointer independently each time, so two `read` calls
+  * racing a concurrent publish can observe different versions — exactly
+  * the torn pair this store exists to prevent (round-9 advice).
   */
 object MultiTablePublish {
 
@@ -37,26 +53,31 @@ object MultiTablePublish {
   private def pointer(root: String) = new Path(root, "CURRENT")
   private def versionDir(root: String, v: Int) = s"$root/v=$v"
   private def marker(root: String, v: Int) = new Path(versionDir(root, v), "_STAGED")
+  private def commitMark(root: String, v: Int) = new Path(versionDir(root, v), "_COMMIT")
 
-  /** Test seam: labels `staged` (all tables + marker written) and
-    * `committed` (pointer flipped). Production no-op.
+  /** Test seam: labels `staged` (all tables + marker written), `intent`
+    * (`_COMMIT` durable) and `committed` (pointer flipped). Production
+    * no-op.
     */
   private[store] var crashHook: String => Unit = _ => ()
 
-  private def listStagedVersions(spark: SparkSession, root: String): Seq[Int] = {
+  private def listVersions(spark: SparkSession, root: String,
+                           withMark: Option[Int => Path]): Seq[Int] = {
     val r = new Path(root)
     val f = fs(spark, r)
     if (!f.exists(r)) Nil
     else f.listStatus(r).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .map(_.getPath.getName.stripPrefix("v=").toInt)
-      .filter(v => f.exists(marker(root, v)))
+      .filter(v => withMark.forall(m => f.exists(m(v))))
       .sorted
   }
 
-  /** The live version: the pointer if present, else (mid-flip crash) the
-    * highest FULLY-STAGED version — the `_STAGED` marker makes the
-    * roll-forward safe, an unmarked directory is never resolved.
+  /** The live version: the pointer if present, else (bootstrap crash —
+    * with the atomic overwrite flip the pointer is otherwise never
+    * absent) the highest version whose `_COMMIT` intent is durable. A
+    * version that is `_STAGED` but never reached `_COMMIT` is NEVER
+    * resolved — a crashed publish cannot be resurrected by pointer loss.
     */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val f = fs(spark, pointer(root))
@@ -66,40 +87,62 @@ object MultiTablePublish {
         val r = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
         Some(r.readLine().trim.toInt)
       } finally in.close()
-    } else listStagedVersions(spark, root).lastOption
+    } else listVersions(spark, root, Some(commitMark(root, _))).lastOption
   }
 
-  /** Stage every table of the next version, mark it complete, flip the
-    * group pointer. Returns the published version number.
+  /** Stage every table of the next version, mark it complete, record
+    * commit intent, flip the group pointer atomically. Returns the
+    * published version number.
     */
   def publish(spark: SparkSession, root: String,
               tables: Map[String, DataFrame]): Int = {
     require(tables.nonEmpty, "publish needs at least one table")
-    val r = new Path(root)
-    val f = fs(spark, r)
-    val all = if (!f.exists(r)) Nil
-      else f.listStatus(r).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-        .map(_.getPath.getName.stripPrefix("v=").toInt)
-    val next = (all :+ 0).max + 1
+    val f = fs(spark, new Path(root))
+    val next = (listVersions(spark, root, None) :+ 0).max + 1
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"${versionDir(root, next)}/$name")
     }
     val out = f.create(marker(root, next), true)
     try out.write("staged\n".getBytes("UTF-8")) finally out.close()
     crashHook("staged")
+    // the fence sits BEFORE the durable commit point: a publisher whose
+    // lease was broken dies while its stage is still unresolvable
+    WriterLease.fence(spark, root)
+    f.create(commitMark(root, next), true).close()
+    crashHook("intent")
     val tmp = new Path(root, "CURRENT__tmp")
     val o = f.create(tmp, true)
     try o.write(s"$next\n".getBytes("UTF-8")) finally o.close()
-    if (f.exists(pointer(root))) f.delete(pointer(root), false)
-    if (!f.rename(tmp, pointer(root)))
-      throw new java.io.IOException(s"group pointer flip failed for $root")
+    // atomic overwrite: CURRENT transitions old→new with no absent window
+    val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointer(root), Options.Rename.OVERWRITE)
     crashHook("committed")
     next
   }
 
-  /** Read `table` at the group's live version. Every table read through
-    * here resolves the SAME version number — the cross-table guarantee.
+  /** Read `table` at an EXPLICIT version — the primitive multi-table
+    * readers compose: resolve [[currentVersion]] once, then read every
+    * table at that pinned number.
+    */
+  def readAt(spark: SparkSession, root: String, v: Int, table: String): DataFrame =
+    spark.read.parquet(s"${versionDir(root, v)}/$table")
+
+  /** Read ALL the named tables at ONE pinned version — the cross-table
+    * guarantee. Returns (version, table → frame). This, not N separate
+    * [[read]] calls, is the safe shape under a concurrent publisher.
+    */
+  def readAll(spark: SparkSession, root: String,
+              tables: Seq[String]): (Int, Map[String, DataFrame]) = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no published version at $root"))
+    (v, tables.map(t => t -> readAt(spark, root, v, t)).toMap)
+  }
+
+  /** Read `table` at the group's live version. SINGLE-table convenience:
+    * each call resolves the pointer independently, so two `read` calls
+    * with a publish landing between them can observe different versions —
+    * use [[readAll]]/[[readAt]] whenever more than one table participates
+    * in the same computation.
     */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
@@ -107,13 +150,23 @@ object MultiTablePublish {
     spark.read.parquet(s"${versionDir(root, v)}/$table")
   }
 
-  /** Drop all versions below the live one minus `keep` (retention). */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Unit = {
+  /** Drop versions below the live one minus `keep` (retention count),
+    * but never a version younger than `minAgeMs` (by directory mtime):
+    * a long-running reader pinned to an old version via [[readAt]] must
+    * not lose its files mid-query, so the age guard must exceed the
+    * longest plausible reader (round-9 advice item 8). `minAgeMs = 0`
+    * restores pure count-based retention for callers that KNOW no reader
+    * outlives a publish cycle.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
+             minAgeMs: Long = 0L): Unit = {
     val f = fs(spark, new Path(root))
+    val cutoff = System.currentTimeMillis() - minAgeMs
     currentVersion(spark, root).foreach { cur =>
-      listStagedVersions(spark, root).filter(_ < cur - keep).foreach { v =>
-        f.delete(new Path(versionDir(root, v)), true)
-      }
+      listVersions(spark, root, Some(marker(root, _)))
+        .filter(_ < cur - keep)
+        .filter(v => f.getFileStatus(new Path(versionDir(root, v))).getModificationTime < cutoff)
+        .foreach { v => f.delete(new Path(versionDir(root, v)), true) }
     }
   }
 }

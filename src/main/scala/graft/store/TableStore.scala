@@ -140,13 +140,18 @@ object TableStore {
     * the next write to clobber. Idempotent; called from [[read]]/[[exists]]
     * so readers self-heal without an external fsck.
     *
-    * Concurrency contract (same as any log-less table store): ONE writer
-    * per table. Recovery run by a concurrent reader can complete an
-    * in-flight writer's commit rename for it (the writer's own rename then
-    * reports a spurious failure even though the new version is live) —
-    * readers racing an ACTIVE healthy writer are only safe for the
-    * partition-stage protocol (which never touches unmarked stages), not
-    * for the flat backup-rename window. Serialize writers externally.
+    * Concurrency contract: ONE writer per table — now ENFORCEABLE
+    * in-engine via [[WriterLease.withLease]] (create-exclusive lease +
+    * fencing token; every commit rename below fences first for leased
+    * paths, so a writer whose lease was broken fails loudly instead of
+    * clobbering the new holder — WriterLeaseSpec drives two interleaved
+    * writers through it). Lease-less callers keep the old contract:
+    * serialize writers externally. Recovery run by a concurrent reader
+    * can complete an in-flight writer's commit rename for it (the
+    * writer's own rename then reports a spurious failure even though the
+    * new version is live) — readers racing an ACTIVE healthy writer are
+    * only safe for the partition-stage protocol (which never touches
+    * unmarked stages), not for the flat backup-rename window.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     recoverPartitionStages(spark, path)
@@ -197,6 +202,9 @@ object TableStore {
     if (f.exists(tmp)) f.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     crashHook("staged")
+    // fence: if this process holds a (possibly broken) writer lease for
+    // the path, die loudly HERE rather than clobber a new holder's table
+    WriterLease.fence(spark, path)
     if (f.exists(target)) {
       if (!f.rename(target, old))
         throw new java.io.IOException(s"backup rename failed for $path")
@@ -272,6 +280,7 @@ object TableStore {
     if (f.exists(tmp)) f.delete(tmp, true)
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
     crashHook("staged")
+    WriterLease.fence(spark, path)
     if (f.exists(target)) {
       if (!f.rename(target, old))
         throw new java.io.IOException(s"backup rename failed for $path")
@@ -342,6 +351,10 @@ object TableStore {
       .filterNot(written.contains)
     val out = f.create(new Path(tmp, DropPlan), true)
     try out.write(drops.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // fence BEFORE the staged marker: the marker is this protocol's commit
+    // point (any reader's recover() rolls a marked stage forward), so a
+    // fenced-out writer must die while its stage is still discardable
+    WriterLease.fence(spark, path)
     f.create(new Path(tmp, StagedMarker), true).close()
     crashHook("partStaged")
     commitPartitionSwap(f, path, tmp)

@@ -17,10 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * This is the minimal shape of what table formats (Delta/Iceberg-style)
   * do with manifest files; on an object store the pointer write becomes a
-  * conditional put. The pointer update itself has the same tiny
-  * non-atomic window as [[TableStore.atomicWrite]]'s rename pair
-  * (documented there); [[currentVersion]] falls back to the max existing
-  * `v=N` directory if the pointer is mid-flight.
+  * conditional put. The pointer flip is an atomic OVERWRITE rename
+  * (FileContext), so the pointer is never absent mid-flip;
+  * [[currentVersion]] falls back to the max existing `v=N` directory only
+  * for a bootstrap crash (data written, pointer never created). Writers
+  * may serialize through [[WriterLease]] — the flip fences first.
   *
   * At 100 TB: each upsert rewrites one new snapshot (the same copy-on-
   * write cost the flat table pays) but old files are shared-nothing
@@ -72,12 +73,14 @@ object VersionedTable {
 
   private def setPointer(spark: SparkSession, path: String, v: Int): Unit = {
     val f = fs(spark, pointer(path))
+    WriterLease.fence(spark, path) // leased writers die loudly pre-flip
     val tmp = new Path(path, "CURRENT__tmp")
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    if (f.exists(pointer(path))) f.delete(pointer(path), false)
-    if (!f.rename(tmp, pointer(path)))
-      throw new java.io.IOException(s"pointer flip failed for $path")
+    // atomic overwrite: the pointer is never absent mid-flip
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, pointer(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Write `df` as the next snapshot and move the pointer; returns the
@@ -118,14 +121,21 @@ object VersionedTable {
   }
 
   /** Drop all version directories except the newest `keepLast` (the
-    * current pointer's target is always kept).
+    * current pointer's target is always kept) — but never a version
+    * younger than `minAgeMs` (by directory mtime): a reader pinned to an
+    * old version via [[readVersion]] must not lose its files mid-query,
+    * so set the age guard above the longest plausible reader. The default
+    * 0 keeps pure count-based retention for callers that KNOW no reader
+    * outlives a snapshot cycle.
     */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int,
+             minAgeMs: Long = 0L): Unit = {
     val keep = listVersions(spark, path).takeRight(keepLast).toSet ++
       currentVersion(spark, path)
     val f = fs(spark, new Path(path))
-    listVersions(spark, path).filterNot(keep).foreach { v =>
-      f.delete(new Path(versionDir(path, v)), true)
-    }
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    listVersions(spark, path).filterNot(keep)
+      .filter(v => f.getFileStatus(new Path(versionDir(path, v))).getModificationTime < cutoff)
+      .foreach { v => f.delete(new Path(versionDir(path, v)), true) }
   }
 }
