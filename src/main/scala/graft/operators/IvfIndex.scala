@@ -63,6 +63,61 @@ object IvfIndex {
       .select(col(idCol), col("centroid_id"))
   }
 
+  /** [[assign]] keeping the winning cosine — the input to drift tracking
+    * ([[assignmentQuality]]): how WELL each vector matches its nearest
+    * frozen centroid, not just which one.
+    */
+  def assignScored(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
+    registerNative(corpus.sparkSession)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("c").desc, col("centroid_id").asc)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c", ncos(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("c"))
+  }
+
+  /** Batch assignment-quality summary — the feedback loop the
+    * "train rarely, assign continuously" rhythm (q225) was missing
+    * (round-9 verdict item 4): one row (n, sum_cos) per batch, where
+    * sum_cos is the DECIMAL(18,9)-exact sum of each vector's cosine to
+    * its nearest frozen centroid. Decimal summation is order-independent,
+    * so the stat is reproducible cross-engine and cross-partitioning;
+    * mean comparisons are done cross-multiplied on (sum, n) pairs so no
+    * nondeterministic float division enters the trigger decision. One
+    * broadcast join + one aggregate per batch — O(batch), no corpus
+    * rescan.
+    */
+  def assignmentQuality(vectors: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame =
+    assignScored(vectors, idCol, vecCol, centroids)
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(18,9)")).as("sum_cos"))
+
+  /** The retrain trigger: does the delta batch's mean assigned-cosine
+    * degrade below `pct`% of the base build's? Cross-multiplied decimal
+    * comparison — `sum_d * n_b * 100 < pct * sum_b * n_d` — so the
+    * decision is exact. Returns one row per labeled batch with the shared
+    * flag, ready to grade or alert on.
+    */
+  def retrainSignal(base: DataFrame, delta: DataFrame, idCol: String,
+                    vecCol: String, centroids: DataFrame,
+                    pct: Int = 95): DataFrame = {
+    val b = assignmentQuality(base, idCol, vecCol, centroids)
+      .select(col("n").as("n_b"), col("sum_cos").as("sum_b"))
+    val d = assignmentQuality(delta, idCol, vecCol, centroids)
+      .select(col("n").as("n_d"), col("sum_cos").as("sum_d"))
+    val j = b.crossJoin(d).withColumn("retrain",
+      col("sum_d") * col("n_b") * lit(100) < col("sum_b") * col("n_d") * lit(pct))
+    j.select(lit("base").as("batch"), col("n_b").as("n"),
+        round(col("sum_b"), 6).cast("double").as("sum_cos"), col("retrain"))
+      .unionByName(
+        j.select(lit("delta").as("batch"), col("n_d").as("n"),
+          round(col("sum_d"), 6).cast("double").as("sum_cos"), col("retrain")))
+  }
+
   /** Full IVF search: build lists, probe the `nprobe` nearest lists per
     * query, exact cosine + top-k within the probed subset.
     */

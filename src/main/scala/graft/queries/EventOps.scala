@@ -336,6 +336,47 @@ object EventOps {
       |WHERE event_id % 5 <> 1
       |ORDER BY event_id""".stripMargin
 
+  /** q227: EXACTLY-ONCE CDC replication — q182's streaming loop through
+    * [[graft.streaming.EventStream.cdcSinkExactlyOnce]], whose batch
+    * ledger ([[graft.store.TableStore.applyCdcExactlyOnce]]) records each
+    * applied batch id INSIDE the same atomic swap as the data. After the
+    * stream completes, the query simulates the crash-replay `foreachBatch`
+    * cannot rule out: batch id 0 arrives AGAIN, now carrying poison
+    * values (the non-idempotent-feed nightmare at-least-once cannot
+    * survive). The ledger must skip it — a failed skip either trips the
+    * in-query require or floods the replica with poison and
+    * hash-mismatches the primary-derived oracle.
+    */
+  def streamCdcExactlyOnce(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamCdcFixtures(spark, dir)
+    val feedSchema = spark.read.parquet(fix.resolve("feed").toString).schema
+    val run = streamUpsertRoot.resolve("runCdcX1")
+    deleteRecursive(run)
+    val replica = run.resolve("replica_tbl")
+    java.nio.file.Files.createDirectories(replica)
+    copyRecursive(fix.resolve("replica_seed"), replica)
+    val feed = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("feed").toString)
+    val query = graft.streaming.EventStream.cdcSinkExactlyOnce(
+      feed, replica.toString, Seq("event_id"), run.resolve("ckpt").toString)
+    query.awaitTermination()
+    // the replay: same batch id, poisoned content — must be skipped
+    val poison = spark.read.parquet(fix.resolve("feed").toString)
+      .withColumn("value", lit(-777.0))
+    val applied = graft.store.TableStore.applyCdcExactlyOnce(
+      spark, replica.toString, poison, Seq("event_id"), batchId = 0)
+    require(!applied, "batch ledger failed: replayed batch id 0 re-applied")
+    // a genuinely NEW batch id still applies (the ledger gates replays,
+    // not progress): an empty-feed batch advances the ledger watermark
+    val advanced = graft.store.TableStore.applyCdcExactlyOnce(
+      spark, replica.toString, poison.limit(0), Seq("event_id"), batchId = 99)
+    require(advanced, "batch ledger wrongly blocked a new batch id")
+    spark.read.parquet(replica.toString).orderBy($"event_id")
+  } }
+
+  val streamCdcExactlyOnceSql: String = streamCdcReplicaSql
+
   // q187 fixtures: q182's seed/feed over a DAY-PARTITIONED replica with
   // exact integer cents, staged once per (JVM, sfDir)
   private val streamCdcPartStaged =
@@ -2488,6 +2529,7 @@ object EventOps {
     "q71_stream_upsert"  -> streamUpsert,
     "q182_stream_cdc_replica" -> streamCdcReplica,
     "q187_stream_cdc_partitioned" -> streamCdcPartitioned,
+    "q227_cdc_exactly_once" -> streamCdcExactlyOnce,
     "q84_stream_interval_join" -> streamIntervalJoin,
     "q145_stream_outer_join" -> streamOuterJoin,
     "q208_stream_full_outer" -> streamFullOuterJoin,
@@ -2533,6 +2575,7 @@ object EventOps {
     "q71_stream_upsert"  -> streamUpsertSql,
     "q182_stream_cdc_replica" -> streamCdcReplicaSql,
     "q187_stream_cdc_partitioned" -> streamCdcPartitionedSql,
+    "q227_cdc_exactly_once" -> streamCdcExactlyOnceSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
     "q145_stream_outer_join" -> streamOuterJoinSql,
     "q208_stream_full_outer" -> streamFullOuterJoinSql,

@@ -1046,7 +1046,71 @@ object VectorOps {
       |SELECT query_id, rk, nbr_id FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
+  /** q226: IVF RETRAIN TRIGGER — the feedback loop q225's "train rarely,
+    * assign continuously" rhythm was missing (round-9 verdict item 4):
+    * per delta batch, the mean cosine of each vector to its nearest
+    * FROZEN centroid ([[graft.operators.IvfIndex.assignmentQuality]] —
+    * decimal-exact sums, O(delta) per batch), compared cross-multiplied
+    * against the base build's mean; a delta whose assignments degrade
+    * below 90% of the base signals retrain. Two deltas are graded: the
+    * NATURAL holdout (same distribution — must NOT trip) and an
+    * ADVERSARIAL drifted one (direction-flipped vectors, mean assigned
+    * cosine goes negative — must trip). The corpus is folded into the
+    * positive orthant (abs per component) so the base cone is tight and
+    * both margins are sign-level, far from the 90% bound: the flag is
+    * insensitive to the engines' float-path cosine differences, which is
+    * also why the graded columns are counts and flags, not raw sums (the
+    * q34 ids-only trick). The oracle re-derives the whole stat in SQL.
+    * IvfIndexSpec additionally drives the trip→retrain→clear cycle.
+    */
+  def ivfRetrainTrigger(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val absEmb = embeddings(spark, dir)
+      .select($"vec_id", transform($"embedding", x => abs(x)).as("embedding"))
+    val base = absEmb.filter($"vec_id" % 10 =!= 7)
+    val deltaNat = absEmb.filter($"vec_id" % 10 === 7)
+    val deltaAdv = deltaNat.select($"vec_id",
+      transform($"embedding", x => -x).as("embedding"))
+    val ivf = graft.operators.IvfIndex
+    val centroids = ivf.seedCentroids(base, "vec_id", "embedding", 8).cache()
+    def graded(delta: DataFrame, kind: String) =
+      ivf.retrainSignal(base, delta, "vec_id", "embedding", centroids, pct = 90)
+        .select(lit(kind).as("delta_kind"), $"batch", $"n",
+          when($"retrain", 1L).otherwise(0L).as("retrain"))
+    graded(deltaNat, "natural")
+      .unionByName(graded(deltaAdv, "adversarial"))
+      .orderBy($"delta_kind", $"batch")
+  }
+
+  val ivfRetrainTriggerSql: String =
+    """WITH absemb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> abs(x)) AS v FROM embeddings),
+      |base AS (SELECT vec_id, v FROM absemb WHERE vec_id % 10 <> 7),
+      |dnat AS (SELECT vec_id, v FROM absemb WHERE vec_id % 10 = 7),
+      |dadv AS (SELECT vec_id, list_transform(v, x -> -x) AS v FROM dnat),
+      |seeds AS (SELECT v AS centroid FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) t),
+      |stat AS (
+      |  SELECT batch, COUNT(*) AS n, SUM(CAST(best AS DECIMAL(18,9))) AS s
+      |  FROM (
+      |    SELECT b.batch, b.vec_id, MAX(list_cosine_similarity(b.v, s.centroid)) AS best
+      |    FROM (SELECT 'base' AS batch, vec_id, v FROM base
+      |          UNION ALL SELECT 'nat', vec_id, v FROM dnat
+      |          UNION ALL SELECT 'adv', vec_id, v FROM dadv) b
+      |    CROSS JOIN seeds s GROUP BY 1, 2) t
+      |  GROUP BY batch),
+      |f AS (
+      |  SELECT d.kind AS delta_kind, b.n AS n_b, d.n AS n_d,
+      |         CAST(d.s * b.n * 100 < b.s * d.n * 90 AS BIGINT) AS retrain
+      |  FROM (SELECT 'natural' AS kind, n, s FROM stat WHERE batch = 'nat'
+      |        UNION ALL SELECT 'adversarial', n, s FROM stat WHERE batch = 'adv') d
+      |  CROSS JOIN (SELECT n, s FROM stat WHERE batch = 'base') b)
+      |SELECT delta_kind, batch, n, retrain FROM (
+      |  SELECT delta_kind, 'base' AS batch, n_b AS n, retrain FROM f
+      |  UNION ALL SELECT delta_kind, 'delta', n_d, retrain FROM f)
+      |ORDER BY delta_kind, batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_ivf_retrain_trigger" -> ivfRetrainTrigger,
     "q218_embed_standardize" -> embedStandardize,
     "q223_geometric_median" -> geometricMedian,
     "q225_ivf_incremental" -> cosineIvfIncremental,
@@ -1067,6 +1131,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_ivf_retrain_trigger" -> ivfRetrainTriggerSql,
     "q218_embed_standardize" -> embedStandardizeSql,
     "q223_geometric_median" -> geometricMedianSql,
     "q225_ivf_incremental" -> cosineIvfIncrementalSql,

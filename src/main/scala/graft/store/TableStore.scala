@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -193,7 +193,19 @@ object TableStore {
     * unlike delete-then-rename, which had a window with no readable table.
     * On an object store the same protocol is a manifest pointer flip.
     */
-  def atomicWrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+  def atomicWrite(spark: SparkSession, df: DataFrame, path: String): Unit =
+    atomicWriteMarked(spark, df, path, None)
+
+  /** [[atomicWrite]] optionally carrying a marker file INSIDE the staged
+    * directory (name must start with `_` so parquet readers ignore it):
+    * the commit rename then lands data and marker atomically — the
+    * transactional write the exactly-once batch ledger needs (a marker
+    * written after the swap would leave a crash window in which the data
+    * is live but the ledger says unapplied).
+    */
+  private[store] def atomicWriteMarked(spark: SparkSession, df: DataFrame,
+                                       path: String,
+                                       marker: Option[(String, String)]): Unit = {
     recover(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + "__tmp")
@@ -201,6 +213,11 @@ object TableStore {
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach { case (name, content) =>
+      require(name.startsWith("_"), s"marker $name must be _-prefixed")
+      val o = f.create(new Path(tmp, name), true)
+      try o.write((content + "\n").getBytes("UTF-8")) finally o.close()
+    }
     crashHook("staged")
     // fence: if this process holds a (possibly broken) writer lease for
     // the path, die loudly HERE rather than clobber a new holder's table
@@ -341,7 +358,8 @@ object TableStore {
     * ones are gone from the stage, so the resume is idempotent).
     */
   private def swapPartitionDirs(spark: SparkSession, path: String, tmp: String,
-                                partitionCol: String, expectedParts: Seq[Any]): Unit = {
+                                partitionCol: String, expectedParts: Seq[Any],
+                                ledgerBatch: Option[Long] = None): Unit = {
     require(StageSuffixes.exists(tmp.endsWith),
       s"partition stage $tmp must use a suffix recovery scans: $StageSuffixes")
     val f = fs(spark, new Path(path))
@@ -349,6 +367,13 @@ object TableStore {
       .map(_.getPath.getName).toSet
     val drops = expectedParts.map(partitionDirName(partitionCol, _))
       .filterNot(written.contains)
+    // the batch-ledger marker stages WITH the partitions: commit (or crash
+    // roll-forward) moves it to the table root, so ledger and data land
+    // under the same staged-marker protocol
+    ledgerBatch.foreach { b =>
+      val lo = f.create(new Path(tmp, LastBatchFile), true)
+      try lo.write(s"$b\n".getBytes("UTF-8")) finally lo.close()
+    }
     val out = f.create(new Path(tmp, DropPlan), true)
     try out.write(drops.mkString("\n").getBytes("UTF-8")) finally out.close()
     // fence BEFORE the staged marker: the marker is this protocol's commit
@@ -382,6 +407,15 @@ object TableStore {
       if (f.exists(target)) f.delete(target, true)
       if (!f.rename(st.getPath, target))
         throw new java.io.IOException(s"partition swap failed for $target")
+    }
+    // move the staged batch-ledger marker (if any) to the table root via
+    // an atomic OVERWRITE rename — idempotent on roll-forward, and the
+    // root marker is never absent mid-update
+    val ledger = new Path(tmp, LastBatchFile)
+    if (f.exists(ledger)) {
+      val fc = FileContext.getFileContext(ledger.toUri,
+        f.getConf)
+      fc.rename(ledger, new Path(path, LastBatchFile), Options.Rename.OVERWRITE)
     }
     crashHook("partCommitted")
     f.delete(new Path(tmp), true)
@@ -491,19 +525,73 @@ object TableStore {
     */
   def applyCdc(spark: SparkSession, path: String, feed: DataFrame,
                keys: Seq[String], opCol: String = "op",
-               checkUnique: Boolean = true): Unit = {
+               checkUnique: Boolean = true): Unit =
+    applyCdcImpl(spark, path, feed, keys, opCol, checkUnique, None)
+
+  private def applyCdcImpl(spark: SparkSession, path: String, feed: DataFrame,
+                           keys: Seq[String], opCol: String,
+                           checkUnique: Boolean,
+                           ledgerBatch: Option[Long]): Unit = {
     if (checkUnique) requireUniqueKeys(feed, keys, opCol)
+    val marker = ledgerBatch.map(b => (LastBatchFile, b.toString))
     val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
     val ups = feed.filter(col(opCol) =!= "D").drop(opCol)
     if (!exists(spark, path)) {
       // missing table ≡ empty table: a replication sink's first batch is a
       // pure insert of the non-delete rows (deletes of absent keys no-op)
-      atomicWrite(spark, ups, path)
+      atomicWriteMarked(spark, ups, path, marker)
     } else {
       val existing = read(spark, path)
       val afterDel = existing.join(dels, keys, "left_anti")
-      atomicWrite(spark, mergePlan(afterDel, ups, keys, None), path)
+      atomicWriteMarked(spark, mergePlan(afterDel, ups, keys, None), path, marker)
     }
+  }
+
+  /** Batch-ledger marker at the table root: the id of the last applied
+    * streaming batch, carried INSIDE each staged write so the swap lands
+    * data + ledger in one atomic rename. `_`-prefixed → invisible to
+    * parquet readers.
+    */
+  private[store] val LastBatchFile = "_GRAFT_LAST_BATCH"
+
+  /** The last batch id recorded by an exactly-once apply, or -1 for a
+    * missing table / a table only ever written by non-ledgered writers.
+    * Runs [[recover]] first, so a crashed partition swap completes
+    * (including its ledger move) before the id is read.
+    */
+  def lastAppliedBatch(spark: SparkSession, path: String): Long = {
+    if (!exists(spark, path)) return -1L
+    val p = new Path(path, LastBatchFile)
+    val f = fs(spark, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** EXACTLY-ONCE [[applyCdc]] — the standard foreachBatch batchId ledger
+    * (round-9 verdict item 5): structured streaming's `foreachBatch` is
+    * at-least-once (a crash between the apply and the checkpoint commit
+    * replays the batch), which is only safe while every feed is
+    * idempotent per batch. Recording the applied batch id INSIDE the
+    * atomically-swapped table directory upgrades the contract: a replayed
+    * batch id ≤ the recorded one is SKIPPED (returns false), and because
+    * the ledger rides the same rename as the data there is no window
+    * where data landed but the ledger says otherwise. Batch ids must be
+    * monotonically increasing, which structured streaming guarantees.
+    * Mixing ledgered and non-ledgered writers on one table forfeits the
+    * guarantee (a plain upsert's swap drops the marker).
+    */
+  def applyCdcExactlyOnce(spark: SparkSession, path: String, feed: DataFrame,
+                          keys: Seq[String], batchId: Long,
+                          opCol: String = "op",
+                          checkUnique: Boolean = true): Boolean = {
+    require(batchId >= 0, s"batch ids are non-negative, got $batchId")
+    if (batchId <= lastAppliedBatch(spark, path)) return false
+    applyCdcImpl(spark, path, feed, keys, opCol, checkUnique, Some(batchId))
+    true
   }
 
   /** Enforce the CDC contract cheaply: a key carrying two ops in one batch
@@ -618,7 +706,36 @@ object TableStore {
   def applyCdcPartitioned(spark: SparkSession, path: String, feed: DataFrame,
                           keys: Seq[String], partitionCol: String,
                           opCol: String = "op",
-                          checkUnique: Boolean = true): Unit = {
+                          checkUnique: Boolean = true): Unit =
+    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCol, opCol,
+      checkUnique, None)
+
+  /** EXACTLY-ONCE [[applyCdcPartitioned]] — same batch ledger as
+    * [[applyCdcExactlyOnce]], staged through the partition-swap protocol
+    * (the marker rides the stage dir and moves to the table root under
+    * the same roll-forward that commits the partitions). Returns false
+    * when `batchId` was already applied. Bootstrap caveat: the very first
+    * batch writes table-then-marker non-atomically; a crash between them
+    * replays a pure-insert batch, which merge-converges — every later
+    * batch is strictly exactly-once.
+    */
+  def applyCdcPartitionedExactlyOnce(spark: SparkSession, path: String,
+                                     feed: DataFrame, keys: Seq[String],
+                                     partitionCol: String, batchId: Long,
+                                     opCol: String = "op",
+                                     checkUnique: Boolean = true): Boolean = {
+    require(batchId >= 0, s"batch ids are non-negative, got $batchId")
+    if (batchId <= lastAppliedBatch(spark, path)) return false
+    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCol, opCol,
+      checkUnique, Some(batchId))
+    true
+  }
+
+  private def applyCdcPartitionedImpl(spark: SparkSession, path: String,
+                                      feed: DataFrame, keys: Seq[String],
+                                      partitionCol: String, opCol: String,
+                                      checkUnique: Boolean,
+                                      ledgerBatch: Option[Long]): Unit = {
     if (checkUnique) requireUniqueKeys(feed, keys, opCol)
     if (!exists(spark, path)) {
       val firstRows = feed.filter(col(opCol) =!= "D").drop(opCol)
@@ -626,8 +743,14 @@ object TableStore {
       // dynamic-partition write leaves a schema-less dir (only _SUCCESS —
       // unlike the flat path, which writes a schema-bearing empty file)
       // that wedges every subsequent read with 'unable to infer schema'
-      if (!firstRows.isEmpty)
+      if (!firstRows.isEmpty) {
         firstRows.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+        ledgerBatch.foreach { b =>
+          val f = fs(spark, new Path(path))
+          val o = f.create(new Path(path, LastBatchFile), true)
+          try o.write(s"$b\n".getBytes("UTF-8")) finally o.close()
+        }
+      }
       return
     }
     val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
@@ -657,6 +780,6 @@ object TableStore {
     val merged = mergePlan(affected.join(dels, keys, "left_anti"), ups, keys, None)
     val tmp = path + "__ctmp"
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
+    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq, ledgerBatch)
   }
 }

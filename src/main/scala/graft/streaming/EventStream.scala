@@ -263,6 +263,52 @@ object EventStream {
       }
       .start()
 
+  /** EXACTLY-ONCE [[cdcSink]]: `foreachBatch` replays a batch when a
+    * crash lands between the apply and the checkpoint commit — safe only
+    * for idempotent feeds. This sink routes through
+    * [[TableStore.applyCdcExactlyOnce]], whose batch ledger (recorded
+    * inside the same atomic swap as the data) skips already-applied batch
+    * ids — so even a NON-idempotent future feed cannot double-apply.
+    * ExactlyOnceCdcSpec replays the same batch id with altered content
+    * and proves single application; q227 grades the end-to-end loop.
+    */
+  def cdcSinkExactlyOnce(feed: DataFrame, targetPath: String, keys: Seq[String],
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try TableStore.applyCdcExactlyOnce(
+          spark, targetPath, materialized, keys, batchId)
+        finally materialized.unpersist()
+        ()
+      }
+      .start()
+
+  /** [[cdcSinkExactlyOnce]] against a PARTITIONED replica: the batch
+    * ledger rides the partition-stage protocol (marker moves to the table
+    * root under the same roll-forward that commits the partition dirs).
+    */
+  def cdcSinkPartitionedExactlyOnce(feed: DataFrame, targetPath: String,
+                                    keys: Seq[String], partitionCol: String,
+                                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try TableStore.applyCdcPartitionedExactlyOnce(
+          spark, targetPath, materialized, keys, partitionCol, batchId)
+        finally materialized.unpersist()
+        ()
+      }
+      .start()
+
   /** [[cdcSink]] against a PARTITIONED replica — the 100 TB steady state:
     * a continuously-running replication stream must touch only the
     * partitions each micro-batch's deletes live in and upserts land in

@@ -65,6 +65,36 @@ class IvfIndexSpec extends SparkSuite {
     assert(meanRecall > 0.3, f"recall $meanRecall%.2f")
   }
 
+  test("retrain trigger: an adversarial drifted delta trips the flag; a fresh train clears it") {
+    // positive-orthant corpus (tight cone): base assignments score high
+    val absEmb = emb.select($"vec_id", transform($"embedding", x => abs(x)).as("embedding"))
+    val base = absEmb.filter($"vec_id" % 10 =!= 7)
+    val natural = absEmb.filter($"vec_id" % 10 === 7)
+    val drifted = natural.select($"vec_id", transform($"embedding", x => -x).as("embedding"))
+    val frozen = IvfIndex.seedCentroids(base, "vec_id", "embedding", 8).cache()
+
+    def flag(delta: org.apache.spark.sql.DataFrame,
+             cents: org.apache.spark.sql.DataFrame) =
+      IvfIndex.retrainSignal(base, delta, "vec_id", "embedding", cents, pct = 90)
+        .select("retrain").head().getBoolean(0)
+
+    // same-distribution delta: assignments as good as the base — no trip
+    assert(!flag(natural, frozen))
+    // drifted delta (direction-flipped): mean assigned cosine collapses — trip
+    assert(flag(drifted, frozen))
+    // the prescribed response: retrain on base ∪ drifted delta; against the
+    // FRESH centroids the drifted batch scores like any member of the new
+    // corpus and the signal clears
+    val retrained = IvfIndex.lloydStep(base.unionByName(drifted), "vec_id", "embedding",
+      IvfIndex.seedCentroids(base.unionByName(drifted), "vec_id", "embedding", 8)).cache()
+    assert(!flag(drifted, retrained))
+    // sanity on the stat itself: decimal sums are partitioning-invariant
+    val s1 = IvfIndex.assignmentQuality(base, "vec_id", "embedding", frozen).head()
+    val s2 = IvfIndex.assignmentQuality(base.repartition(7), "vec_id", "embedding", frozen).head()
+    assert(s1.getLong(0) == s2.getLong(0))
+    assert(s1.getDecimal(1) == s2.getDecimal(1))
+  }
+
   test("q72 recall query reports the same mean recall, above the nprobe bound") {
     val rows = graft.queries.VectorOps.cosineIvfRecall(spark, sf).collect()
     assert(rows.nonEmpty)
