@@ -199,6 +199,24 @@ object TextFunctions {
           s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shs"))
   }
 
+  /** Distinct per-document shingle HASHES (idCol, h: bigint) — [[shingles]]
+    * with each n-gram replaced by its xxhash64 BEFORE the local distinct
+    * and the explode. Every downstream shuffle, cache, and equi-join then
+    * moves 8-byte longs instead of n-gram strings (the dedup family's
+    * dominant data volume), and the signature permutations consume the
+    * same hash they would have computed anyway. Set semantics are
+    * preserved up to 64-bit collisions inside one document's shingle set
+    * (probability ~len²·2⁻⁶⁴ — negligible against corpus-scale work; the
+    * q29 exact-Jaccard oracle anchor keeps the string path).
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1)
+    df.select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(array_distinct(expr(
+        s"transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)), " +
+          s"(x, i) -> xxhash64(concat_ws(' ', slice(t, i + 1, $n))))"))).as("h"))
+  }
+
   /** [[shingles]] keeping the 0-based start position and duplicates —
     * the ordered n-gram stream winnowing selects from (position is the
     * tie-breaker and the window axis, so neither may be collapsed).

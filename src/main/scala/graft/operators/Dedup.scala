@@ -78,10 +78,20 @@ object Dedup {
     * (large) shingle table. Output: (idCol, n_sh, sig).
     */
   def minhashSignaturesAndCounts(sh: DataFrame, idCol: String,
-                                 numHashes: Int): DataFrame = {
-    val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(p)))
+                                 numHashes: Int): DataFrame =
+    minhashSignaturesAndCountsFromHashes(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("h")), idCol, numHashes)
+
+  /** [[minhashSignaturesAndCounts]] over a PRE-HASHED shingle table
+    * (idCol, h: bigint from [[TextFunctions.shingleHashes]]) — identical
+    * signature values (the string path hashes to the same xxhash64 before
+    * the permutations), but the groupBy shuffles 8-byte longs.
+    */
+  def minhashSignaturesAndCountsFromHashes(sh: DataFrame, idCol: String,
+                                           numHashes: Int): DataFrame = {
+    val hashed = sh.withColumn("hm", pmod(col("h"), lit(p)))
     val aggs = count(lit(1)).as("n_sh") +: (0 until numHashes).map { i =>
-      min(pmod(col("h") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
+      min(pmod(col("hm") * lit(aCoef(i)) + lit(bCoef(i)), lit(p))).as(s"m$i")
     }
     hashed.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -165,14 +175,27 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, bands: Int = 16,
                           shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sh = TextFunctions.shingles(df, idCol, textCol, shingleN).cache()
+    // hashed shingle stream: every cache/shuffle/join below moves longs,
+    // not n-gram strings — set semantics preserved up to 64-bit collisions
+    // (see shingleHashes; the q29 oracle anchor keeps the string path)
+    val sh = TextFunctions.shingleHashes(df, idCol, textCol, shingleN).cache()
     // per-doc rows are tiny (65 longs/doc) — persisting decouples the
     // candidate branch from the count branch without re-aggregating sh
-    val sc = minhashSignaturesAndCounts(sh, idCol, numHashes).persist()
+    val sc = minhashSignaturesAndCountsFromHashes(sh, idCol, numHashes).persist()
     val cand = minhashCandidates(sc.select(col(idCol), col("sig")), idCol, bands)
-    jaccardOnPairs(sh, idCol, cand,
-        counts = Some(sc.select(col(idCol), col("n_sh"))))
+    val cnt = sc.select(col(idCol), col("n_sh"))
+    val inter = sh.select(col(idCol).as("d1"), col("h"))
+      .join(cand, Seq("d1"))
+      .join(sh.select(col(idCol).as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col(idCol).as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(cnt.select(col(idCol).as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard"))
   }
 
   /** SimHash bit width: 60, the width of [[TextFunctions.portableHash60]].
