@@ -86,12 +86,15 @@ object Bench {
     }
     def cleanup(): Unit = {
       dropBlocks()
-      System.gc() // enqueue dead broadcast/shuffle refs for the ContextCleaner
-      // The ContextCleaner drains that queue ASYNC — scrub surviving
-      // broadcast blocks synchronously so their eviction cannot land in the
-      // next timed trial (safe here: between trials no plan is live, and a
-      // fresh plan re-broadcasts what it needs).
+      // Scrub broadcast blocks synchronously BEFORE the gc: the gc enqueues
+      // the dead Broadcast refs for the ASYNC ContextCleaner, and racing it
+      // (scrub-after-gc) made both sides remove the same block — harmless
+      // but ERROR-logged by Spark internals. Scrub-first leaves the cleaner
+      // a quiet no-op, and the eviction still cannot land in the next timed
+      // trial (safe here: between trials no plan is live, and a fresh plan
+      // re-broadcasts what it needs).
       org.apache.spark.graft.BlockHygiene.dropBroadcasts(spark.sparkContext)
+      System.gc()
     }
     // SPARK_GRAFT_ONLY="q29,q47_dedup_groups": run only queries whose name
     // starts with one of the comma-separated prefixes — local iteration on a

@@ -167,7 +167,7 @@ object TextFunctions {
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
   }
 
-  /** Distinct token n-gram shingles per document — ZERO shuffles. Returns
+  /** Distinct token n-gram shingles per document. Returns
     * (idCol, shingle) rows.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -178,25 +178,20 @@ object TextFunctions {
     // cost a full shuffle of the token stream per call and dominated every
     // shingle consumer (q29/q30/q31/q49/q65/q125, the benches' heaviest
     // family). Only complete n-grams survive: start positions stop at
-    // size − (n−1). Dedup scope is PER DOCUMENT (idCol is part of the
-    // distinct key), so array_distinct on the local array before the
-    // explode is exactly the old global `.distinct()` minus its full
-    // shuffle of the shingle stream — the round-10 q29/q30/q47/q48 win.
-    shingleArrays(df, idCol, textCol, n)
-      .select(col(idCol), explode(col("shs")).as("shingle"))
-  }
-
-  /** Per-document DISTINCT shingle set as one array row (idCol, shs) —
-    * the un-exploded form of [[shingles]]. One row per doc, zero shuffles;
-    * set-level consumers (MinHash signatures, array_intersect verify) work
-    * on it directly without ever exploding the shingle stream.
-    */
-  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    require(n >= 1)
+    // size − (n−1). The per-doc dedup stays a GLOBAL `.distinct()` on
+    // purpose: a round-10 A/B replaced it with `array_distinct` on the
+    // local string array to save the shuffle, and the full bench showed
+    // string consumers 2-7.7× SLOWER (q91/q81/q69/q49) — ArrayDistinct
+    // only has a hash fast path for primitive element types; on strings
+    // it degrades to pairwise comparison, and the removed exchange had
+    // also been the implicit materialization multi-consumer plans reused.
+    // The hashed twin [[shingleHashes]] (long elements → fast path) is
+    // where the shuffle-free form pays off.
     df.select(col(idCol), tokens(col(textCol)).as("t"))
-      .select(col(idCol), array_distinct(expr(
+      .select(col(idCol), explode(expr(
         s"transform(slice(t, 1, greatest(size(t) - ${n - 1}, 0)), " +
-          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shs"))
+          s"(x, i) -> concat_ws(' ', slice(t, i + 1, $n)))")).as("shingle"))
+      .distinct()
   }
 
   /** Distinct per-document shingle HASHES (idCol, h: bigint) — [[shingles]]

@@ -675,6 +675,64 @@ object MergeOps {
       |       n AS n_pub, total AS total_pub
       |FROM a ORDER BY o_orderpriority""".stripMargin
 
+  /** q228: writer-lease FENCING end-to-end ([[graft.store.WriterLease]])
+    * — the multi-writer race a 100 TB scheduler makes a when-not-if,
+    * scripted and graded: writer A acquires the table lease and stalls
+    * (its lease goes stale); a live writer B must first be REFUSED
+    * (lock held), then break the stale lease with a strictly higher
+    * fencing token and commit the real table; stalled A wakes and its
+    * commit MUST die at the fence inside [[graft.store.TableStore
+    * .atomicWrite]] without touching the table. The graded row carries
+    * the two tokens, the refused/fenced outcomes, and the surviving
+    * table's aggregate — which must equal writer B's content (the
+    * orders-derived oracle); a fence that lets stalled A through floods
+    * the aggregate with poison and hash-mismatches.
+    */
+  def writerFence(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.store.{TableStore, WriterLease}
+    val run = mergeRoot.resolve("runFence")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+    val a = WriterLease.acquire(spark, tbl, "writerA", ttlMs = 60000)
+    // A stalls: age its lease past the ttl (the spec-grade stale window)
+    val leaseP = new org.apache.hadoop.fs.Path(tbl + "__lease", "LEASE")
+    val lfs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a LIVE lease must refuse a second writer before any staleness
+    val refused =
+      try { WriterLease.acquire(spark, tbl, "writerB", ttlMs = 60000); 0L }
+      catch { case _: WriterLease.LockHeldException => 1L }
+    lfs.setTimes(leaseP, System.currentTimeMillis() - 120000, -1)
+    val b = WriterLease.acquire(spark, tbl, "writerB", ttlMs = 60000)
+    TableStore.atomicWrite(spark, base.filter($"o_orderkey" % 3 === 0), tbl)
+    // stalled A wakes (separate-process simulation: re-adopt its handle)
+    // and tries to clobber the table with poison — the fence must kill it
+    WriterLease.adopt(a)
+    val fenced =
+      try {
+        TableStore.atomicWrite(spark,
+          base.limit(1).withColumn("o_totalprice", lit(-1.0)), tbl)
+        0L
+      } catch { case _: WriterLease.FencedException => 1L }
+    WriterLease.adopt(b)
+    val survived = TableStore.read(spark, tbl)
+    WriterLease.release(spark, b)
+    survived
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"))
+      .select(lit(a.token).as("token_a"), lit(b.token).as("token_b"),
+        lit(refused).as("live_refused"), lit(fenced).as("stale_fenced"),
+        $"n_rows", $"total")
+  }
+
+  val writerFenceSql: String =
+    """SELECT CAST(1 AS BIGINT) AS token_a, CAST(2 AS BIGINT) AS token_b,
+      |       CAST(1 AS BIGINT) AS live_refused, CAST(1 AS BIGINT) AS stale_fenced,
+      |       COUNT(*) AS n_rows,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
+
   /** q194: XML round-trip — Spark 4's NATIVE XML source (the spark-xml
     * donation) completing the format matrix (parquet/ORC/CSV/JSONL/XML):
     * explicit `rowTag` element per order, micros `timestampFormat` on both
@@ -1037,6 +1095,7 @@ object MergeOps {
     "q205_incremental_view" -> incrementalViewMaintenance,
     "q207_dynamic_overwrite" -> dynamicOverwrite,
     "q221_multi_publish" -> multiPublish,
+    "q228_writer_fence" -> writerFence,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -1060,6 +1119,7 @@ object MergeOps {
     "q205_incremental_view" -> incrementalViewMaintenanceSql,
     "q207_dynamic_overwrite" -> dynamicOverwriteSql,
     "q221_multi_publish" -> multiPublishSql,
+    "q228_writer_fence" -> writerFenceSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,

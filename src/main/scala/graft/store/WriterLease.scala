@@ -166,12 +166,16 @@ object WriterLease {
     }
   }
 
-  /** Test seam: the `held` registry is keyed by path because a real
-    * deployment has ONE writer process per table — but a two-writer spec
-    * lives in one JVM, so it re-registers a lease to switch whose
-    * perspective the fence checks.
+  /** Adopt a lease handle as THIS process's registered writer identity
+    * for its root. The registry is keyed by path because a real
+    * deployment has one writer process per table; adopt exists for (a)
+    * a restarted driver resuming with a persisted lease handle, and (b)
+    * two-writer simulations in one JVM (WriterLeaseSpec, q228), which
+    * re-adopt to switch whose perspective the fence checks.
     */
-  private[store] def register(lease: Lease): Unit = held.put(lease.root, lease)
+  def adopt(lease: Lease): Unit = held.put(lease.root, lease)
+
+  private[store] def register(lease: Lease): Unit = adopt(lease)
 
   /** Scoped acquire/release: run `body` under the lease, always release.
     * The store protocols fence automatically for `root` inside.
