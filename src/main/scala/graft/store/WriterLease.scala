@@ -178,11 +178,44 @@ object WriterLease {
   private[store] def register(lease: Lease): Unit = adopt(lease)
 
   /** Scoped acquire/release: run `body` under the lease, always release.
-    * The store protocols fence automatically for `root` inside.
+    * The store protocols fence automatically for `root` inside. For work
+    * that can outlast `ttlMs`, use [[withHeartbeat]] — a silent holder
+    * looks dead and invites a break.
     */
   def withLease[T](spark: SparkSession, root: String, ownerId: String,
                    ttlMs: Long = 60000L)(body: Lease => T): T = {
     val lease = acquire(spark, root, ownerId, ttlMs)
     try body(lease) finally release(spark, lease)
+  }
+
+  /** [[withLease]] plus a daemon heartbeat every ttl/3: a write running
+    * longer than the ttl would otherwise let its OWN lease go stale and
+    * invite a break mid-write — the fence would stop the resulting
+    * clobber, but the honest long writer would die spuriously. The
+    * heartbeat keeps the mtime fresh for as long as the body runs; if
+    * the lease is broken anyway (e.g. a pause longer than the ttl), the
+    * heartbeat's FencedException is swallowed here and the protocol
+    * fence inside the next commit rename delivers the loud failure at
+    * the point that matters.
+    */
+  def withHeartbeat[T](spark: SparkSession, root: String, ownerId: String,
+                       ttlMs: Long = 60000L)(body: Lease => T): T = {
+    val lease = acquire(spark, root, ownerId, ttlMs)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      val interval = math.max(ttlMs / 3, 100L)
+      while (!stop.get()) {
+        try heartbeat(spark, lease) catch { case _: Throwable => () }
+        var waited = 0L
+        while (!stop.get() && waited < interval) { Thread.sleep(50); waited += 50 }
+      }
+    }, s"writer-lease-heartbeat-$ownerId")
+    beat.setDaemon(true)
+    beat.start()
+    try body(lease)
+    finally {
+      stop.set(true); beat.join(2000)
+      release(spark, lease)
+    }
   }
 }

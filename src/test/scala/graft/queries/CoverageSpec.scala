@@ -77,7 +77,8 @@ class CoverageSpec extends SparkSuite {
     "q214_winnowing", "q215_label_propagation", "q216_bfs_hops",
     "q217_assoc_rules", "q218_embed_standardize", "q219_image_neardup",
     "q220_kcore", "q221_multi_publish", "q222_quantile_norm",
-    "q223_geometric_median", "q224_itemset_triples", "q225_ivf_incremental")
+    "q223_geometric_median", "q224_itemset_triples", "q225_ivf_incremental",
+    "q226_ivf_retrain_trigger", "q227_cdc_exactly_once", "q228_writer_fence")
   // q74 may legitimately find 0 pairs at sf0.001; q196's n12 ≥ 5 floor can
   // be empty on the 50-doc fixture — both consciously absent above
 

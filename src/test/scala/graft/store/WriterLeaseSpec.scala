@@ -114,6 +114,25 @@ class WriterLeaseSpec extends SparkSuite {
     WriterLease.release(spark, b)
   }
 
+  test("withHeartbeat keeps a long writer's lease alive past its ttl") {
+    val root = mkPath("t6")
+    val result = WriterLease.withHeartbeat(spark, root, "longWriter", ttlMs = 600) { lease =>
+      // body outlives the ttl by 3x; the heartbeat must keep refreshing
+      Thread.sleep(1800)
+      // a second writer probing NOW must still see a LIVE lease — without
+      // the heartbeat the 600ms ttl lapsed three times over
+      intercept[WriterLease.LockHeldException] {
+        WriterLease.acquire(spark, root, "impatient", ttlMs = 600)
+      }
+      lease.token
+    }
+    assert(result == 1L)
+    // released: the next writer acquires with the advanced token
+    val next = WriterLease.acquire(spark, root, "after", ttlMs = 600)
+    assert(next.token == 2L)
+    WriterLease.release(spark, next)
+  }
+
   test("withLease releases on success and failure; unleased paths fence as no-op") {
     val root = mkPath("t5")
     WriterLease.withLease(spark, root, "w1") { lease =>
