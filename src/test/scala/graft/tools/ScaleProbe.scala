@@ -118,18 +118,35 @@ object ScaleProbe {
         .map(_.dropWhile(c => !c.isLetter).takeWhile(c => c.isLetterOrDigit))
         .filter(_.nonEmpty).toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
 
+    // Same cleanup discipline as the graded Bench (round-10): blocking
+    // unpersist FIRST (clearCache alone deregisters cached RDDs with
+    // blocking=false, so their eviction lands inside the next timed run),
+    // then the registry clear, then a synchronous broadcast scrub. Without
+    // this, the histogram-construction pass of an EAGER query (q47's
+    // component solve, the store queries) left its multi-GB sf1 caches
+    // resident while the timed run re-cached its own copy — double
+    // footprint, spills, and 2-7x inflated "ratios" that read as
+    // super-linear cliffs when the operator was actually linear.
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      org.apache.spark.graft.BlockHygiene.dropBroadcasts(spark.sparkContext)
+      System.gc()
+    }
     probes.foreach { name => try {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, srcDir).count() // warm JIT/codegen at the small SF
-      spark.catalog.clearCache(); System.gc()
+      cleanup()
       val shapeSmall = opHistogram(fn(spark, srcDir))
+      cleanup() // an eager query's construction may itself cache
       val t0s = System.nanoTime(); val nSmall = fn(spark, srcDir).count()
       val dtSmall = (System.nanoTime() - t0s) / 1e9
-      spark.catalog.clearCache(); System.gc()
+      cleanup()
       val shapeBig = opHistogram(fn(spark, outDir))
+      cleanup()
       val t0 = System.nanoTime(); val nBig = fn(spark, outDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache(); System.gc()
+      cleanup()
       val heap = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1 << 20)
       val drift = (shapeSmall.keySet ++ shapeBig.keySet)
         .filter(k => shapeSmall.getOrElse(k, 0) != shapeBig.getOrElse(k, 0))
