@@ -56,10 +56,10 @@ object Bench {
     // timed before/after the run give every bench artifact a machine-speed
     // denominator: driver-vs-clean drift beyond the probe ratio is ours,
     // drift matching it is the box.
-    def cpuProbeOnce(): Double = {
+    def cpuProbeOnce(iters: Int = 300000000): Double = {
       val t0 = System.nanoTime()
       var s = 0L; var i = 0
-      while (i < 300000000) { s += i.toLong * i; i += 1 }
+      while (i < iters) { s += i.toLong * i; i += 1 }
       if (s == 42L) System.err.print("") // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e9
     }
@@ -119,6 +119,7 @@ object Bench {
     // instrument: a nonzero residual here is exactly the storage pressure
     // the next query's trials would have run under.
     val residual = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, Long, Int)]
+    val perQueryProbe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val probeBefore = cpuProbe()
     System.err.println(f"[bench] cpu probe before: single ${probeBefore._1}%.3f s, " +
       f"${cpus}x ${probeBefore._2}%.3f s")
@@ -136,8 +137,22 @@ object Bench {
         // storage left behind AFTER cleanup — what the next trial runs under
         val (rb, rm, rd, rbc) = org.apache.spark.graft.BlockHygiene.snapshot(spark.sparkContext)
         if (t == trials) residual(name) = (rb, rm, rd, rbc)
+        // per-trial machine-state reading: the box's contention windows
+        // open and close WITHIN a run (run C of round 10: q30 5.6 s vs
+        // 1.6 s on identical code with clean endpoint probes), so each
+        // query row needs its own denominator, not just the run's. It
+        // must be the PARALLEL probe — the single-thread loop reads the
+        // same in both machine states; only aggregate throughput drops.
+        val probeQ = {
+          val t0p = System.nanoTime()
+          val ths = (1 to cpus.toInt).map(_ => new Thread(() => { cpuProbeOnce(37500000); () }))
+          ths.foreach(_.start()); ths.foreach(_.join())
+          (System.nanoTime() - t0p) / 1e9
+        }
+        if (t == trials) perQueryProbe(name) = probeQ
         System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok, " +
-          f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc")
+          f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc, " +
+          f"probe ${probeQ * 1000}%.0fms")
         if (ok) Some(dt) else None
       }
       name -> times
@@ -163,7 +178,8 @@ object Bench {
     System.err.println(f"[bench] cpu probe after: single ${probeAfter._1}%.3f s, " +
       f"${cpus}x ${probeAfter._2}%.3f s")
     val detail = BenchFormat.detail(results, trials, sfDir, residual.toSeq,
-      Seq(probeBefore._1, probeBefore._2, probeAfter._1, probeAfter._2))
+      Seq(probeBefore._1, probeBefore._2, probeAfter._1, probeAfter._2),
+      perQueryProbe.toSeq)
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }

@@ -104,7 +104,8 @@ object BenchFormat {
     */
   def detail(results: Seq[(String, Seq[Option[Double]])], trials: Int, sf: String,
              residual: Seq[(String, (Int, Long, Long, Int))] = Nil,
-             cpuProbe: Seq[Double] = Nil): String = {
+             cpuProbe: Seq[Double] = Nil,
+             perQueryProbe: Seq[(String, Double)] = Nil): String = {
     val trialsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(o => f3(o.getOrElse(-1.0))).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -130,9 +131,17 @@ object BenchFormat {
     val probeJson =
       if (cpuProbe.isEmpty) ""
       else cpuProbe.map(f3).mkString(""","cpu_probe_sec":[""", ",", "]")
+    // per-query machine-state denominator (seconds for ~45ms of fixed
+    // work measured right after the query's last trial): contention
+    // windows open and close WITHIN a run, so cross-run comparisons
+    // should divide each query by its own probe, not the run's endpoints
+    val pqProbeJson =
+      if (perQueryProbe.isEmpty) ""
+      else perQueryProbe.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString(""","cpu_probe_per_query":{""", ",", "}")
     s"""{"sf":"$sf","trials":$trials,"total_of_medians":${f3(total)},""" +
       s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson""" +
       (if (residual.nonEmpty) s""","residual_after_cleanup":$residJson""" else "") +
-      probeJson + "}"
+      probeJson + pqProbeJson + "}"
   }
 }
