@@ -156,10 +156,15 @@ object GraphOps {
     // catch it — round-9 advice). Fail loudly; larger id spaces need a
     // two-column/struct max instead. One scalar agg on the already-
     // checkpointed edge frame.
-    val maxId = pairs.agg(greatest(max($"p1"), max($"p2"))).head().getLong(0)
-    require(maxId >= 0 && maxId < 4294967296L,
-      s"label-propagation packing (cnt*2^32 - label) needs node ids < 2^32; " +
-        s"max id = $maxId — widen the argmax to a struct/two-column aggregate")
+    val maxIdRow = pairs.agg(greatest(max($"p1"), max($"p2"))).head()
+    // edgeless corpus: the agg over an empty frame is null — skip the guard
+    // (everything downstream is empty-safe) instead of NPE-ing on getLong
+    if (!maxIdRow.isNullAt(0)) {
+      val maxId = maxIdRow.getLong(0)
+      require(maxId >= 0 && maxId < 4294967296L,
+        s"label-propagation packing (cnt*2^32 - label) needs node ids < 2^32; " +
+          s"max id = $maxId — widen the argmax to a struct/two-column aggregate")
+    }
     val edges = pairs.select($"p1".as("src"), $"p2".as("dst"))
       .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
     var labels = edges.select($"src".as("node")).distinct()

@@ -17,9 +17,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     only after every table dir is complete);
   *  3. create the `_COMMIT` intent marker inside `v=N` — the durable
   *     commit point;
-  *  4. flip the group's single `CURRENT` pointer to N with an ATOMIC
-  *     OVERWRITE rename (`FileContext.rename(..., Rename.OVERWRITE)`), so
-  *     the pointer is never absent — no delete+rename window.
+  *  4. flip the group's single `CURRENT` pointer to N with an OVERWRITE
+  *     rename (`FileContext.rename(..., Rename.OVERWRITE)`) — atomic where
+  *     the FS supports it (HDFS); on RawLocalFileSystem FileContext
+  *     delegates to delete-then-rename, so a tiny pointer-absent window
+  *     remains there and correctness rests on [[currentVersion]]'s
+  *     fallback to the highest `_COMMIT`'d version, not on the flip alone.
   * Crash cases: during staging → no marker, readers stay on the old
   * pointer; after `_STAGED` but before `_COMMIT` → the publish is simply
   * lost (pointer still names the old version; both tables consistent; a
@@ -73,9 +76,9 @@ object MultiTablePublish {
       .sorted
   }
 
-  /** The live version: the pointer if present, else (bootstrap crash —
-    * with the atomic overwrite flip the pointer is otherwise never
-    * absent) the highest version whose `_COMMIT` intent is durable. A
+  /** The live version: the pointer if present, else (bootstrap crash, or
+    * the local-FS delete-then-rename window of the pointer flip) the
+    * highest version whose `_COMMIT` intent is durable. A
     * version that is `_STAGED` but never reached `_COMMIT` is NEVER
     * resolved — a crashed publish cannot be resurrected by pointer loss.
     */
@@ -113,7 +116,8 @@ object MultiTablePublish {
     val tmp = new Path(root, "CURRENT__tmp")
     val o = f.create(tmp, true)
     try o.write(s"$next\n".getBytes("UTF-8")) finally o.close()
-    // atomic overwrite: CURRENT transitions old→new with no absent window
+    // overwrite rename: atomic on HDFS; on the local FS the _COMMIT
+    // fallback in currentVersion covers its delete-then-rename window
     val fc = FileContext.getFileContext(tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, pointer(root), Options.Rename.OVERWRITE)
     crashHook("committed")
@@ -151,22 +155,43 @@ object MultiTablePublish {
   }
 
   /** Drop versions below the live one minus `keep` (retention count),
-    * but never a version younger than `minAgeMs` (by directory mtime):
-    * a long-running reader pinned to an old version via [[readAt]] must
-    * not lose its files mid-query, so the age guard must exceed the
-    * longest plausible reader (round-9 advice item 8). `minAgeMs = 0`
-    * restores pure count-based retention for callers that KNOW no reader
-    * outlives a publish cycle.
+    * but never a version younger than `minAgeMs` (by directory mtime)
+    * and NEVER a version with a live [[ReaderPins]] pin, regardless of
+    * age or retention: a long-running reader pinned via [[readAllPinned]]
+    * must not lose its files mid-query. The age guard remains for readers
+    * that did not pin (round-9 advice item 8); `minAgeMs = 0` restores
+    * pure count-based retention for callers that KNOW no unpinned reader
+    * outlives a publish cycle. Vacuum fences first: a fenced-out
+    * publisher's stale vacuum must die loudly rather than delete versions
+    * the new holder still references.
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1,
              minAgeMs: Long = 0L): Unit = {
+    WriterLease.fence(spark, root)
+    val pinned = ReaderPins.livePinned(spark, root)
     val f = fs(spark, new Path(root))
     val cutoff = System.currentTimeMillis() - minAgeMs
     currentVersion(spark, root).foreach { cur =>
       listVersions(spark, root, Some(marker(root, _)))
         .filter(_ < cur - keep)
+        .filterNot(pinned)
         .filter(v => f.getFileStatus(new Path(versionDir(root, v))).getModificationTime < cutoff)
         .foreach { v => f.delete(new Path(versionDir(root, v)), true) }
+    }
+  }
+
+  /** [[readAll]] under a live reader pin on the resolved version: the
+    * pinned version cannot be vacuumed while `body` runs (heartbeat keeps
+    * the pin alive past its ttl). This is the safe shape for a SLOW
+    * cross-table consumer under both a concurrent publisher and an
+    * aggressive vacuum.
+    */
+  def readAllPinned[T](spark: SparkSession, root: String, tables: Seq[String],
+                       ttlMs: Long = 60000L)(body: (Int, Map[String, DataFrame]) => T): T = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no published version at $root"))
+    ReaderPins.withPin(spark, root, v, ttlMs) {
+      body(v, tables.map(t => t -> readAt(spark, root, v, t)).toMap)
     }
   }
 }

@@ -451,6 +451,10 @@ object TableStore {
     */
   def vacuumStages(spark: SparkSession, path: String,
                    olderThanMs: Long): Seq[String] = {
+    // not a commit point, but a fenced-out writer's stale housekeeping
+    // racing the new holder's in-flight stage is one fence away from
+    // impossible (round-10 verdict item 4)
+    WriterLease.fence(spark, path)
     val f = fs(spark, new Path(path))
     val cutoff = System.currentTimeMillis() - olderThanMs
     StageSuffixes.flatMap { suffix =>

@@ -17,10 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * This is the minimal shape of what table formats (Delta/Iceberg-style)
   * do with manifest files; on an object store the pointer write becomes a
-  * conditional put. The pointer flip is an atomic OVERWRITE rename
-  * (FileContext), so the pointer is never absent mid-flip;
-  * [[currentVersion]] falls back to the max existing `v=N` directory only
-  * for a bootstrap crash (data written, pointer never created). Writers
+  * conditional put. The pointer flip is an OVERWRITE rename (FileContext)
+  * — atomic on HDFS; on RawLocalFileSystem it delegates to
+  * delete-then-rename, so [[currentVersion]]'s fallback to the max
+  * existing `v=N` directory covers both that tiny absent window and a
+  * bootstrap crash (data written, pointer never created). Writers
   * may serialize through [[WriterLease]] — the flip fences first.
   *
   * At 100 TB: each upsert rewrites one new snapshot (the same copy-on-
@@ -77,7 +78,8 @@ object VersionedTable {
     val tmp = new Path(path, "CURRENT__tmp")
     val out = f.create(tmp, true)
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
-    // atomic overwrite: the pointer is never absent mid-flip
+    // overwrite rename: atomic on HDFS; the local FS's delete-then-rename
+    // window is covered by currentVersion's max-version fallback
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       tmp.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, pointer(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -122,20 +124,36 @@ object VersionedTable {
 
   /** Drop all version directories except the newest `keepLast` (the
     * current pointer's target is always kept) — but never a version
-    * younger than `minAgeMs` (by directory mtime): a reader pinned to an
-    * old version via [[readVersion]] must not lose its files mid-query,
-    * so set the age guard above the longest plausible reader. The default
-    * 0 keeps pure count-based retention for callers that KNOW no reader
-    * outlives a snapshot cycle.
+    * younger than `minAgeMs` (by directory mtime) and NEVER a version
+    * with a live [[ReaderPins]] pin, regardless of age or retention: a
+    * reader pinned to an old version must not lose its files mid-query.
+    * The age guard remains as the blunt instrument for readers that did
+    * not pin; the default 0 keeps pure count-based retention for callers
+    * that KNOW no unpinned reader outlives a snapshot cycle. Vacuum
+    * fences first: the deletes are not a commit point, but a fenced-out
+    * writer's stale vacuum racing the new holder's publish must die
+    * loudly rather than delete versions the new holder still references.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
              minAgeMs: Long = 0L): Unit = {
+    WriterLease.fence(spark, path)
     val keep = listVersions(spark, path).takeRight(keepLast).toSet ++
-      currentVersion(spark, path)
+      currentVersion(spark, path) ++ ReaderPins.livePinned(spark, path)
     val f = fs(spark, new Path(path))
     val cutoff = System.currentTimeMillis() - minAgeMs
     listVersions(spark, path).filterNot(keep)
       .filter(v => f.getFileStatus(new Path(versionDir(path, v))).getModificationTime < cutoff)
       .foreach { v => f.delete(new Path(versionDir(path, v)), true) }
   }
+
+  /** [[readVersion]] under a live reader pin: the version's files cannot
+    * be vacuumed while `body` runs (heartbeat keeps the pin alive past
+    * its ttl), however aggressive the retention. The pin is released on
+    * exit — success or failure.
+    */
+  def readVersionPinned[T](spark: SparkSession, path: String, v: Int,
+                           ttlMs: Long = 60000L)(body: DataFrame => T): T =
+    ReaderPins.withPin(spark, path, v, ttlMs) {
+      body(readVersion(spark, path, v))
+    }
 }

@@ -133,6 +133,92 @@ class WriterLeaseSpec extends SparkSuite {
     WriterLease.release(spark, next)
   }
 
+  test("two breakers race one stale lease: the loser never evicts the winner's live lease") {
+    val root = mkPath("t7")
+    val stale = WriterLease.acquire(spark, root, "staleHolder", ttlMs = 60000)
+    backdate(root, byMs = 120000)
+    // breaker B observes staleness; in the read-to-break window a RIVAL
+    // breaker wins the same stale lease and acquires fresh (the seam fires
+    // exactly between B's staleness read and its break)
+    var rival: WriterLease.Lease = null
+    var fired = false // the rival's own acquire re-enters the seam
+    WriterLease.breakHook = () => {
+      if (!fired) {
+        fired = true
+        rival = WriterLease.acquire(spark, root, "rivalBreaker", ttlMs = 60000)
+      }
+    }
+    try {
+      // B must lose LOUDLY — and must NOT delete the rival's live lease
+      intercept[WriterLease.LockHeldException] {
+        WriterLease.acquire(spark, root, "lateBreaker", ttlMs = 60000)
+      }
+    } finally WriterLease.breakHook = () => ()
+    assert(rival != null && rival.token == stale.token + 1)
+    // the rival's lease survived intact: its heartbeat passes and a third
+    // writer is refused on liveness
+    WriterLease.adopt(rival)
+    WriterLease.heartbeat(spark, rival)
+    intercept[WriterLease.LockHeldException] {
+      WriterLease.acquire(spark, root, "third", ttlMs = 60000)
+    }
+    WriterLease.release(spark, rival)
+  }
+
+  test("torn lease wedges only until its ttl, then breaks like a stale one") {
+    val root = mkPath("t8")
+    // a dying holder's torn write: the file exists but cannot be parsed
+    val dir = new Path(root + "__lease")
+    hfs(root).mkdirs(dir)
+    val out = hfs(root).create(new Path(dir, "LEASE"), false)
+    out.write("garbage-no-space-token".getBytes("UTF-8")); out.close()
+    // within the ttl: refused (could be a mid-create live writer)
+    intercept[WriterLease.LockHeldException] {
+      WriterLease.acquire(spark, root, "w", ttlMs = 60000)
+    }
+    // past the ttl: the torn lease ages out — acquisition is NOT wedged
+    backdate(root, byMs = 120000)
+    val w = WriterLease.acquire(spark, root, "w", ttlMs = 60000)
+    assert(w.token == 1L) // torn file never held a token; epoch starts fresh
+    WriterLease.release(spark, w)
+  }
+
+  test("fence refuses a quiet lease (mtime older than ttl/2) until heartbeat") {
+    val root = mkPath("t9")
+    val lease = WriterLease.acquire(spark, root, "quietWriter", ttlMs = 60000)
+    // simulate ttl/2 of silence without wall-clock sleeping
+    backdate(root, byMs = 40000) // > ttl/2 = 30000, < ttl
+    val e = intercept[WriterLease.FencedException] {
+      WriterLease.fence(spark, root)
+    }
+    assert(e.getMessage.contains("quiet"))
+    // a heartbeat restores freshness; the fence passes and re-touches
+    WriterLease.heartbeat(spark, lease)
+    WriterLease.fence(spark, root)
+    WriterLease.release(spark, lease)
+  }
+
+  test("a fenced-out holder's vacuum dies loudly without deleting the new holder's versions") {
+    val root = mkPath("t10")
+    def df(v: Int) = Seq((1L, v.toLong)).toDF("id", "ver")
+    VersionedTable.writeSnapshot(spark, df(1), root)
+    VersionedTable.writeSnapshot(spark, df(2), root)
+    val a = WriterLease.acquire(spark, root, "vacA", ttlMs = 60000)
+    backdate(root, byMs = 120000)
+    val b = WriterLease.acquire(spark, root, "vacB", ttlMs = 60000)
+    VersionedTable.writeSnapshot(spark, df(3), root) // b's publish
+    WriterLease.adopt(a)
+    intercept[WriterLease.FencedException] {
+      VersionedTable.vacuum(spark, root, keepLast = 1)
+    }
+    // nothing was deleted by the fenced vacuum: all three versions remain
+    assert(VersionedTable.readVersion(spark, root, 1).count() == 1L)
+    assert(VersionedTable.readVersion(spark, root, 2).count() == 1L)
+    assert(VersionedTable.read(spark, root).head().getLong(1) == 3L)
+    WriterLease.adopt(b)
+    WriterLease.release(spark, b)
+  }
+
   test("withLease releases on success and failure; unleased paths fence as no-op") {
     val root = mkPath("t5")
     WriterLease.withLease(spark, root, "w1") { lease =>
