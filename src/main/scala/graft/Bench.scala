@@ -11,8 +11,30 @@ import org.apache.spark.sql.SparkSession
   * them pin a median; the driver-graded JSON line carries short-key 2-decimal
   * medians (see [[BenchFormat]] for the byte budget), and full per-trial
   * times go to bench_detail.json.
+  *
+  * Round-10 verdict item 1 — the artifact must be CONTENTION-PROOF: the
+  * box is bimodal at the hypervisor level and its windows open/close
+  * mid-run, so (a) the fixed-work parallel CPU probe is now persisted for
+  * EVERY trial (round 10 kept only the last trial's, so a window spanning
+  * trials 2-3 left no machine-state evidence and the driver run recorded
+  * q36/q139 3-5x phantom regressions); (b) a trial whose probe exceeds
+  * [[Bench.ContendedRatio]]x the run's fast-state probe is ANNOTATED in the
+  * artifact and re-run once (bounded: one retry per query) — the discarded
+  * measurement stays in `contended_retries` so the attribution is
+  * auditable, not silent; (c) the graded JSON line and the detail file
+  * carry a probe-NORMALIZED twin of every median (trial time scaled by
+  * fastProbe/trialProbe before the median), so cross-run comparisons have
+  * a machine-speed-corrected number beside the raw one.
   */
 object Bench {
+
+  /** A trial is flagged contended when its parallel probe exceeds this
+    * multiple of the run's fast-state probe. The two machine states sit
+    * ~2.6x apart (0.238s vs 0.625s fixed work, round-10 measurement);
+    * 2.0 splits them with margin on both sides.
+    */
+  val ContendedRatio = 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,6 +93,18 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (single, (System.nanoTime() - t0) / 1e9)
     }
+    // per-trial machine-state reading: the box's contention windows open
+    // and close WITHIN a run (run C of round 10: q30 5.6 s vs 1.6 s on
+    // identical code with clean endpoint probes), so each TRIAL carries
+    // its own denominator. It must be the PARALLEL probe — the
+    // single-thread loop reads the same in both machine states; only
+    // aggregate throughput drops.
+    def parallelProbe(): Double = {
+      val t0p = System.nanoTime()
+      val ths = (1 to cpus.toInt).map(_ => new Thread(() => { cpuProbeOnce(37500000); () }))
+      ths.foreach(_.start()); ths.foreach(_.join())
+      (System.nanoTime() - t0p) / 1e9
+    }
     // Untimed cleanup. Order matters (round-9 q47 bench-context
     // regression): Catalog.clearCache() unpersists cached plans with
     // blocking=false AND deregisters their RDDs from getPersistentRDDs, so
@@ -119,50 +153,86 @@ object Bench {
     // instrument: a nonzero residual here is exactly the storage pressure
     // the next query's trials would have run under.
     val residual = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, Long, Int)]
-    val perQueryProbe = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val probeTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val retriedTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Double)]]
     val probeBefore = cpuProbe()
     System.err.println(f"[bench] cpu probe before: single ${probeBefore._1}%.3f s, " +
       f"${cpus}x ${probeBefore._2}%.3f s")
+    // the run's fast-state probe: a RUNNING min over every parallel probe
+    // seen (endpoints + every trial). The contention flag compares each
+    // trial against the fastest state observed so far; normalization after
+    // the run uses the final (whole-run) minimum.
+    var fastProbe = probeBefore._2
     val results: Seq[(String, Seq[Option[Double]])] = ordered.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       cleanup() // drop the warmup's result blocks before the timed trials
-      val times = (1 to trials).map { t =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
+      val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val retries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+      var retried = false
+      var t = 1
+      while (t <= trials) {
         val gc0 = gcMs
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         val gcIn = gcMs - gc0
         cleanup()
-        // stderr diagnostic (never the stdout JSON): GC stall share plus the
-        // storage left behind AFTER cleanup — what the next trial runs under
         val (rb, rm, rd, rbc) = org.apache.spark.graft.BlockHygiene.snapshot(spark.sparkContext)
-        if (t == trials) residual(name) = (rb, rm, rd, rbc)
-        // per-trial machine-state reading: the box's contention windows
-        // open and close WITHIN a run (run C of round 10: q30 5.6 s vs
-        // 1.6 s on identical code with clean endpoint probes), so each
-        // query row needs its own denominator, not just the run's. It
-        // must be the PARALLEL probe — the single-thread loop reads the
-        // same in both machine states; only aggregate throughput drops.
-        val probeQ = {
-          val t0p = System.nanoTime()
-          val ths = (1 to cpus.toInt).map(_ => new Thread(() => { cpuProbeOnce(37500000); () }))
-          ths.foreach(_.start()); ths.foreach(_.join())
-          (System.nanoTime() - t0p) / 1e9
+        val probeQ = parallelProbe()
+        fastProbe = math.min(fastProbe, probeQ)
+        val contended = probeQ > ContendedRatio * fastProbe
+        // outlier policy (round-10 q36 [6.4,13.6,11.6] vs independent
+        // 2.90 s): a contended trial is discarded into the annotation and
+        // re-run ONCE per query — bounded, so a permanently-slow machine
+        // state costs at most one extra trial and the artifact still
+        // records reality (the retry's own probe is persisted; if the
+        // window outlives the retry, the raw numbers stay and the
+        // normalized twin carries the correction).
+        if (contended && !retried) {
+          retried = true
+          retries += ((t, if (ok) dt else -1.0, probeQ))
+          System.err.println(f"[bench] $name trial $t: $dt%.3f s CONTENDED " +
+            f"(probe ${probeQ * 1000}%.0fms > ${ContendedRatio}%.1fx fast " +
+            f"${fastProbe * 1000}%.0fms) — discarding and re-running once")
+        } else {
+          times += (if (ok) Some(dt) else None)
+          probes += probeQ
+          if (t == trials) residual(name) = (rb, rm, rd, rbc)
+          System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok, " +
+            f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc, " +
+            f"probe ${probeQ * 1000}%.0fms")
+          t += 1
         }
-        if (t == trials) perQueryProbe(name) = probeQ
-        System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok, " +
-          f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc, " +
-          f"probe ${probeQ * 1000}%.0fms")
-        if (ok) Some(dt) else None
       }
-      name -> times
+      probeTrials(name) = probes.toSeq
+      if (retries.nonEmpty) retriedTrials(name) = retries.toSeq
+      name -> times.toSeq
     }
+    val probeAfter = cpuProbe()
+    System.err.println(f"[bench] cpu probe after: single ${probeAfter._1}%.3f s, " +
+      f"${cpus}x ${probeAfter._2}%.3f s")
+    fastProbe = math.min(fastProbe, probeAfter._2)
     val medians = results.map { case (k, ts) =>
       val good = ts.flatten
       k -> (if (good.nonEmpty) BenchFormat.median(good) else -1.0)
     }
+    // the probe-normalized twin: each trial scaled by fastProbe/trialProbe
+    // (a trial in the slow machine state shrinks by the measured
+    // machine-speed ratio), THEN the median — so a window spanning two of
+    // three trials cannot drag the normalized median the way it drags the
+    // raw one.
+    val normMedians = results.map { case (k, ts) =>
+      val pq = probeTrials(k)
+      val normed = ts.zip(pq).flatMap { case (o, p) =>
+        o.map(_ * (fastProbe / math.max(p, 1e-9)))
+      }
+      k -> (if (normed.nonEmpty) BenchFormat.median(normed) else -1.0)
+    }
     val failed = results.collect { case (k, ts) if ts.exists(_.isEmpty) => k }
-    val json = BenchFormat.line(medians, trials, sfDir, failed)
+    val normTotal = normMedians.map(_._2).filter(_ >= 0).sum
+    val json = BenchFormat.line(medians, trials, sfDir, failed,
+      normTotal = Some(normTotal), fastProbe = Some(fastProbe))
     if (json.length > 1400) // BenchFormatSpec asserts the 80-query budget
       System.err.println(s"[bench] WARNING: json line ${json.length} bytes risks tail clipping")
     // The driver parses the JSON line out of the run's output; sbt's logger
@@ -174,12 +244,9 @@ object Bench {
       catch { case _: Throwable => () }
     // Full fidelity (every trial of every query under its FULL name, in run
     // order) plus the [min,median,max] spread per query, for variance work.
-    val probeAfter = cpuProbe()
-    System.err.println(f"[bench] cpu probe after: single ${probeAfter._1}%.3f s, " +
-      f"${cpus}x ${probeAfter._2}%.3f s")
     val detail = BenchFormat.detail(results, trials, sfDir, residual.toSeq,
       Seq(probeBefore._1, probeBefore._2, probeAfter._1, probeAfter._2),
-      perQueryProbe.toSeq)
+      probeTrials.toSeq, normMedians, retriedTrials.toSeq)
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }

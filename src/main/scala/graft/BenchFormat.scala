@@ -71,13 +71,21 @@ object BenchFormat {
     * Full fidelity for every query lives in bench_detail.json.
     */
   def line(medians: Seq[(String, Double)], trials: Int, sf: String,
-           failed: Seq[String] = Nil): String = {
+           failed: Seq[String] = Nil, normTotal: Option[Double] = None,
+           fastProbe: Option[Double] = None): String = {
     val keys = shortKeys(medians.map(_._1))
     val total = medians.map(_._2).filter(_ >= 0).sum
     val err =
       if (failed.isEmpty) ""
       else failed.map(f => "\"" + keys(f) + "\"").mkString(""","errors":[""", ",", "]")
-    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec","trials":$trials,"queries":{"""
+    // the probe-normalized twin of the total (trial times scaled by the
+    // run's fast-state CPU probe before the median — see Bench): a run
+    // that crossed a machine contention window reads high on "value" and
+    // true on "norm"; per-query normalized medians live in
+    // bench_detail.json (the byte budget has no room for a twin map)
+    val norm = normTotal.map(v => s""","norm":${f3(v)}""").getOrElse("") +
+      fastProbe.map(v => s""","probe_sec":${f3(v)}""").getOrElse("")
+    val head = s"""{"metric":"total","value":${f3(total)},"unit":"sec"$norm,"trials":$trials,"queries":{"""
     def tail(omitted: Int): String =
       "}" + err + (if (omitted > 0) s""","omitted":$omitted""" else "") + s""","sf":"$sf"}"""
     // worst-first: all-trials-failed entries (median -1) lead, then by
@@ -100,12 +108,17 @@ object BenchFormat {
 
   /** Full-fidelity companion written to bench_detail.json: every trial of
     * every query under its FULL name (failed trials as -1), plus the
-    * [min, median, max] spread over the successful trials.
+    * [min, median, max] spread over the successful trials, the per-TRIAL
+    * parallel CPU probes (`probeTrials`), the probe-normalized median per
+    * query (`normMedians`), and any contended-trial retries
+    * (`retried`: query -> [[trial, discardedSeconds, discardedProbe]]).
     */
   def detail(results: Seq[(String, Seq[Option[Double]])], trials: Int, sf: String,
              residual: Seq[(String, (Int, Long, Long, Int))] = Nil,
              cpuProbe: Seq[Double] = Nil,
-             perQueryProbe: Seq[(String, Double)] = Nil): String = {
+             probeTrials: Seq[(String, Seq[Double])] = Nil,
+             normMedians: Seq[(String, Double)] = Nil,
+             retried: Seq[(String, Seq[(Int, Double, Double)])] = Nil): String = {
     val trialsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(o => f3(o.getOrElse(-1.0))).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -131,17 +144,33 @@ object BenchFormat {
     val probeJson =
       if (cpuProbe.isEmpty) ""
       else cpuProbe.map(f3).mkString(""","cpu_probe_sec":[""", ",", "]")
-    // per-query machine-state denominator (seconds for ~45ms of fixed
-    // work measured right after the query's last trial): contention
-    // windows open and close WITHIN a run, so cross-run comparisons
-    // should divide each query by its own probe, not the run's endpoints
-    val pqProbeJson =
-      if (perQueryProbe.isEmpty) ""
-      else perQueryProbe.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-        .mkString(""","cpu_probe_per_query":{""", ",", "}")
+    // per-TRIAL machine-state denominators (seconds for ~40ms of fixed
+    // parallel work measured right after each trial): contention windows
+    // open and close WITHIN a query's trials (round-10 driver run: q139
+    // [3.1, 13.9, 18.4] with only the LAST probe persisted — the artifact
+    // could not attribute the window), so every trial carries its own.
+    val ptJson =
+      if (probeTrials.isEmpty) ""
+      else probeTrials.map { case (k, ps) =>
+        "\"" + k + "\":[" + ps.map(f3).mkString(",") + "]"
+      }.mkString(""","cpu_probe_trials":{""", ",", "}")
+    // probe-normalized median per query: median over (time * fast/probe)
+    val normJson =
+      if (normMedians.isEmpty) ""
+      else normMedians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString(""","median_norm":{""", ",", "}")
+    // contended-trial retries: the DISCARDED measurement (trial index,
+    // seconds, probe) — the annotation that makes the retry auditable
+    val retryJson =
+      if (retried.isEmpty) ""
+      else retried.map { case (k, rs) =>
+        "\"" + k + "\":[" + rs.map { case (t, s, p) =>
+          s"[$t,${f3(s)},${f3(p)}]"
+        }.mkString(",") + "]"
+      }.mkString(""","contended_retries":{""", ",", "}")
     s"""{"sf":"$sf","trials":$trials,"total_of_medians":${f3(total)},""" +
       s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson""" +
       (if (residual.nonEmpty) s""","residual_after_cleanup":$residJson""" else "") +
-      probeJson + pqProbeJson + "}"
+      probeJson + ptJson + normJson + retryJson + "}"
   }
 }

@@ -124,15 +124,68 @@ object MediaOps {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** q230: FLAC decode — the compressed-AUDIO tier completing the lossless
+    * codec matrix (GIF q201 for images, FLAC here for audio), and the
+    * achievable replacement for the round-10-declined MP3 sample decode:
+    * every FLAC construct is derivable from its public spec with no
+    * tabulated constants, so the decoder can be validated against the
+    * generator formula the way q201 is (MP3's Huffman tables cannot —
+    * RESPONSES.md item 6). Executors build a real multi-frame FLAC stream
+    * per document (sawtooth-plus-noise PCM: fixed/LPC predictors engage,
+    * Rice parameters stay small) and decode it through the full path —
+    * frame sync, CRC-8, CRC-16, Rice residuals, predictor reconstruction,
+    * and the STREAMINFO MD5 over the decoded PCM — so ANY bit-level
+    * encode/decode defect surfaces either as a typed failure or as a
+    * sample-stat mismatch against the closed-form oracle. Per-item work is
+    * payload-bounded and embarrassingly parallel: one narrow map pass, no
+    * shuffle before the presentation sort — the same 100 TB posture as
+    * q201 (SCALE_PROBE.md).
+    */
+  def flacDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val n = 600 + (id % 7).toInt * 256
+      val sr = Array(8000, 16000, 44100)((id % 3).toInt)
+      val pcm = Array.tabulate(n) { i =>
+        (((id % 7 + 1) * i) % 2048).toInt - 1024 + ((id * 31 + i * 17) % 64).toInt
+      }
+      val dec = graft.operators.Flac.decodeFlac(
+        graft.operators.Flac.encodeFlac(pcm, sr, bitsPerSample = 16, blockSize = 256))
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      dec.samples.foreach { s => sum += s; if (s < mn) mn = s; if (s > mx) mx = s }
+      (id, dec.sampleRate, dec.nFrames, dec.samples.length, sum, mn, mx)
+    }.toDF("media_id", "sample_rate", "n_frames", "n_samples",
+      "sample_sum", "sample_min", "sample_max")
+      .orderBy($"media_id")
+  }
+
+  val flacDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  [8000,16000,44100][CAST(doc_id % 3 AS INTEGER) + 1] AS sample_rate,
+      |  CAST((600 + doc_id % 7 * 256 + 255) // 256 AS INTEGER) AS n_frames,
+      |  CAST(600 + doc_id % 7 * 256 AS INTEGER) AS n_samples,
+      |  CAST(SUM(((doc_id % 7 + 1) * g.i) % 2048 - 1024
+      |           + (doc_id * 31 + g.i * 17) % 64) AS BIGINT) AS sample_sum,
+      |  CAST(MIN(((doc_id % 7 + 1) * g.i) % 2048 - 1024
+      |           + (doc_id * 31 + g.i * 17) % 64) AS INTEGER) AS sample_min,
+      |  CAST(MAX(((doc_id % 7 + 1) * g.i) % 2048 - 1024
+      |           + (doc_id * 31 + g.i * 17) % 64) AS INTEGER) AS sample_max
+      |FROM documents
+      |JOIN generate_series(0, 2135) g(i) ON g.i < 600 + doc_id % 7 * 256
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
     "q201_gif_decode" -> gifDecode,
+    "q230_flac_decode" -> flacDecode,
   )
 
   val oracles: Map[String, String] = Map(
     "q189_mp3_walk"  -> mp3WalkSql,
     "q190_h264_walk" -> h264WalkSql,
     "q201_gif_decode" -> gifDecodeSql,
+    "q230_flac_decode" -> flacDecodeSql,
   )
 }

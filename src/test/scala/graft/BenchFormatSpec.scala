@@ -31,15 +31,28 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("line: byte cap holds at ANY query count (500 worst-case queries)") {
-    // 500 long-named queries, every median at the 6-char maximum rendering:
-    // the budget-capped format must stay at/below MaxLineBytes — adding
-    // queries can never clip the driver tail again
+    // 500 long-named queries, every median at the 6-char maximum rendering,
+    // WITH the normalized-twin fields present: the budget-capped format
+    // must stay at/below MaxLineBytes — adding queries can never clip the
+    // driver tail again
     val names = (1 to 500).map(i => f"q$i%03d_some_rather_long_query_name_$i")
-    val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1")
+    val line = BenchFormat.line(names.map(_ -> 999.99), 3, "/root/testdata/sf0.1",
+      normTotal = Some(499995.0), fastProbe = Some(0.238))
     assert(line.length <= BenchFormat.MaxLineBytes, s"line is ${line.length} bytes")
     assert(line.contains(""""omitted":"""), "cap must surface an omitted count")
     // total still covers every query, not just the kept entries
     assert(line.contains(""""value":499995.000"""))
+  }
+
+  test("line: probe-normalized twin rides beside the raw total") {
+    val line = BenchFormat.line(Seq("q01_a" -> 4.0, "q02_b" -> 2.0), 3, "sf",
+      normTotal = Some(3.0), fastProbe = Some(0.25))
+    assert(line.contains(""""value":6.000"""))
+    assert(line.contains(""""norm":3.000"""))
+    assert(line.contains(""""probe_sec":0.250"""))
+    // absent when not provided (subset/dev runs)
+    val plain = BenchFormat.line(Seq("q01_a" -> 4.0), 3, "sf")
+    assert(!plain.contains("norm") && !plain.contains("probe_sec"))
   }
 
   test("line: omitted entries are exactly the fastest; worst queries always kept") {
@@ -93,5 +106,22 @@ class BenchFormatSpec extends AnyFunSuite {
       Seq("q01_a" -> Seq(Some(1.0), None, Some(3.0))), 3, "sf")
     assert(d.contains(""""q01_a":[1.000,-1.000,3.000]"""))
     assert(d.contains(""""spread_min_med_max":{"q01_a":[1.000,2.000,3.000]}"""))
+  }
+
+  test("detail: per-trial probes, normalized medians, and retry annotations persist") {
+    val d = BenchFormat.detail(
+      Seq("q01_a" -> Seq(Some(1.0), Some(2.0), Some(3.0))), 3, "sf",
+      probeTrials = Seq("q01_a" -> Seq(0.24, 0.62, 0.25)),
+      normMedians = Seq("q01_a" -> 0.9),
+      retried = Seq("q01_a" -> Seq((2, 13.9, 0.64))))
+    // EVERY trial's probe is in the artifact — a contention window spanning
+    // trials 2-3 is now attributable from the file alone (round-10 item 1)
+    assert(d.contains(""""cpu_probe_trials":{"q01_a":[0.240,0.620,0.250]}"""))
+    assert(d.contains(""""median_norm":{"q01_a":0.900}"""))
+    assert(d.contains(""""contended_retries":{"q01_a":[[2,13.900,0.640]]}"""))
+    // absent sections stay absent (subset/dev runs)
+    val plain = BenchFormat.detail(Seq("q01_a" -> Seq(Some(1.0))), 1, "sf")
+    assert(!plain.contains("cpu_probe_trials") && !plain.contains("median_norm")
+      && !plain.contains("contended_retries"))
   }
 }
