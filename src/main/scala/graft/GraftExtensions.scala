@@ -77,6 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer-rule tier: rewrite discarded row_number()<=k rank filters
     // into the TopK operator transparently
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // parser tier: MERGE INTO graft_store.`path` … — the SQL surface of
+    // TableStore.upsert (everything else delegates to Spark's parser)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -726,6 +726,49 @@ object MergeOps {
         $"n_rows", $"total")
   }
 
+  /** q231: the SQL MERGE surface ([[graft.plans.GraftSqlMerge]]) — the
+    * reference's flagship write is SQL (`ON CONFLICT DO UPDATE`,
+    * `/root/reference/db.py:115-144`); this grades the same §2.12 merge
+    * semantics as q25 (partial update-column list: `o_orderstatus` stays
+    * stale on conflict) executed ENTIRELY through SQL text against a real
+    * on-disk table: the USING source is a subquery, the statement goes
+    * through [[graft.plans.GraftSqlParser]] (the identical code path a
+    * session with `spark.sql.extensions=graft.GraftExtensions` gets from
+    * `spark.sql`), and the command's run IS `TableStore.upsert` — plan
+    * identical to the library path by construction. The oracle is q25's,
+    * verbatim: a drift between the SQL and library surfaces
+    * hash-mismatches.
+    */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlMerge")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select(cols.map(col): _*)
+      .createOrReplaceTempView("v_sqlmerge_orders")
+    TableStore.atomicWrite(spark,
+      spark.table("v_sqlmerge_orders"), tbl)
+    val mergeSql =
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         |         o_totalprice * 2.0 AS o_totalprice, o_orderdate, o_orderpriority
+         |  FROM v_sqlmerge_orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, 'X', o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM v_sqlmerge_orders WHERE o_orderkey % 10 = 3
+         |)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED THEN UPDATE SET (o_custkey, o_totalprice, o_orderdate, o_orderpriority)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val merged = org.apache.spark.sql.graftshim.GraftShim
+      .ofRows(spark, parser.parsePlan(mergeSql))
+    require(merged.head().getLong(0) > 0, "merge reported an empty table")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
   val writerFenceSql: String =
     """SELECT CAST(1 AS BIGINT) AS token_a, CAST(2 AS BIGINT) AS token_b,
       |       CAST(1 AS BIGINT) AS live_refused, CAST(1 AS BIGINT) AS stale_fenced,
@@ -1099,6 +1142,7 @@ object MergeOps {
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
+    "q231_sql_merge" -> sqlMerge,
     "q113_scd2" -> scd2,
     "q118_golden_record" -> goldenRecord,
     "q96_upsert_changelog" -> upsertChangelog,
@@ -1123,6 +1167,8 @@ object MergeOps {
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,
+    "q231_sql_merge" -> upsertMergeSql, // same oracle on purpose: the SQL
+    // surface must produce byte-identical post-merge state to the library
     "q113_scd2" -> scd2Sql,
     "q118_golden_record" -> goldenRecordSql,
     "q96_upsert_changelog" -> upsertChangelogSql,

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.store.TableStore
+import java.nio.file.Files
+
+/** The SQL MERGE surface ([[GraftSqlMerge]] / [[GraftSqlParser]]): the
+  * restricted grammar executes TableStore.upsert semantics exactly —
+  * full update, partial update-column lists, bare-view and subquery
+  * sources — and refuses what the upsert cannot honor; every other SQL
+  * string delegates to Spark's parser untouched.
+  */
+class GraftSqlMergeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def parser = new GraftSqlParser(spark.sessionState.sqlParser)
+
+  private def runSql(sql: String) =
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql))
+
+  private def mkTable(name: String): String = {
+    val tbl = Files.createTempDirectory("sqlmerge").resolve(name).toString
+    TableStore.atomicWrite(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "v"), tbl)
+    tbl
+  }
+
+  test("full upsert (no WHEN clauses): matched rows fully updated, new rows inserted") {
+    val tbl = mkTable("full")
+    Seq((2L, "B", 200L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_full")
+    val n = runSql(s"MERGE INTO graft_store.`$tbl` USING m_inc_full ON KEYS (k)")
+      .head().getLong(0)
+    assert(n == 4L)
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("partial update columns + subquery source: unlisted column stays stale on conflict") {
+    val tbl = mkTable("partial")
+    Seq((2L, "B", 200L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_part")
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (SELECT k, s, v FROM m_inc_part WHERE v > 0)
+         |ON KEYS (k)
+         |WHEN MATCHED THEN UPDATE SET (v)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // k=2: v updated to 200, s stays 'b' (not in the update list); k=9 inserted whole
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 200L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("UPDATE SET * is the explicit full-update spelling") {
+    val tbl = mkTable("star")
+    Seq((3L, "C", 300L)).toDF("k", "s", "v").createOrReplaceTempView("m_inc_star")
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_star ON KEYS (k)
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val r3 = TableStore.read(spark, tbl).where("k = 3").head()
+    assert(r3.getString(1) == "C" && r3.getLong(2) == 300L)
+  }
+
+  test("what the upsert cannot honor is refused at parse time") {
+    // arbitrary ON condition (non-equi / expression matching)
+    val e1 = intercept[IllegalArgumentException] {
+      parser.parsePlan("MERGE INTO graft_store.`/t` USING v ON t.k > s.k")
+    }
+    assert(e1.getMessage.contains("ON KEYS"))
+    // DELETE action
+    val e2 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) WHEN MATCHED THEN DELETE")
+    }
+    assert(e2.getMessage.contains("unsupported clause"))
+    // unbalanced subquery
+    intercept[IllegalArgumentException] {
+      parser.parsePlan("MERGE INTO graft_store.`/t` USING (SELECT 1 ON KEYS (k)")
+    }
+    // empty key list
+    intercept[IllegalArgumentException] {
+      parser.parsePlan("MERGE INTO graft_store.`/t` USING v ON KEYS ( )")
+    }
+  }
+
+  test("subquery sources containing parens and string literals split correctly") {
+    val tbl = mkTable("parens")
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (SELECT CAST(9 AS BIGINT) AS k, CONCAT('x', ')', '(') AS s,
+         |              CAST(ROUND(1.4) AS BIGINT) AS v)
+         |ON KEYS (k)""".stripMargin).collect()
+    assert(TableStore.read(spark, tbl).where("k = 9").head().getString(1) == "x)(")
+  }
+
+  test("non-MERGE SQL delegates to Spark's parser verbatim") {
+    val df = runSql("SELECT 1 AS one")
+    assert(df.head().getInt(0) == 1)
+    // ordinary standard-MERGE text (no graft_store target) also delegates —
+    // Spark parses it as its own MergeIntoTable plan, untouched by us
+    val plan = parser.parsePlan(
+      "MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
+    assert(plan.getClass.getSimpleName.contains("MergeIntoTable"))
+  }
+}

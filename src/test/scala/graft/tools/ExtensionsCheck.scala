@@ -49,7 +49,23 @@ object ExtensionsCheck {
     val plan = topk.queryExecution.executedPlan.toString
     assert(plan.contains("GraftTopKFinal"), s"rewrite did not fire:\n${plan.take(600)}")
 
-    println("extensions OK: function + aggregate + rule + strategy tiers live via spark.sql.extensions")
+    // parser tier: MERGE INTO graft_store.`path` reaches TableStore.upsert
+    // from genuine spark.sql text
+    val tbl = java.nio.file.Files.createTempDirectory("ec_merge").resolve("t").toString
+    spark.sql("SELECT CAST(id AS BIGINT) AS k, CAST(id AS BIGINT) AS v FROM range(10)")
+      .createOrReplaceTempView("ec_base")
+    graft.store.TableStore.atomicWrite(spark, spark.table("ec_base"), tbl)
+    val n = spark.sql(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (SELECT k, v + 100 AS v FROM ec_base WHERE k < 3
+         |       UNION ALL SELECT CAST(99 AS BIGINT) AS k, CAST(0 AS BIGINT) AS v)
+         |ON KEYS (k)""".stripMargin).head().getLong(0)
+    assert(n == 11, s"post-merge n_rows: $n")
+    val merged = graft.store.TableStore.read(spark, tbl)
+    assert(merged.where("k = 1").head().getLong(1) == 101L, "matched row not updated")
+    assert(merged.where("k = 99").count() == 1L, "unmatched row not inserted")
+
+    println("extensions OK: function + aggregate + rule + strategy + parser tiers live via spark.sql.extensions")
     spark.stop()
   }
 }
