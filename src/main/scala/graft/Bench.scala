@@ -159,10 +159,12 @@ object Bench {
     System.err.println(f"[bench] cpu probe before: single ${probeBefore._1}%.3f s, " +
       f"${cpus}x ${probeBefore._2}%.3f s")
     // the run's fast-state probe: a RUNNING min over every parallel probe
-    // seen (endpoints + every trial). The contention flag compares each
+    // seen (endpoints + every trial), in PER-TRIAL units — the endpoint
+    // probe does 8x the per-trial fixed work (300M vs 37.5M iterations),
+    // so it seeds the min divided by 8. The contention flag compares each
     // trial against the fastest state observed so far; normalization after
     // the run uses the final (whole-run) minimum.
-    var fastProbe = probeBefore._2
+    var fastProbe = probeBefore._2 / 8.0
     val results: Seq[(String, Seq[Option[Double]])] = ordered.map { case (name, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       cleanup() // drop the warmup's result blocks before the timed trials
@@ -212,7 +214,7 @@ object Bench {
     val probeAfter = cpuProbe()
     System.err.println(f"[bench] cpu probe after: single ${probeAfter._1}%.3f s, " +
       f"${cpus}x ${probeAfter._2}%.3f s")
-    fastProbe = math.min(fastProbe, probeAfter._2)
+    fastProbe = math.min(fastProbe, probeAfter._2 / 8.0)
     val medians = results.map { case (k, ts) =>
       val good = ts.flatten
       k -> (if (good.nonEmpty) BenchFormat.median(good) else -1.0)
