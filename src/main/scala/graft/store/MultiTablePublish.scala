@@ -188,10 +188,27 @@ object MultiTablePublish {
     */
   def readAllPinned[T](spark: SparkSession, root: String, tables: Seq[String],
                        ttlMs: Long = 60000L)(body: (Int, Map[String, DataFrame]) => T): T = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no published version at $root"))
-    ReaderPins.withPin(spark, root, v, ttlMs) {
-      body(v, tables.map(t => t -> readAt(spark, root, v, t)).toMap)
+    val f = fs(spark, new Path(root))
+    // the resolve→pin window can race an aggressive vacuum (the pin only
+    // protects once its file is on disk): re-check the version dir AFTER
+    // pinning and retry once against the freshly resolved version — after
+    // a successful check the live pin makes any later vacuum skip us
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no published version at $root"))
+      val result = ReaderPins.withPin(spark, root, v, ttlMs) {
+        if (!f.exists(new Path(versionDir(root, v)))) None
+        else Some(body(v, tables.map(t => t -> readAt(spark, root, v, t)).toMap))
+      }
+      result match {
+        case Some(r) => return r
+        case None if attempt == 0 => attempt = 1 // vacuumed mid-pin: re-resolve
+        case None => throw new java.util.NoSuchElementException(
+          s"version $v at $root vanished before the pin landed, twice — " +
+            "a vacuum with zero retention is racing every read")
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 }

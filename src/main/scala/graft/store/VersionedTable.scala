@@ -149,11 +149,19 @@ object VersionedTable {
   /** [[readVersion]] under a live reader pin: the version's files cannot
     * be vacuumed while `body` runs (heartbeat keeps the pin alive past
     * its ttl), however aggressive the retention. The pin is released on
-    * exit — success or failure.
+    * exit — success or failure. The pin-vs-vacuum race (a vacuum deleting
+    * `v` in the instant between the caller choosing it and the pin file
+    * landing) is closed by re-checking existence AFTER the pin: once the
+    * pin is live and the directory still exists, no subsequent vacuum can
+    * touch it, and a loss of that race fails loudly here rather than
+    * mid-query.
     */
   def readVersionPinned[T](spark: SparkSession, path: String, v: Int,
                            ttlMs: Long = 60000L)(body: DataFrame => T): T =
     ReaderPins.withPin(spark, path, v, ttlMs) {
+      if (!fs(spark, new Path(path)).exists(new Path(versionDir(path, v))))
+        throw new java.util.NoSuchElementException(
+          s"version $v at $path was vacuumed before the pin landed")
       body(readVersion(spark, path, v))
     }
 }
