@@ -175,11 +175,63 @@ object MediaOps {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** q232: audio features over the DECODED FLAC stream — the pipeline
+    * composition a training-data filter actually runs (codec → feature
+    * extract → quality gate), and a strictly STRONGER codec grade than
+    * q230: zero-crossing count is order-sensitive (any permutation or
+    * off-by-one in the reconstructed samples passes q230's sum/min/max
+    * but flips crossings), and the energy sum is sensitive to every
+    * individual sample value. Features: strict sign-change crossings
+    * (x[i-1]·x[i] < 0 — the cross-engine-unambiguous definition), total
+    * energy Σx², peak |x|. Same generator as q230, so the oracle re-derives
+    * everything in closed form with one LAG window.
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val n = 600 + (id % 7).toInt * 256
+      val sr = Array(8000, 16000, 44100)((id % 3).toInt)
+      val pcm = Array.tabulate(n) { i =>
+        (((id % 7 + 1) * i) % 2048).toInt - 1024 + ((id * 31 + i * 17) % 64).toInt
+      }
+      val x = graft.operators.Flac.decodeFlac(
+        graft.operators.Flac.encodeFlac(pcm, sr, bitsPerSample = 16, blockSize = 256)).samples
+      var zc = 0L; var energy = 0L; var peak = 0
+      var i = 0
+      while (i < x.length) {
+        if (i > 0 && x(i - 1).toLong * x(i) < 0) zc += 1
+        energy += x(i).toLong * x(i)
+        val a = math.abs(x(i)); if (a > peak) peak = a
+        i += 1
+      }
+      (id, zc, energy, peak)
+    }.toDF("media_id", "zero_crossings", "energy", "peak")
+      .orderBy($"media_id")
+  }
+
+  val audioFeaturesSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, g.i,
+      |    ((doc_id % 7 + 1) * g.i) % 2048 - 1024
+      |      + (doc_id * 31 + g.i * 17) % 64 AS x
+      |  FROM documents
+      |  JOIN generate_series(0, 2135) g(i) ON g.i < 600 + doc_id % 7 * 256),
+      |w AS (
+      |  SELECT doc_id, x,
+      |    LAG(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      |  FROM s)
+      |SELECT doc_id AS media_id,
+      |  CAST(SUM(CASE WHEN px * x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+      |  CAST(SUM(x * x) AS BIGINT) AS energy,
+      |  CAST(MAX(ABS(x)) AS INTEGER) AS peak
+      |FROM w GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
     "q201_gif_decode" -> gifDecode,
     "q230_flac_decode" -> flacDecode,
+    "q232_audio_features" -> audioFeatures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +239,6 @@ object MediaOps {
     "q190_h264_walk" -> h264WalkSql,
     "q201_gif_decode" -> gifDecodeSql,
     "q230_flac_decode" -> flacDecodeSql,
+    "q232_audio_features" -> audioFeaturesSql,
   )
 }

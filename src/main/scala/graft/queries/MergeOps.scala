@@ -769,6 +769,59 @@ object MergeOps {
     TableStore.read(spark, tbl).orderBy($"o_orderkey")
   }
 
+  /** q233: reader pins end-to-end ([[graft.store.ReaderPins]]) — the q228
+    * treatment for the round-11 pin registry, scripted and graded: three
+    * versioned snapshots land; a reader PINS v1; an aggressive vacuum
+    * (retention 1, no age guard) must reclaim the unpinned v2 while v1
+    * survives solely because of the pin; the pinned read's aggregate must
+    * equal the orders-derived oracle (a vacuum that clips pinned files
+    * poisons the aggregate and hash-mismatches); after release the same
+    * vacuum must reclaim v1. The three protocol outcomes ride the graded
+    * row beside the data aggregate, exactly like q228's fence flags.
+    */
+  def readerPin(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.store.{ReaderPins, VersionedTable}
+    val run = mergeRoot.resolve("runReaderPin")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_versions").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_totalprice")
+    VersionedTable.writeSnapshot(spark, base.filter($"o_orderkey" % 3 === 0), tbl) // v1
+    VersionedTable.writeSnapshot(spark, base.filter($"o_orderkey" % 3 === 1), tbl) // v2
+    VersionedTable.writeSnapshot(spark, base.filter($"o_orderkey" % 3 === 2), tbl) // v3
+    val pin = ReaderPins.pin(spark, tbl, version = 1, ttlMs = 600000)
+    VersionedTable.vacuum(spark, tbl, keepLast = 1) // retention 1, age 0
+    val pinnedSurvived =
+      try { VersionedTable.readVersion(spark, tbl, 1).count(); 1L }
+      catch { case _: Throwable => 0L }
+    val unpinnedVacuumed =
+      try { VersionedTable.readVersion(spark, tbl, 2).count(); 0L }
+      catch { case _: Throwable => 1L }
+    // the pinned snapshot's CONTENT feeds the graded aggregate: clipped or
+    // missing files poison it
+    val v1 = VersionedTable.readVersion(spark, tbl, 1)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"o_totalprice".cast(MoneyDec)), 2).cast("double").as("total"))
+      .head()
+    ReaderPins.release(spark, pin)
+    VersionedTable.vacuum(spark, tbl, keepLast = 1)
+    val releasedVacuumed =
+      try { VersionedTable.readVersion(spark, tbl, 1).count(); 0L }
+      catch { case _: Throwable => 1L }
+    Seq((pinnedSurvived, unpinnedVacuumed, releasedVacuumed,
+      v1.getLong(0), v1.getDouble(1)))
+      .toDF("pinned_survived", "unpinned_vacuumed", "released_vacuumed",
+        "n_rows", "total")
+  }
+
+  val readerPinSql: String =
+    """SELECT CAST(1 AS BIGINT) AS pinned_survived,
+      |       CAST(1 AS BIGINT) AS unpinned_vacuumed,
+      |       CAST(1 AS BIGINT) AS released_vacuumed,
+      |       COUNT(*) AS n_rows,
+      |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
+
   val writerFenceSql: String =
     """SELECT CAST(1 AS BIGINT) AS token_a, CAST(2 AS BIGINT) AS token_b,
       |       CAST(1 AS BIGINT) AS live_refused, CAST(1 AS BIGINT) AS stale_fenced,
@@ -1139,6 +1192,7 @@ object MergeOps {
     "q207_dynamic_overwrite" -> dynamicOverwrite,
     "q221_multi_publish" -> multiPublish,
     "q228_writer_fence" -> writerFence,
+    "q233_reader_pin" -> readerPin,
     "q160_cascade_delete" -> cascadeDelete,
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
@@ -1164,6 +1218,7 @@ object MergeOps {
     "q207_dynamic_overwrite" -> dynamicOverwriteSql,
     "q221_multi_publish" -> multiPublishSql,
     "q228_writer_fence" -> writerFenceSql,
+    "q233_reader_pin" -> readerPinSql,
     "q160_cascade_delete" -> cascadeDeleteSql,
     "q156_orc_roundtrip" -> orcRoundtripSql,
     "q25_upsert_merge" -> upsertMergeSql,
