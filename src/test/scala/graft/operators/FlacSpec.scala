@@ -135,6 +135,40 @@ class FlacSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Flac.decodeFlac(badMd5))
   }
 
+  test("property: arbitrary PCM round-trips bit-exactly across widths and block sizes") {
+    // raw ScalaCheck generators with fixed seeds (scalatestplus isn't in
+    // the offline dependency set) — the PropertySpec convention
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      bps <- Gen.oneOf(8, 12, 16, 24)
+      n <- Gen.choose(1, 3000)
+      block <- Gen.oneOf(16, 64, 192, 577, 4096)
+      shape <- Gen.oneOf("noise", "ramp", "sine", "steps", "shifted")
+      seed <- Gen.choose(1, 1 << 30)
+    } yield (bps, n, block, shape, seed)
+    (0 until 40).flatMap(i => gen.apply(Gen.Parameters.default, Seed(1234L + i)))
+      .foreach { case (bps, n, block, shape, seed) =>
+        val lim = (1 << (bps - 1)) - 1
+        var s = seed
+        def rnd(): Int = { s = (s * 1103515245 + 12345) & 0x7FFFFFFF; s }
+        val pcm = Array.tabulate(n) { i =>
+          val v = shape match {
+            case "noise" => rnd() % (lim + 1) * (if (rnd() % 2 == 0) 1 else -1)
+            case "ramp" => (i * 7 - n) % (lim + 1)
+            case "sine" => (lim * 0.7 * math.sin(0.21 * i)).toInt
+            case "steps" => (i / 50) % 5 * (lim / 8) - lim / 4
+            case "shifted" => ((i * 3 - 500) % (lim / 8 + 1)) * 8
+          }
+          math.max(-lim - 1, math.min(lim, v))
+        }
+        val dec = Flac.decodeFlac(Flac.encodeFlac(pcm, 16000, bps, block))
+        assert(dec.samples.toSeq == pcm.toSeq,
+          s"round-trip mismatch: bps=$bps n=$n block=$block shape=$shape seed=$seed")
+        assert(dec.nFrames == (n + block - 1) / block)
+      }
+  }
+
   test("levinson-durbin recovers a 2-tap resonator's coefficients") {
     val sine = Array.tabulate(4000)(i => (8000 * math.sin(0.3 * i)).toInt)
     val c = Flac.levinsonDurbin(sine, 2)
