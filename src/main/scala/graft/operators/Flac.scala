@@ -280,22 +280,36 @@ object Flac {
     b
   }
 
-  /** (cost in bits, best 4-bit Rice parameter or 15=escape, escape width). */
+  /** (cost in bits, best 4-bit Rice parameter or 15=escape, escape width).
+    * The parameter search is NARROWED around the closed-form estimate
+    * k₀ ≈ log₂(mean zigzag) (the Rice-optimality result for geometric
+    * residuals): scanning k₀±2 instead of all 15 values finds the same
+    * optimum for any unimodal cost curve — which the Rice cost in k is —
+    * at a third of the encoder's dominant scan work. The escape-to-raw
+    * comparison is exact and unchanged.
+    */
   private def riceCost(res: Array[Long]): (Long, Int, Int) = {
-    var bestK = 0
-    var bestCost = Long.MaxValue
-    var k = 0
-    while (k <= 14) {
-      var c = 0L
-      var i = 0
-      while (i < res.length) { c += (zigzag(res(i)) >>> k) + 1 + k; i += 1 }
-      if (c < bestCost) { bestCost = c; bestK = k }
-      k += 1
-    }
+    var uSum = 0L
     var rawBits = 1
     var i = 0
     while (i < res.length) {
-      val b = bitsNeededSigned(res(i)); if (b > rawBits) rawBits = b; i += 1
+      uSum += zigzag(res(i))
+      val b = bitsNeededSigned(res(i)); if (b > rawBits) rawBits = b
+      i += 1
+    }
+    val mean = if (res.isEmpty) 0L else uSum / res.length
+    val k0 = if (mean <= 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(mean)
+    val lo = math.max(0, k0 - 2)
+    val hi = math.min(14, k0 + 2)
+    var bestK = lo
+    var bestCost = Long.MaxValue
+    var k = lo
+    while (k <= hi) {
+      var c = 0L
+      i = 0
+      while (i < res.length) { c += (zigzag(res(i)) >>> k) + 1 + k; i += 1 }
+      if (c < bestCost) { bestCost = c; bestK = k }
+      k += 1
     }
     val rawCost = 5L + rawBits.toLong * res.length
     if (rawCost < bestCost) (rawCost + 6, 15, rawBits) else (bestCost + 6, bestK, rawBits)
@@ -471,7 +485,24 @@ object Flac {
     val eff = bps - wasted
     val y = if (wasted == 0) x else x.map(_ >> wasted)
 
-    // cost comparison across subframe types
+    // Predictor selection, the standard two-stage encoder shape: estimate
+    // every candidate's bit cost in ONE O(n) pass over its residuals
+    // (closed-form Rice cost at k₀ = log₂(mean zigzag), plus the
+    // candidate's header/warmup/coefficient overhead), then run the exact
+    // Rice parameter search only on the winner. Ranking by estimated BIT
+    // cost (not mean |residual|) keeps the LPC coefficient overhead in
+    // the comparison, so a fixed predictor still wins when LPC's residual
+    // edge is smaller than its 12-bit-per-coefficient price.
+    final case class Cand(tag: String, order: Int, res: Array[Long],
+                          overhead: Long, qc: Array[Int], shift: Int)
+    def estCost(res: Array[Long], overhead: Long): Long = {
+      var uSum = 0L
+      var i = 0
+      while (i < res.length) { uSum += zigzag(res(i)); i += 1 }
+      val mean = if (res.isEmpty) 0L else uSum / res.length
+      val k0 = if (mean <= 0) 0 else 63 - java.lang.Long.numberOfLeadingZeros(mean)
+      (uSum >>> k0) + res.length.toLong * (1 + k0) + overhead
+    }
     val constant = y.forall(_ == y(0))
     var bestType = "verbatim"
     var bestCost = n.toLong * eff
@@ -479,14 +510,11 @@ object Flac {
     var bestRice: (Long, Int, Int) = null
     var bestLpc: (Array[Int], Int, Array[Long], (Long, Int, Int)) = null
     if (!constant) {
+      val cands = scala.collection.mutable.ArrayBuffer.empty[Cand]
       var order = 0
       while (order <= 4 && order < n) {
-        val res = fixedResiduals(y, order)
-        val rc = riceCost(res)
-        val cost = order.toLong * eff + rc._1
-        if (cost < bestCost) {
-          bestCost = cost; bestType = s"fixed$order"; bestFixed = order; bestRice = rc
-        }
+        cands += Cand(s"fixed$order", order, fixedResiduals(y, order),
+          order.toLong * eff, null, 0)
         order += 1
       }
       LpcOrders.foreach { order =>
@@ -494,15 +522,18 @@ object Flac {
           val coefs = levinsonDurbin(y, order)
           if (coefs.length == order) {
             val (qc, shift) = quantizeLpc(coefs, LpcPrecision)
-            val res = lpcResiduals(y, qc, shift)
-            val rc = riceCost(res)
-            val cost = order.toLong * eff + 4 + 5 + order.toLong * LpcPrecision + rc._1
-            if (cost < bestCost) {
-              bestCost = cost; bestType = s"lpc$order"
-              bestLpc = (qc, shift, res, rc); bestRice = null; bestFixed = -1
-            }
+            cands += Cand(s"lpc$order", order, lpcResiduals(y, qc, shift),
+              order.toLong * eff + 4 + 5 + order.toLong * LpcPrecision, qc, shift)
           }
         }
+      }
+      val win = cands.minBy(c => estCost(c.res, c.overhead))
+      val rc = riceCost(win.res)
+      val cost = win.overhead + rc._1
+      if (cost < bestCost) {
+        bestCost = cost; bestType = win.tag; bestRice = rc
+        if (win.qc == null) bestFixed = win.order
+        else bestLpc = (win.qc, win.shift, win.res, rc)
       }
     } else bestType = "constant"
     types += bestType
