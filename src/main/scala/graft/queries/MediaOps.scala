@@ -226,12 +226,95 @@ object MediaOps {
       |  CAST(MAX(ABS(x)) AS INTEGER) AS peak
       |FROM w GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  // temp root for the file-backed media queries (q234), deleted on JVM exit
+  private lazy val mediaRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_media")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+  }
+
+  /** q234: opaque-blob ingestion through Spark's REAL binary source — the
+    * other half of the multimodal story. q230/q232 build payloads inside
+    * the query; at 100 TB the payloads arrive as FILES, and the idiomatic
+    * scan is `format("binaryFile")` (path/length/content columns, glob
+    * pushdown via pathGlobFilter). This grades that whole path: blob
+    * STAGING is distributed (each executor partition writes its own .flac
+    * files — the shape of a real media landing zone), the scan glob-
+    * filters, the `length` column is cross-checked against the content
+    * it describes, the doc identity is recovered from the PATH (the only
+    * metadata a blob store gives for free), and the decoded PCM stats
+    * must match the closed-form oracle — a torn file, truncated write,
+    * or mis-associated path hash-mismatches. One narrow scan, per-file
+    * work payload-bounded, no shuffle before the presentation sort.
+    */
+  def binaryIngest(spark: SparkSession, dir: String): DataFrame = mediaRoot.synchronized {
+    import spark.implicits._
+    val run = mediaRoot.resolve("runBinaryIngest")
+    deleteRecursive(run)
+    java.nio.file.Files.createDirectories(run)
+    val outDir = run.toString
+    // distributed staging: every tenth document lands as its own file
+    documents(spark, dir).select($"doc_id").as[Long].filter(_ % 10 == 0)
+      .foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val n = 600 + (id % 7).toInt * 256
+          val sr = Array(8000, 16000, 44100)((id % 3).toInt)
+          val pcm = Array.tabulate(n) { i =>
+            (((id % 7 + 1) * i) % 2048).toInt - 1024 + ((id * 31 + i * 17) % 64).toInt
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, f"doc_$id%09d.flac"),
+            graft.operators.Flac.encodeFlac(pcm, sr, bitsPerSample = 16, blockSize = 256))
+        }
+      }
+    val idRe = raw"doc_(\d+)\.flac".r
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.flac").load(outDir)
+      .select($"path", $"length", $"content")
+      .as[(String, Long, Array[Byte])]
+      .map { case (path, len, content) =>
+        require(content.length.toLong == len,
+          s"binaryFile length column ($len) disagrees with content (${content.length})")
+        val id = idRe.findFirstMatchIn(path)
+          .getOrElse(throw new IllegalArgumentException(s"unparseable blob path $path"))
+          .group(1).toLong
+        val dec = graft.operators.Flac.decodeFlac(content)
+        var sum = 0L
+        dec.samples.foreach(sum += _)
+        (id, dec.samples.length, sum)
+      }.toDF("media_id", "n_samples", "sample_sum")
+      .orderBy($"media_id")
+  }
+
+  val binaryIngestSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(600 + doc_id % 7 * 256 AS INTEGER) AS n_samples,
+      |  CAST(SUM(((doc_id % 7 + 1) * g.i) % 2048 - 1024
+      |           + (doc_id * 31 + g.i * 17) % 64) AS BIGINT) AS sample_sum
+      |FROM documents
+      |JOIN generate_series(0, 2135) g(i) ON g.i < 600 + doc_id % 7 * 256
+      |WHERE doc_id % 10 = 0
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
     "q201_gif_decode" -> gifDecode,
     "q230_flac_decode" -> flacDecode,
     "q232_audio_features" -> audioFeatures,
+    "q234_binary_ingest" -> binaryIngest,
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +323,6 @@ object MediaOps {
     "q201_gif_decode" -> gifDecodeSql,
     "q230_flac_decode" -> flacDecodeSql,
     "q232_audio_features" -> audioFeaturesSql,
+    "q234_binary_ingest" -> binaryIngestSql,
   )
 }
