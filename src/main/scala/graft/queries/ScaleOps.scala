@@ -627,7 +627,50 @@ object ScaleOps {
       |FROM c
       |ORDER BY cum, l_partkey""".stripMargin
 
+  // q236 fixture: orders hash-scattered on o_custkey into 16 files (the
+  // layout min/max skipping is useless on for o_orderkey lookups) with a
+  // per-file Bloom manifest on o_orderkey; the lookup key set (the
+  // modulo-3749 ids) is collected once at staging — at scale keys arrive
+  // from the caller, not a scan. Staged once per (JVM, sfDir).
+  private val bloomStaged =
+    scala.collection.concurrent.TrieMap.empty[String, (java.nio.file.Path, Seq[Long])]
+
+  private def bloomOrders(spark: SparkSession, dir: String): (java.nio.file.Path, Seq[Long]) =
+    bloomStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val p = compactRoot.resolve("bloomskip_" + java.lang.Integer.toHexString(dir.hashCode))
+      val src = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      graft.operators.BloomSkip.writeIndexed(
+        spark, src, p.toString, keyCol = "o_orderkey", scatterCol = "o_custkey",
+        numFiles = 16)
+      val keys = src.filter($"o_orderkey" % 3749 === 0)
+        .select($"o_orderkey").as[Long].collect().toSeq.sorted
+      (p, keys)
+    })
+
+  /** q236: Bloom-pruned point lookup ([[graft.operators.BloomSkip]]) —
+    * per-file Bloom filters let an id lookup on a hash-scattered table
+    * open only maybe-hit files (min/max spans cover the whole domain on
+    * this layout, so [[graft.operators.SkippingIndex]] could prune
+    * nothing). The result is exact (no false negatives + residual IN
+    * filter), so the oracle is the plain predicate on the source table;
+    * BloomSkipSpec asserts the pruning itself (filesRead < filesTotal).
+    */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (src, keys) = bloomOrders(spark, dir)
+    val (df, _, _) = graft.operators.BloomSkip.prunedLookup(
+      spark, src.toString, "o_orderkey", keys)
+    df.select($"o_orderkey", $"o_custkey", $"o_totalprice").orderBy($"o_orderkey")
+  }
+
+  val bloomPointLookupSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 3749 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_bloom_skip"  -> bloomPointLookup,
     "q121_key_skew"    -> keySkew,
     "q146_hll_distinct" -> hllDistinct,
     "q151_join_size_est" -> joinSizeEstimate,
@@ -643,6 +686,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q236_bloom_skip"  -> bloomPointLookupSql,
     "q121_key_skew"    -> keySkewSql,
     "q146_hll_distinct" -> hllDistinctSql,
     "q151_join_size_est" -> joinSizeEstimateSql,

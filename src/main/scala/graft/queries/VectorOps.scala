@@ -1109,7 +1109,46 @@ object VectorOps {
       |  UNION ALL SELECT delta_kind, 'delta', n_d, retrain FROM f)
       |ORDER BY delta_kind, batch""".stripMargin
 
+  /** q235: binary (sign-bit) quantization ANN — Hamming shortlist over
+    * 64-bit packed signatures (32× smaller than the float vectors),
+    * exact-cosine rerank of the shortlist only
+    * ([[graft.operators.BinaryAnn]]). The oracle recomputes Hamming as
+    * the per-dimension sign-disagreement count (definitionally the
+    * packed distance) and replays both stages; ids + integer Hamming
+    * output (the q34 trick — cosine floats stay internal, asserted
+    * against a driver-side double reference in SimilaritySpec's family).
+    */
+  def binaryAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = embeddings(spark, dir)
+    val queriesDf = emb.filter($"vec_id" % 50 === 0)
+    graft.operators.BinaryAnn.hammingTopK(
+      emb, queriesDf, "vec_id", "embedding", shortlist = 20, k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val binaryAnnSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |h AS (SELECT query_id, qv, vec_id AS nbr_id, embedding AS ev,
+      |        CAST(list_sum(list_transform(range(1, len(qv)+1),
+      |          i -> CASE WHEN (qv[i] >= 0) <> (embedding[i] >= 0)
+      |               THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+      |      FROM q JOIN embeddings ON vec_id <> query_id),
+      |s AS (SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                 ORDER BY ham, nbr_id) AS hrk FROM h)
+      |  WHERE hrk <= 20),
+      |r AS (SELECT query_id, nbr_id, ham,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY list_cosine_similarity(qv::DOUBLE[], ev::DOUBLE[]) DESC,
+      |                   nbr_id) AS rk
+      |      FROM s)
+      |SELECT query_id, rk, nbr_id, ham FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_binary_ann" -> binaryAnn,
     "q226_ivf_retrain_trigger" -> ivfRetrainTrigger,
     "q218_embed_standardize" -> embedStandardize,
     "q223_geometric_median" -> geometricMedian,
@@ -1131,6 +1170,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q235_binary_ann" -> binaryAnnSql,
     "q226_ivf_retrain_trigger" -> ivfRetrainTriggerSql,
     "q218_embed_standardize" -> embedStandardizeSql,
     "q223_geometric_median" -> geometricMedianSql,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class BloomSkipSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_bloomskip_spec")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  // staged once: orders scattered on o_custkey (so o_orderkey min/max
+  // spans overlap everywhere), bloom manifest on o_orderkey
+  private lazy val table: String = {
+    val p = root.resolve("orders").toString
+    val src = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    BloomSkip.writeIndexed(spark, src, p, keyCol = "o_orderkey",
+      scatterCol = "o_custkey", numFiles = 16)
+    p
+  }
+
+  test("pruned lookup returns exactly the matching rows") {
+    val all = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val keys = all.filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey").as[Long].collect().toSeq.sorted
+    assert(keys.nonEmpty)
+    val (df, read, total) = BloomSkip.prunedLookup(spark, table, "o_orderkey", keys)
+    val got = df.select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey").collect().toSeq
+    val want = all.filter($"o_orderkey".isin(keys: _*))
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(got == want)
+    assert(total == 16)
+  }
+
+  test("bloom pruning opens fewer files than min/max span pruning would") {
+    // median key: interior to nearly every file's span on a scattered
+    // layout, so min/max pruning is near-useless for it
+    val n = Tables.orders(spark, sf).count()
+    val k = Tables.orders(spark, sf).orderBy($"o_orderkey")
+      .limit((n / 2).toInt + 1).agg(max($"o_orderkey")).head().getLong(0)
+    val (df, read, total) = BloomSkip.prunedLookup(spark, table, "o_orderkey", Seq(k))
+    assert(df.count() == 1)
+    assert(read < total, s"expected pruning: read=$read total=$total")
+    // what min/max span pruning would have opened for the same key
+    val spanHits = spark.read.parquet(table)
+      .groupBy(col("_metadata.file_path"))
+      .agg(min($"o_orderkey").as("lo"), max($"o_orderkey").as("hi"))
+      .collect()
+      .count(r => r.getLong(1) <= k && k <= r.getLong(2))
+    assert(read < spanHits,
+      s"bloom should beat span pruning here: bloom=$read spans=$spanHits")
+  }
+
+  test("no false negatives: every file that contains a key is kept") {
+    val keys = Seq(7L, 4242L, 9999L).filter(k =>
+      Tables.orders(spark, sf).filter($"o_orderkey" === k).count() > 0)
+    assert(keys.nonEmpty)
+    val truth = spark.read.parquet(table)
+      .filter($"o_orderkey".isin(keys: _*))
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect().toSet
+    val kept = BloomSkip.lookupFiles(
+      BloomSkip.readManifest(spark, table), keys.map(_.toString))
+      .map(_.file).toSet
+    assert(truth.subsetOf(kept), s"missing files: ${truth -- kept}")
+  }
+
+  test("absent key yields an empty result (false positives filtered)") {
+    val (df, _, _) = BloomSkip.prunedLookup(spark, table, "o_orderkey", Seq(-1L))
+    assert(df.count() == 0)
+  }
+
+  test("manifest sidecar is invisible to plain readers") {
+    val n = spark.read.parquet(table).count()
+    assert(n == Tables.orders(spark, sf).count())
+  }
+}
