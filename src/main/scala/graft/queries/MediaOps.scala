@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{md5, octet_length}
 import graft.queries.Tables.documents
 
 /** Compressed-container metadata extraction — the q73/q75 decode-vs-formula
@@ -308,7 +309,45 @@ object MediaOps {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** q237: DEFLATE/gzip roundtrip over the REAL corpus text — the
+    * ubiquitous-codec seam (every web-crawl pipeline's first byte is
+    * gzip), closed in the q230 contract style with a STRONGER reference:
+    * [[graft.operators.Deflate]] is from-spec (RFC 1951/1952; canonical
+    * Huffman, CRC-32 from its polynomial) and DeflateSpec cross-validates
+    * it BOTH directions against the JDK's zlib — a genuinely independent
+    * implementation. Here each document's UTF-8 bytes go through our
+    * gzip → our validating gunzip (CRC-32 + ISIZE checked), and the
+    * DECODED text's md5/byte-length are graded against the oracle's view
+    * of the ORIGINAL text — any corruption anywhere in LZ77, Huffman,
+    * bit packing, or the wrapper either throws typed or hash-mismatches.
+    * Per-document compressibility (the LLM-corpus boilerplate signal a
+    * deterministic from-spec encoder makes stable across JVMs, unlike
+    * `java.util.zip.Deflater` whose output may differ between zlib
+    * builds) is asserted in DeflateSpec; it is not oracle-expressible, so
+    * it stays out of the graded columns. One narrow map pass, no shuffle
+    * before the presentation sort — the q201/q230 100 TB posture.
+    */
+  def gzipRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val dec = graft.operators.Deflate.gunzip(graft.operators.Deflate.gzip(raw))
+        (id, new String(dec, "UTF-8"))
+      }.toDF("doc_id", "decoded")
+      .select($"doc_id",
+        octet_length($"decoded").cast("long").as("n_bytes"),
+        md5($"decoded".cast("binary")).as("md5_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val gzipRoundtripSql: String =
+    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_gzip_roundtrip" -> gzipRoundtrip,
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
     "q201_gif_decode" -> gifDecode,
@@ -318,6 +357,7 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q237_gzip_roundtrip" -> gzipRoundtripSql,
     "q189_mp3_walk"  -> mp3WalkSql,
     "q190_h264_walk" -> h264WalkSql,
     "q201_gif_decode" -> gifDecodeSql,
