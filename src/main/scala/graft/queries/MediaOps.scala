@@ -346,7 +346,54 @@ object MediaOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q238: PNG decode — the lossless-IMAGE-with-entropy-coding tier
+    * (GIF/LZW is dictionary coding; PNG stacks filters + DEFLATE), built
+    * on the q237 zlib layer and cross-validated against `javax.imageio`
+    * in PngSpec. Executors build a deterministic RGB image per document,
+    * encode with heuristic per-scanline filters, and decode through the
+    * full validating path (signature, per-chunk CRC-32, Adler-32,
+    * unfiltering); CHANNEL-wise sums are graded so a channel swap or any
+    * filter-reconstruction defect hash-mismatches even where a global sum
+    * would cancel. Payload-bounded map work, no shuffle — the q201/q230
+    * posture.
+    */
+  def pngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, dir).select($"doc_id").as[Long].map { id =>
+      val w = 8 + (id % 13).toInt * 4
+      val h = 8 + (id % 9).toInt * 4
+      val img = graft.operators.Png.decodePng(
+        graft.operators.Png.encodePng(graft.operators.Png.buildImage(id, w, h)))
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < img.pixels.length) {
+        (i % 3: @annotation.switch) match {
+          case 0 => r += img.pixels(i) & 0xFF
+          case 1 => g += img.pixels(i) & 0xFF
+          case 2 => b += img.pixels(i) & 0xFF
+        }
+        i += 1
+      }
+      (id, img.width, img.height, r, g, b)
+    }.toDF("media_id", "parsed_width", "parsed_height", "r_sum", "g_sum", "b_sum")
+      .orderBy($"media_id")
+  }
+
+  val pngDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 13 * 4 AS INTEGER) AS parsed_width,
+      |  CAST(8 + doc_id % 9 * 4 AS INTEGER) AS parsed_height,
+      |  CAST(SUM(CASE WHEN g.i % 3 = 0 THEN (doc_id*37 + g.i*11) % 256 END) AS BIGINT) AS r_sum,
+      |  CAST(SUM(CASE WHEN g.i % 3 = 1 THEN (doc_id*37 + g.i*11) % 256 END) AS BIGINT) AS g_sum,
+      |  CAST(SUM(CASE WHEN g.i % 3 = 2 THEN (doc_id*37 + g.i*11) % 256 END) AS BIGINT) AS b_sum
+      |FROM documents
+      |JOIN generate_series(0, 6720) g(i)
+      |  ON g.i < 3 * (8 + doc_id % 13 * 4) * (8 + doc_id % 9 * 4)
+      |GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_png_decode" -> pngDecode,
     "q237_gzip_roundtrip" -> gzipRoundtrip,
     "q189_mp3_walk"  -> mp3Walk,
     "q190_h264_walk" -> h264Walk,
@@ -357,6 +404,7 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q238_png_decode" -> pngDecodeSql,
     "q237_gzip_roundtrip" -> gzipRoundtripSql,
     "q189_mp3_walk"  -> mp3WalkSql,
     "q190_h264_walk" -> h264WalkSql,
