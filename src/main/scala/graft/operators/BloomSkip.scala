@@ -113,6 +113,102 @@ object BloomSkip {
     }
   }
 
+  /** Result of a Bloom-pruned copy-on-write upsert: how many data files
+    * were carried over untouched vs rewritten.
+    */
+  case class UpsertStats(filesKept: Int, filesRewritten: Int, rowsIncoming: Long)
+
+  /** Bloom-pruned copy-on-write upsert into `dstPath` — the file-level
+    * MERGE pruning move (the jump Delta/Iceberg make over
+    * rewrite-the-table): files whose Bloom filter rules out EVERY
+    * incoming key are carried over byte-for-byte (at scale: a
+    * metadata-only manifest pointer); only maybe-hit files are read,
+    * anti-joined against the incoming keys, merged with the delta, and
+    * rewritten. Correct by the no-false-negative property: an untouched
+    * file definitively contains none of the incoming keys. The manifest
+    * is maintained incrementally — untouched files keep their rows, only
+    * rewritten output is re-profiled — so maintenance cost is
+    * proportional to the delta's file footprint, not the table.
+    *
+    * Semantics mirror `TableStore.upsert`: incoming rows replace same-key
+    * rows and append new keys; `incoming` must be key-unique (checked).
+    * The incoming key set is collected to drive the driver-side file
+    * probe — bounded by `maxDriverKeys`, the explicit smallness contract
+    * an upsert delta has (a delta approaching table size should take the
+    * full-rewrite path instead).
+    */
+  def cowUpsert(spark: SparkSession, srcPath: String, dstPath: String,
+                keyCol: String, incoming: DataFrame,
+                maxDriverKeys: Int = 1 << 20): UpsertStats = {
+    val stats = readManifest(spark, srcPath)
+    require(stats.nonEmpty, s"no bloom manifest at $srcPath")
+    val nIncoming = incoming.count()
+    val keys = incoming.select(col(keyCol).cast("string").as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(keys.length == nIncoming, "incoming rows must be key-unique")
+    require(keys.length <= maxDriverKeys,
+      s"delta too large for pruned upsert (${keys.length} keys > $maxDriverKeys) — use the full-rewrite path")
+    val victims = lookupFiles(stats, keys)
+    val victimFiles = victims.map(_.file).toSet
+    val kept = stats.filterNot(s => victimFiles.contains(s.file))
+
+    val dst = new Path(dstPath)
+    val f = fs(spark, dst)
+    if (f.exists(dst)) f.delete(dst, true)
+    f.mkdirs(dst)
+
+    // untouched files: straight copy, same basename (no Spark job)
+    val keptStats = kept.map { s =>
+      val src = new Path(s.file)
+      val out = new Path(dst, src.getName)
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, out, false,
+        spark.sparkContext.hadoopConfiguration)
+      s.copy(file = f.makeQualified(out).toString)
+    }
+
+    // victims ∪ delta: survivors (anti-join on key) + all incoming rows,
+    // one Spark job over JUST the maybe-hit files
+    val survivors =
+      if (victims.isEmpty) incoming.limit(0)
+      else spark.read.parquet(victims.map(_.file): _*)
+        .join(incoming.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val merged = survivors.unionByName(incoming)
+    val tmp = new Path(dst, "__rw_tmp")
+    merged.repartition(math.max(1, victims.size))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+    val moved = parts.map { st =>
+      val out = new Path(dst, "rw-" + st.getPath.getName)
+      if (!f.rename(st.getPath, out))
+        throw new java.io.IOException(s"rewrite move failed for $out")
+      f.makeQualified(out).toString
+    }.toSeq
+    f.delete(tmp, true)
+
+    // re-profile ONLY the rewritten files, at the manifest's own sizing
+    // (self-describing header: numHashes in the bytes, numBits from length)
+    val numHashes = graft.functions.expressions.BloomFilterFormat.decodeNumHashes(stats.head.bloom)
+    val numBits = (stats.head.bloom.length - 4) * 8
+    val rewrittenStats =
+      if (moved.isEmpty) Nil
+      else {
+        graft.functions.expressions.BloomFilterExprs.register(spark)
+        spark.read.parquet(moved: _*)
+          .select(col(keyCol).cast("string").as("k"),
+            col("_metadata.file_path").as("file"))
+          .groupBy(col("file"))
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"),
+            graft.functions.expressions.BloomFilterExprs
+              .bloomBuild(col("k"), numBits, numHashes).as("bloom"))
+          .collect()
+          .map(r => FileBloom(r.getString(0), r.getLong(1), r.getAs[Array[Byte]]("bloom")))
+          .toSeq
+      }
+    writeManifest(spark, dstPath, keptStats ++ rewrittenStats)
+    UpsertStats(keptStats.size, rewrittenStats.size, nIncoming)
+  }
+
   /** Bloom-pruned point lookup: open only maybe-hit files, then the exact
     * residual `IN` filter. Returns (frame, filesRead, filesTotal) — the
     * spec asserts filesRead ≪ filesTotal on a scattered layout.

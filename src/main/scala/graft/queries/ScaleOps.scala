@@ -669,7 +669,48 @@ object ScaleOps {
       |FROM orders WHERE o_orderkey % 3749 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q239: Bloom-pruned copy-on-write upsert
+    * ([[graft.operators.BloomSkip.cowUpsert]]) — the file-level MERGE
+    * pruning tier between the flat full-rewrite upsert (q25) and the
+    * partition-pruned one (q183): a small delta (updates for the
+    * modulo-499 keys, inserts above the key domain) rewrites ONLY the
+    * files whose Bloom filter might contain a delta key; everything else
+    * is carried over untouched and keeps its manifest rows. The graded
+    * output is the ENTIRE post-merge table (any pruning unsoundness —
+    * a false negative, a dropped survivor, a lost insert — hash-
+    * mismatches); BloomSkipSpec asserts the pruning itself.
+    */
+  def bloomCowUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (src, _) = bloomOrders(spark, dir)
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val delta = base.filter($"o_orderkey" % 499 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1000.0))
+      .unionByName(base.filter($"o_orderkey" % 997 === 0)
+        .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(42.0).as("o_totalprice")))
+    val dst = compactRoot.resolve("bloomcow_" + java.lang.Integer.toHexString(dir.hashCode))
+    graft.operators.BloomSkip.cowUpsert(
+      spark, src.toString, dst.toString, "o_orderkey", delta)
+    spark.read.parquet(dst.toString)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val bloomCowUpsertSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 499 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 499 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 42.0
+      |  FROM orders WHERE o_orderkey % 997 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_bloom_cow_upsert" -> bloomCowUpsert,
     "q236_bloom_skip"  -> bloomPointLookup,
     "q121_key_skew"    -> keySkew,
     "q146_hll_distinct" -> hllDistinct,
@@ -686,6 +727,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q239_bloom_cow_upsert" -> bloomCowUpsertSql,
     "q236_bloom_skip"  -> bloomPointLookupSql,
     "q121_key_skew"    -> keySkewSql,
     "q146_hll_distinct" -> hllDistinctSql,

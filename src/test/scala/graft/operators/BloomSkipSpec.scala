@@ -82,6 +82,49 @@ class BloomSkipSpec extends SparkSuite {
     assert(df.count() == 0)
   }
 
+  test("cow upsert rewrites only maybe-hit files and merges exactly") {
+    import org.apache.spark.sql.functions.lit
+    val all = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // small delta: 3 updates + 2 inserts above the key domain
+    val upKeys = all.orderBy($"o_orderkey").limit(3)
+      .select($"o_orderkey").as[Long].collect().toSeq
+    val delta = all.filter($"o_orderkey".isin(upKeys: _*))
+      .withColumn("o_totalprice", lit(7.5))
+      .unionByName(all.limit(2)
+        .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(1.25).as("o_totalprice")))
+    val dst = root.resolve("cow_out").toString
+    val st = BloomSkip.cowUpsert(spark, table, dst, "o_orderkey", delta)
+    // 3 update keys touch ≤3 files (+ε false positives); inserts touch none
+    assert(st.filesKept >= 10, s"expected most files untouched, kept=${st.filesKept}")
+    assert(st.filesRewritten >= 1, "inserts guarantee rewritten output")
+    assert(st.rowsIncoming == 5)
+    // content: exactly the merged table
+    val got = spark.read.parquet(dst)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey").collect().toSeq
+    val want = all.join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta).orderBy($"o_orderkey").collect().toSeq
+    assert(got == want)
+    // manifest maintained: post-merge point lookups stay exact AND pruned
+    val (df, read, total) = BloomSkip.prunedLookup(spark, dst, "o_orderkey",
+      Seq(upKeys.head, upKeys.head + 10000000L))
+    assert(read < total)
+    val rows = df.orderBy($"o_orderkey").collect()
+    assert(rows.length >= 1 && rows.exists(_.getDouble(2) == 7.5))
+  }
+
+  test("cow upsert refuses a key-duplicated delta") {
+    import org.apache.spark.sql.functions.lit
+    val one = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").limit(1)
+    val dup = one.unionByName(one.withColumn("o_totalprice", lit(0.0)))
+    intercept[IllegalArgumentException](
+      BloomSkip.cowUpsert(spark, table, root.resolve("cow_dup").toString,
+        "o_orderkey", dup))
+  }
+
   test("manifest sidecar is invisible to plain readers") {
     val n = spark.read.parquet(table).count()
     assert(n == Tables.orders(spark, sf).count())
