@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors + merge-on-read — the zero-rewrite mutation tier of
+  * the store, complementing the copy-on-write paths:
+  *
+  *  - `TableStore.upsert` / q25: full rewrite (small tables, total merges)
+  *  - `TableStore.upsertPartitioned` / q183: partition-pruned rewrite
+  *  - [[BloomSkip.cowUpsert]] / q239: Bloom-pruned FILE-level rewrite
+  *  - here / q240–q241: NO data file is touched at all — a delete marks
+  *    (file, row position) pairs in a sidecar; an upsert marks the old
+  *    rows of updated keys and APPENDS the delta as new part files.
+  *
+  * This is the Iceberg v2 / Delta deletion-vector move: mutation latency
+  * becomes O(delta) with zero write amplification, at the price of a
+  * read-side anti-join against the vector — which stays cheap because
+  * the vector is delta-sized and broadcasts, so the base scan never
+  * shuffles. Row positions come from parquet's stable in-file row index
+  * (`_metadata.row_index`), the same identity Delta's DVs use; positions
+  * survive any reader because parquet row order within an immutable file
+  * is part of the format.
+  *
+  * The sidecar is one TSV manifest (`_deletion_vectors/dv.tsv`,
+  * atomically swapped) in the store tier's manifest convention
+  * ([[SkippingIndex]], [[BloomSkip]]); `compact` materializes survivors
+  * — rewriting ONLY the files that carry deletions — and resets the
+  * vector, bounding read-side debt.
+  */
+object DeletionVectors {
+
+  val DvDir = "_deletion_vectors"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The live (file, rowIndex) deletion set; empty if no vector exists. */
+  def readDv(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val p = new Path(path, DvDir + "/dv.tsv")
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Nil
+    val in = f.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64 * 1024)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toString("UTF-8")
+    } finally in.close()
+    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(file, idx) = line.split("\t")
+      (file, idx.toLong)
+    }.toSeq
+  }
+
+  def writeDv(spark: SparkSession, path: String, dv: Seq[(String, Long)]): Unit = {
+    val p = new Path(path, DvDir + "/dv.tsv")
+    val f = fs(spark, p)
+    val tmp = new Path(path, DvDir + "/dv.tsv__tmp")
+    val out = f.create(tmp, true)
+    try {
+      val body = dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"deletion-vector swap failed for $path")
+  }
+
+  /** Mark every row whose key appears in `keys` as deleted — one
+    * distributed pass locating (file, row_index) for matching keys, NO
+    * data file touched. The located set is delta-sized by definition
+    * (it IS the deleted rows), so collecting it into the manifest is the
+    * same boundedness contract as the other manifests' file lists.
+    */
+  def dvDelete(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long = {
+    val hits = spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__row"))
+      .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
+      .select(col("__file"), col("__row"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val prior = readDv(spark, path)
+    val merged = (prior ++ hits).distinct
+    writeDv(spark, path, merged)
+    merged.size.toLong - prior.size.toLong
+  }
+
+  /** The table as of the vector: base rows minus deletions. The vector
+    * broadcasts (delta-sized), so the base scan is one pass, no shuffle —
+    * the read-side cost of zero-rewrite mutation.
+    */
+  def dvRead(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val dv = readDv(spark, path)
+    if (dv.isEmpty) base
+    else {
+      import spark.implicits._
+      val dvDf = dv.toDF("__file", "__row")
+      base
+        .withColumn("__file", col("_metadata.file_path"))
+        .withColumn("__row", col("_metadata.row_index"))
+        .join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
+        .drop("__file", "__row")
+    }
+  }
+
+  /** Merge-on-read upsert: DV-mask the current rows of updated keys, then
+    * APPEND the delta as new part files — no existing file is modified.
+    * `incoming` must be key-unique (checked). Returns the number of
+    * newly-masked rows.
+    */
+  def morUpsert(spark: SparkSession, path: String, incoming: DataFrame,
+                keyCol: String): Long = {
+    val n = incoming.count()
+    require(incoming.select(col(keyCol)).distinct().count() == n,
+      "incoming rows must be key-unique")
+    val masked = dvDelete(spark, path, incoming.select(col(keyCol)), keyCol)
+    // append via a staging dir + rename: Spark's append mode could leave
+    // partial files on failure; rename-in keeps the visible commit atomic
+    // per file and collision-free via a nonce prefix
+    val dst = new Path(path)
+    val f = fs(spark, dst)
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = new Path(path, s"__append_$nonce")
+    incoming.write.mode("overwrite").parquet(tmp.toString)
+    f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val out = new Path(dst, s"mor-$nonce-${st.getPath.getName}")
+      if (!f.rename(st.getPath, out))
+        throw new java.io.IOException(s"append move failed for $out")
+    }
+    f.delete(tmp, true)
+    masked
+  }
+
+  /** Materialize the vector: rewrite ONLY the files that carry deletions
+    * (survivor rows re-packed), leave every clean file in place, reset
+    * the vector. Returns (filesRewritten, filesUntouched).
+    */
+  def compact(spark: SparkSession, path: String): (Int, Int) = {
+    val dv = readDv(spark, path)
+    if (dv.isEmpty) return (0, countDataFiles(spark, path))
+    import spark.implicits._
+    val dirty = dv.map(_._1).distinct
+    val dst = new Path(path)
+    val f = fs(spark, dst)
+    val dvDf = dv.toDF("__file", "__row")
+    val survivors = spark.read.parquet(dirty: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__row", col("_metadata.row_index"))
+      .join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
+      .drop("__file", "__row")
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = new Path(path, s"__compact_$nonce")
+    survivors.repartition(math.max(1, dirty.size))
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: move survivors in FIRST, reset the vector, then drop the dirty
+    // originals — a crash between steps leaves extra rows masked by a
+    // stale DV (still masked: DV rows reference the dirty files) or
+    // double-present rows only AFTER the DV reset, which the final delete
+    // bounds to a crash window the store's recover-on-read tiers document
+    val moved = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
+      val out = new Path(dst, s"cmp-$nonce-${st.getPath.getName}")
+      if (!f.rename(st.getPath, out))
+        throw new java.io.IOException(s"compact move failed for $out")
+      out
+    }
+    f.delete(tmp, true)
+    writeDv(spark, path, Nil)
+    dirty.foreach(d => f.delete(new Path(d), false))
+    (moved.length, countDataFiles(spark, path) - moved.length)
+  }
+
+  private def countDataFiles(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    fs(spark, p).listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+}

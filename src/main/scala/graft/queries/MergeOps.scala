@@ -1193,7 +1193,90 @@ object MergeOps {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // q240/q241 pristine fixture: orders hash-scattered into 8 files, staged
+  // once per (JVM, sfDir); each run restores by filesystem copy (DV
+  // mutations write sidecars/appends next to the data)
+  private val dvStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def dvFixture(spark: SparkSession, dir: String): java.nio.file.Path =
+    dvStaged.getOrElseUpdate(dir, {
+      val p = mergeRoot.resolve("dvfix_" + java.lang.Integer.toHexString(dir.hashCode))
+      orders(spark, dir).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite").parquet(p.toString)
+      p
+    })
+
+  /** q240: deletion-vector delete ([[graft.operators.DeletionVectors]]) —
+    * the ZERO-rewrite mutation tier: deleting the modulo-499 keys touches
+    * no data file (spec-asserted via mtimes); one distributed pass locates
+    * (file, row position) pairs via parquet's stable `_metadata.row_index`
+    * and the read applies the delta-sized vector as a broadcast anti-join,
+    * so the base scan never shuffles. Graded output is the post-delete
+    * table; compaction equivalence (rewrite ONLY dirty files, reset the
+    * vector) is DeletionVectorsSpec's.
+    */
+  def dvDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val fix = dvFixture(spark, dir)
+    val run = mergeRoot.resolve("runDv")
+    deleteRecursive(run)
+    copyRecursive(fix, run)
+    val keys = orders(spark, dir).filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey")
+    graft.operators.DeletionVectors.dvDelete(spark, run.toString, keys, "o_orderkey")
+    graft.operators.DeletionVectors.dvRead(spark, run.toString)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val dvDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 499 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q241: merge-on-read upsert — updates DV-mask the old rows, the delta
+    * appends as new part files, NO existing file is modified; the read
+    * stitches base-minus-vector ∪ delta. Same delta shape as q239's
+    * Bloom-pruned COW merge, so the two tiers' post-merge states are
+    * directly comparable: q239 pays rewrite at mutation time, q241 pays a
+    * broadcast anti-join at read time — the classic write- vs
+    * read-amplification trade a 100 TB store must offer both sides of.
+    */
+  def morUpsert(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val fix = dvFixture(spark, dir)
+    val run = mergeRoot.resolve("runMor")
+    deleteRecursive(run)
+    copyRecursive(fix, run)
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val delta = base.filter($"o_orderkey" % 499 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + lit(1000.0))
+      .unionByName(base.filter($"o_orderkey" % 997 === 0)
+        .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(42.0).as("o_totalprice")))
+    graft.operators.DeletionVectors.morUpsert(spark, run.toString, delta, "o_orderkey")
+    graft.operators.DeletionVectors.dvRead(spark, run.toString)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val morUpsertSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 499 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 499 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, 42.0
+      |  FROM orders WHERE o_orderkey % 997 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q240_dv_delete" -> dvDelete,
+    "q241_mor_upsert" -> morUpsert,
     "q183_evolve_upsert_partitioned" -> evolveUpsertPartitioned,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitioned,
     "q180_partitioned_delete" -> partitionedDelete,
@@ -1220,6 +1303,8 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q240_dv_delete" -> dvDeleteSql,
+    "q241_mor_upsert" -> morUpsertSql,
     "q183_evolve_upsert_partitioned" -> evolveUpsertPartitionedSql,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitionedSql,
     "q180_partitioned_delete" -> partitionedDeleteSql,

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.queries.Tables
+import org.apache.spark.sql.functions._
+
+class DeletionVectorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_dv_spec")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  private def freshTable(name: String): String = {
+    val p = root.resolve(name).toString
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(8, $"o_custkey")
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private def dataFileMtimes(path: String): Map[String, Long] = {
+    val d = new java.io.File(path)
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("dv delete removes exactly the matching rows without touching any data file") {
+    val t = freshTable("del")
+    val before = dataFileMtimes(t)
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey")
+    val masked = DeletionVectors.dvDelete(spark, t, keys, "o_orderkey")
+    assert(masked == keys.count())
+    assert(dataFileMtimes(t) == before, "no data file may be modified")
+    val got = DeletionVectors.dvRead(spark, t)
+      .select($"o_orderkey").as[Long].collect().toSet
+    val want = Tables.orders(spark, sf).filter($"o_orderkey" % 499 =!= 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(got == want)
+    // repeated delete of the same keys adds nothing
+    assert(DeletionVectors.dvDelete(spark, t, keys, "o_orderkey") == 0)
+  }
+
+  test("vectors accumulate across deletes") {
+    val t = freshTable("accum")
+    val k1 = Tables.orders(spark, sf).filter($"o_orderkey" % 499 === 0).select($"o_orderkey")
+    val k2 = Tables.orders(spark, sf).filter($"o_orderkey" % 701 === 0).select($"o_orderkey")
+    DeletionVectors.dvDelete(spark, t, k1, "o_orderkey")
+    DeletionVectors.dvDelete(spark, t, k2, "o_orderkey")
+    val got = DeletionVectors.dvRead(spark, t).count()
+    val want = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 499 =!= 0 && $"o_orderkey" % 701 =!= 0).count()
+    assert(got == want)
+  }
+
+  test("merge-on-read upsert: base untouched, delta appended, read stitches") {
+    val t = freshTable("mor")
+    val before = dataFileMtimes(t)
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val delta = base.filter($"o_orderkey" % 499 === 0)
+      .withColumn("o_totalprice", lit(7.5))
+      .unionByName(base.limit(2)
+        .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(1.25).as("o_totalprice")))
+    DeletionVectors.morUpsert(spark, t, delta, "o_orderkey")
+    // every pre-existing file byte-identical; new mor- files appended
+    val after = dataFileMtimes(t)
+    before.foreach { case (f, m) => assert(after(f) == m, s"$f modified") }
+    assert(after.keys.exists(_.startsWith("mor-")), "delta must be appended")
+    val got = DeletionVectors.dvRead(spark, t)
+      .orderBy($"o_orderkey").collect().toSeq
+    val want = base.join(delta.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(delta).orderBy($"o_orderkey").collect().toSeq
+    assert(got == want)
+  }
+
+  test("mor upsert refuses a key-duplicated delta") {
+    val t = freshTable("mordup")
+    val one = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").limit(1)
+    intercept[IllegalArgumentException](
+      DeletionVectors.morUpsert(spark, t,
+        one.unionByName(one.withColumn("o_totalprice", lit(0.0))), "o_orderkey"))
+  }
+
+  test("compact rewrites only dirty files, resets the vector, preserves content") {
+    val t = freshTable("cmp")
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey")
+    DeletionVectors.dvDelete(spark, t, keys, "o_orderkey")
+    val expect = DeletionVectors.dvRead(spark, t)
+      .orderBy($"o_orderkey").collect().toSeq
+    val dirtyBasenames = DeletionVectors.readDv(spark, t).map(_._1)
+      .distinct.map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val mtimesBefore = dataFileMtimes(t)
+    val (rewritten, untouched) = DeletionVectors.compact(spark, t)
+    assert(rewritten >= 1 && untouched >= 0)
+    assert(DeletionVectors.readDv(spark, t).isEmpty, "vector must reset")
+    // clean files survive in place with their mtimes
+    mtimesBefore.filterNot { case (f, _) => dirtyBasenames.contains(f) }
+      .foreach { case (f, m) =>
+        assert(dataFileMtimes(t).get(f).contains(m), s"clean file $f disturbed") }
+    // dirty originals are gone
+    dirtyBasenames.foreach(f => assert(!dataFileMtimes(t).contains(f), s"dirty $f remains"))
+    val got = spark.read.parquet(t).orderBy($"o_orderkey").collect().toSeq
+    assert(got == expect)
+  }
+
+  test("empty vector reads as the plain table") {
+    val t = freshTable("plain")
+    assert(DeletionVectors.dvRead(spark, t).count() == Tables.orders(spark, sf).count())
+  }
+}
