@@ -80,6 +80,10 @@ object BloomSkip {
       }.mkString
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
+    // commit-point fence (no-op for lease-less callers, like every
+    // TableStore commit rename): a fenced-out writer must not swap a
+    // manifest under the new holder
+    graft.store.WriterLease.fence(spark, path)
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"bloom manifest swap failed for $path")
@@ -154,6 +158,7 @@ object BloomSkip {
 
     val dst = new Path(dstPath)
     val f = fs(spark, dst)
+    graft.store.WriterLease.fence(spark, dstPath) // before the destructive wipe
     if (f.exists(dst)) f.delete(dst, true)
     f.mkdirs(dst)
 
@@ -177,6 +182,7 @@ object BloomSkip {
     merged.repartition(math.max(1, victims.size))
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+    graft.store.WriterLease.fence(spark, dstPath) // before the visible moves
     val moved = parts.map { st =>
       val out = new Path(dst, "rw-" + st.getPath.getName)
       if (!f.rename(st.getPath, out))

@@ -64,6 +64,9 @@ object DeletionVectors {
       val body = dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
+    // commit-point fence (no-op for lease-less callers): the vector swap
+    // IS the visible mutation, so a fenced-out writer dies here
+    graft.store.WriterLease.fence(spark, path)
     if (f.exists(p)) f.delete(p, false)
     if (!f.rename(tmp, p))
       throw new java.io.IOException(s"deletion-vector swap failed for $path")
@@ -127,6 +130,7 @@ object DeletionVectors {
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__append_$nonce")
     incoming.write.mode("overwrite").parquet(tmp.toString)
+    graft.store.WriterLease.fence(spark, path) // before the visible appends
     f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
       val out = new Path(dst, s"mor-$nonce-${st.getPath.getName}")
       if (!f.rename(st.getPath, out))
@@ -162,6 +166,7 @@ object DeletionVectors {
     // stale DV (still masked: DV rows reference the dirty files) or
     // double-present rows only AFTER the DV reset, which the final delete
     // bounds to a crash window the store's recover-on-read tiers document
+    graft.store.WriterLease.fence(spark, path) // before the visible moves
     val moved = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).map { st =>
       val out = new Path(dst, s"cmp-$nonce-${st.getPath.getName}")
       if (!f.rename(st.getPath, out))
@@ -170,6 +175,8 @@ object DeletionVectors {
     }
     f.delete(tmp, true)
     writeDv(spark, path, Nil)
+    // housekeeping fence before dropping originals (the vacuum rationale)
+    graft.store.WriterLease.fence(spark, path)
     dirty.foreach(d => f.delete(new Path(d), false))
     (moved.length, countDataFiles(spark, path) - moved.length)
   }

@@ -125,6 +125,28 @@ class BloomSkipSpec extends SparkSuite {
         "o_orderkey", dup))
   }
 
+  test("fenced-out writer's cow upsert dies before touching the target") {
+    import graft.store.WriterLease
+    // a populated destination a rival now owns
+    val dst = root.resolve("cow_fenced").toString
+    val delta0 = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").limit(1)
+    BloomSkip.cowUpsert(spark, table, dst, "o_orderkey", delta0)
+    val before = spark.read.parquet(dst).count()
+    val a = WriterLease.acquire(spark, dst, "writerA", ttlMs = 60000)
+    val leaseFile = new org.apache.hadoop.fs.Path(dst + "__lease", "LEASE")
+    leaseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(leaseFile, System.currentTimeMillis() - 120000, -1)
+    val b = WriterLease.acquire(spark, dst, "writerB", ttlMs = 60000)
+    WriterLease.adopt(a)
+    intercept[WriterLease.FencedException](
+      BloomSkip.cowUpsert(spark, table, dst, "o_orderkey",
+        delta0.withColumn("o_totalprice", lit(9.9))))
+    WriterLease.adopt(b)
+    assert(spark.read.parquet(dst).count() == before, "loser must change nothing")
+    WriterLease.release(spark, b)
+  }
+
   test("manifest sidecar is invisible to plain readers") {
     val n = spark.read.parquet(table).count()
     assert(n == Tables.orders(spark, sf).count())

@@ -118,4 +118,33 @@ class DeletionVectorsSpec extends SparkSuite {
     val t = freshTable("plain")
     assert(DeletionVectors.dvRead(spark, t).count() == Tables.orders(spark, sf).count())
   }
+
+  test("fenced-out writer's vector swap and MoR append die loudly") {
+    import graft.store.WriterLease
+    val t = freshTable("fenced")
+    val nBefore = spark.read.parquet(t).count()
+    val a = WriterLease.acquire(spark, t, "writerA", ttlMs = 60000)
+    // A stalls (lease aged past ttl); B breaks it and holds
+    val leaseFile = new org.apache.hadoop.fs.Path(t + "__lease", "LEASE")
+    leaseFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(leaseFile, System.currentTimeMillis() - 120000, -1)
+    val b = WriterLease.acquire(spark, t, "writerB", ttlMs = 60000)
+    // A wakes up: every zero-rewrite mutation must die at the fence
+    WriterLease.adopt(a)
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey")
+    intercept[WriterLease.FencedException](
+      DeletionVectors.dvDelete(spark, t, keys, "o_orderkey"))
+    val delta = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice").limit(2)
+      .withColumn("o_totalprice", lit(0.5))
+    intercept[WriterLease.FencedException](
+      DeletionVectors.morUpsert(spark, t, delta, "o_orderkey"))
+    // the loser changed nothing: no vector, no appended files, full count
+    WriterLease.adopt(b)
+    assert(DeletionVectors.readDv(spark, t).isEmpty)
+    assert(!dataFileMtimes(t).keys.exists(_.startsWith("mor-")))
+    assert(spark.read.parquet(t).count() == nBefore)
+    WriterLease.release(spark, b)
+  }
 }
