@@ -114,6 +114,40 @@ object SkippingIndex {
     (df, keep.size, stats.size)
   }
 
+  /** Manifest-only table stats: (rows, minKey, maxKey) with ZERO data
+    * files opened — the Iceberg-shaped metadata answer to `COUNT(*)` /
+    * `MIN` / `MAX`, valid because the profiler counts every row and the
+    * key column is non-null by the clustering contract. At 100 TB this
+    * is the difference between a driver-side manifest read and a
+    * full-table scan for the most common dashboard queries.
+    */
+  def tableStats(spark: SparkSession, path: String): (Long, Long, Long) = {
+    val stats = readManifest(spark, path)
+    require(stats.nonEmpty, s"empty manifest at $path")
+    (stats.map(_.rows).sum, stats.map(_.minKey).min, stats.map(_.maxKey).max)
+  }
+
+  /** Metadata-accelerated EXACT range count: files whose span is fully
+    * inside [lo,hi] contribute their manifest row counts without being
+    * opened; only BOUNDARY files (overlapping but not contained) are
+    * scanned with the residual predicate. On a clustered table a range
+    * has at most two boundary files regardless of range size — scan cost
+    * is O(1) files while the answer stays exact. Returns
+    * (count, filesScanned, filesTotal).
+    */
+  def rangeCount(spark: SparkSession, path: String, keyCol: String,
+                 lo: Long, hi: Long): (Long, Int, Int) = {
+    val stats = readManifest(spark, path)
+    val overlap = overlapping(stats, lo, hi)
+    val (full, partial) = overlap.partition(s => s.minKey >= lo && s.maxKey <= hi)
+    val metaCount = full.map(_.rows).sum
+    val scanned =
+      if (partial.isEmpty) 0L
+      else spark.read.parquet(partial.map(_.file): _*)
+        .filter(col(keyCol).between(lo, hi)).count()
+    (metaCount + scanned, partial.size, stats.size)
+  }
+
   /** Result of a copy-on-write delete: how many data files were carried
     * over untouched vs rewritten (the rewrite set is the manifest's
     * overlap set — cost proportional to the deleted range's footprint,

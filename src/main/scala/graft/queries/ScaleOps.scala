@@ -709,7 +709,56 @@ object ScaleOps {
       |  FROM orders WHERE o_orderkey % 997 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  // q242 fixture: orders range-clustered on o_orderkey into 8 files with
+  // the min/max manifest, staged once per (JVM, sfDir)
+  private val statsStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def statsOrders(spark: SparkSession, dir: String): java.nio.file.Path =
+    statsStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val p = compactRoot.resolve("skipstats_" + java.lang.Integer.toHexString(dir.hashCode))
+      graft.operators.SkippingIndex.writeIndexed(spark,
+        orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        p.toString, "o_orderkey", numFiles = 8)
+      p
+    })
+
+  /** q242: metadata-accelerated aggregates
+    * ([[graft.operators.SkippingIndex.tableStats]] / `rangeCount`) —
+    * COUNT/MIN/MAX answered from the manifest with zero files opened, and
+    * an EXACT range count where fully-covered files contribute manifest
+    * rows and only the ≤2 boundary files are scanned. The graded row is
+    * (total, min, max, range count) against the oracle recomputing all
+    * four by scanning; SkippingIndexSpec asserts the file-open counts.
+    */
+  def manifestStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = statsOrders(spark, dir)
+    val (rows, minK, maxK) = graft.operators.SkippingIndex.tableStats(spark, src.toString)
+    // interior 60% of the key domain: spans whole interior files, so the
+    // scan set is the two boundary files regardless of SF
+    val lo = minK + (maxK - minK) / 5
+    val hi = maxK - (maxK - minK) / 5
+    val (rc, _, _) = graft.operators.SkippingIndex.rangeCount(
+      spark, src.toString, "o_orderkey", lo, hi)
+    Seq((rows, minK, maxK, lo, hi, rc))
+      .toDF("total_rows", "min_key", "max_key", "range_lo", "range_hi", "range_rows")
+  }
+
+  val manifestStatsSql: String =
+    """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |  MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 5 AS range_lo,
+      |  MAX(o_orderkey) - (MAX(o_orderkey) - MIN(o_orderkey)) // 5 AS range_hi
+      |  FROM orders)
+      |SELECT b.total_rows, b.min_key, b.max_key, b.range_lo, b.range_hi,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderkey BETWEEN b.range_lo AND b.range_hi) AS range_rows
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_manifest_stats" -> manifestStats,
     "q239_bloom_cow_upsert" -> bloomCowUpsert,
     "q236_bloom_skip"  -> bloomPointLookup,
     "q121_key_skew"    -> keySkew,
@@ -727,6 +776,7 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q242_manifest_stats" -> manifestStatsSql,
     "q239_bloom_cow_upsert" -> bloomCowUpsertSql,
     "q236_bloom_skip"  -> bloomPointLookupSql,
     "q121_key_skew"    -> keySkewSql,
