@@ -56,6 +56,24 @@ object TextFunctions {
   /** Content fingerprint: md5 (cross-engine-stable hex). A rolling-hash
     * variant lives in [[rollingFingerprint]] for locality-sensitive use.
     */
+  /** HTML → visible text: drop script/style subtrees and comments, strip
+    * tags, decode the five core entities, normalize whitespace. A chain
+    * of codegen'd `regexp_replace`/`replace` calls — no UDF — and every
+    * pattern is RE2-compatible (no lookarounds), so an oracle can mirror
+    * it verbatim. The boilerplate-strip step of a web-corpus pipeline
+    * (payload of [[graft.operators.Warc]] response records).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def fingerprint(text: Column): Column = md5(text)
 
   /** Cross-engine 60-bit hash: the first 15 hex chars of the md5 digest as

@@ -467,17 +467,43 @@ object Deflate {
     out.array()
   }
 
+  /** All members of a multi-member gzip stream (concatenated gzip files —
+    * the framing WARC web archives use: one member per record so any
+    * record is independently seekable). Each member is fully validated.
+    */
+  def gunzipMembers(data: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (pos < data.length) {
+      val (body, end) = gunzipFrom(data, pos)
+      out += body
+      pos = end
+    }
+    out.result()
+  }
+
   /** Validating gunzip: header fields, optional FEXTRA/FNAME/FCOMMENT/FHCRC
     * skipping (other writers set them), CRC-32 and ISIZE both checked.
+    * Trailing bytes after the first member are an error here — use
+    * [[gunzipMembers]] for concatenated streams.
     */
   def gunzip(data: Array[Byte]): Array[Byte] = {
-    if (data.length < 18) throw new DeflateError("gzip stream too short")
-    if ((data(0) & 0xFF) != 0x1F || (data(1) & 0xFF) != 0x8B)
+    val (body, end) = gunzipFrom(data, 0)
+    if (end != data.length)
+      throw new DeflateError(s"${data.length - end} trailing bytes after gzip member")
+    body
+  }
+
+  /** One gzip member starting at `start`; returns (payload, end offset). */
+  private def gunzipFrom(data: Array[Byte], start: Int): (Array[Byte], Int) = {
+    if (data.length - start < 18) throw new DeflateError("gzip stream too short")
+    if ((data(start) & 0xFF) != 0x1F || (data(start + 1) & 0xFF) != 0x8B)
       throw new DeflateError("bad gzip magic")
-    if (data(2) != 8) throw new DeflateError(s"unsupported gzip method ${data(2)}")
-    val flg = data(3) & 0xFF
+    if (data(start + 2) != 8)
+      throw new DeflateError(s"unsupported gzip method ${data(start + 2)}")
+    val flg = data(start + 3) & 0xFF
     if ((flg & 0xE0) != 0) throw new DeflateError("reserved gzip FLG bits set")
-    var p = 10
+    var p = start + 10
     if ((flg & 4) != 0) { // FEXTRA
       val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8); p += 2 + xlen
     }
@@ -491,7 +517,7 @@ object Deflate {
     val isize = bb.getInt.toLong & 0xFFFFFFFFL
     if (crc != crc32(body, 0, body.length)) throw new DeflateError("gzip CRC-32 mismatch")
     if (isize != (body.length.toLong & 0xFFFFFFFFL)) throw new DeflateError("gzip ISIZE mismatch")
-    body
+    (body, end + 8)
   }
 
   // ------------------------------------------------------------------ zlib

@@ -392,7 +392,59 @@ object MediaOps {
       |GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
+  /** q243: WARC → HTTP → HTML → text, the crawl-ingest front door — every
+    * web corpus starts as gzip-member-per-record WARC (the Common Crawl
+    * convention). Executors wrap each document's REAL text in synthetic
+    * HTML boilerplate (script/style/comment/entity noise that must NOT
+    * survive extraction), frame it as an HTTP/1.1 response inside a
+    * validating WARC record, gzip member-per-record via [[graft.operators
+    * .Deflate]], then parse ALL layers back (gzip CRC-32/ISIZE per
+    * member, WARC version/headers/Content-Length framing, HTTP splitter)
+    * and strip the HTML with the codegen'd
+    * [[graft.functions.TextFunctions.htmlToText]] regexp chain. The
+    * decoded text's md5/byte-length are graded against the oracle's view
+    * of the ORIGINAL text: any defect in any layer — compression, WARC
+    * framing, HTTP split, tag/entity/whitespace handling — mismatches.
+    * Payload-bounded map work, no shuffle; the q237 posture.
+    */
+  def warcExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    documents(spark, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val html =
+          s"""<html><head><title></title><script type="text/javascript">var x = $id; if (x < 2 && x > 0) { x = x << 1; }</script><style>p { color: red; }</style></head><body><!-- synthetic crawl $id --><p>""" +
+            text + "</p><div>&nbsp;</div></body></html>"
+        val warc = graft.operators.Warc.buildWarcGz(Seq(
+          graft.operators.Warc.buildRecord("warcinfo", s"<urn:uuid:$id-info>", None,
+            "software: graft-crawler\r\n".getBytes("UTF-8")),
+          graft.operators.Warc.buildRecord("response", s"<urn:uuid:$id-resp>",
+            Some(s"http://synthetic.test/doc/$id"),
+            graft.operators.Warc.buildHttpResponse("text/html",
+              html.getBytes("UTF-8")))))
+        val recs = graft.operators.Warc.parseWarcGz(warc)
+        val resp = recs.filter(_.warcType == "response")
+        require(resp.size == 1, s"doc $id: expected 1 response record")
+        val http = graft.operators.Warc.parseHttpResponse(resp.head.payload)
+        (id, recs.size, http.status, new String(http.body, "UTF-8"))
+      }.toDF("doc_id", "n_records", "resp_status", "html")
+      .select(col("doc_id"), col("n_records"), col("resp_status"),
+        graft.functions.TextFunctions.htmlToText(col("html")).as("extracted"))
+      .select(col("doc_id"), col("n_records"), col("resp_status"),
+        octet_length(col("extracted")).cast("long").as("n_bytes"),
+        md5(col("extracted").cast("binary")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val warcExtractSql: String =
+    """SELECT doc_id, CAST(2 AS INTEGER) AS n_records,
+      |  CAST(200 AS INTEGER) AS resp_status,
+      |  octet_length(text::BLOB) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_warc_extract" -> warcExtract,
     "q238_png_decode" -> pngDecode,
     "q237_gzip_roundtrip" -> gzipRoundtrip,
     "q189_mp3_walk"  -> mp3Walk,
@@ -404,6 +456,7 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q243_warc_extract" -> warcExtractSql,
     "q238_png_decode" -> pngDecodeSql,
     "q237_gzip_roundtrip" -> gzipRoundtripSql,
     "q189_mp3_walk"  -> mp3WalkSql,
