@@ -1563,7 +1563,81 @@ object TextOps {
       |WHERE shared >= 2
       |ORDER BY d1, d2""".stripMargin
 
+  /** q244: robots.txt crawl-policy filter ([[graft.operators.Robots]],
+    * RFC 9309) — the compliance gate between the URL frontier and the
+    * fetch. Seven synthetic domains carry formula-derived policies
+    * (decoy group for another agent, a never-matching `/private` rule,
+    * and per-domain deny-all-with-carve-out or source-block shapes); the
+    * REAL parser extracts our agent's rule set on the driver (robots is
+    * a tiny per-domain dimension) and the decision runs Spark-first as a
+    * broadcast rule join + longest-match window argmax (most octets win,
+    * equal-length allow beats disallow, no match allows) — never per-row
+    * re-parsing. The oracle re-derives the same rule table from the
+    * formula and replays the RFC decision in SQL; RobotsSpec covers the
+    * parser/matcher corners (group selection, wildcards, `$` anchor,
+    * tie→allow, empty Disallow).
+    */
+  def robotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def robotsTxt(d: Int): String = {
+      val sb = new StringBuilder
+      sb.append("# synthetic policy for domain ").append(d).append('\n')
+      sb.append("User-agent: otherbot\nDisallow: /\n\n")
+      sb.append("User-agent: *\n")
+      sb.append("Disallow: /private\n")
+      if (d % 3 == 0) { sb.append("Disallow: /\n"); sb.append("Allow: /src1\n") }
+      if (d % 3 == 1) sb.append("Disallow: /src2\n")
+      sb.toString
+    }
+    val rules = (0 until 7).flatMap { d =>
+      graft.operators.Robots.parse(robotsTxt(d), "graftbot")
+        .map(r => (d.toLong, r.allow, r.pattern))
+    }.toDF("r_domain", "rule_allow", "rule")
+    val docs = documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 7).as("domain"),
+        concat(lit("/"), $"source", lit("/"), $"doc_id").as("path"))
+    val matched = docs.join(broadcast(rules),
+        $"domain" === $"r_domain" && $"path".startsWith($"rule"))
+      .select($"doc_id", $"domain", $"path",
+        $"rule_allow", length($"rule").as("l"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"l".desc, $"rule_allow".desc)
+    val best = matched.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"rule_allow".as("best_allow"))
+    docs.join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"domain", $"path",
+        coalesce($"best_allow", lit(true)).as("allowed"))
+      .orderBy($"doc_id")
+  }
+
+  val robotsFilterSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS domain,
+      |             '/' || source || '/' || doc_id AS path FROM documents),
+      |rules AS (
+      |  SELECT dom AS domain, '/private' AS rule, FALSE AS rule_allow
+      |  FROM generate_series(0, 6) g(dom)
+      |  UNION ALL SELECT dom, '/', FALSE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 0
+      |  UNION ALL SELECT dom, '/src1', TRUE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 0
+      |  UNION ALL SELECT dom, '/src2', FALSE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 1),
+      |m AS (SELECT d.doc_id, r.rule_allow, length(r.rule) AS l
+      |      FROM d JOIN rules r ON d.domain = r.domain
+      |        AND starts_with(d.path, r.rule)),
+      |best AS (SELECT doc_id, rule_allow FROM (
+      |    SELECT doc_id, rule_allow,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                         ORDER BY l DESC, rule_allow DESC) AS rk FROM m)
+      |  WHERE rk = 1)
+      |SELECT d.doc_id, d.domain, d.path,
+      |  COALESCE(best.rule_allow, TRUE) AS allowed
+      |FROM d LEFT JOIN best ON d.doc_id = best.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_robots_filter"  -> robotsFilter,
     "q214_winnowing"      -> winnowingPairs,
     "q210_char_entropy"   -> charEntropy,
     "q197_domain_cap"     -> domainCap,
@@ -1623,6 +1697,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q244_robots_filter"  -> robotsFilterSql,
     "q214_winnowing"      -> winnowingPairsSql,
     "q210_char_entropy"   -> charEntropySql,
     "q197_domain_cap"     -> domainCapSql,
