@@ -443,7 +443,46 @@ object MediaOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q245: link-density main-content extraction
+    * ([[graft.operators.ContentExtract]]) — the boilerplate-REMOVAL step
+    * q243's tag stripping cannot do: the synthetic page wraps the
+    * document's REAL text in a nav bar, a related-links rail, a footer
+    * (all mostly anchor text — tag stripping alone would KEEP their
+    * words), and a too-short junk block; only the prose block survives
+    * the (minChars, maxDensity) gate. The md5 grade against the original
+    * text fails if any boilerplate word leaks through or any prose word
+    * is lost — i.e. it grades the density logic itself, not just tag
+    * removal. Payload-bounded map work, the q243 posture.
+    */
+  def contentExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    documents(spark, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val html =
+          s"""<div class="nav"><a href="/">home page link</a> <a href="/about">about us link text</a> <a href="/contact">contact page</a></div>""" +
+            s"""<p>$text</p>""" +
+            """<div>tiny</div>""" +
+            s"""<aside><a href="/r/$id">related article number one</a> <a href="/r/${id + 1}">related article number two</a></aside>""" +
+            """<footer><a href="/terms">terms of use</a> <a href="/privacy">privacy policy</a> copyright line</footer>"""
+        val main = graft.operators.ContentExtract.mainText(html)
+        val kept = graft.operators.ContentExtract.keptBlocks(html)
+        (id, kept, main)
+      }.toDF("doc_id", "blocks_kept", "extracted")
+      .select(col("doc_id"), col("blocks_kept"),
+        octet_length(col("extracted")).cast("long").as("n_bytes"),
+        md5(col("extracted").cast("binary")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contentExtractSql: String =
+    """SELECT doc_id, CAST(1 AS INTEGER) AS blocks_kept,
+      |  octet_length(text::BLOB) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_content_extract" -> contentExtract,
     "q243_warc_extract" -> warcExtract,
     "q238_png_decode" -> pngDecode,
     "q237_gzip_roundtrip" -> gzipRoundtrip,
@@ -456,6 +495,7 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q245_content_extract" -> contentExtractSql,
     "q243_warc_extract" -> warcExtractSql,
     "q238_png_decode" -> pngDecodeSql,
     "q237_gzip_roundtrip" -> gzipRoundtripSql,

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContentExtractSpec extends AnyFunSuite {
+  import ContentExtract._
+
+  private val page =
+    """<html><body>
+      |<nav><a href="/">home sweet home</a> <a href="/x">more navigation links</a></nav>
+      |<p>This is the real article text, long enough to count as prose.</p>
+      |<div>short</div>
+      |<div>A second paragraph of genuine content with a single <a href="/ref">reference</a> inside a lot of surrounding prose words.</div>
+      |<footer><a href="/t">terms</a> <a href="/p">privacy</a> (c) example</footer>
+      |</body></html>""".stripMargin
+
+  test("blocks: per-block text and link accounting") {
+    val bs = blocks(page)
+    val nav = bs.find(_.text.contains("home sweet home")).get
+    // only the single inter-anchor space is non-link text
+    assert(nav.density > 0.9, s"nav is (almost) all links: $nav")
+    val art = bs.find(_.text.startsWith("This is the real article")).get
+    assert(art.linkChars == 0 && art.totalChars > 20)
+    val mixed = bs.find(_.text.contains("second paragraph")).get
+    assert(mixed.linkChars == "reference".length)
+    assert(mixed.density < 0.33)
+  }
+
+  test("mainText keeps prose, drops nav/footer/short blocks") {
+    val m = mainText(page)
+    assert(m == "This is the real article text, long enough to count as prose. " +
+      "A second paragraph of genuine content with a single reference inside a lot of surrounding prose words.")
+    assert(keptBlocks(page) == 2)
+  }
+
+  test("stripHtml mirrors the column chain incl. single-pass entity decode") {
+    assert(stripHtml("<b>a</b>&nbsp;&amp;lt;") == "a &lt;")
+    assert(stripHtml("<script>var x = '<p>';</script>kept") == "kept")
+  }
+
+  test("degenerate inputs") {
+    assert(mainText("") == "")
+    assert(mainText("<nav><a href='/'>only links here at all</a></nav>") == "")
+    // all-text page with no block tags is one block
+    assert(mainText("just some plain text that is long enough") ==
+      "just some plain text that is long enough")
+  }
+}
