@@ -1337,7 +1337,63 @@ object CorpusOps {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_raw
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // q246 run root (fresh shard table per run), deleted on JVM exit
+  private lazy val shardRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_shards")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+          .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
+    }))
+    p
+  }
+
+  /** q246: training-shard writer with integrity manifest
+    * ([[graft.operators.ShardWriter]]) — token-budgeted shards assigned
+    * by the two-phase globalCumsum (first-fit in doc_id order, no
+    * single-partition window), written as `shard_id=N/` partitions a
+    * trainer resumes with partition pruning, and a manifest recomputed
+    * FROM THE WRITTEN FILES (doc count, token count, doc-id digest per
+    * shard) that `readVerified` re-checks on every read. The graded rows
+    * are the post-write verified per-shard stats; the oracle replays the
+    * cumsum packing in SQL — an assignment, write, or manifest defect
+    * mismatches. ShardWriterSpec covers resume pruning, budget bounds,
+    * and tamper detection.
+    */
+  def shardIntegrity(spark: SparkSession, dir: String): DataFrame = shardRoot.synchronized {
+    import spark.implicits._
+    val path = shardRoot.resolve("run").toString
+    val docs = documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokenCount($"text").as("n_tokens"))
+    graft.operators.ShardWriter.writeShards(spark, docs, path, budget = 2000L)
+    val verified = graft.operators.ShardWriter.readVerified(spark, path)
+    verified.groupBy($"shard_id".cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").cast("long").as("n_tokens"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list($"doc_id")), _.cast("string")))
+          .cast("binary")).as("docs_md5"))
+      .orderBy($"shard_id")
+  }
+
+  val shardIntegritySql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t),
+      |s AS (SELECT CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+      |             doc_id, n_tokens FROM c)
+      |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_md5
+      |FROM s GROUP BY shard_id
+      |ORDER BY shard_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_shard_integrity" -> shardIntegrity,
     "q211_logreg_quality" -> logregQuality,
     "q222_quantile_norm" -> quantileNorm,
     "q185_temperature_mixture" -> temperatureMixture,
@@ -1366,6 +1422,7 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q246_shard_integrity" -> shardIntegritySql,
     "q211_logreg_quality" -> logregQualitySql,
     "q222_quantile_norm" -> quantileNormSql,
     "q185_temperature_mixture" -> temperatureMixtureSql,
