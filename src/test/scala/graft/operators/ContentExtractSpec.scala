@@ -38,6 +38,31 @@ class ContentExtractSpec extends AnyFunSuite {
     assert(stripHtml("<script>var x = '<p>';</script>kept") == "kept")
   }
 
+  test("stripHtml is the exact twin of the htmlToText column chain") {
+    // the two implementations must never drift: random tag/entity soup
+    // through both paths, char-for-char equality
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(" "), Gen.const("<p class='x'>"), Gen.const("</p>"),
+      Gen.const("<script>var a = '<b>';</script>"), Gen.const("<style>p{}</style>"),
+      Gen.const("<!-- note -->"), Gen.const("&amp;"), Gen.const("&lt;tag&gt;"),
+      Gen.const("&amp;lt;"), Gen.const("&nbsp;"), Gen.const("<a href='/x'>link</a>"),
+      Gen.const("\t"), Gen.const("\n"))
+    val gen = Gen.listOfN(30, piece).map(_.mkString)
+    val htmls = (0 until 40).flatMap(i => gen.apply(Gen.Parameters.default, Seed(77L + i)))
+    val spark = graft.SparkSuite.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaColumn = htmls.toDF("h")
+      .select(graft.functions.TextFunctions.htmlToText(col("h")).as("t"))
+      .as[String].collect().toSeq
+    htmls.zip(viaColumn).foreach { case (h, c) =>
+      assert(ContentExtract.stripHtml(h) == c, s"drift on: $h")
+    }
+  }
+
   test("degenerate inputs") {
     assert(mainText("") == "")
     assert(mainText("<nav><a href='/'>only links here at all</a></nav>") == "")
