@@ -53,9 +53,6 @@ object TextFunctions {
     (lengthTerm * lit(0.4) + diversityTerm * lit(0.4) + stopwordTerm * lit(0.2))
   }
 
-  /** Content fingerprint: md5 (cross-engine-stable hex). A rolling-hash
-    * variant lives in [[rollingFingerprint]] for locality-sensitive use.
-    */
   /** HTML → visible text: drop script/style subtrees and comments, strip
     * tags, decode the five core entities, normalize whitespace. A chain
     * of codegen'd `regexp_replace`/`replace` calls — no UDF — and every
@@ -74,6 +71,9 @@ object TextFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Content fingerprint: md5 (cross-engine-stable hex). A rolling-hash
+    * variant lives in [[rollingFingerprint]] for locality-sensitive use.
+    */
   def fingerprint(text: Column): Column = md5(text)
 
   /** Cross-engine 60-bit hash: the first 15 hex chars of the md5 digest as

@@ -84,9 +84,7 @@ object BinaryAnn {
     // stage 2: exact cosine over shortlist pairs only; the full vectors
     // join in by id (broadcast the tiny candidate set against the corpus)
     Similarity.registerNative(corpus.sparkSession)
-    val vecs = corpus.select(col(idCol), col(vecCol))
-    val qv = vecs.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val cv = vecs.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val cv = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
     val reranked = broadcast(short)
       .join(cv, Seq("nbr_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))),

@@ -69,42 +69,20 @@ object BloomSkip {
     writeManifest(spark, path, stats)
   }
 
-  def writeManifest(spark: SparkSession, path: String, stats: Seq[FileBloom]): Unit = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val tmp = new Path(path, ManifestDir + "/manifest.tsv__tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = stats.sortBy(_.file).map { s =>
+  // sidecar IO via graft.store.Sidecar: fence-then-swap on write (the
+  // store tier's commit contract), one shared read/swap implementation
+  def writeManifest(spark: SparkSession, path: String, stats: Seq[FileBloom]): Unit =
+    graft.store.Sidecar.swap(spark, path, ManifestDir + "/manifest.tsv",
+      stats.sortBy(_.file).map { s =>
         s"${s.file}\t${s.rows}\t${Base64.getEncoder.encodeToString(s.bloom)}\n"
-      }.mkString
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    // commit-point fence (no-op for lease-less callers, like every
-    // TableStore commit rename): a fenced-out writer must not swap a
-    // manifest under the new holder
-    graft.store.WriterLease.fence(spark, path)
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"bloom manifest swap failed for $path")
-  }
+      }.mkString)
 
-  def readManifest(spark: SparkSession, path: String): Seq[FileBloom] = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](64 * 1024)
-      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(file, rows, b64) = line.split("\t")
-      FileBloom(file, rows.toLong, Base64.getDecoder.decode(b64))
-    }.toSeq
-  }
+  def readManifest(spark: SparkSession, path: String): Seq[FileBloom] =
+    graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(file, rows, b64) = line.split("\t")
+        FileBloom(file, rows.toLong, Base64.getDecoder.decode(b64))
+      }.toSeq
 
   /** The files whose Bloom filter might contain ANY of `keys` (canonical
     * string form — must match [[buildManifest]]'s cast).
@@ -144,6 +122,11 @@ object BloomSkip {
   def cowUpsert(spark: SparkSession, srcPath: String, dstPath: String,
                 keyCol: String, incoming: DataFrame,
                 maxDriverKeys: Int = 1 << 20): UpsertStats = {
+    // guard against an in-place call: the first visible step wipes dst,
+    // so src == dst would destroy the source irrecoverably
+    require(new Path(srcPath) != new Path(dstPath),
+      s"cowUpsert is copy-on-write into a NEW directory; src and dst are both $srcPath " +
+        "— for in-place semantics upsert into a fresh dst and swap, or use TableStore.upsert")
     val stats = readManifest(spark, srcPath)
     require(stats.nonEmpty, s"no bloom manifest at $srcPath")
     val nIncoming = incoming.count()

@@ -504,12 +504,22 @@ object Deflate {
     val flg = data(start + 3) & 0xFF
     if ((flg & 0xE0) != 0) throw new DeflateError("reserved gzip FLG bits set")
     var p = start + 10
+    def need(n: Int, what: String): Unit =
+      if (p + n > data.length) throw new DeflateError(s"gzip $what truncated")
     if ((flg & 4) != 0) { // FEXTRA
-      val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8); p += 2 + xlen
+      need(2, "FEXTRA length")
+      val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8)
+      p += 2; need(xlen, "FEXTRA"); p += xlen
     }
-    if ((flg & 8) != 0) { while (data(p) != 0) p += 1; p += 1 }  // FNAME
-    if ((flg & 16) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
-    if ((flg & 2) != 0) p += 2                                   // FHCRC
+    if ((flg & 8) != 0) { // FNAME (NUL-terminated)
+      while (p < data.length && data(p) != 0) p += 1
+      need(1, "FNAME"); p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT
+      while (p < data.length && data(p) != 0) p += 1
+      need(1, "FCOMMENT"); p += 1
+    }
+    if ((flg & 2) != 0) { need(2, "FHCRC"); p += 2 }
     val (body, end) = inflateFrom(data, p)
     if (end + 8 > data.length) throw new DeflateError("gzip trailer truncated")
     val bb = java.nio.ByteBuffer.wrap(data, end, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)

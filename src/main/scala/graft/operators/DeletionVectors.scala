@@ -36,41 +36,20 @@ object DeletionVectors {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The live (file, rowIndex) deletion set; empty if no vector exists. */
-  def readDv(spark: SparkSession, path: String): Seq[(String, Long)] = {
-    val p = new Path(path, DvDir + "/dv.tsv")
-    val f = fs(spark, p)
-    if (!f.exists(p)) return Nil
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](64 * 1024)
-      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(file, idx) = line.split("\t")
-      (file, idx.toLong)
-    }.toSeq
-  }
+  /** The live (file, rowIndex) deletion set; empty if no vector exists.
+    * Sidecar IO via [[graft.store.Sidecar]] — the vector swap IS the
+    * visible mutation, so the shared fence-then-swap is the commit point.
+    */
+  def readDv(spark: SparkSession, path: String): Seq[(String, Long)] =
+    graft.store.Sidecar.read(spark, path, DvDir + "/dv.tsv")
+      .map(_.split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(file, idx) = line.split("\t")
+        (file, idx.toLong)
+      }.toSeq).getOrElse(Nil)
 
-  def writeDv(spark: SparkSession, path: String, dv: Seq[(String, Long)]): Unit = {
-    val p = new Path(path, DvDir + "/dv.tsv")
-    val f = fs(spark, p)
-    val tmp = new Path(path, DvDir + "/dv.tsv__tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    // commit-point fence (no-op for lease-less callers): the vector swap
-    // IS the visible mutation, so a fenced-out writer dies here
-    graft.store.WriterLease.fence(spark, path)
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"deletion-vector swap failed for $path")
-  }
+  def writeDv(spark: SparkSession, path: String, dv: Seq[(String, Long)]): Unit =
+    graft.store.Sidecar.swap(spark, path, DvDir + "/dv.tsv",
+      dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString)
 
   /** Mark every row whose key appears in `keys` as deleted — one
     * distributed pass locating (file, row_index) for matching keys, NO
@@ -78,14 +57,22 @@ object DeletionVectors {
     * (it IS the deleted rows), so collecting it into the manifest is the
     * same boundedness contract as the other manifests' file lists.
     */
-  def dvDelete(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long = {
-    val hits = spark.read.parquet(path)
+  def dvDelete(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Long =
+    mask(spark, path, locateHits(spark, path, keys, keyCol))
+
+  /** (file, row_index) of every current row whose key is in `keys`. */
+  private def locateHits(spark: SparkSession, path: String, keys: DataFrame,
+                         keyCol: String): Seq[(String, Long)] =
+    spark.read.parquet(path)
       .select(col(keyCol), col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").as("__row"))
       .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
       .select(col("__file"), col("__row"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Merge `hits` into the vector (the commit point); returns newly-masked count. */
+  private def mask(spark: SparkSession, path: String, hits: Seq[(String, Long)]): Long = {
     val prior = readDv(spark, path)
     val merged = (prior ++ hits).distinct
     writeDv(spark, path, merged)
@@ -111,17 +98,25 @@ object DeletionVectors {
     }
   }
 
-  /** Merge-on-read upsert: DV-mask the current rows of updated keys, then
-    * APPEND the delta as new part files — no existing file is modified.
-    * `incoming` must be key-unique (checked). Returns the number of
-    * newly-masked rows.
+  /** Merge-on-read upsert: APPEND the delta as new part files, then
+    * DV-mask the PRE-APPEND rows of the updated keys — no existing file
+    * is modified. `incoming` must be key-unique (checked). Returns the
+    * number of newly-masked rows.
+    *
+    * Ordering is load-bearing: the old rows are LOCATED before the
+    * append (so freshly-appended rows can never be masked), the append
+    * lands first, and the vector swap — the commit — comes last. A
+    * failure after the append but before the swap leaves transient
+    * DUPLICATES for the updated keys, never loss; retrying the same
+    * upsert converges (the retry's locate pass sees old + duplicate rows
+    * and masks both before appending one fresh copy).
     */
   def morUpsert(spark: SparkSession, path: String, incoming: DataFrame,
                 keyCol: String): Long = {
     val n = incoming.count()
     require(incoming.select(col(keyCol)).distinct().count() == n,
       "incoming rows must be key-unique")
-    val masked = dvDelete(spark, path, incoming.select(col(keyCol)), keyCol)
+    val hits = locateHits(spark, path, incoming.select(col(keyCol)), keyCol)
     // append via a staging dir + rename: Spark's append mode could leave
     // partial files on failure; rename-in keeps the visible commit atomic
     // per file and collision-free via a nonce prefix
@@ -130,14 +125,15 @@ object DeletionVectors {
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__append_$nonce")
     incoming.write.mode("overwrite").parquet(tmp.toString)
-    graft.store.WriterLease.fence(spark, path) // before the visible appends
-    f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-      val out = new Path(dst, s"mor-$nonce-${st.getPath.getName}")
-      if (!f.rename(st.getPath, out))
-        throw new java.io.IOException(s"append move failed for $out")
-    }
-    f.delete(tmp, true)
-    masked
+    try {
+      graft.store.WriterLease.fence(spark, path) // before the visible appends
+      f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+        val out = new Path(dst, s"mor-$nonce-${st.getPath.getName}")
+        if (!f.rename(st.getPath, out))
+          throw new java.io.IOException(s"append move failed for $out")
+      }
+    } finally f.delete(tmp, true) // fenced-out staging must not linger
+    mask(spark, path, hits)
   }
 
   /** Materialize the vector: rewrite ONLY the files that carry deletions

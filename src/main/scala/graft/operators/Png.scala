@@ -121,7 +121,10 @@ object Png {
     while (!sawEnd) {
       if (pos + 12 > bytes.length) throw new PngError("truncated chunk header")
       val len = java.nio.ByteBuffer.wrap(bytes, pos, 4).getInt
-      if (len < 0 || pos + 12 + len > bytes.length) throw new PngError("chunk length past EOF")
+      // compare in Long: a hostile len near Int.MaxValue would wrap the
+      // Int sum negative and sail past this check
+      if (len < 0 || pos.toLong + 12L + len > bytes.length)
+        throw new PngError("chunk length past EOF")
       val typ = new String(bytes, pos + 4, 4, "US-ASCII")
       val crcGot = java.nio.ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt.toLong & 0xFFFFFFFFL
       if (crcGot != Deflate.crc32(bytes, pos + 4, pos + 8 + len))

@@ -65,38 +65,18 @@ object ShardWriter {
       .map(r => ShardStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSeq.sortBy(_.shardId)
 
-  def writeManifest(spark: SparkSession, path: String, stats: Seq[ShardStat]): Unit = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val tmp = new Path(path, ManifestDir + "/manifest.tsv__tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = stats.sortBy(_.shardId)
-        .map(s => s"${s.shardId}\t${s.nDocs}\t${s.nTokens}\t${s.docsMd5}\n").mkString
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    graft.store.WriterLease.fence(spark, path)
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"shard manifest swap failed for $path")
-  }
+  // sidecar IO via graft.store.Sidecar (shared fence-then-swap commit)
+  def writeManifest(spark: SparkSession, path: String, stats: Seq[ShardStat]): Unit =
+    graft.store.Sidecar.swap(spark, path, ManifestDir + "/manifest.tsv",
+      stats.sortBy(_.shardId)
+        .map(s => s"${s.shardId}\t${s.nDocs}\t${s.nTokens}\t${s.docsMd5}\n").mkString)
 
-  def readManifest(spark: SparkSession, path: String): Seq[ShardStat] = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](64 * 1024)
-      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(id, d, t, m) = line.split("\t")
-      ShardStat(id.toLong, d.toLong, t.toLong, m)
-    }.toSeq
-  }
+  def readManifest(spark: SparkSession, path: String): Seq[ShardStat] =
+    graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(id, d, t, m) = line.split("\t")
+        ShardStat(id.toLong, d.toLong, t.toLong, m)
+      }.toSeq
 
   /** Read shards `>= fromShard` with every read shard verified against
     * the manifest — count, tokens, AND doc-id digest must all match, or

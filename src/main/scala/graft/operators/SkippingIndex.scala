@@ -62,37 +62,18 @@ object SkippingIndex {
       .toSeq
   }
 
-  def writeManifest(spark: SparkSession, path: String, stats: Seq[FileStats]): Unit = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val tmp = new Path(path, ManifestDir + "/manifest.tsv__tmp")
-    val out = f.create(tmp, true)
-    try {
-      val body = stats.sortBy(_.file)
-        .map(s => s"${s.file}\t${s.minKey}\t${s.maxKey}\t${s.rows}\n").mkString
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    if (f.exists(p)) f.delete(p, false)
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"manifest swap failed for $path")
-  }
+  // sidecar IO via graft.store.Sidecar (shared fence-then-swap commit)
+  def writeManifest(spark: SparkSession, path: String, stats: Seq[FileStats]): Unit =
+    graft.store.Sidecar.swap(spark, path, ManifestDir + "/manifest.tsv",
+      stats.sortBy(_.file)
+        .map(s => s"${s.file}\t${s.minKey}\t${s.maxKey}\t${s.rows}\n").mkString)
 
-  def readManifest(spark: SparkSession, path: String): Seq[FileStats] = {
-    val p = new Path(path, ManifestDir + "/manifest.tsv")
-    val f = fs(spark, p)
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](64 * 1024)
-      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-        .foreach(n => buf.write(chunk, 0, n))
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(file, lo, hi, rows) = line.split("\t")
-      FileStats(file, lo.toLong, hi.toLong, rows.toLong)
-    }.toSeq
-  }
+  def readManifest(spark: SparkSession, path: String): Seq[FileStats] =
+    graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
+      .split("\n").iterator.filter(_.nonEmpty).map { line =>
+        val Array(file, lo, hi, rows) = line.split("\t")
+        FileStats(file, lo.toLong, hi.toLong, rows.toLong)
+      }.toSeq
 
   /** The files whose [min,max] span intersects [lo,hi]. */
   def overlapping(stats: Seq[FileStats], lo: Long, hi: Long): Seq[FileStats] =

@@ -47,7 +47,7 @@ object Warc {
 
   /** Gzip-member-per-record stream (the Common Crawl convention). */
   def buildWarcGz(records: Seq[Array[Byte]]): Array[Byte] =
-    records.map(Deflate.gzip).reduce(_ ++ _)
+    records.map(Deflate.gzip).foldLeft(Array.emptyByteArray)(_ ++ _)
 
   // ------------------------------------------------------------------ parse
 
