@@ -1636,7 +1636,95 @@ object TextOps {
       |FROM d LEFT JOIN best ON d.doc_id = best.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q247: ROUGE-1/ROUGE-2 n-gram overlap between document pairs — the
+    * eval-harness metric (summarization/reference comparison, and the
+    * exact-overlap companion the near-dup family's similarity scores
+    * summarize): clipped-count overlap Σ_g min(c_a(g), c_b(g)) per
+    * n-gram order and an integer milli-F1 (2000·o div (n_a+n_b)) — all
+    * BIGINT-exact cross-engine, no float path. Pairing is deterministic
+    * and linear (each doc vs its successor within source via lead()).
+    *
+    * Scale: counts are (doc, gram)-keyed aggregates; the pair overlap
+    * joins count tables ON THE GRAM (the shuffle key a 100 TB corpus
+    * wants — never a doc×doc cross product), and the pair set itself is
+    * O(docs) by construction.
+    */
+  def rougePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = documents(spark, dir)
+      .select($"doc_id", $"source", TextFunctions.tokens($"text").as("toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+    val pairs = d.select($"doc_id".as("a"), lead($"doc_id", 1).over(w).as("b"))
+      .filter($"b".isNotNull)
+    def counts(grams: DataFrame) =
+      grams.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+    val uni = counts(d.select($"doc_id", explode($"toks").as("g")))
+    val bi = counts(d.select($"doc_id", explode(expr(
+        "transform(arrays_zip(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1)), p -> concat(p['0'], ' ', p['1']))"))
+      .as("g")))
+    def lens(c: DataFrame, name: String) =
+      c.groupBy($"doc_id").agg(sum($"c").as(name))
+    def overlaps(c: DataFrame, name: String) =
+      pairs
+        .join(c.select($"doc_id".as("a"), $"g", $"c".as("ca")), Seq("a"))
+        .join(c.select($"doc_id".as("b"), $"g", $"c".as("cb")), Seq("b", "g"))
+        .groupBy($"a", $"b").agg(sum(least($"ca", $"cb")).as(name))
+    pairs
+      .join(lens(uni, "n").select($"doc_id".as("a"), $"n".as("n1_a")), Seq("a"))
+      .join(lens(uni, "n").select($"doc_id".as("b"), $"n".as("n1_b")), Seq("b"))
+      .join(lens(bi, "n").select($"doc_id".as("a"), $"n".as("n2_a")), Seq("a"), "left")
+      .join(lens(bi, "n").select($"doc_id".as("b"), $"n".as("n2_b")), Seq("b"), "left")
+      .join(overlaps(uni, "o1"), Seq("a", "b"), "left")
+      .join(overlaps(bi, "o2"), Seq("a", "b"), "left")
+      .select($"a", $"b", $"n1_a", $"n1_b",
+        coalesce($"o1", lit(0L)).as("overlap1"),
+        expr("2000 * coalesce(o1, 0L) DIV (n1_a + n1_b)").as("f1_milli_1"),
+        coalesce($"o2", lit(0L)).as("overlap2"),
+        when(coalesce($"n2_a", lit(0L)) + coalesce($"n2_b", lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("2000 * coalesce(o2, 0L) DIV (coalesce(n2_a, 0L) + coalesce(n2_b, 0L))"))
+          .as("f1_milli_2"))
+      .orderBy($"a")
+  }
+
+  val rougePairsSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id AS a,
+      |        lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b FROM d),
+      |pairs AS (SELECT a, b FROM p WHERE b IS NOT NULL),
+      |u AS (SELECT doc_id, t.g, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM d, unnest(toks) t(g) GROUP BY 1, 2),
+      |len1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM u GROUP BY 1),
+      |ov1 AS (SELECT pr.a, pr.b, CAST(SUM(LEAST(ua.c, ub.c)) AS BIGINT) AS o
+      |        FROM pairs pr JOIN u ua ON ua.doc_id = pr.a
+      |        JOIN u ub ON ub.doc_id = pr.b AND ua.g = ub.g GROUP BY 1, 2),
+      |bg AS (SELECT doc_id, t.g FROM d,
+      |       unnest(list_transform(range(1, len(toks)),
+      |         i -> toks[i] || ' ' || toks[i+1])) t(g)),
+      |b2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+      |len2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM b2 GROUP BY 1),
+      |ov2 AS (SELECT pr.a, pr.b, CAST(SUM(LEAST(ua.c, ub.c)) AS BIGINT) AS o
+      |        FROM pairs pr JOIN b2 ua ON ua.doc_id = pr.a
+      |        JOIN b2 ub ON ub.doc_id = pr.b AND ua.g = ub.g GROUP BY 1, 2)
+      |SELECT pr.a, pr.b, l1a.n AS n1_a, l1b.n AS n1_b,
+      |  COALESCE(ov1.o, 0) AS overlap1,
+      |  CAST(2000 * COALESCE(ov1.o, 0) // (l1a.n + l1b.n) AS BIGINT) AS f1_milli_1,
+      |  COALESCE(ov2.o, 0) AS overlap2,
+      |  CASE WHEN COALESCE(l2a.n, 0) + COALESCE(l2b.n, 0) = 0 THEN 0
+      |       ELSE CAST(2000 * COALESCE(ov2.o, 0)
+      |                 // (COALESCE(l2a.n, 0) + COALESCE(l2b.n, 0)) AS BIGINT)
+      |  END AS f1_milli_2
+      |FROM pairs pr
+      |JOIN len1 l1a ON l1a.doc_id = pr.a
+      |JOIN len1 l1b ON l1b.doc_id = pr.b
+      |LEFT JOIN len2 l2a ON l2a.doc_id = pr.a
+      |LEFT JOIN len2 l2b ON l2b.doc_id = pr.b
+      |LEFT JOIN ov1 ON ov1.a = pr.a AND ov1.b = pr.b
+      |LEFT JOIN ov2 ON ov2.a = pr.a AND ov2.b = pr.b
+      |ORDER BY pr.a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_rouge_pairs"    -> rougePairs,
     "q244_robots_filter"  -> robotsFilter,
     "q214_winnowing"      -> winnowingPairs,
     "q210_char_entropy"   -> charEntropy,
@@ -1697,6 +1785,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q247_rouge_pairs"    -> rougePairsSql,
     "q244_robots_filter"  -> robotsFilterSql,
     "q214_winnowing"      -> winnowingPairsSql,
     "q210_char_entropy"   -> charEntropySql,
