@@ -481,7 +481,38 @@ object MediaOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** q248: LZ4 block roundtrip over the REAL corpus text — the
+    * byte-oriented LZ77 codec beside q237's bit-oriented DEFLATE, and the
+    * format Spark itself defaults to for shuffle compression. Built from
+    * the public block-format spec ([[graft.operators.Lz4]]); Lz4Spec
+    * cross-validates BOTH directions against the `lz4-java` library on
+    * Spark's own classpath (incl. its high-compression encoder). Same
+    * grade contract as q237: decoded md5/byte-length vs the oracle's
+    * original — any sequence/offset/length defect mismatches or throws
+    * typed. Payload-linear map work, no shuffle.
+    */
+  def lz4Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    documents(spark, dir).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes("UTF-8")
+        val dec = graft.operators.Lz4.decompress(graft.operators.Lz4.compress(raw))
+        (id, new String(dec, "UTF-8"))
+      }.toDF("doc_id", "decoded")
+      .select(col("doc_id"),
+        octet_length(col("decoded")).cast("long").as("n_bytes"),
+        md5(col("decoded").cast("binary")).as("md5_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lz4RoundtripSql: String =
+    """SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_lz4_roundtrip" -> lz4Roundtrip,
     "q245_content_extract" -> contentExtract,
     "q243_warc_extract" -> warcExtract,
     "q238_png_decode" -> pngDecode,
@@ -495,6 +526,7 @@ object MediaOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q248_lz4_roundtrip" -> lz4RoundtripSql,
     "q245_content_extract" -> contentExtractSql,
     "q243_warc_extract" -> warcExtractSql,
     "q238_png_decode" -> pngDecodeSql,
