@@ -39,17 +39,38 @@ object DeletionVectors {
   /** The live (file, rowIndex) deletion set; empty if no vector exists.
     * Sidecar IO via [[graft.store.Sidecar]] — the vector swap IS the
     * visible mutation, so the shared fence-then-swap is the commit point.
+    * The sidecar also carries the CDC batch LEDGER (`B\t<id>` lines, see
+    * [[morApplyCdc]]): ledger and mask commit in ONE atomic swap, which
+    * is what makes the streaming MoR apply exactly-once.
     */
   def readDv(spark: SparkSession, path: String): Seq[(String, Long)] =
-    graft.store.Sidecar.read(spark, path, DvDir + "/dv.tsv")
-      .map(_.split("\n").iterator.filter(_.nonEmpty).map { line =>
+    sidecarLines(spark, path).collect {
+      case line if !line.startsWith("B\t") =>
         val Array(file, idx) = line.split("\t")
         (file, idx.toLong)
-      }.toSeq).getOrElse(Nil)
+    }
 
+  /** Batch ids already applied to this table (the exactly-once ledger). */
+  def appliedBatches(spark: SparkSession, path: String): Set[Long] =
+    sidecarLines(spark, path).collect {
+      case line if line.startsWith("B\t") => line.split("\t")(1).toLong
+    }.toSet
+
+  private def sidecarLines(spark: SparkSession, path: String): Seq[String] =
+    graft.store.Sidecar.read(spark, path, DvDir + "/dv.tsv")
+      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** Vector write PRESERVES the ledger (compaction resets masks, never
+    * replay protection).
+    */
   def writeDv(spark: SparkSession, path: String, dv: Seq[(String, Long)]): Unit =
+    writeSidecar(spark, path, dv, appliedBatches(spark, path))
+
+  private def writeSidecar(spark: SparkSession, path: String,
+                           dv: Seq[(String, Long)], batches: Set[Long]): Unit =
     graft.store.Sidecar.swap(spark, path, DvDir + "/dv.tsv",
-      dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString)
+      batches.toSeq.sorted.map(b => s"B\t$b\n").mkString +
+        dv.sorted.map { case (file, i) => s"$file\t$i\n" }.mkString)
 
   /** Mark every row whose key appears in `keys` as deleted — one
     * distributed pass locating (file, row_index) for matching keys, NO
@@ -117,14 +138,21 @@ object DeletionVectors {
     require(incoming.select(col(keyCol)).distinct().count() == n,
       "incoming rows must be key-unique")
     val hits = locateHits(spark, path, incoming.select(col(keyCol)), keyCol)
-    // append via a staging dir + rename: Spark's append mode could leave
-    // partial files on failure; rename-in keeps the visible commit atomic
-    // per file and collision-free via a nonce prefix
+    appendDelta(spark, path, incoming)
+    mask(spark, path, hits)
+  }
+
+  /** Append `rows` as new `mor-*` part files via a staging dir + rename:
+    * Spark's append mode could leave partial files on failure; rename-in
+    * keeps the visible commit atomic per file and collision-free via a
+    * nonce prefix.
+    */
+  private def appendDelta(spark: SparkSession, path: String, rows: DataFrame): Unit = {
     val dst = new Path(path)
     val f = fs(spark, dst)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__append_$nonce")
-    incoming.write.mode("overwrite").parquet(tmp.toString)
+    rows.write.mode("overwrite").parquet(tmp.toString)
     try {
       graft.store.WriterLease.fence(spark, path) // before the visible appends
       f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
@@ -133,7 +161,36 @@ object DeletionVectors {
           throw new java.io.IOException(s"append move failed for $out")
       }
     } finally f.delete(tmp, true) // fenced-out staging must not linger
-    mask(spark, path, hits)
+  }
+
+  /** EXACTLY-ONCE merge-on-read CDC apply: one changelog batch (`op` ∈
+    * I/U/D + the replica's columns) against a MoR table, replay-protected
+    * by a batch ledger living INSIDE the deletion-vector sidecar — the
+    * mask and the ledger entry commit in the SAME atomic swap, so "batch
+    * applied" and "its old rows masked" cannot be observed apart.
+    *
+    * Crash/replay analysis (the q241 ordering argument extended): a batch
+    * whose swap committed is skipped by the ledger before ANY work; a
+    * batch that crashed after its append but before its swap left orphan
+    * duplicate rows and NO ledger entry — the replay's locate pass sees
+    * old + orphan rows for the batch's keys, masks them all, and appends
+    * one fresh copy: the visible state converges to exactly-once.
+    * Returns false iff the ledger skipped the batch.
+    */
+  def morApplyCdc(spark: SparkSession, path: String, batch: DataFrame,
+                  keyCol: String, batchId: Long): Boolean = {
+    if (appliedBatches(spark, path).contains(batchId)) return false
+    val n = batch.count()
+    require(batch.select(col(keyCol)).distinct().count() == n,
+      s"batch $batchId must be key-unique")
+    val upserts = batch.filter(col("op").isin("I", "U")).drop("op")
+    val allKeys = batch.select(col(keyCol)) // D keys mask-only; I/U keys replace
+    val hits = locateHits(spark, path, allKeys, keyCol)
+    if (upserts.limit(1).count() > 0) appendDelta(spark, path, upserts)
+    val prior = readDv(spark, path)
+    writeSidecar(spark, path, (prior ++ hits).distinct,
+      appliedBatches(spark, path) + batchId) // ONE swap: mask + ledger
+    true
   }
 
   /** Materialize the vector: rewrite ONLY the files that carry deletions

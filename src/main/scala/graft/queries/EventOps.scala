@@ -377,6 +377,55 @@ object EventOps {
 
   val streamCdcExactlyOnceSql: String = streamCdcReplicaSql
 
+  /** q249: exactly-once CDC into a MERGE-ON-READ replica — q227's loop
+    * and poison-replay contract with ZERO per-batch rewrites: each
+    * micro-batch deletion-vector-masks the old rows and appends upserts
+    * as new part files, the batch ledger committing INSIDE the same
+    * sidecar swap as the mask
+    * ([[graft.streaming.EventStream.cdcSinkMorExactlyOnce]] →
+    * [[graft.operators.DeletionVectors.morApplyCdc]]). The poisoned
+    * replay of batch 0 must be ledger-skipped; per-batch write
+    * amplification is O(batch) instead of the COW apply's
+    * O(replica footprint) — the debt lands on `dvRead`'s broadcast
+    * anti-join and is collected by `compact`, which is also exercised
+    * here: the graded rows are read AFTER a compaction that must
+    * preserve exactly the masked-state content (and the ledger).
+    */
+  def streamCdcMorExactlyOnce(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamCdcFixtures(spark, dir)
+    val feedSchema = spark.read.parquet(fix.resolve("feed").toString).schema
+    val run = streamUpsertRoot.resolve("runCdcMor")
+    deleteRecursive(run)
+    val replica = run.resolve("replica_tbl")
+    java.nio.file.Files.createDirectories(replica)
+    // MoR replica is a PLAIN parquet dir (no store protocol files): seed
+    // it directly from the fixture's seed content
+    spark.read.parquet(fix.resolve("replica_seed").toString)
+      .write.mode("overwrite").parquet(replica.toString)
+    val feed = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(fix.resolve("feed").toString)
+    val query = graft.streaming.EventStream.cdcSinkMorExactlyOnce(
+      feed, replica.toString, "event_id", run.resolve("ckpt").toString)
+    query.awaitTermination()
+    // the replay: same batch id, poisoned content — must be ledger-skipped
+    val poison = spark.read.parquet(fix.resolve("feed").toString)
+      .withColumn("value", lit(-777.0))
+    val applied = graft.operators.DeletionVectors.morApplyCdc(
+      spark, replica.toString, poison, "event_id", batchId = 0)
+    require(!applied, "MoR batch ledger failed: replayed batch id 0 re-applied")
+    // compaction materializes the masks, preserves content AND the ledger
+    graft.operators.DeletionVectors.compact(spark, replica.toString)
+    val replayAfterCompact = graft.operators.DeletionVectors.morApplyCdc(
+      spark, replica.toString, poison, "event_id", batchId = 0)
+    require(!replayAfterCompact, "compaction dropped the batch ledger")
+    graft.operators.DeletionVectors.dvRead(spark, replica.toString)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  } }
+
+  val streamCdcMorExactlyOnceSql: String = streamCdcReplicaSql
+
   // q187 fixtures: q182's seed/feed over a DAY-PARTITIONED replica with
   // exact integer cents, staged once per (JVM, sfDir)
   private val streamCdcPartStaged =
@@ -2530,6 +2579,7 @@ object EventOps {
     "q182_stream_cdc_replica" -> streamCdcReplica,
     "q187_stream_cdc_partitioned" -> streamCdcPartitioned,
     "q227_cdc_exactly_once" -> streamCdcExactlyOnce,
+    "q249_stream_cdc_mor" -> streamCdcMorExactlyOnce,
     "q84_stream_interval_join" -> streamIntervalJoin,
     "q145_stream_outer_join" -> streamOuterJoin,
     "q208_stream_full_outer" -> streamFullOuterJoin,
@@ -2576,6 +2626,7 @@ object EventOps {
     "q182_stream_cdc_replica" -> streamCdcReplicaSql,
     "q187_stream_cdc_partitioned" -> streamCdcPartitionedSql,
     "q227_cdc_exactly_once" -> streamCdcExactlyOnceSql,
+    "q249_stream_cdc_mor" -> streamCdcMorExactlyOnceSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,
     "q145_stream_outer_join" -> streamOuterJoinSql,
     "q208_stream_full_outer" -> streamFullOuterJoinSql,

@@ -288,6 +288,33 @@ object EventStream {
       }
       .start()
 
+  /** EXACTLY-ONCE CDC into a MERGE-ON-READ replica: per micro-batch, no
+    * replica data file is rewritten — old rows of the batch's keys are
+    * deletion-vector-masked and upserts append as new part files
+    * ([[graft.operators.DeletionVectors.morApplyCdc]]); the batch ledger
+    * lives INSIDE the vector sidecar so mask + ledger commit in one
+    * atomic swap. Per-batch write amplification drops from
+    * O(replica-file-footprint) (the q227 COW apply) to O(batch): the
+    * shape a high-frequency 100 TB replication stream needs, with
+    * [[graft.operators.DeletionVectors.compact]] as the periodic debt
+    * collector. Reads go through `dvRead`.
+    */
+  def cdcSinkMorExactlyOnce(feed: DataFrame, targetPath: String, keyCol: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try graft.operators.DeletionVectors.morApplyCdc(
+          spark, targetPath, materialized, keyCol, batchId)
+        finally materialized.unpersist()
+        ()
+      }
+      .start()
+
   /** [[cdcSinkExactlyOnce]] against a PARTITIONED replica: the batch
     * ledger rides the partition-stage protocol (marker moves to the table
     * root under the same roll-forward that commits the partition dirs).

@@ -119,6 +119,68 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(DeletionVectors.dvRead(spark, t).count() == Tables.orders(spark, sf).count())
   }
 
+  test("morApplyCdc: applies I/U/D once, ledger skips replays, compact keeps the ledger") {
+    val t = freshTable("cdc")
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val batch = base.filter($"o_orderkey" % 499 === 0)
+      .select(lit("U").as("op"), $"o_orderkey", $"o_custkey", lit(9.5).as("o_totalprice"))
+      .unionByName(base.filter($"o_orderkey" % 701 === 0 && $"o_orderkey" % 499 =!= 0)
+        .select(lit("D").as("op"), $"o_orderkey", $"o_custkey", $"o_totalprice"))
+      .unionByName(base.limit(1)
+        .select(lit("I").as("op"), ($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(1.0).as("o_totalprice")))
+    assert(DeletionVectors.morApplyCdc(spark, t, batch, "o_orderkey", batchId = 7L))
+    val expect = base
+      .filter($"o_orderkey" % 701 =!= 0 || $"o_orderkey" % 499 === 0)
+      .withColumn("o_totalprice",
+        org.apache.spark.sql.functions.when($"o_orderkey" % 499 === 0, 9.5)
+          .otherwise($"o_totalprice"))
+      .unionByName(base.limit(1)
+        .select(($"o_orderkey" + lit(10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(1.0).as("o_totalprice")))
+      .orderBy($"o_orderkey").collect().toSeq
+    def state() = DeletionVectors.dvRead(spark, t)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey").collect().toSeq
+    assert(state() == expect)
+    // replay with poisoned content: ledger must skip, state unchanged
+    assert(!DeletionVectors.morApplyCdc(spark, t,
+      batch.withColumn("o_totalprice", lit(-1.0)), "o_orderkey", batchId = 7L))
+    assert(state() == expect)
+    // compaction preserves content AND replay protection
+    DeletionVectors.compact(spark, t)
+    assert(!DeletionVectors.morApplyCdc(spark, t,
+      batch.withColumn("o_totalprice", lit(-1.0)), "o_orderkey", batchId = 7L))
+    assert(state() == expect)
+    // a new batch id still applies
+    assert(DeletionVectors.morApplyCdc(spark, t, batch.limit(0), "o_orderkey", batchId = 8L))
+  }
+
+  test("morApplyCdc converges after a simulated crash between append and swap") {
+    val t = freshTable("crash")
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val batch = base.filter($"o_orderkey" % 499 === 0)
+      .select(lit("U").as("op"), $"o_orderkey", $"o_custkey", lit(3.25).as("o_totalprice"))
+    // simulate the crashed first attempt: the append landed (orphan
+    // duplicates), the sidecar swap did not (no ledger entry, no mask)
+    val orphan = batch.drop("op")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(t, "__crash_stage")
+    orphan.write.mode("overwrite").parquet(tmp.toString)
+    f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      f.rename(st.getPath, new org.apache.hadoop.fs.Path(t, "mor-crash-" + st.getPath.getName))
+    }
+    f.delete(tmp, true)
+    // the replayed apply masks old + orphan rows and appends one fresh copy
+    assert(DeletionVectors.morApplyCdc(spark, t, batch, "o_orderkey", batchId = 0L))
+    val got = DeletionVectors.dvRead(spark, t)
+      .filter($"o_orderkey" % 499 === 0)
+      .groupBy($"o_orderkey").count()
+      .filter($"count" =!= 1).count()
+    assert(got == 0, "every updated key must appear exactly once after the replay")
+  }
+
   test("fenced-out writer's vector swap and MoR append die loudly") {
     import graft.store.WriterLease
     val t = freshTable("fenced")
