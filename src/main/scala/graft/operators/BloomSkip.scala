@@ -80,7 +80,8 @@ object BloomSkip {
   def readManifest(spark: SparkSession, path: String): Seq[FileBloom] =
     graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val Array(file, rows, b64) = line.split("\t")
+        val Array(file, rows, b64) =
+          graft.store.Sidecar.fields(path, ManifestDir + "/manifest.tsv", line, 3)
         FileBloom(file, rows.toLong, Base64.getDecoder.decode(b64))
       }.toSeq
 

@@ -46,7 +46,10 @@ object Robots {
             case "allow" | "disallow" =>
               inRules = true
               if (value.nonEmpty) rules :+= Rule(field == "allow", value)
-            case _ => inRules = true // sitemap etc: ends the agent run
+            case _ => () // RFC 9309 §2.2.4: lines outside the defined ones
+            // (crawl-delay, sitemap, …) are ignored WITHOUT terminating the
+            // group — 'User-agent: a / Crawl-delay: 1 / User-agent: b /
+            // Disallow: /x' keeps a and b in ONE group sharing the rule
           }
         }
       }

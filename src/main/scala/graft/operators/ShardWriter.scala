@@ -74,7 +74,8 @@ object ShardWriter {
   def readManifest(spark: SparkSession, path: String): Seq[ShardStat] =
     graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val Array(id, d, t, m) = line.split("\t")
+        val Array(id, d, t, m) =
+          graft.store.Sidecar.fields(path, ManifestDir + "/manifest.tsv", line, 4)
         ShardStat(id.toLong, d.toLong, t.toLong, m)
       }.toSeq
 

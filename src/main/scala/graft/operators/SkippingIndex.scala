@@ -71,7 +71,8 @@ object SkippingIndex {
   def readManifest(spark: SparkSession, path: String): Seq[FileStats] =
     graft.store.Sidecar.readRequired(spark, path, ManifestDir + "/manifest.tsv")
       .split("\n").iterator.filter(_.nonEmpty).map { line =>
-        val Array(file, lo, hi, rows) = line.split("\t")
+        val Array(file, lo, hi, rows) =
+          graft.store.Sidecar.fields(path, ManifestDir + "/manifest.tsv", line, 4)
         FileStats(file, lo.toLong, hi.toLong, rows.toLong)
       }.toSeq
 

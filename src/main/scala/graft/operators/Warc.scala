@@ -80,10 +80,23 @@ object Warc {
     }.toMap
     val warcType = fields.getOrElse("warc-type", throw new WarcError("missing WARC-Type"))
     val recordId = fields.getOrElse("warc-record-id", throw new WarcError("missing WARC-Record-ID"))
-    val len = fields.getOrElse("content-length", throw new WarcError("missing Content-Length")).toInt
+    // Long parse + Long-arithmetic bounds (the Png.decodePng:126 pattern):
+    // a hostile length near Int.MaxValue must not overflow the sum negative
+    // and sail past the check, and a non-numeric value is a WarcError, not
+    // a NumberFormatException
+    val lenRaw = fields.getOrElse("content-length", throw new WarcError("missing Content-Length"))
+    val lenL =
+      try lenRaw.toLong
+      catch { case _: NumberFormatException =>
+        throw new WarcError(s"unparseable Content-Length '$lenRaw'")
+      }
+    if (lenL < 0) throw new WarcError(s"negative Content-Length $lenL")
     val payloadStart = headerEnd + 4
-    if (payloadStart + len + 4 > bytes.length)
+    // the first clause also caps lenL at Int range, so the sum cannot
+    // overflow Long either
+    if (lenL > bytes.length || payloadStart.toLong + lenL + 4 > bytes.length)
       throw new WarcError("record payload truncated")
+    val len = lenL.toInt
     val payload = java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + len)
     val sep = new String(bytes, payloadStart + len, 4, "UTF-8")
     if (sep != Crlf + Crlf)
@@ -108,7 +121,10 @@ object Warc {
     }.toMap
     val body = java.util.Arrays.copyOfRange(bytes, headerEnd + 4, bytes.length)
     headers.get("content-length").foreach { cl =>
-      if (cl.toInt != body.length)
+      val n = try cl.toLong catch { case _: NumberFormatException =>
+        throw new WarcError(s"unparseable HTTP Content-Length '$cl'")
+      }
+      if (n != body.length)
         throw new WarcError(s"HTTP Content-Length $cl != body ${body.length}")
     }
     HttpResponse(status, headers, body)

@@ -18,18 +18,23 @@ import org.apache.spark.sql.{Row, SparkSession}
   * MERGE INTO graft_store.`/path/to/table`
   * USING ( <any SELECT> ) | <view name>
   * ON KEYS (k1 [, k2 …])
-  * [WHEN MATCHED THEN UPDATE SET * | (c1 [, c2 …])]
+  * [WHEN MATCHED THEN UPDATE SET * | (c1 [, c2 …])  |  WHEN MATCHED THEN DELETE]
   * [WHEN NOT MATCHED THEN INSERT *]
   * }}}
   *
-  * The grammar is deliberately EXACTLY as expressive as the upsert it
+  * The grammar is deliberately EXACTLY as expressive as the store ops it
   * fronts: equality key matching (`ON KEYS`, not arbitrary conditions —
-  * upsert has no non-equi merge), full or partial update-column lists
-  * (§2.12), and unconditional insert-when-new. Standard MERGE clauses the
-  * store cannot honor (DELETE actions, conditional WHENs, non-equi ON)
-  * are refused at parse time rather than silently approximated. Omitting
-  * both WHEN clauses means the default upsert (update all columns,
-  * insert new rows) — the `ON CONFLICT DO UPDATE SET *` shape.
+  * the store has no non-equi merge), full or partial update-column lists
+  * (§2.12), unconditional insert-when-new, and — round-11 verdict item 2
+  * — the standard DELETE action, driving the same key-set delete as
+  * `TableStore.deleteRows` (q160's path) via [[graft.store.TableStore
+  * .mergeDelete]] in one atomic swap (matched keys deleted, not-matched
+  * source rows optionally inserted). Clauses the store cannot honor
+  * (conditional WHENs, UPDATE and DELETE together — without conditions
+  * their split would be ambiguous — non-equi ON) are refused at parse
+  * time rather than silently approximated. Omitting both WHEN clauses
+  * means the default upsert (update all columns, insert new rows) — the
+  * `ON CONFLICT DO UPDATE SET *` shape.
   *
   * Wire-up: [[graft.GraftExtensions]] injects [[GraftSqlParser]] via
   * `injectParser`, so `spark.sql("MERGE INTO graft_store…")` works on any
@@ -47,6 +52,7 @@ object GraftSqlMerge {
   private val OnKeys = """(?is)\s*ON\s+KEYS\s*\(([^)]+)\)\s*(.*)""".r
   private val Matched =
     """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|\(([^)]*)\))\s*(.*)""".r
+  private val MatchedDelete = """(?is)\s*WHEN\s+MATCHED\s+THEN\s+DELETE\s*(.*)""".r
   private val NotMatched = """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*(.*)""".r
 
   private def bad(msg: String): Nothing =
@@ -64,8 +70,8 @@ object GraftSqlMerge {
           val keys = keyList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq
           if (keys.isEmpty) bad("ON KEYS list is empty")
-          val updateCols = parseClauses(clauses)
-          Some(MergeIntoGraftStore(path, source, keys, updateCols))
+          val (updateCols, delete, insert) = parseClauses(clauses)
+          Some(MergeIntoGraftStore(path, source, keys, updateCols, delete, insert))
         case other => bad(
           s"expected ON KEYS (k1, …) after the USING source (upsert matches " +
             s"on key equality only; arbitrary ON conditions are not honored), " +
@@ -107,43 +113,61 @@ object GraftSqlMerge {
     }
   }
 
-  /** The optional WHEN clauses; returns the partial update-column list
-    * (None = update all columns). Any clause shape the upsert cannot
-    * honor is refused loudly.
+  /** The optional WHEN clauses; returns (partial update-column list —
+    * None = update all columns, matched-delete flag, not-matched-insert
+    * flag). Any clause shape the store cannot honor is refused loudly;
+    * UPDATE and DELETE together are refused because without conditional
+    * WHENs there is no way to say which matched rows take which action.
     */
-  private def parseClauses(clauses: String): Option[Seq[String]] = {
+  private def parseClauses(clauses: String): (Option[Seq[String]], Boolean, Boolean) = {
     var rest = clauses.trim
     var updateCols: Option[Seq[String]] = None
+    var sawUpdate = false
+    var delete = false
+    var insert = false
     rest match {
       case Matched(star, cols, after) =>
+        sawUpdate = true
         updateCols =
           if (star.trim == "*") None
           else Some(cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq)
         if (updateCols.exists(_.isEmpty)) bad("empty UPDATE SET column list")
         rest = after.trim
+      case MatchedDelete(after) =>
+        delete = true
+        rest = after.trim
+      case _ => ()
+    }
+    if (sawUpdate || delete) rest match {
+      case MatchedDelete(_) | Matched(_, _, _) => bad(
+        "UPDATE and DELETE cannot be combined: without conditional WHENs " +
+          "(which the store refuses) every matched row would take both actions")
       case _ => ()
     }
     rest match {
-      case NotMatched(after) => rest = after.trim
+      case NotMatched(after) => rest = after.trim; insert = true
       case _ => ()
     }
     if (rest.nonEmpty) bad(
-      s"unsupported clause (the store upsert honors only UPDATE SET */(cols) " +
+      s"unsupported clause (the store honors UPDATE SET */(cols), DELETE, " +
         s"and INSERT *): ${rest.take(60)}")
-    updateCols
+    (updateCols, delete, insert)
   }
 }
 
 /** The executable MERGE: a leaf command (the source plan is analyzed at
   * run time, exactly like the library caller's DataFrame) that performs
-  * [[graft.store.TableStore.upsert]] and returns the post-merge row
-  * count. Leaf on purpose: commands execute eagerly at `spark.sql` time,
-  * which is the semantics a SQL MERGE user expects.
+  * [[graft.store.TableStore.upsert]] — or, for the DELETE action,
+  * [[graft.store.TableStore.mergeDelete]] — and returns the post-merge
+  * row count. Leaf on purpose: commands execute eagerly at `spark.sql`
+  * time, which is the semantics a SQL MERGE user expects.
   */
 final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
                                      keys: Seq[String],
-                                     updateColumns: Option[Seq[String]])
+                                     updateColumns: Option[Seq[String]],
+                                     deleteMatched: Boolean = false,
+                                     insertNotMatched: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -151,7 +175,10 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
-    graft.store.TableStore.upsert(spark, path, incoming, keys, updateColumns)
+    if (deleteMatched)
+      graft.store.TableStore.mergeDelete(spark, path, incoming, keys, insertNotMatched)
+    else
+      graft.store.TableStore.upsert(spark, path, incoming, keys, updateColumns)
     Seq(Row(graft.store.TableStore.read(spark, path).count()))
   }
 }

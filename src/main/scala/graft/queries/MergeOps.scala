@@ -782,6 +782,61 @@ object MergeOps {
     TableStore.read(spark, tbl).orderBy($"o_orderkey")
   }
 
+  val sqlMergeDeleteSql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM upd WHERE o_orderkey % 5 <> 0
+      |UNION ALL
+      |SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 11 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q250: the MERGE DELETE action through SQL text (round-11 verdict
+    * item 2) — a mixed sequence against one store table: an UPDATE merge
+    * (partial column list) bumps the mod-7 keys' price, then a DELETE
+    * merge removes the mod-5 keys AND inserts unmatched clone rows in the
+    * SAME statement — `TableStore.mergeDelete`'s one-swap
+    * delete-matched ∪ insert-new contract, reached through the injected
+    * parser exactly like q231. Graded output is the post-swap table;
+    * the oracle recomputes both statements relationally.
+    */
+  def sqlMergeDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlMergeDel")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlmd_orders")
+    TableStore.atomicWrite(spark, spark.table("v_sqlmd_orders"), tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def exec(sql: String): Long = org.apache.spark.sql.graftshim.GraftShim
+      .ofRows(spark, parser.parsePlan(sql)).head().getLong(0)
+    exec(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice
+         |       FROM v_sqlmd_orders WHERE o_orderkey % 7 = 0)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED THEN UPDATE SET (o_totalprice)""".stripMargin)
+    val n = exec(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_totalprice
+         |  FROM v_sqlmd_orders WHERE o_orderkey % 5 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000 AS o_orderkey, o_custkey, o_totalprice
+         |  FROM v_sqlmd_orders WHERE o_orderkey % 11 = 0
+         |)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    require(n > 0, "delete-merge reported an empty table")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
   /** q233: reader pins end-to-end ([[graft.store.ReaderPins]]) — the q228
     * treatment for the round-11 pin registry, scripted and graded: three
     * versioned snapshots land; a reader PINS v1; an aggressive vacuum
@@ -1293,6 +1348,7 @@ object MergeOps {
     "q156_orc_roundtrip" -> orcRoundtrip,
     "q25_upsert_merge" -> upsertMerge,
     "q231_sql_merge" -> sqlMerge,
+    "q250_sql_merge_delete" -> sqlMergeDelete,
     "q113_scd2" -> scd2,
     "q118_golden_record" -> goldenRecord,
     "q96_upsert_changelog" -> upsertChangelog,
@@ -1322,6 +1378,7 @@ object MergeOps {
     "q25_upsert_merge" -> upsertMergeSql,
     "q231_sql_merge" -> upsertMergeSql, // same oracle on purpose: the SQL
     // surface must produce byte-identical post-merge state to the library
+    "q250_sql_merge_delete" -> sqlMergeDeleteSql,
     "q113_scd2" -> scd2Sql,
     "q118_golden_record" -> goldenRecordSql,
     "q96_upsert_changelog" -> upsertChangelogSql,

@@ -486,6 +486,32 @@ object TableStore {
     nBefore - read(spark, path).count()
   }
 
+  /** SQL-MERGE delete semantics in ONE atomic swap — the store-side
+    * engine of `MERGE … WHEN MATCHED THEN DELETE [WHEN NOT MATCHED THEN
+    * INSERT *]` ([[graft.plans.GraftSqlMerge]]): table rows whose `keys`
+    * match a source row are DELETED; when `insertNotMatched`, source
+    * rows matching no table row are INSERTED (aligned by name). Both
+    * effects land in one read → anti-join ∪ anti-join plan and one
+    * [[atomicWrite]] swap, so no intermediate state has the deletes
+    * without the inserts. Returns (deleted, inserted).
+    */
+  def mergeDelete(spark: SparkSession, path: String, source: DataFrame,
+                  keys: Seq[String], insertNotMatched: Boolean): (Long, Long) = {
+    val table = read(spark, path)
+    val nBefore = table.count()
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val kept = table.join(srcKeys, keys, "left_anti")
+    val inserts =
+      if (!insertNotMatched) None
+      else Some(source
+        .join(table.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .select(table.columns.map(col).toIndexedSeq: _*)) // table column order
+    val nIns = inserts.map(_.count()).getOrElse(0L)
+    // stage-then-swap (atomicWrite) keeps the lazy self-reads safe
+    atomicWrite(spark, inserts.fold(kept)(kept.unionByName(_)), path)
+    (nBefore + nIns - read(spark, path).count(), nIns)
+  }
+
   /** Partition-pruned DELETE: only partitions that actually CONTAIN a
     * victim row are rewritten — discovered with a key-only semi-join,
     * then the same anti-join rewrite swaps just those partition dirs

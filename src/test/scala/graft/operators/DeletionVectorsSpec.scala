@@ -209,4 +209,106 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(spark.read.parquet(t).count() == nBefore)
     WriterLease.release(spark, b)
   }
+
+  test("run codec: roundtrip, contiguity compression, disjoint ascending") {
+    import DeletionVectors.{encodeRuns, expandRuns}
+    assert(encodeRuns(Nil).isEmpty)
+    assert(encodeRuns(Seq(5L)) == Seq((5L, 1L)))
+    assert(encodeRuns(Seq(1L, 2L, 3L, 7L, 9L, 10L)) == Seq((1L, 3L), (7L, 1L), (9L, 2L)))
+    assert(encodeRuns(0L until 10000L) == Seq((0L, 10000L)), "contiguous block = ONE run")
+    val rows = (0L until 500L).filter(i => ((i * 2654435761L + 12345L) & 3) != 0)
+    assert(expandRuns(encodeRuns(rows)) == rows, "lossless roundtrip")
+  }
+
+  test("over-bound delta refuses with a routing message, vector untouched") {
+    val t = freshTable("bound")
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey")
+    assert(keys.count() > 10)
+    val e = intercept[IllegalArgumentException](
+      DeletionVectors.dvDelete(spark, t, keys, "o_orderkey", maxDriverRows = 10))
+    assert(e.getMessage.contains("maxDriverRows"))
+    assert(e.getMessage.contains("copy-on-write"), "must route to the rewrite tier")
+    assert(DeletionVectors.readDv(spark, t).isEmpty, "refused delete changes nothing")
+    val delta = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" % 7 === 0)
+    intercept[IllegalArgumentException](
+      DeletionVectors.morUpsert(spark, t, delta, "o_orderkey", maxDriverRows = 10))
+    assert(!dataFileMtimes(t).keys.exists(_.startsWith("mor-")),
+      "refused upsert appends nothing (locate bound fires before the append)")
+  }
+
+  test("contiguous deletes keep the sidecar run-compressed: bytes ≪ masked rows") {
+    // a key-sorted single-file table makes a key-range delete a contiguous
+    // row-index block — the clustered shape run-encoding exists for
+    val t = root.resolve("runs").toString
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey").coalesce(1)
+      .write.mode("overwrite").parquet(t)
+    val all = Tables.orders(spark, sf).select($"o_orderkey").as[Long].collect().sorted
+    val (lo, hi) = (all(all.length / 4), all(3 * all.length / 4))
+    val keys = Tables.orders(spark, sf)
+      .filter($"o_orderkey".between(lo, hi)).select($"o_orderkey")
+    val masked = DeletionVectors.dvDelete(spark, t, keys, "o_orderkey")
+    assert(masked > 500, s"fixture must mask hundreds of rows, got $masked")
+    val bytes = DeletionVectors.vectorBytes(spark, t)
+    assert(bytes < 1000,
+      s"one contiguous run must stay O(1) bytes regardless of $masked masked rows, got $bytes")
+    assert(DeletionVectors.dvRead(spark, t).count() == all.length - masked)
+  }
+
+  test("autoCompact: read debt crossing the policy folds back in once, ledger intact") {
+    val t = freshTable("auto")
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val policy = DeletionVectors.CompactionPolicy(maxAppendedFiles = 2, maxDirtyRatio = 1.1)
+    def batch(i: Int) = base.filter($"o_orderkey" % 499 === 0)
+      .select(lit("U").as("op"), $"o_orderkey", $"o_custkey",
+        lit(i.toDouble).as("o_totalprice"))
+    (1 to 4).foreach { i =>
+      assert(DeletionVectors.morApplyCdc(spark, t, batch(i), "o_orderkey", batchId = i,
+        autoCompact = Some(policy)))
+    }
+    // each apply appends ≥1 mor file; the policy allows 2, so compaction
+    // fired EXACTLY once (at apply 3) and debt stays bounded after
+    val names = dataFileMtimes(t).keys.toSeq
+    assert(names.count(_.startsWith("mor-")) <= policy.maxAppendedFiles + 1,
+      s"appended-file debt must stay bounded, got $names")
+    val cmpNonces = names.filter(_.startsWith("cmp-")).map(_.split("-")(1)).distinct
+    assert(cmpNonces.size == 1,
+      s"compaction must fire exactly once across the 4 applies, got nonces $cmpNonces")
+    // ledger survived compaction: replayed batch ids are still skipped
+    (1 to 4).foreach { i =>
+      assert(!DeletionVectors.morApplyCdc(spark, t,
+        batch(99), "o_orderkey", batchId = i, autoCompact = Some(policy)),
+        s"batch $i must remain in the ledger after auto-compaction")
+    }
+    // content is the last batch's state
+    val got = DeletionVectors.dvRead(spark, t)
+      .filter($"o_orderkey" % 499 === 0).select($"o_totalprice").as[Double].collect()
+    assert(got.nonEmpty && got.forall(_ == 4.0))
+  }
+
+  test("whole-file exclusion hides every row; compact sweeps leftover exclusions") {
+    val t = freshTable("excl")
+    val total = spark.read.parquet(t).count()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val one = f.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val oneRows = spark.read.parquet(one.toString).count()
+    val v0 = DeletionVectors.readVector(spark, t)
+    // simulate a compact crashed after its visibility flip: one file fully
+    // hidden, its rows already re-packed elsewhere is NOT simulated — this
+    // checks the mask semantics and the sweep, not survivor content
+    DeletionVectors.writeVector(spark, t,
+      v0.copy(excluded = Set(f.makeQualified(one).toString)))
+    assert(DeletionVectors.dvRead(spark, t).count() == total - oneRows,
+      "an excluded file contributes zero rows at any row count")
+    // re-running compact converges: the excluded file is swept, state clean
+    DeletionVectors.compact(spark, t)
+    assert(!f.exists(one), "leftover excluded file must be deleted")
+    assert(DeletionVectors.readVector(spark, t).excluded.isEmpty)
+    assert(DeletionVectors.dvRead(spark, t).count() == total - oneRows)
+  }
 }

@@ -40,6 +40,16 @@ class RobotsSpec extends AnyFunSuite {
     assert(parse(p, "b") == Seq(Rule(false, "/2")))
   }
 
+  test("RFC 9309: unrecognized fields neither split a group nor end an agent run") {
+    // crawl-delay between the agent lines must NOT split a and b apart
+    val p = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n"
+    assert(parse(p, "a") == Seq(Rule(false, "/x")), "a shares b's group")
+    assert(parse(p, "b") == Seq(Rule(false, "/x")))
+    // and inside a rule run they are plain ignored
+    val q = "User-agent: a\nDisallow: /1\nSitemap: http://s.test/map\nAllow: /1/ok\n"
+    assert(parse(q, "a") == Seq(Rule(false, "/1"), Rule(true, "/1/ok")))
+  }
+
   test("wildcard and anchor matching") {
     assert(matches("/", "/anything"))
     assert(matches("/src1", "/src1/5") && matches("/src1", "/src10/5"))

@@ -54,6 +54,19 @@ class WarcSpec extends SparkSuite {
       "HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort".getBytes))
   }
 
+  test("hostile Content-Length values are typed errors, never overflow past the bound") {
+    def rec(len: String) =
+      (s"WARC/1.1\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n" +
+        s"Content-Length: $len\r\n\r\npayload\r\n\r\n").getBytes("UTF-8")
+    // near-Int.MaxValue length must not wrap the bounds check negative
+    intercept[Warc.WarcError](Warc.parseWarc(rec((Int.MaxValue - 2).toString)))
+    intercept[Warc.WarcError](Warc.parseWarc(rec(Long.MaxValue.toString)))
+    intercept[Warc.WarcError](Warc.parseWarc(rec("-7")))
+    intercept[Warc.WarcError](Warc.parseWarc(rec("not-a-number")))
+    intercept[Warc.WarcError](Warc.parseHttpResponse(
+      "HTTP/1.1 200 OK\r\nContent-Length: ZZZ\r\n\r\nshort".getBytes))
+  }
+
   test("htmlToText strips boilerplate, decodes entities, normalizes whitespace") {
     val cases = Seq(
       ("<p>hello world</p>", "hello world"),

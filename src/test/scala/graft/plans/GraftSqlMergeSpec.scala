@@ -64,18 +64,53 @@ class GraftSqlMergeSpec extends SparkSuite {
     assert(r3.getString(1) == "C" && r3.getLong(2) == 300L)
   }
 
-  test("what the upsert cannot honor is refused at parse time") {
+  test("WHEN MATCHED THEN DELETE removes matched keys, leaves the rest") {
+    val tbl = mkTable("del")
+    Seq((1L, "ignored", 0L), (3L, "ignored", 0L), (7L, "no-match", 70L))
+      .toDF("k", "s", "v").createOrReplaceTempView("m_inc_del")
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_del ON KEYS (k)
+         |WHEN MATCHED THEN DELETE""".stripMargin).head().getLong(0)
+    assert(n == 1L, "k=1 and k=3 deleted; k=7 matched nothing and is NOT inserted")
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((2L, "b", 20L)))
+  }
+
+  test("DELETE + INSERT *: matched keys deleted, unmatched source rows inserted") {
+    val tbl = mkTable("delins")
+    Seq((2L, "ignored", 0L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_delins")
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_delins ON KEYS (k)
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(n == 3L)
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (3L, "c", 30L), (9L, "z", 90L)))
+  }
+
+  test("what the store cannot honor is refused at parse time") {
     // arbitrary ON condition (non-equi / expression matching)
     val e1 = intercept[IllegalArgumentException] {
       parser.parsePlan("MERGE INTO graft_store.`/t` USING v ON t.k > s.k")
     }
     assert(e1.getMessage.contains("ON KEYS"))
-    // DELETE action
+    // UPDATE and DELETE combined: ambiguous without conditional WHENs
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
-        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) WHEN MATCHED THEN DELETE")
+        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE")
     }
-    assert(e2.getMessage.contains("unsupported clause"))
+    assert(e2.getMessage.contains("cannot be combined"))
+    // conditional WHEN stays refused
+    val e3 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
+          "WHEN MATCHED AND v > 0 THEN DELETE")
+    }
+    assert(e3.getMessage.contains("unsupported clause"))
     // unbalanced subquery
     intercept[IllegalArgumentException] {
       parser.parsePlan("MERGE INTO graft_store.`/t` USING (SELECT 1 ON KEYS (k)")

@@ -40,6 +40,50 @@ class SidecarSpec extends SparkSuite {
       Sidecar.swap(spark, t, "_m/x.tsv", "loser\n"))
     WriterLease.adopt(b)
     assert(Sidecar.readRequired(spark, t, "_m/x.tsv") == "original\n")
+    // the refused swap left no staging file behind — only a process CRASH
+    // may leave __tmp, which read() diagnoses (next test)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_m/x.tsv__tmp")))
     WriterLease.release(spark, b)
+  }
+
+  test("missing sidecar with staging present is typed corruption, not an empty read") {
+    val t = root.resolve("t3").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_m"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_m/x.tsv__tmp"), "half-written\n")
+    val e = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/x.tsv"))
+    assert(e.getMessage.contains("crashed"))
+    assert(e.sidecarPath.endsWith("_m/x.tsv"))
+  }
+
+  test("truncated files fail the integrity header, torn lines fail the field parse") {
+    val t = root.resolve("t4").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    Sidecar.swap(spark, t, "_m/x.tsv", "a\t1\nb\t2\nc\t3\n")
+    val p = java.nio.file.Paths.get(t, "_m/x.tsv")
+    val full = java.nio.file.Files.readString(p)
+    // external tamper below bypasses Hadoop's checksum sidecar — drop it so
+    // the test exercises OUR integrity layer, not the crc's
+    def dropCrc(): Unit =
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t, "_m/.x.tsv.crc"))
+    // truncate at a line boundary: the line-count header catches it
+    java.nio.file.Files.writeString(p, full.substring(0, full.lastIndexOf("c\t3\n")))
+    dropCrc()
+    val e1 = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/x.tsv"))
+    assert(e1.getMessage.contains("declares 3 lines"))
+    // truncate mid-line: the trailing-newline check catches it
+    java.nio.file.Files.writeString(p, full.substring(0, full.length - 2))
+    dropCrc()
+    val e2 = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/x.tsv"))
+    assert(e2.getMessage.contains("mid-line"))
+    // a malformed line inside an intact file: fields() raises typed, not MatchError
+    val e3 = intercept[Sidecar.SidecarCorruptionError](
+      Sidecar.fields(t, "_m/x.tsv", "only-one-field", 2))
+    assert(e3.getMessage.contains("expected 2 tab-separated fields"))
+    // headerless external fixtures still read verbatim
+    java.nio.file.Files.writeString(p, "x\t9\n")
+    dropCrc()
+    assert(Sidecar.readRequired(spark, t, "_m/x.tsv") == "x\t9\n")
   }
 }
