@@ -105,6 +105,26 @@ object Bench {
       ths.foreach(_.start()); ths.foreach(_.join())
       (System.nanoTime() - t0p) / 1e9
     }
+    // fixed-work fsync probe (round-11 verdict item 4): the CPU probe is
+    // exact for CPU-bound queries but only a LOWER bound for fsync-bound
+    // streaming replays — their wall clock follows storage latency, which
+    // the hypervisor modulates independently of CPU. Four 4 KiB
+    // create+write+fsync cycles measure exactly that axis; per-trial
+    // values persist beside the CPU probes so the heavy tail
+    // (q145/q208/q249 class) has an honest denominator.
+    val ioDir = java.nio.file.Files.createTempDirectory("graft_ioprobe")
+    def ioProbe(): Double = {
+      val buf = Array.fill[Byte](4096)(42)
+      val t0i = System.nanoTime()
+      (0 until 4).foreach { i =>
+        val f = ioDir.resolve(s"p$i").toFile
+        val out = new java.io.FileOutputStream(f)
+        try { out.write(buf); out.getFD.sync() } finally out.close()
+      }
+      val dt = (System.nanoTime() - t0i) / 1e9
+      (0 until 4).foreach(i => ioDir.resolve(s"p$i").toFile.delete())
+      dt
+    }
     // Untimed cleanup. Order matters (round-9 q47 bench-context
     // regression): Catalog.clearCache() unpersists cached plans with
     // blocking=false AND deregisters their RDDs from getPersistentRDDs, so
@@ -154,7 +174,10 @@ object Bench {
     // the next query's trials would have run under.
     val residual = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long, Long, Int)]
     val probeTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val ioProbeTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val retriedTrials = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Double)]]
+    ioProbe() // page-cache/metadata warm before the first reading counts
+    var fastIo = ioProbe()
     val probeBefore = cpuProbe()
     System.err.println(f"[bench] cpu probe before: single ${probeBefore._1}%.3f s, " +
       f"${cpus}x ${probeBefore._2}%.3f s")
@@ -170,6 +193,7 @@ object Bench {
       cleanup() // drop the warmup's result blocks before the timed trials
       val times = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
       val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val ioProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val retries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
       var retried = false
       var t = 1
@@ -182,7 +206,9 @@ object Bench {
         cleanup()
         val (rb, rm, rd, rbc) = org.apache.spark.graft.BlockHygiene.snapshot(spark.sparkContext)
         val probeQ = parallelProbe()
+        val ioQ = ioProbe()
         fastProbe = math.min(fastProbe, probeQ)
+        fastIo = math.min(fastIo, ioQ)
         val contended = probeQ > ContendedRatio * fastProbe
         // outlier policy (round-10 q36 [6.4,13.6,11.6] vs independent
         // 2.90 s): a contended trial is discarded into the annotation and
@@ -200,6 +226,7 @@ object Bench {
         } else {
           times += (if (ok) Some(dt) else None)
           probes += probeQ
+          ioProbes += ioQ
           if (t == trials) residual(name) = (rb, rm, rd, rbc)
           System.err.println(f"[bench] $name trial $t: $dt%.3f s, gc ${gcIn}ms, ok=$ok, " +
             f"resid blocks=$rb mem=${rm / 1048576}MB disk=${rd / 1048576}MB bcast=$rbc, " +
@@ -208,6 +235,7 @@ object Bench {
         }
       }
       probeTrials(name) = probes.toSeq
+      ioProbeTrials(name) = ioProbes.toSeq
       if (retries.nonEmpty) retriedTrials(name) = retries.toSeq
       name -> times.toSeq
     }
@@ -231,6 +259,15 @@ object Bench {
       }
       k -> (if (normed.nonEmpty) BenchFormat.median(normed) else -1.0)
     }
+    // the IO-normalized twin for fsync-bound queries: same scaling, fsync
+    // denominator — readers pick per query by which resource dominates it
+    val ioNormMedians = results.map { case (k, ts) =>
+      val pq = ioProbeTrials(k)
+      val normed = ts.zip(pq).flatMap { case (o, p) =>
+        o.map(_ * (fastIo / math.max(p, 1e-9)))
+      }
+      k -> (if (normed.nonEmpty) BenchFormat.median(normed) else -1.0)
+    }
     val failed = results.collect { case (k, ts) if ts.exists(_.isEmpty) => k }
     val normTotal = normMedians.map(_._2).filter(_ >= 0).sum
     val json = BenchFormat.line(medians, trials, sfDir, failed,
@@ -248,10 +285,12 @@ object Bench {
     // order) plus the [min,median,max] spread per query, for variance work.
     val detail = BenchFormat.detail(results, trials, sfDir, residual.toSeq,
       Seq(probeBefore._1, probeBefore._2, probeAfter._1, probeAfter._2),
-      probeTrials.toSeq, normMedians, retriedTrials.toSeq)
+      probeTrials.toSeq, normMedians, retriedTrials.toSeq,
+      ioProbeTrials.toSeq, ioNormMedians)
     for (p <- Seq("bench_detail.json", "/tmp/bench_detail.json"))
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), detail + "\n")
       catch { case _: Throwable => () }
+    ioDir.toFile.delete()
     spark.stop()
   }
 }

@@ -118,7 +118,9 @@ object BenchFormat {
              cpuProbe: Seq[Double] = Nil,
              probeTrials: Seq[(String, Seq[Double])] = Nil,
              normMedians: Seq[(String, Double)] = Nil,
-             retried: Seq[(String, Seq[(Int, Double, Double)])] = Nil): String = {
+             retried: Seq[(String, Seq[(Int, Double, Double)])] = Nil,
+             ioProbeTrials: Seq[(String, Seq[Double])] = Nil,
+             ioNormMedians: Seq[(String, Double)] = Nil): String = {
     val trialsJson = results.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(o => f3(o.getOrElse(-1.0))).mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -168,9 +170,25 @@ object BenchFormat {
           s"[$t,${f3(s)},${f3(p)}]"
         }.mkString(",") + "]"
       }.mkString(""","contended_retries":{""", ",", "}")
+    // per-TRIAL fsync probes (seconds for a fixed create+write+fsync×4
+    // workload): the CPU probe is exact for CPU-bound queries but only a
+    // lower bound for fsync-bound streaming replays (round-11 verdict
+    // item 4); fsync-heavy queries normalize against THIS denominator.
+    val ioPtJson =
+      if (ioProbeTrials.isEmpty) ""
+      else ioProbeTrials.map { case (k, ps) =>
+        "\"" + k + "\":[" + ps.map(f3).mkString(",") + "]"
+      }.mkString(""","io_probe_trials":{""", ",", "}")
+    // the IO-normalized median twin: same scaling formula as median_norm
+    // but with the fsync probe — the honest denominator for the
+    // q145/q208/q249 class; readers pick per query by what dominates it
+    val ioNormJson =
+      if (ioNormMedians.isEmpty) ""
+      else ioNormMedians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString(""","median_io_norm":{""", ",", "}")
     s"""{"sf":"$sf","trials":$trials,"total_of_medians":${f3(total)},""" +
       s""""trial_times":$trialsJson,"spread_min_med_max":$spreadJson""" +
       (if (residual.nonEmpty) s""","residual_after_cleanup":$residJson""" else "") +
-      probeJson + ptJson + normJson + retryJson + "}"
+      probeJson + ptJson + normJson + retryJson + ioPtJson + ioNormJson + "}"
   }
 }

@@ -55,12 +55,27 @@ object ShardWriter {
   def profile(spark: SparkSession, path: String): Seq[ShardStat] =
     statsOf(spark.read.parquet(path))
 
+  /** Order-insensitive doc-id digest with O(1) aggregation state (round-11
+    * verdict item 5 — the former `sort_array(collect_list(…))` digest
+    * materialized every shard's doc-id array in executor memory; at real
+    * GB-shards of small documents that array is the biggest allocation of
+    * the whole verify pass): each doc contributes two 60-bit md5 words
+    * (hex prefix + suffix of `md5(doc_id)`), the shard digest is the pair
+    * of word SUMS in DECIMAL(38,0) — commutative, so no per-group array,
+    * and 38 digits absorb ~1e18-per-doc words across billions of docs
+    * without overflow. A changed, duplicated, or missing doc id moves a
+    * sum with overwhelming probability, which is the same tamper evidence
+    * the sorted-md5 gave.
+    */
+  private def md5Word(off: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), off, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
   private def statsOf(df: DataFrame): Seq[ShardStat] =
     df.groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"),
-        md5(concat_ws(",",
-          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")))
-          .cast("binary")).as("docs_md5"))
+        concat(sum(md5Word(1)).cast("string"), lit(":"),
+          sum(md5Word(18)).cast("string")).as("docs_md5"))
       .collect() // bounded by shard count
       .map(r => ShardStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSeq.sortBy(_.shardId)

@@ -1389,7 +1389,9 @@ object CorpusOps {
       |             doc_id, n_tokens FROM c)
       |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_md5
+      |  CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS HUGEINT)) AS VARCHAR)
+      |    || ':' ||
+      |  CAST(SUM(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15) AS BIGINT) AS HUGEINT)) AS VARCHAR) AS docs_md5
       |FROM s GROUP BY shard_id
       |ORDER BY shard_id""".stripMargin
 

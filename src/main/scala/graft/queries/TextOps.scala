@@ -1409,6 +1409,77 @@ object TextOps {
       |GROUP BY domain
       |ORDER BY domain""".stripMargin
 
+  /** q251: per-host politeness scheduling — the operator between q244's
+    * robots gate and a real fetch: frontier URLs land in per-canonical-
+    * host queues (the q188 [[TextFunctions.canonicalHost]] derivation)
+    * and each URL gets a deterministic fetch ROUND from an integer
+    * token bucket — round = per-host running index ÷ the host's
+    * request rate — so "no more than `rate` requests per host per
+    * round" holds by construction and the whole fetch plan is ONE
+    * shuffle (the host-partitioned window) with no per-row state, no
+    * driver loop, no mutable queue. Rate is a per-host policy value
+    * (derived deterministically here; a real deployment joins the
+    * crawl-delay dimension). Skew posture: a host's queue length is
+    * bounded upstream by the q197 per-domain cap, so the window
+    * partition cannot degenerate into one giant host.
+    */
+  def politenessSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = docPath($"lang", pmod($"doc_id", lit(50)))
+    val url = when(pmod($"doc_id", lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), $"source", lit(".Example.COM:443/"), base,
+          lit("/?utm_source=feed&b=2&a=1")))
+      .when(pmod($"doc_id", lit(4)) === 1,
+        concat(lit("https://"), $"source", lit(".example.com/"), base,
+          lit("?a=1&ref=tw&b=2")))
+      .when(pmod($"doc_id", lit(4)) === 2,
+        concat(lit("https://"), $"source", lit(".EXAMPLE.com/"), base,
+          lit("#section-3")))
+      .otherwise(
+        concat(lit("https://www."), $"source", lit(".example.com:443/"), base, lit("//")))
+    val frontier = documents(spark, dir)
+      .select($"doc_id", url.as("url"),
+        TextFunctions.canonicalHost(url).as("domain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"domain").orderBy($"url", $"doc_id")
+    frontier
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("rate", (length($"domain") % 3 + 1).cast("long"))
+      .withColumn("fetch_round", floor($"idx" / $"rate").cast("long"))
+      .select($"doc_id", $"domain", $"idx", $"rate", $"fetch_round")
+      .orderBy($"domain", $"idx")
+  }
+
+  val politenessScheduleSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 4
+      |      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
+      |      WHEN 1 THEN 'https://' || source || '.example.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&ref=tw&b=2'
+      |      WHEN 2 THEN 'https://' || source || '.EXAMPLE.com/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '#section-3'
+      |      ELSE 'https://www.' || source || '.example.com:443/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR) || '//'
+      |    END AS url
+      |  FROM documents),
+      |comp AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM raw),
+      |hosts AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', ''), ':443$', '')
+      |         WHEN scheme = 'http'  THEN regexp_replace(regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', ''), ':80$', '')
+      |         ELSE regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), '^www\.', '') END AS domain
+      |  FROM comp),
+      |sched AS (
+      |  SELECT doc_id, domain,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY url, doc_id) - 1 AS BIGINT) AS idx,
+      |    CAST(length(domain) % 3 + 1 AS BIGINT) AS rate
+      |  FROM hosts)
+      |SELECT doc_id, domain, idx, rate, idx // rate AS fetch_round
+      |FROM sched
+      |ORDER BY domain, idx""".stripMargin
+
   /** q197: per-domain document cap — the crawl-curation rule that stops
     * one giant host from dominating a corpus (cap docs per registrable
     * domain, keep the best): each doc's canonical host comes from the
@@ -1726,6 +1797,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_rouge_pairs"    -> rougePairs,
     "q244_robots_filter"  -> robotsFilter,
+    "q251_politeness"     -> politenessSchedule,
     "q214_winnowing"      -> winnowingPairs,
     "q210_char_entropy"   -> charEntropy,
     "q197_domain_cap"     -> domainCap,
@@ -1787,6 +1859,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q247_rouge_pairs"    -> rougePairsSql,
     "q244_robots_filter"  -> robotsFilterSql,
+    "q251_politeness"     -> politenessScheduleSql,
     "q214_winnowing"      -> winnowingPairsSql,
     "q210_char_entropy"   -> charEntropySql,
     "q197_domain_cap"     -> domainCapSql,
