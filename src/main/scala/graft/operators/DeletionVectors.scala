@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * This is the Iceberg v2 / Delta deletion-vector move: mutation latency
   * becomes O(delta) with zero write amplification, at the price of a
   * read-side anti-join against the vector — which stays cheap because
-  * the vector is delta-sized and broadcasts, so the base scan never
-  * shuffles. Row positions come from parquet's stable in-file row index
+  * the vector broadcasts as RUN triples (O(runs), not O(masked rows) —
+  * see [[dvRead]]), so the base scan never shuffles. Row positions come from parquet's stable in-file row index
   * (`_metadata.row_index`), the same identity Delta's DVs use; positions
   * survive any reader because parquet row order within an immutable file
   * is part of the format.
@@ -229,21 +229,34 @@ object DeletionVectors {
     val v = readVector(spark, path)
     if (v.files.isEmpty && v.excluded.isEmpty) base
     else {
-      import spark.implicits._
       val withFile = base.withColumn("__file", col("_metadata.file_path"))
       // whole-file masks (compaction's visibility switch) drop as a filter
       val unexcluded =
         if (v.excluded.isEmpty) withFile
         else withFile.filter(!col("__file").isin(v.excluded.toSeq: _*))
-      val dv = v.pairs
-      val masked =
-        if (dv.isEmpty) unexcluded
-        else unexcluded
-          .withColumn("__row", col("_metadata.row_index"))
-          .join(broadcast(dv.toDF("__file", "__row")), Seq("__file", "__row"), "left_anti")
-          .drop("__row")
-      masked.drop("__file")
+      maskRuns(spark, unexcluded, v).drop("__file")
     }
+  }
+
+  /** Anti-join `df` (must carry `__file`) against the vector's RUNS — the
+    * broadcast side is O(runs), never O(masked rows): a contiguous
+    * million-row delete ships as ONE (file, lo, hi) triple. The join is a
+    * broadcast HASH anti-join keyed on the file with the range check as a
+    * residual predicate, so each row probes only its own file's runs.
+    */
+  private def maskRuns(spark: SparkSession, df: DataFrame, v: Vector): DataFrame = {
+    import spark.implicits._
+    val runs = v.files.toSeq.flatMap { case (f, rs) =>
+      rs.map { case (s, l) => (f, s, s + l) }
+    }
+    if (runs.isEmpty) df
+    else df
+      .withColumn("__row", col("_metadata.row_index"))
+      .join(broadcast(runs.toDF("__rfile", "__rlo", "__rhi")),
+        col("__file") === col("__rfile") &&
+          col("__row") >= col("__rlo") && col("__row") < col("__rhi"),
+        "left_anti")
+      .drop("__row")
   }
 
   /** Merge-on-read upsert: APPEND the delta as new part files, then
@@ -394,13 +407,10 @@ object DeletionVectors {
       }
       return (0, countDataFiles(spark, path))
     }
-    import spark.implicits._
-    val dvDf = v0.pairs.toDF("__file", "__row")
-    val survivors = spark.read.parquet(dirty: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__row", col("_metadata.row_index"))
-      .join(broadcast(dvDf), Seq("__file", "__row"), "left_anti")
-      .drop("__file", "__row")
+    val survivors = maskRuns(spark,
+      spark.read.parquet(dirty: _*)
+        .withColumn("__file", col("_metadata.file_path")), v0)
+      .drop("__file")
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__compact_$nonce")
     survivors.repartition(math.max(1, dirty.size))

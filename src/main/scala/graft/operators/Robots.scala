@@ -22,15 +22,35 @@ object Robots {
     * blank lines per the RFC; an empty Disallow value means allow-all
     * and contributes no rule.
     */
-  def parse(robotsTxt: String, agent: String): Seq[Rule] = {
-    final case class Group(agents: Seq[String], rules: Seq[Rule])
+  def parse(robotsTxt: String, agent: String): Seq[Rule] =
+    chosenGroups(robotsTxt, agent).flatMap(_.rules)
+
+  /** The effective Crawl-delay for `agent` (seconds), if its selected
+    * groups carry one — the politeness-rate dimension a scheduler (q251's
+    * shape) joins per host. Crawl-delay is a de-facto extension outside
+    * RFC 9309: reading it does NOT affect group selection or rule state
+    * (the RFC's ignore-unknown-lines behavior is preserved — the line is
+    * read in passing, never structural). Multiple applicable delays keep
+    * the most conservative (maximum); unparseable values are ignored.
+    */
+  def crawlDelay(robotsTxt: String, agent: String): Option[Double] =
+    chosenGroups(robotsTxt, agent).flatMap(_.delays) match {
+      case Nil => None
+      case ds => Some(ds.max)
+    }
+
+  private final case class Group(agents: Seq[String], rules: Seq[Rule],
+                                 delays: Seq[Double])
+
+  private def chosenGroups(robotsTxt: String, agent: String): Seq[Group] = {
     val groups = Seq.newBuilder[Group]
     var agents = Seq.empty[String]
     var rules = Seq.empty[Rule]
+    var delays = Seq.empty[Double]
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Seq.empty; rules = Seq.empty; inRules = false
+      if (agents.nonEmpty) groups += Group(agents, rules, delays)
+      agents = Seq.empty; rules = Seq.empty; delays = Seq.empty; inRules = false
     }
     robotsTxt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -46,9 +66,14 @@ object Robots {
             case "allow" | "disallow" =>
               inRules = true
               if (value.nonEmpty) rules :+= Rule(field == "allow", value)
+            case "crawl-delay" =>
+              // read in passing; deliberately NOT structural (no inRules
+              // change) — see the RFC note in the case below
+              try delays :+= value.toDouble
+              catch { case _: NumberFormatException => () }
             case _ => () // RFC 9309 §2.2.4: lines outside the defined ones
-            // (crawl-delay, sitemap, …) are ignored WITHOUT terminating the
-            // group — 'User-agent: a / Crawl-delay: 1 / User-agent: b /
+            // (sitemap, …) are ignored WITHOUT terminating the group —
+            // 'User-agent: a / Crawl-delay: 1 / User-agent: b /
             // Disallow: /x' keeps a and b in ONE group sharing the rule
           }
         }
@@ -57,8 +82,7 @@ object Robots {
     flush()
     val all = groups.result()
     val mine = all.filter(_.agents.contains(agent.toLowerCase))
-    val chosen = if (mine.nonEmpty) mine else all.filter(_.agents.contains("*"))
-    chosen.flatMap(_.rules)
+    if (mine.nonEmpty) mine else all.filter(_.agents.contains("*"))
   }
 
   /** Does `pattern` (literal with `*` wildcards, optional trailing `$`

@@ -220,7 +220,9 @@ object TableStore {
     }
     crashHook("staged")
     // fence: if this process holds a (possibly broken) writer lease for
-    // the path, die loudly HERE rather than clobber a new holder's table
+    // the path, die loudly HERE rather than clobber a new holder's table.
+    // A stall AFTER this check and before the rename below is the pinned
+    // residual window — WriterLease.fence scaladoc + WriterLeaseSpec
     WriterLease.fence(spark, path)
     if (f.exists(target)) {
       if (!f.rename(target, old))

@@ -250,8 +250,13 @@ object WriterLease {
     * but its mtime is older than ttl/2 — a lease that quiet is too close
     * to breakable for a commit to be safe (the freshness bound keeps the
     * fence-to-rename window well inside the break threshold; see the
-    * class doc for the residual stall window this does not close). On
-    * success the mtime is re-touched, so fence doubles as a heartbeat.
+    * class doc for the residual stall window this does not close —
+    * demonstrated and PINNED by WriterLeaseSpec "residual window": a
+    * repair was evaluated and rejected as non-race-free on filesystems
+    * without conditional renames, because the shared __tmp/__old staging
+    * paths make any post-rename rollback able to clobber the new
+    * holder's own in-flight commit). On success the mtime is re-touched,
+    * so fence doubles as a heartbeat.
     */
   def fence(spark: SparkSession, path: String): Unit = {
     val lease = held.get(path)

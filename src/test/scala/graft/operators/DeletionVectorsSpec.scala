@@ -258,6 +258,18 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(DeletionVectors.dvRead(spark, t).count() == all.length - masked)
   }
 
+  test("dvRead anti-joins broadcast RUN triples via a hash join keyed on the file") {
+    val t = freshTable("runjoin")
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey")
+    DeletionVectors.dvDelete(spark, t, keys, "o_orderkey")
+    val plan = DeletionVectors.dvRead(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast hash anti-join on __file with the range residual, got:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the run join must probe per-file buckets, not scan every run per row")
+  }
+
   test("autoCompact: read debt crossing the policy folds back in once, ledger intact") {
     val t = freshTable("auto")
     val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")

@@ -50,6 +50,22 @@ class RobotsSpec extends AnyFunSuite {
     assert(parse(q, "a") == Seq(Rule(false, "/1"), Rule(true, "/1/ok")))
   }
 
+  test("crawl-delay: read in passing, group-scoped, most conservative wins") {
+    val p = "User-agent: a\nCrawl-delay: 1\nUser-agent: b\nDisallow: /x\n" +
+      "User-agent: a\nCrawl-delay: 2.5\nDisallow: /y\n" +
+      "User-agent: *\nCrawl-delay: 9\n"
+    // a appears in two groups: delays 1 and 2.5 — max (most conservative)
+    assert(Robots.crawlDelay(p, "a").contains(2.5))
+    assert(Robots.crawlDelay(p, "b").contains(1.0), "b shares a's first group")
+    // an agent matching no named group falls back to the * group
+    assert(Robots.crawlDelay(p, "stranger").contains(9.0))
+    // absent delay → None; unparseable values ignored
+    assert(Robots.crawlDelay("User-agent: a\nDisallow: /x\n", "a").isEmpty)
+    assert(Robots.crawlDelay("User-agent: a\nCrawl-delay: soon\n", "a").isEmpty)
+    // reading the delay never perturbs rule selection
+    assert(parse(p, "a") == Seq(Rule(false, "/x"), Rule(false, "/y")))
+  }
+
   test("wildcard and anchor matching") {
     assert(matches("/", "/anything"))
     assert(matches("/src1", "/src1/5") && matches("/src1", "/src10/5"))

@@ -233,4 +233,44 @@ class WriterLeaseSpec extends SparkSuite {
     TableStore.atomicWrite(spark, Seq((1L, "y")).toDF("id", "v"), root)
     assert(TableStore.read(spark, root).select("v").head().getString(0) == "y")
   }
+
+  test("PINNED residual window: a stall between a passing fence and the rename can clobber") {
+    // This test DEMONSTRATES the documented limitation (WriterLease class
+    // doc, 'What this does and does not give'), so a regression in either
+    // direction — silently closing it with a non-atomic repair, or
+    // widening it — fails loudly. The window: writer A passes its fence
+    // (mtime fresh), then stalls longer than the break threshold before
+    // its commit rename; B breaks the lease and acquires; A's wake-up
+    // rename still lands because nothing re-checks the lease after the
+    // fence. Closing it needs a rename conditioned on the token (commit
+    // log / conditional put) — not available on a plain filesystem.
+    val t = mkPath("stall")
+    val a = WriterLease.acquire(spark, t, "A", ttlMs = 60000)
+    TableStore.atomicWrite(spark, Seq((1L, "v0")).toDF("k", "v"), t)
+    var b: WriterLease.Lease = null
+    TableStore.crashHook = {
+      case "backedUp" if b == null =>
+        // A is between its passing fence and its commit rename: simulate
+        // the stall (lease ages past ttl) and B breaking + acquiring
+        backdate(t, 120000)
+        b = WriterLease.acquire(spark, t, "B", ttlMs = 60000)
+      case _ => ()
+    }
+    try {
+      // A's write COMPLETES despite B now holding the lease — the window
+      TableStore.atomicWrite(spark, Seq((1L, "vA")).toDF("k", "v"), t)
+    } finally TableStore.crashHook = _ => ()
+    assert(b != null, "hook must have fired")
+    assert(TableStore.read(spark, t).select("v").head().getString(0) == "vA",
+      "the stalled loser's commit landed under B's lease — the pinned residual window")
+    // the exposure is bounded: B's next commit supersedes the stale write,
+    // and A's next fence dies loudly (held registry still maps t -> B)
+    TableStore.atomicWrite(spark, Seq((1L, "vB")).toDF("k", "v"), t)
+    assert(TableStore.read(spark, t).select("v").head().getString(0) == "vB")
+    WriterLease.adopt(a)
+    intercept[WriterLease.FencedException](
+      TableStore.atomicWrite(spark, Seq((1L, "vA2")).toDF("k", "v"), t))
+    WriterLease.adopt(b)
+    WriterLease.release(spark, b)
+  }
 }
