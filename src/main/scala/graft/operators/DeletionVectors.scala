@@ -72,7 +72,8 @@ object DeletionVectors {
 
   private def bound(spark: SparkSession, what: String, df: DataFrame,
                     maxDriverRows: Long): Array[org.apache.spark.sql.Row] = {
-    val rows = df.limit((maxDriverRows + 1).toInt).collect()
+    val lim = math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt // no Int wrap
+    val rows = df.limit(lim).collect()
     if (rows.length > maxDriverRows)
       throw new IllegalArgumentException(
         s"$what exceeds maxDriverRows=$maxDriverRows — this is a table-scale " +
