@@ -70,17 +70,24 @@ object DeletionVectors {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Collect `df` only if its size is within `maxDriverRows` — checked
+    * with a COUNT before the collect, so the oversized case never
+    * materializes a single row on the driver. Two fully PARALLEL jobs on
+    * purpose: a `limit(max+1).collect()` would be one logical job but
+    * Spark's CollectLimitExec takes partitions in sequential scale-up
+    * rounds, which multiplied per-micro-batch latency ~8× on the q249
+    * replication path (measured in the round-12 bench before this fix).
+    */
   private def bound(spark: SparkSession, what: String, df: DataFrame,
                     maxDriverRows: Long): Array[org.apache.spark.sql.Row] = {
-    val lim = math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt // no Int wrap
-    val rows = df.limit(lim).collect()
-    if (rows.length > maxDriverRows)
+    val n = df.count()
+    if (n > maxDriverRows)
       throw new IllegalArgumentException(
-        s"$what exceeds maxDriverRows=$maxDriverRows — this is a table-scale " +
-          "mutation, not a delta; route it to the copy-on-write tier " +
-          "(TableStore.deleteRows / BloomSkip.cowUpsert) or raise the bound " +
-          "explicitly if the driver is provisioned for it")
-    rows
+        s"$what is $n rows, exceeding maxDriverRows=$maxDriverRows — this is " +
+          "a table-scale mutation, not a delta; route it to the copy-on-write " +
+          "tier (TableStore.deleteRows / BloomSkip.cowUpsert) or raise the " +
+          "bound explicitly if the driver is provisioned for it")
+    df.collect()
   }
 
   // ---- run-length vector codec -------------------------------------------
@@ -145,12 +152,32 @@ object DeletionVectors {
           s"F\t$f\t${runs.sortBy(_._1).map { case (s, n) => s"$s+$n" }.mkString(",")}\n"
         }.mkString)
 
+  /** Union of two run lists by interval sweep — O(runs), never expanded
+    * to rows, so merging new hits into an existing (bounded but large)
+    * vector costs runs, not masked rows. Overlapping and adjacent runs
+    * coalesce; re-masking an already-masked row is a no-op by
+    * construction.
+    */
+  private[operators] def unionRuns(a: Seq[(Long, Long)],
+                                   b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val all = (a ++ b).sortBy(_._1)
+    val out = Seq.newBuilder[(Long, Long)]
+    var cs = -1L; var ce = -1L // current coalesced [cs, ce)
+    all.foreach { case (s, l) =>
+      val e = s + l
+      if (ce < 0) { cs = s; ce = e }
+      else if (s <= ce) ce = math.max(ce, e)
+      else { out += ((cs, ce - cs)); cs = s; ce = e }
+    }
+    if (ce >= 0) out += ((cs, ce - cs))
+    out.result()
+  }
+
   private def merged(v: Vector, hits: Seq[(String, Long)]): Vector = {
-    val extra = hits.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val extra = hits.groupBy(_._1).view
+      .mapValues(rs => encodeRuns(rs.map(_._2).distinct.sorted)).toMap
     val files = (v.files.keySet ++ extra.keySet).map { f =>
-      f -> encodeRuns(
-        (expandRuns(v.files.getOrElse(f, Nil)) ++ extra.getOrElse(f, Nil))
-          .distinct.sorted)
+      f -> unionRuns(v.files.getOrElse(f, Nil), extra.getOrElse(f, Nil))
     }.toMap
     v.copy(files = files)
   }
@@ -239,25 +266,52 @@ object DeletionVectors {
     }
   }
 
-  /** Anti-join `df` (must carry `__file`) against the vector's RUNS — the
-    * broadcast side is O(runs), never O(masked rows): a contiguous
-    * million-row delete ships as ONE (file, lo, hi) triple. The join is a
-    * broadcast HASH anti-join keyed on the file with the range check as a
-    * residual predicate, so each row probes only its own file's runs.
+  /** A file routes to the range anti-join only while its run count stays
+    * under this; past it, the file's masks expand to exact pairs. The
+    * range join is a broadcast hash join keyed on the FILE with the range
+    * check as a residual — every probe row walks ALL of its file's range
+    * entries, so cost is O(rows × rangeRuns-per-file): fine for a few
+    * giant runs, catastrophic for many small ones (the q249 seed's
+    * 20k two-row runs measured 23 s of pure residual walking before this
+    * split). Pair probes are O(1) per row and their expansion is bounded
+    * by the maxDriverRows write guard — exactly the round-11 read shape.
+    */
+  val RangeRunsPerFileMax = 16
+
+  /** Anti-join `df` (must carry `__file`) against the vector — HYBRID per
+    * FILE by run count (see [[RangeRunsPerFileMax]]):
+    *
+    *  - files with few runs (range deletes, clustered masks, compaction's
+    *    leftovers) anti-join as (file, lo, hi) triples — a contiguous
+    *    million-row delete ships and probes as ONE entry, and the
+    *    residual walk is bounded by the per-file run cap;
+    *  - files with many runs (scattered CDC masks) expand to exact
+    *    (file, row) pairs — broadcast hash join, one bucket entry probed
+    *    per row.
+    *
+    * Both sides broadcast; both are bounded — pairs by the maxDriverRows
+    * write guard, triples by O(runs) with a per-file walk cap.
     */
   private def maskRuns(spark: SparkSession, df: DataFrame, v: Vector): DataFrame = {
     import spark.implicits._
-    val runs = v.files.toSeq.flatMap { case (f, rs) =>
-      rs.map { case (s, l) => (f, s, s + l) }
+    if (v.files.isEmpty) return df
+    val (ranged, paired) = v.files.toSeq.partition(_._2.size <= RangeRunsPerFileMax)
+    var out = df.withColumn("__row", col("_metadata.row_index"))
+    if (paired.nonEmpty) {
+      val pairs = paired.flatMap { case (f, rs) => expandRuns(rs).map(f -> _) }
+      out = out.join(broadcast(pairs.toDF("__file", "__row")),
+        Seq("__file", "__row"), "left_anti")
     }
-    if (runs.isEmpty) df
-    else df
-      .withColumn("__row", col("_metadata.row_index"))
-      .join(broadcast(runs.toDF("__rfile", "__rlo", "__rhi")),
+    if (ranged.nonEmpty) {
+      val triples = ranged.flatMap { case (f, rs) =>
+        rs.map { case (s, l) => (f, s, s + l) }
+      }
+      out = out.join(broadcast(triples.toDF("__rfile", "__rlo", "__rhi")),
         col("__file") === col("__rfile") &&
           col("__row") >= col("__rlo") && col("__row") < col("__rhi"),
         "left_anti")
-      .drop("__row")
+    }
+    out.drop("__row")
   }
 
   /** Merge-on-read upsert: APPEND the delta as new part files, then

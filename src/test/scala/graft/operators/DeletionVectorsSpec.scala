@@ -218,6 +218,16 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(encodeRuns(0L until 10000L) == Seq((0L, 10000L)), "contiguous block = ONE run")
     val rows = (0L until 500L).filter(i => ((i * 2654435761L + 12345L) & 3) != 0)
     assert(expandRuns(encodeRuns(rows)) == rows, "lossless roundtrip")
+    // interval-union sweep: overlap, adjacency, containment, disjoint —
+    // and equivalence with the expand-then-encode reference
+    import DeletionVectors.unionRuns
+    assert(unionRuns(Nil, Seq((3L, 2L))) == Seq((3L, 2L)))
+    assert(unionRuns(Seq((0L, 5L)), Seq((5L, 5L))) == Seq((0L, 10L)), "adjacent coalesce")
+    assert(unionRuns(Seq((0L, 10L)), Seq((2L, 3L))) == Seq((0L, 10L)), "containment")
+    assert(unionRuns(Seq((0L, 3L), (10L, 2L)), Seq((2L, 9L))) == Seq((0L, 12L)))
+    val xs = rows.take(200); val ys = rows.drop(150)
+    assert(unionRuns(encodeRuns(xs), encodeRuns(ys)) ==
+      encodeRuns((xs ++ ys).distinct.sorted), "sweep ≡ expand-then-encode")
   }
 
   test("over-bound delta refuses with a routing message, vector untouched") {
