@@ -1329,9 +1329,45 @@ object MergeOps {
       |  FROM orders WHERE o_orderkey % 997 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q252: the deletion-vector tier's CLUSTERED path end-to-end — the
+    * complement of q240's scattered masks: on a key-SORTED single-file
+    * table, deleting the bottom key quartile masks one contiguous
+    * row-index block, so the sidecar is ONE `start+len` run (require-
+    * asserted at a 4 KiB ceiling — a regression to per-row encoding
+    * fails the query loudly) and the read takes [[graft.operators
+    * .DeletionVectors.maskRuns]]'s RANGE branch: a single broadcast
+    * (file, lo, hi) triple, O(1) residual walk, regardless of how many
+    * rows the delete covered. Graded output is the post-delete table vs
+    * the oracle's integer-exact quartile predicate.
+    */
+  def dvRangeDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runDvRange")
+    deleteRecursive(run)
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    base.orderBy($"o_orderkey").coalesce(1)
+      .write.mode("overwrite").parquet(run.toString)
+    val maxKey = base.agg(max($"o_orderkey")).head().getLong(0)
+    val keys = base.filter($"o_orderkey" * 4 <= maxKey).select($"o_orderkey")
+    graft.operators.DeletionVectors.dvDelete(spark, run.toString, keys, "o_orderkey")
+    val bytes = graft.operators.DeletionVectors.vectorBytes(spark, run.toString)
+    require(bytes < 4096,
+      s"contiguous delete must stay run-compressed, sidecar is $bytes bytes")
+    graft.operators.DeletionVectors.dvRead(spark, run.toString)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val dvRangeDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey * 4 > (SELECT MAX(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q240_dv_delete" -> dvDelete,
     "q241_mor_upsert" -> morUpsert,
+    "q252_dv_range_delete" -> dvRangeDelete,
     "q183_evolve_upsert_partitioned" -> evolveUpsertPartitioned,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitioned,
     "q180_partitioned_delete" -> partitionedDelete,
@@ -1361,6 +1397,7 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q240_dv_delete" -> dvDeleteSql,
     "q241_mor_upsert" -> morUpsertSql,
+    "q252_dv_range_delete" -> dvRangeDeleteSql,
     "q183_evolve_upsert_partitioned" -> evolveUpsertPartitionedSql,
     "q181_cdc_apply_partitioned" -> cdcApplyPartitionedSql,
     "q180_partitioned_delete" -> partitionedDeleteSql,
