@@ -188,7 +188,9 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
   */
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlMerge.tryParse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlMerge.tryParse(sqlText, delegate)
+      .orElse(GraftSqlDml.tryParse(sqlText, delegate))
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)

@@ -837,6 +837,66 @@ object MergeOps {
     TableStore.read(spark, tbl).orderBy($"o_orderkey")
   }
 
+  /** q253: SQL `DELETE FROM graft_store … WHERE` end-to-end
+    * ([[graft.plans.GraftSqlDml]]) — the statement a reference user
+    * writes for row removal, reaching `TableStore.atomicWrite` through
+    * the injected parser with standard null semantics (only
+    * predicate-TRUE rows die). Post-swap table vs the oracle's negated
+    * predicate.
+    */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlDelete")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    TableStore.atomicWrite(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"), tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"DELETE FROM graft_store.`$tbl` " +
+        "WHERE o_orderkey % 7 = 0 OR o_custkey % 10 = 3")).head().getLong(0)
+    require(n > 0, "delete reported an empty table")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
+  val sqlDeleteSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE NOT (o_orderkey % 7 = 0 OR o_custkey % 10 = 3)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q254: SQL `UPDATE graft_store … SET … WHERE` end-to-end — standard
+    * simultaneous-assignment semantics (the price expression reads the
+    * OLD o_custkey while o_custkey itself is reassigned in the same SET
+    * list), applied where the predicate is TRUE, one atomic swap. Oracle
+    * recomputes both assignments with CASE over the original table.
+    */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlUpdate")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    TableStore.atomicWrite(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"), tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"UPDATE graft_store.`$tbl` " +
+        "SET o_totalprice = o_totalprice + o_custkey % 50, " +
+        "    o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderkey % 5 = 0")).head().getLong(0)
+    require(n > 0, "update reported an empty table")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
+  val sqlUpdateSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+      |       ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + o_custkey % 50
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q233: reader pins end-to-end ([[graft.store.ReaderPins]]) — the q228
     * treatment for the round-11 pin registry, scripted and graded: three
     * versioned snapshots land; a reader PINS v1; an aggressive vacuum
@@ -1385,6 +1445,8 @@ object MergeOps {
     "q25_upsert_merge" -> upsertMerge,
     "q231_sql_merge" -> sqlMerge,
     "q250_sql_merge_delete" -> sqlMergeDelete,
+    "q253_sql_delete" -> sqlDelete,
+    "q254_sql_update" -> sqlUpdate,
     "q113_scd2" -> scd2,
     "q118_golden_record" -> goldenRecord,
     "q96_upsert_changelog" -> upsertChangelog,
@@ -1416,6 +1478,8 @@ object MergeOps {
     "q231_sql_merge" -> upsertMergeSql, // same oracle on purpose: the SQL
     // surface must produce byte-identical post-merge state to the library
     "q250_sql_merge_delete" -> sqlMergeDeleteSql,
+    "q253_sql_delete" -> sqlDeleteSql,
+    "q254_sql_update" -> sqlUpdateSql,
     "q113_scd2" -> scd2Sql,
     "q118_golden_record" -> goldenRecordSql,
     "q96_upsert_changelog" -> upsertChangelogSql,

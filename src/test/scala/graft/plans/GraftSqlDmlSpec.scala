@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.store.TableStore
+import java.nio.file.Files
+
+/** The SQL DELETE/UPDATE surface ([[GraftSqlDml]] / [[GraftSqlParser]]):
+  * standard DML semantics over the store — null predicates don't delete,
+  * assignments are simultaneous against the old row, everything commits
+  * in one atomic swap — with Spark's own parser validating every
+  * embedded expression; non-graft_store statements delegate untouched.
+  */
+class GraftSqlDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def parser = new GraftSqlParser(spark.sessionState.sqlParser)
+
+  private def runSql(sql: String) =
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql))
+
+  private def mkTable(name: String): String = {
+    val tbl = Files.createTempDirectory("sqldml").resolve(name).toString
+    TableStore.atomicWrite(spark,
+      Seq((1L, "a", Some(10L)), (2L, "b", None), (3L, "c", Some(30L)))
+        .toDF("k", "s", "v"), tbl)
+    tbl
+  }
+
+  test("DELETE WHERE removes exactly the TRUE rows; null predicate rows survive") {
+    val tbl = mkTable("del")
+    // v > 15 is TRUE for k=3, FALSE for k=1, NULL for k=2 — only k=3 dies
+    val n = runSql(s"DELETE FROM graft_store.`$tbl` WHERE v > 15").head().getLong(0)
+    assert(n == 2L)
+    assert(TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("unconditional DELETE empties the table but keeps the schema") {
+    val tbl = mkTable("delall")
+    assert(runSql(s"DELETE FROM graft_store.`$tbl`").head().getLong(0) == 0L)
+    val t = TableStore.read(spark, tbl)
+    assert(t.count() == 0 && t.columns.toSeq == Seq("k", "s", "v"))
+  }
+
+  test("UPDATE SET applies where TRUE only, simultaneous against the old row") {
+    val tbl = mkTable("upd")
+    // swap-ish: v reads old k, k reads old v — simultaneity is observable
+    val n = runSql(
+      s"UPDATE graft_store.`$tbl` SET v = k * 100, s = concat(s, '!') WHERE v >= 10")
+      .head().getLong(0)
+    assert(n == 3L, "UPDATE never changes the row count")
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // k=2's predicate is NULL -> untouched (v stays null)
+    assert(rows == Seq((1L, "a!", 100L), (2L, "b", -1L), (3L, "c!", 300L)))
+  }
+
+  test("UPDATE assignments see OLD values even when assigning each other") {
+    val tbl = mkTable("simul")
+    runSql(s"UPDATE graft_store.`$tbl` SET k = v, v = k WHERE v IS NOT NULL").collect()
+    val rows = TableStore.read(spark, tbl).orderBy("s")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(rows == Seq((10L, "a", 1L), (2L, "b", -1L), (30L, "c", 3L)))
+  }
+
+  test("malformed statements are refused at parse time with the graft prefix") {
+    val e1 = intercept[IllegalArgumentException](
+      parser.parsePlan("UPDATE graft_store.`/t` SET WHERE x > 1"))
+    assert(e1.getMessage.contains("graft_store DML"))
+    intercept[IllegalArgumentException](
+      parser.parsePlan("UPDATE graft_store.`/t` SET k = 1, k = 2"))
+    intercept[IllegalArgumentException](
+      parser.parsePlan("DELETE FROM graft_store.`/t` WHERE "))
+    // expression garbage is refused by SPARK's parser, at parse time
+    intercept[Exception](
+      parser.parsePlan("DELETE FROM graft_store.`/t` WHERE ) broken ("))
+    // unknown SET column dies loudly at run time naming the column
+    val tbl = mkTable("unknowncol")
+    val e2 = intercept[IllegalArgumentException](
+      runSql(s"UPDATE graft_store.`$tbl` SET nope = 1").collect())
+    assert(e2.getMessage.contains("unknown column `nope`"))
+  }
+
+  test("WHERE keywords inside strings and subqueries do not split the statement") {
+    val tbl = mkTable("quoted")
+    runSql(s"UPDATE graft_store.`$tbl` SET s = 'WHERE , (' WHERE k = 1").collect()
+    assert(TableStore.read(spark, tbl).where("k = 1").head().getString(1) == "WHERE , (")
+  }
+
+  test("non-graft_store DML delegates to Spark's parser verbatim") {
+    val plan = parser.parsePlan("DELETE FROM t WHERE x > 1")
+    assert(plan.getClass.getSimpleName.contains("DeleteFromTable"))
+    val plan2 = parser.parsePlan("UPDATE t SET x = 1")
+    assert(plan2.getClass.getSimpleName.contains("UpdateTable"))
+  }
+}
