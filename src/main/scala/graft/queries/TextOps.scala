@@ -1480,6 +1480,97 @@ object TextOps {
       |FROM sched
       |ORDER BY domain, idx""".stripMargin
 
+  /** q255: the crawl FETCH PLAN end-to-end in ONE Catalyst tree — the
+    * composition capstone of the crawl tier (the q100 corpus-build
+    * treatment for fetching): per-domain robots policies parsed ONCE on
+    * the driver into two broadcast dimensions (the q244 rule table and a
+    * [[graft.operators.Robots.crawlDelay]]-derived per-domain request
+    * RATE = 6s round ÷ delay), frontier URLs gated by the RFC 9309
+    * most-specific-match decision, and the SURVIVORS scheduled by the
+    * q251 token bucket — rules join + window argmax + rates join + one
+    * host-partitioned window, no per-row parsing, no driver loop, no
+    * state. A real crawler runs exactly this plan per frontier batch.
+    */
+  def crawlFetchPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def robotsTxt(d: Int): String = {
+      val sb = new StringBuilder
+      sb.append("# synthetic policy for domain ").append(d).append('\n')
+      sb.append("User-agent: otherbot\nDisallow: /\n\n")
+      sb.append("User-agent: *\n")
+      sb.append("Crawl-delay: ").append(d % 3 + 1).append('\n')
+      sb.append("Disallow: /private\n")
+      if (d % 3 == 0) { sb.append("Disallow: /\n"); sb.append("Allow: /src1\n") }
+      if (d % 3 == 1) sb.append("Disallow: /src2\n")
+      sb.toString
+    }
+    val policies = (0 until 7).map(d => d -> robotsTxt(d))
+    val rules = policies.flatMap { case (d, txt) =>
+      graft.operators.Robots.parse(txt, "graftbot")
+        .map(r => (d.toLong, r.allow, r.pattern))
+    }.toDF("r_domain", "rule_allow", "rule")
+    val rates = policies.map { case (d, txt) =>
+      val delay = graft.operators.Robots.crawlDelay(txt, "graftbot").getOrElse(1.0)
+      (d.toLong, (6.0 / delay).toLong) // requests per 6-second round
+    }.toDF("rt_domain", "rate")
+    val docs = documents(spark, dir)
+      .select($"doc_id", ($"doc_id" % 7).as("domain"),
+        concat(lit("/"), $"source", lit("/"), $"doc_id").as("path"))
+    val matched = docs.join(broadcast(rules),
+        $"domain" === $"r_domain" && $"path".startsWith($"rule"))
+      .select($"doc_id", $"rule_allow", length($"rule").as("l"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"l".desc, $"rule_allow".desc)
+    val best = matched.withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"rule_allow".as("best_allow"))
+    val allowed = docs.join(best, Seq("doc_id"), "left")
+      .filter(coalesce($"best_allow", lit(true)))
+      .drop("best_allow")
+    val wHost = org.apache.spark.sql.expressions.Window
+      .partitionBy($"domain").orderBy($"path", $"doc_id")
+    allowed
+      .join(broadcast(rates), $"domain" === $"rt_domain")
+      .withColumn("idx", (row_number().over(wHost) - 1).cast("long"))
+      .withColumn("fetch_round", floor($"idx" / $"rate").cast("long"))
+      .select($"doc_id", $"domain", $"path", $"idx", $"rate", $"fetch_round")
+      .orderBy($"domain", $"idx")
+  }
+
+  val crawlFetchPlanSql: String =
+    """WITH d AS (SELECT doc_id, doc_id % 7 AS domain,
+      |             '/' || source || '/' || doc_id AS path FROM documents),
+      |rules AS (
+      |  SELECT dom AS domain, '/private' AS rule, FALSE AS rule_allow
+      |  FROM generate_series(0, 6) g(dom)
+      |  UNION ALL SELECT dom, '/', FALSE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 0
+      |  UNION ALL SELECT dom, '/src1', TRUE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 0
+      |  UNION ALL SELECT dom, '/src2', FALSE FROM generate_series(0, 6) g(dom)
+      |    WHERE dom % 3 = 1),
+      |m AS (SELECT d.doc_id, r.rule_allow, length(r.rule) AS l
+      |      FROM d JOIN rules r ON d.domain = r.domain
+      |        AND starts_with(d.path, r.rule)),
+      |best AS (SELECT doc_id, rule_allow FROM (
+      |    SELECT doc_id, rule_allow,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                         ORDER BY l DESC, rule_allow DESC) AS rk FROM m)
+      |  WHERE rk = 1),
+      |allowed AS (
+      |  SELECT d.doc_id, d.domain, d.path
+      |  FROM d LEFT JOIN best ON d.doc_id = best.doc_id
+      |  WHERE COALESCE(best.rule_allow, TRUE)),
+      |sched AS (
+      |  SELECT doc_id, domain, path,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY domain
+      |                            ORDER BY path, doc_id) - 1 AS BIGINT) AS idx,
+      |    CAST(6 / (domain % 3 + 1) AS BIGINT) AS rate
+      |  FROM allowed)
+      |SELECT doc_id, domain, path, idx, rate, idx // rate AS fetch_round
+      |FROM sched
+      |ORDER BY domain, idx""".stripMargin
+
   /** q197: per-domain document cap — the crawl-curation rule that stops
     * one giant host from dominating a corpus (cap docs per registrable
     * domain, keep the best): each doc's canonical host comes from the
@@ -1798,6 +1889,7 @@ object TextOps {
     "q247_rouge_pairs"    -> rougePairs,
     "q244_robots_filter"  -> robotsFilter,
     "q251_politeness"     -> politenessSchedule,
+    "q255_crawl_fetch_plan" -> crawlFetchPlan,
     "q214_winnowing"      -> winnowingPairs,
     "q210_char_entropy"   -> charEntropy,
     "q197_domain_cap"     -> domainCap,
@@ -1860,6 +1952,7 @@ object TextOps {
     "q247_rouge_pairs"    -> rougePairsSql,
     "q244_robots_filter"  -> robotsFilterSql,
     "q251_politeness"     -> politenessScheduleSql,
+    "q255_crawl_fetch_plan" -> crawlFetchPlanSql,
     "q214_winnowing"      -> winnowingPairsSql,
     "q210_char_entropy"   -> charEntropySql,
     "q197_domain_cap"     -> domainCapSql,

@@ -230,6 +230,37 @@ class DeletionVectorsSpec extends SparkSuite {
       encodeRuns((xs ++ ys).distinct.sorted), "sweep ≡ expand-then-encode")
   }
 
+  test("run codec properties: roundtrip and sweep-union over generated index sets") {
+    import DeletionVectors.{encodeRuns, expandRuns, unionRuns}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // raw ScalaCheck generators with fixed seeds (scalatestplus isn't in
+    // the offline dependency set) — mixed densities exercise singleton
+    // runs, long blocks, adjacency, and empty sets
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      dense <- Gen.choose(1, 6)
+      xs <- Gen.listOfN(n, Gen.choose(0L, (n.toLong + 1) * dense))
+    } yield xs.distinct.sorted
+    val sets = (0 until 60).flatMap(i => gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    assert(sets.size >= 50, "generator must produce samples")
+    sets.foreach { xs =>
+      val runs = encodeRuns(xs)
+      assert(expandRuns(runs) == xs, s"roundtrip failed for ${xs.take(20)}")
+      // runs are disjoint, ascending, non-adjacent (maximal coalescing)
+      runs.sliding(2).foreach {
+        case Seq((s1, l1), (s2, _)) => assert(s1 + l1 < s2, s"non-maximal runs in $runs")
+        case _ => ()
+      }
+    }
+    sets.grouped(2).foreach {
+      case Seq(a, b) =>
+        assert(expandRuns(unionRuns(encodeRuns(a), encodeRuns(b))) ==
+          (a ++ b).distinct.sorted, "sweep union must equal set union")
+      case _ => ()
+    }
+  }
+
   test("over-bound delta refuses with a routing message, vector untouched") {
     val t = freshTable("bound")
     val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 7 === 0)
