@@ -65,7 +65,20 @@ object ExtensionsCheck {
     assert(merged.where("k = 1").head().getLong(1) == 101L, "matched row not updated")
     assert(merged.where("k = 99").count() == 1L, "unmatched row not inserted")
 
-    println("extensions OK: function + aggregate + rule + strategy + parser tiers live via spark.sql.extensions")
+    // parser tier round 12: DELETE / UPDATE / MERGE-DELETE from spark.sql text
+    val nd = spark.sql(s"DELETE FROM graft_store.`$tbl` WHERE k = 99").head().getLong(0)
+    assert(nd == 10, s"post-delete n_rows: $nd")
+    spark.sql(s"UPDATE graft_store.`$tbl` SET v = v + 1000 WHERE k < 2").collect()
+    assert(graft.store.TableStore.read(spark, tbl).where("k = 1").head().getLong(1) == 1101L,
+      "UPDATE did not apply")
+    val nm = spark.sql(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (SELECT CAST(5 AS BIGINT) AS k, CAST(0 AS BIGINT) AS v)
+         |ON KEYS (k)
+         |WHEN MATCHED THEN DELETE""".stripMargin).head().getLong(0)
+    assert(nm == 9, s"post-merge-delete n_rows: $nm")
+
+    println("extensions OK: function + aggregate + rule + strategy + parser tiers (MERGE/DELETE/UPDATE) live via spark.sql.extensions")
     spark.stop()
   }
 }
