@@ -112,6 +112,11 @@ object Bench {
     // create+write+fsync cycles measure exactly that axis; per-trial
     // values persist beside the CPU probes so the heavy tail
     // (q145/q208/q249 class) has an honest denominator.
+    // Device choice is deliberate: the probe lives in java.io.tmpdir
+    // because the fsync-bound queries' checkpoints, offset logs, and
+    // staged fixtures ALL live there too (createTempDirectory) — the
+    // probe must measure the device those queries actually sync against,
+    // not the data dir's (read-only testdata, never fsynced).
     val ioDir = java.nio.file.Files.createTempDirectory("graft_ioprobe")
     def ioProbe(): Double = {
       val buf = Array.fill[Byte](4096)(42)

@@ -230,15 +230,25 @@ object DeletionVectors {
     * the refused case never materializes the oversized list either).
     */
   private def locateHits(spark: SparkSession, path: String, keys: DataFrame,
-                         keyCol: String, maxDriverRows: Long): Seq[(String, Long)] =
+                         keyCol: String, maxDriverRows: Long): Seq[(String, Long)] = {
+    // locate against LIVE files only: rows of whole-file-excluded files
+    // (crash leftovers of a compaction flip) are logically invisible —
+    // masking them would both waste vector space and, worse, re-mark an
+    // excluded file as row-dirty, which a later compact would then
+    // RESURRECT (it would rewrite the file's other rows as survivors)
+    val excluded = readVector(spark, path).excluded
+    val base = spark.read.parquet(path)
+      .select(col(keyCol), col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__row"))
+    val live =
+      if (excluded.isEmpty) base
+      else base.filter(!col("__file").isin(excluded.toSeq: _*))
     bound(spark, s"deletion-vector delta on $path",
-      spark.read.parquet(path)
-        .select(col(keyCol), col("_metadata.file_path").as("__file"),
-          col("_metadata.row_index").as("__row"))
-        .join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
+      live.join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "left_semi")
         .select(col("__file"), col("__row")),
       maxDriverRows)
       .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
 
   /** Merge `hits` into the vector (the commit point); returns newly-masked count. */
   private def mask(spark: SparkSession, path: String, hits: Seq[(String, Long)]): Long = {
@@ -266,51 +276,53 @@ object DeletionVectors {
     }
   }
 
-  /** A file routes to the range anti-join only while its run count stays
-    * under this; past it, the file's masks expand to exact pairs. The
-    * range join is a broadcast hash join keyed on the FILE with the range
-    * check as a residual — every probe row walks ALL of its file's range
-    * entries, so cost is O(rows × rangeRuns-per-file): fine for a few
-    * giant runs, catastrophic for many small ones (the q249 seed's
-    * 20k two-row runs measured 23 s of pure residual walking before this
-    * split). Pair probes are O(1) per row and their expansion is bounded
-    * by the maxDriverRows write guard — exactly the round-11 read shape.
+  /** Per FILE, at most this many runs ride the range anti-join; the rest
+    * expand to exact pairs. The range join is a broadcast hash join keyed
+    * on the FILE with the range check as a residual — every probe row
+    * walks ALL of its file's range entries, so cost is
+    * O(rows × rangeRuns-per-file): fine for a few giant runs,
+    * catastrophic for many small ones (the q249 seed's 20k two-row runs
+    * measured 23 s of pure residual walking before this split). Pair
+    * probes are O(1) per row; their expansion is bounded per write by the
+    * maxDriverRows guard — exactly the round-11 read shape.
     */
   val RangeRunsPerFileMax = 16
 
   /** Anti-join `df` (must carry `__file`) against the vector — HYBRID per
-    * FILE by run count (see [[RangeRunsPerFileMax]]):
+    * FILE AND per RUN: each file's LONGEST [[RangeRunsPerFileMax]] runs
+    * ship as (file, lo, hi) triples (a contiguous million-row delete
+    * probes as ONE entry; the residual walk is hard-capped per file),
+    * every remaining run expands to exact (file, row) pairs (scattered
+    * CDC masks — broadcast hash join, one bucket entry probed per row).
+    * Longest-first keeps the expanded side minimal: whatever expands is
+    * shorter than anything that stayed a range.
     *
-    *  - files with few runs (range deletes, clustered masks, compaction's
-    *    leftovers) anti-join as (file, lo, hi) triples — a contiguous
-    *    million-row delete ships and probes as ONE entry, and the
-    *    residual walk is bounded by the per-file run cap;
-    *  - files with many runs (scattered CDC masks) expand to exact
-    *    (file, row) pairs — broadcast hash join, one bucket entry probed
-    *    per row.
-    *
-    * Both sides broadcast; both are bounded — pairs by the maxDriverRows
-    * write guard, triples by O(runs) with a per-file walk cap.
+    * Both sides broadcast; both are bounded — pairs by the per-write
+    * maxDriverRows guard (NOTE: the guard is per mutation; a replica
+    * accumulating many bounded deltas grows the vector across calls,
+    * which is what [[CompactionPolicy]]/[[maybeCompact]] exist to fold
+    * back down), triples by the per-file cap.
     */
   private def maskRuns(spark: SparkSession, df: DataFrame, v: Vector): DataFrame = {
     import spark.implicits._
     if (v.files.isEmpty) return df
-    val (ranged, paired) = v.files.toSeq.partition(_._2.size <= RangeRunsPerFileMax)
+    val split = v.files.toSeq.map { case (f, rs) =>
+      val (long, short) = rs.sortBy(-_._2).splitAt(RangeRunsPerFileMax)
+      (f, long, short)
+    }
+    val triples = split.flatMap { case (f, long, _) =>
+      long.map { case (s, l) => (f, s, s + l) }
+    }
+    val pairs = split.flatMap { case (f, _, short) => expandRuns(short).map(f -> _) }
     var out = df.withColumn("__row", col("_metadata.row_index"))
-    if (paired.nonEmpty) {
-      val pairs = paired.flatMap { case (f, rs) => expandRuns(rs).map(f -> _) }
+    if (pairs.nonEmpty)
       out = out.join(broadcast(pairs.toDF("__file", "__row")),
         Seq("__file", "__row"), "left_anti")
-    }
-    if (ranged.nonEmpty) {
-      val triples = ranged.flatMap { case (f, rs) =>
-        rs.map { case (s, l) => (f, s, s + l) }
-      }
+    if (triples.nonEmpty)
       out = out.join(broadcast(triples.toDF("__rfile", "__rlo", "__rhi")),
         col("__file") === col("__rfile") &&
           col("__row") >= col("__rlo") && col("__row") < col("__rhi"),
         "left_anti")
-    }
     out.drop("__row")
   }
 
@@ -403,17 +415,26 @@ object DeletionVectors {
     * part files past `maxAppendedFiles`, or DV-masked files past
     * `maxDirtyRatio` of all data files. Returns true iff it compacted.
     * Both measurements are file-listing-sized (no data read).
+    *
+    * When the APPENDED-files condition fires, the clean `mor-*` files are
+    * folded into the rewrite too (as zero-mask rewrite candidates) — an
+    * insert-heavy replica would otherwise grow its mor count forever and,
+    * once past the threshold, trigger a full compact on EVERY batch
+    * without ever repaying the debt that triggered it.
     */
   def maybeCompact(spark: SparkSession, path: String,
                    policy: CompactionPolicy): Boolean = {
     val p = new Path(path)
-    val names = fs(spark, p).listStatus(p).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-    val appended = names.count(_.startsWith("mor-"))
+    val f = fs(spark, p)
+    val statuses = f.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val appendedPaths = statuses.filter(_.getName.startsWith("mor-"))
+      .map(q => f.makeQualified(q).toString).toSeq
     val dirty = readVector(spark, path).files.size
-    val due = appended > policy.maxAppendedFiles ||
-      (names.nonEmpty && dirty.toDouble / names.length > policy.maxDirtyRatio)
-    if (due) compact(spark, path)
+    val appendedDue = appendedPaths.size > policy.maxAppendedFiles
+    val due = appendedDue ||
+      (statuses.nonEmpty && dirty.toDouble / statuses.length > policy.maxDirtyRatio)
+    if (due) compact(spark, path, alsoRewrite = if (appendedDue) appendedPaths else Nil)
     due
   }
 
@@ -445,20 +466,33 @@ object DeletionVectors {
     * are swept; fully masked dirty originals likewise; masks referencing
     * already-deleted files are read no-ops and are dropped by the next
     * swap. The ledger rides every swap untouched.
+    *
+    * `alsoRewrite`: additional (mask-free) files folded into the same
+    * rewrite — [[maybeCompact]]'s answer to appended-file debt: clean
+    * `mor-*` files repack into the cmp output under the identical
+    * visibility protocol (their rows all survive), so the appended count
+    * actually falls when the policy fires.
+    *
+    * An EXCLUDED file is never a rewrite source, even if row masks for it
+    * linger from a pre-crash mutation: exclusion means zero live rows,
+    * and rewriting its unmasked remainder would resurrect deleted data.
     */
-  def compact(spark: SparkSession, path: String): (Int, Int) = {
+  def compact(spark: SparkSession, path: String,
+              alsoRewrite: Seq[String] = Nil): (Int, Int) = {
     val v0 = readVector(spark, path)
     val dst = new Path(path)
     val f = fs(spark, dst)
     // crash leftovers from a prior compact: excluded files hold NO live
     // rows (that is what exclusion means), so sweeping them needs no scan
     val deadExisting = v0.excluded.filter(e => f.exists(new Path(e))).toSeq.sorted
-    val dirty = v0.files.keys.toSeq.sorted
+    val dirty = ((v0.files.keySet -- v0.excluded) ++
+      (alsoRewrite.map(a => f.makeQualified(new Path(a)).toString).toSet -- v0.excluded))
+      .toSeq.sorted
     if (dirty.isEmpty) {
       if (v0.excluded.nonEmpty) {
         graft.store.WriterLease.fence(spark, path)
         deadExisting.foreach(d => f.delete(new Path(d), false))
-        writeVector(spark, path, v0.copy(excluded = Set.empty))
+        writeVector(spark, path, v0.copy(files = Map.empty, excluded = Set.empty))
       }
       return (0, countDataFiles(spark, path))
     }
@@ -468,7 +502,10 @@ object DeletionVectors {
       .drop("__file")
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__compact_$nonce")
-    survivors.repartition(math.max(1, dirty.size))
+    // output file count: one per masked-dirty file, but appended-file
+    // folding REPACKS — an 8:1 fold bounds small-file debt
+    val outFiles = math.max(1, math.max(v0.files.size, (dirty.size + 7) / 8))
+    survivors.repartition(outFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => st.getPath -> new Path(dst, s"cmp-$nonce-${st.getPath.getName}"))

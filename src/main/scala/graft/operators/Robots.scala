@@ -32,6 +32,17 @@ object Robots {
     * (the RFC's ignore-unknown-lines behavior is preserved — the line is
     * read in passing, never structural). Multiple applicable delays keep
     * the most conservative (maximum); unparseable values are ignored.
+    *
+    * Known divergence, chosen deliberately: some delay-honoring crawlers
+    * (Bing, Yandex) treat Crawl-delay as a group rule that ENDS the
+    * user-agent run, which would split `User-agent: a / Crawl-delay: 1 /
+    * User-agent: b / Disallow: /x` into two groups. We follow RFC 9309's
+    * letter instead (unknown lines never terminate a group — the exact
+    * behavior the round-11 advice prescribed and RobotsSpec pins), and
+    * matching the grouping of RFC-conformant parsers (Google's reference
+    * parser reads the example as ONE group for the same reason); the
+    * conservative-max delay merge means the merged reading can only slow
+    * our crawler down relative to the split reading, never speed it up.
     */
   def crawlDelay(robotsTxt: String, agent: String): Option[Double] =
     chosenGroups(robotsTxt, agent).flatMap(_.delays) match {

@@ -74,70 +74,79 @@ object GraftSqlDml {
     case _ => None
   }
 
-  /** Split `SET … [WHERE …]` at the first TOP-LEVEL `WHERE` keyword
-    * (outside quotes and parens — a WHERE inside a scalar subquery or a
-    * string literal must not split the statement).
+  /** Positions that are TOP-LEVEL: depth 0 and outside any string
+    * literal. One scanner for all splitting, handling everything Spark's
+    * lexer does to strings: single- AND double-quoted literals,
+    * backslash escapes inside them, and SQL doubled-quote escapes
+    * (`'don''t'` / `"say ""hi"""`). Structural chars (quotes, parens)
+    * are never themselves marked top-level.
     */
-  private def splitWhere(rest: String): (String, Option[String]) = {
-    val upper = rest.toUpperCase(java.util.Locale.ROOT)
-    var depth = 0; var inStr = false
+  private def topLevelMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var depth = 0
+    var q: Char = 0 // 0 = outside any string literal
     var i = 0
-    while (i < rest.length) {
-      val c = rest.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        if (c == '\\') i += 1 // backslash-escaped char, incl. \' and \"
+        else if (c == q) {
+          if (i + 1 < s.length && s.charAt(i + 1) == q) i += 1 // doubled quote
+          else q = 0
+        }
+      } else c match {
+        case '\'' | '"' => q = c
         case '(' => depth += 1
         case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && upper.startsWith("WHERE", i) &&
-              (i == 0 || !rest.charAt(i - 1).isLetterOrDigit) &&
-              (i + 5 >= rest.length || !rest.charAt(i + 5).isLetterOrDigit)) {
-            val c2 = rest.substring(i + 5).trim
-            if (c2.isEmpty) bad("empty WHERE predicate")
-            return (rest.substring(0, i), Some(c2))
-          }
+        case _ => if (depth == 0) m(i) = true
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Split `SET … [WHERE …]` at the first TOP-LEVEL `WHERE` keyword —
+    * a WHERE inside a scalar subquery or a string literal must not split
+    * the statement.
+    */
+  private def splitWhere(rest: String): (String, Option[String]) = {
+    val m = topLevelMask(rest)
+    val upper = rest.toUpperCase(java.util.Locale.ROOT)
+    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    var i = 0
+    while (i < rest.length) {
+      if (m(i) && upper.startsWith("WHERE", i) &&
+          (i == 0 || !wordChar(rest.charAt(i - 1))) &&
+          (i + 5 >= rest.length || !wordChar(rest.charAt(i + 5)))) {
+        val c2 = rest.substring(i + 5).trim
+        if (c2.isEmpty) bad("empty WHERE predicate")
+        return (rest.substring(0, i), Some(c2))
       }
       i += 1
     }
     (rest, None)
   }
 
-  /** Split on top-level commas (outside quotes/parens). */
+  /** Split on top-level commas. */
   private def splitTopLevel(s: String): Seq[String] = {
+    val m = topLevelMask(s)
     val out = Seq.newBuilder[String]
-    var depth = 0; var inStr = false; var start = 0
+    var start = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
-        case _ => ()
-      }
+      if (m(i) && s.charAt(i) == ',') { out += s.substring(start, i); start = i + 1 }
       i += 1
     }
     out += s.substring(start)
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** First top-level occurrence of `ch` (outside quotes/parens), -1 if none. */
+  /** First top-level occurrence of `ch`, -1 if none. */
   private def indexOfTopLevel(s: String, ch: Char): Int = {
-    var depth = 0; var inStr = false
+    val m = topLevelMask(s)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case x if x == ch && depth == 0 => return i
-        case _ => ()
-      }
+      if (m(i) && s.charAt(i) == ch) return i
       i += 1
     }
     -1
@@ -179,16 +188,33 @@ final case class UpdateGraftStore(path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = graft.store.TableStore.read(spark, path)
-    val byName = assignments.toMap
-    byName.keys.find(c => !table.columns.contains(c)).foreach { c =>
-      throw new IllegalArgumentException(
-        s"graft_store DML: UPDATE SET targets unknown column `$c` " +
-          s"(table has ${table.columns.mkString(", ")})")
+    // identifier resolution follows the session's analyzer semantics:
+    // case-insensitive unless spark.sql.caseSensitive — SET V = 1 must
+    // hit column `v` exactly like every other identifier in the statement
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
+    def resolve(c: String): String = {
+      val hits =
+        if (caseSensitive) table.columns.filter(_ == c)
+        else table.columns.filter(_.equalsIgnoreCase(c))
+      hits match {
+        case Array(one) => one
+        case Array() => throw new IllegalArgumentException(
+          s"graft_store DML: UPDATE SET targets unknown column `$c` " +
+            s"(table has ${table.columns.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"graft_store DML: UPDATE SET column `$c` is ambiguous among " +
+            s"${many.mkString(", ")} (set spark.sql.caseSensitive=true)")
+      }
     }
+    val byName = assignments.map { case (c, e) => resolve(c) -> e }
+    if (byName.map(_._1).distinct.size != byName.size)
+      throw new IllegalArgumentException(
+        "graft_store DML: two SET assignments resolve to the same column")
+    val targets = byName.toMap
     val cond = whereSql.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
     // one select over the old row = simultaneous assignments by construction
     val updated = table.select(table.columns.map { c =>
-      byName.get(c) match {
+      targets.get(c) match {
         case Some(e) => when(cond, expr(e)).otherwise(col(c)).as(c)
         case None => col(c)
       }

@@ -46,6 +46,13 @@ object Sidecar {
 
   private val Header = "#graft-sidecar lines="
 
+  /** How old an orphan `__tmp` must be before a missing-target read calls
+    * it crash corruption rather than an in-flight first swap. A healthy
+    * swap's stage→fence→rename spans milliseconds; a minute of margin
+    * covers GC pauses without delaying crash diagnosis meaningfully.
+    */
+  val StagingGraceMs: Long = 60000L
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -59,12 +66,22 @@ object Sidecar {
     val f = fs(spark, p)
     if (!f.exists(p)) {
       val tmp = new Path(tableRoot, rel + "__tmp")
-      if (f.exists(tmp))
-        throw new SidecarCorruptionError(p.toString,
-          s"sidecar missing but staging file $tmp exists — a writer crashed " +
-            "before its first commit rename; inspect/remove the staging file " +
-            "or re-run the writer (treating this as 'no sidecar' would " +
-            "silently drop its contents, e.g. read a deletion vector as empty)")
+      val tmpStat =
+        try Some(f.getFileStatus(tmp))
+        catch { case _: java.io.FileNotFoundException => None }
+      tmpStat.foreach { st =>
+        // a FRESH staging file is a live writer's first swap in flight —
+        // a concurrent reader must see "no sidecar yet" (the pre-swap
+        // state), not corruption; only a STALE one means a dead process
+        val age = System.currentTimeMillis() - st.getModificationTime
+        if (age > StagingGraceMs)
+          throw new SidecarCorruptionError(p.toString,
+            s"sidecar missing but staging file $tmp is ${age}ms old — a writer " +
+              "crashed before its first commit rename; inspect/remove the " +
+              "staging file or re-run the writer (treating this as 'no " +
+              "sidecar' would silently drop its contents, e.g. read a " +
+              "deletion vector as empty)")
+      }
       None
     } else {
       val in = f.open(p)

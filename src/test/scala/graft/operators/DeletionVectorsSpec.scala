@@ -342,6 +342,65 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(got.nonEmpty && got.forall(_ == 4.0))
   }
 
+  test("mutations against a crashed-flip state never resurrect excluded rows") {
+    // review finding (round-12): a compact crash after the visibility flip
+    // leaves a file excluded-but-present; a subsequent mutation must not
+    // re-mark it row-dirty, or the next compact would rewrite its unmasked
+    // rows — resurrecting logically deleted data
+    val t = freshTable("resurrect")
+    val total = spark.read.parquet(t).count()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val one = f.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val oneRows = spark.read.parquet(one.toString).count()
+    val v0 = DeletionVectors.readVector(spark, t)
+    DeletionVectors.writeVector(spark, t,
+      v0.copy(excluded = Set(f.makeQualified(one).toString)))
+    // a delete whose keys partly live in the excluded file: locate must
+    // skip it (those rows are already invisible)
+    val keys = Tables.orders(spark, sf).filter($"o_orderkey" % 13 === 0)
+      .select($"o_orderkey")
+    DeletionVectors.dvDelete(spark, t, keys, "o_orderkey")
+    val v1 = DeletionVectors.readVector(spark, t)
+    assert(!v1.files.contains(f.makeQualified(one).toString),
+      "an excluded file must never become row-dirty")
+    val expected = DeletionVectors.dvRead(spark, t)
+      .select($"o_orderkey").as[Long].collect().toSet
+    // compact converges: excluded file swept, delete preserved, no resurrection
+    DeletionVectors.compact(spark, t)
+    val got = spark.read.parquet(t).select($"o_orderkey").as[Long].collect().toSet
+    assert(got == expected, "compact must preserve exactly the visible rows")
+    assert(!f.exists(one), "the crashed-flip leftover must be swept")
+    assert(got.size < total - 0 && got.size <= total - oneRows)
+  }
+
+  test("insert-heavy autoCompact folds appended files so the trigger is repaid") {
+    val t = freshTable("insheavy")
+    val base = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val policy = DeletionVectors.CompactionPolicy(maxAppendedFiles = 2, maxDirtyRatio = 1.1)
+    // four INSERT-only batches: fresh keys every time, no masks ever
+    (1 to 4).foreach { i =>
+      val batch = base.limit(50)
+        .select(lit("I").as("op"), ($"o_orderkey" + lit(i * 10000000L)).as("o_orderkey"),
+          $"o_custkey", lit(i.toDouble).as("o_totalprice"))
+      assert(DeletionVectors.morApplyCdc(spark, t, batch, "o_orderkey", batchId = i,
+        autoCompact = Some(policy)))
+      val mor = dataFileMtimes(t).keys.count(_.startsWith("mor-"))
+      assert(mor <= policy.maxAppendedFiles + 1,
+        s"appended-file debt must be repaid by folding, got $mor mor files after batch $i")
+    }
+    // content: base + all four insert batches, exactly once each
+    val got = DeletionVectors.dvRead(spark, t).count()
+    assert(got == base.count() + 4 * 50)
+    (1 to 4).foreach { i =>
+      assert(!DeletionVectors.morApplyCdc(spark, t,
+        base.limit(1).select(lit("I").as("op"), $"o_orderkey", $"o_custkey", $"o_totalprice"),
+        "o_orderkey", batchId = i, autoCompact = Some(policy)),
+        s"ledger must still skip batch $i after folds")
+    }
+  }
+
   test("whole-file exclusion hides every row; compact sweeps leftover exclusions") {
     val t = freshTable("excl")
     val total = spark.read.parquet(t).count()

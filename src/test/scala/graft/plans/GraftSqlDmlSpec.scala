@@ -86,6 +86,20 @@ class GraftSqlDmlSpec extends SparkSuite {
     val tbl = mkTable("quoted")
     runSql(s"UPDATE graft_store.`$tbl` SET s = 'WHERE , (' WHERE k = 1").collect()
     assert(TableStore.read(spark, tbl).where("k = 1").head().getString(1) == "WHERE , (")
+    // double-quoted literals (Spark default lexing) and escaped quotes
+    runSql(s"""UPDATE graft_store.`$tbl` SET s = "x WHERE y" WHERE k = 2""").collect()
+    assert(TableStore.read(spark, tbl).where("k = 2").head().getString(1) == "x WHERE y")
+    runSql(s"UPDATE graft_store.`$tbl` SET s = 'don\\'t , WHERE' WHERE k = 3").collect()
+    assert(TableStore.read(spark, tbl).where("k = 3").head().getString(1) == "don't , WHERE")
+    // SQL doubled-quote escape
+    runSql(s"UPDATE graft_store.`$tbl` SET s = 'it''s, ok' WHERE k = 1").collect()
+    assert(TableStore.read(spark, tbl).where("k = 1").head().getString(1) == "it's, ok")
+  }
+
+  test("SET identifiers resolve case-insensitively like the rest of the statement") {
+    val tbl = mkTable("casei")
+    runSql(s"UPDATE graft_store.`$tbl` SET V = 777 WHERE K = 1").collect()
+    assert(TableStore.read(spark, tbl).where("k = 1").head().getLong(2) == 777L)
   }
 
   test("non-graft_store DML delegates to Spark's parser verbatim") {

@@ -47,11 +47,18 @@ class SidecarSpec extends SparkSuite {
     WriterLease.release(spark, b)
   }
 
-  test("missing sidecar with staging present is typed corruption, not an empty read") {
+  test("missing sidecar with STALE staging is typed corruption; FRESH staging reads as absent") {
     val t = root.resolve("t3").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_m"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(t, "_m/x.tsv__tmp"), "half-written\n")
+    val tmp = java.nio.file.Paths.get(t, "_m/x.tsv__tmp")
+    java.nio.file.Files.writeString(tmp, "half-written\n")
+    // fresh staging = a live writer's FIRST swap in flight: a concurrent
+    // reader must see the pre-swap state (no sidecar), not corruption
+    assert(Sidecar.read(spark, t, "_m/x.tsv").isEmpty)
+    // stale staging = the writer died mid-first-swap: diagnose loudly
+    java.nio.file.Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Sidecar.StagingGraceMs - 5000))
     val e = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/x.tsv"))
     assert(e.getMessage.contains("crashed"))
     assert(e.sidecarPath.endsWith("_m/x.tsv"))

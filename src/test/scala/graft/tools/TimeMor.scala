@@ -89,8 +89,11 @@ object TimeMor {
         graft.operators.DeletionVectors.writeDv(spark, replica, v0pairs)
       }
       t("step: swap reset (writeDv Nil)") {
-        graft.operators.DeletionVectors.writeDv(spark, replica, v0pairs)
+        graft.operators.DeletionVectors.writeDv(spark, replica, Nil)
       }
+      // restore the masks the reset just cleared so compact below still
+      // exercises the real pre-compact state
+      graft.operators.DeletionVectors.writeDv(spark, replica, v0pairs)
     }
     t("compact") { graft.operators.DeletionVectors.compact(spark, replica) }
     t("replay after compact") {
