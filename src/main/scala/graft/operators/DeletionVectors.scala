@@ -222,21 +222,26 @@ object DeletionVectors {
     * `maxDriverRows` the call REFUSES and routes to the rewrite tier.
     */
   def dvDelete(spark: SparkSession, path: String, keys: DataFrame, keyCol: String,
-               maxDriverRows: Long = MaxDriverRows): Long =
-    mask(spark, path, locateHits(spark, path, keys, keyCol, maxDriverRows))
+               maxDriverRows: Long = MaxDriverRows): Long = {
+    // one sidecar read serves the locate's exclusion filter AND the merge
+    // base (single-writer: nothing can move it mid-call)
+    val prior = readVector(spark, path)
+    mask(spark, path, prior,
+      locateHits(spark, path, keys, keyCol, maxDriverRows, prior.excluded))
+  }
 
   /** (file, row_index) of every current row whose key is in `keys`;
-    * refuses loudly past `maxDriverRows` (collect is LIMIT-bounded, so
-    * the refused case never materializes the oversized list either).
+    * refuses loudly past `maxDriverRows` (the oversized case never
+    * materializes a row on the driver). Locates against LIVE files only:
+    * rows of whole-file-excluded files (crash leftovers of a compaction
+    * flip) are logically invisible — masking them would both waste vector
+    * space and, worse, re-mark an excluded file as row-dirty, which a
+    * later compact would then RESURRECT (it would rewrite the file's
+    * other rows as survivors).
     */
   private def locateHits(spark: SparkSession, path: String, keys: DataFrame,
-                         keyCol: String, maxDriverRows: Long): Seq[(String, Long)] = {
-    // locate against LIVE files only: rows of whole-file-excluded files
-    // (crash leftovers of a compaction flip) are logically invisible —
-    // masking them would both waste vector space and, worse, re-mark an
-    // excluded file as row-dirty, which a later compact would then
-    // RESURRECT (it would rewrite the file's other rows as survivors)
-    val excluded = readVector(spark, path).excluded
+                         keyCol: String, maxDriverRows: Long,
+                         excluded: Set[String]): Seq[(String, Long)] = {
     val base = spark.read.parquet(path)
       .select(col(keyCol), col("_metadata.file_path").as("__file"),
         col("_metadata.row_index").as("__row"))
@@ -250,9 +255,11 @@ object DeletionVectors {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
   }
 
-  /** Merge `hits` into the vector (the commit point); returns newly-masked count. */
-  private def mask(spark: SparkSession, path: String, hits: Seq[(String, Long)]): Long = {
-    val prior = readVector(spark, path)
+  /** Merge `hits` into `prior` and swap (the commit point); returns the
+    * newly-masked count.
+    */
+  private def mask(spark: SparkSession, path: String, prior: Vector,
+                   hits: Seq[(String, Long)]): Long = {
     val next = merged(prior, hits)
     writeVector(spark, path, next)
     next.maskedRows - prior.maskedRows
@@ -350,9 +357,11 @@ object DeletionVectors {
     val n = incoming.count()
     require(incoming.select(col(keyCol)).distinct().count() == n,
       "incoming rows must be key-unique")
-    val hits = locateHits(spark, path, incoming.select(col(keyCol)), keyCol, maxDriverRows)
+    val prior = readVector(spark, path)
+    val hits = locateHits(spark, path, incoming.select(col(keyCol)), keyCol,
+      maxDriverRows, prior.excluded)
     appendDelta(spark, path, incoming)
-    val masked = mask(spark, path, hits)
+    val masked = mask(spark, path, prior, hits)
     autoCompact.foreach(maybeCompact(spark, path, _))
     masked
   }
@@ -396,15 +405,17 @@ object DeletionVectors {
                   keyCol: String, batchId: Long,
                   maxDriverRows: Long = MaxDriverRows,
                   autoCompact: Option[CompactionPolicy] = None): Boolean = {
-    if (appliedBatches(spark, path).contains(batchId)) return false
+    // one sidecar read per batch: ledger check, exclusion filter, and the
+    // merge base all come from it (single-writer, nothing moves mid-call)
+    val prior = readVector(spark, path)
+    if (prior.batches.contains(batchId)) return false
     val n = batch.count()
     require(batch.select(col(keyCol)).distinct().count() == n,
       s"batch $batchId must be key-unique")
     val upserts = batch.filter(col("op").isin("I", "U")).drop("op")
     val allKeys = batch.select(col(keyCol)) // D keys mask-only; I/U keys replace
-    val hits = locateHits(spark, path, allKeys, keyCol, maxDriverRows)
+    val hits = locateHits(spark, path, allKeys, keyCol, maxDriverRows, prior.excluded)
     if (upserts.limit(1).count() > 0) appendDelta(spark, path, upserts)
-    val prior = readVector(spark, path)
     writeVector(spark, path,
       merged(prior, hits).copy(batches = prior.batches + batchId)) // ONE swap: mask + ledger
     autoCompact.foreach(maybeCompact(spark, path, _))
