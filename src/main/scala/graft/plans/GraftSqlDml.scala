@@ -74,6 +74,23 @@ object GraftSqlDml {
     case _ => None
   }
 
+  /** The SQL statements rewrite through the plain [[graft.store
+    * .TableStore]] protocol, which reads parquet directly — pointed at a
+    * MERGE-ON-READ table they would resurrect DV-masked rows into the
+    * rewrite and drop the exactly-once batch ledger living in the
+    * sidecar. Refuse loudly and route to the DV tier instead.
+    */
+  private[plans] def requireNoDeletionVector(spark: SparkSession, path: String): Unit =
+    if (graft.store.Sidecar.read(spark, path,
+        graft.operators.DeletionVectors.DvDir + "/dv.tsv").isDefined)
+      throw new IllegalArgumentException(
+        s"graft_store DML: $path carries a deletion-vector sidecar (merge-on-read " +
+          "table) — a plain rewrite would resurrect masked rows and drop the " +
+          "exactly-once CDC ledger; mutate it through DeletionVectors" +
+          ".dvDelete/morUpsert/morApplyCdc instead (to convert it to a plain " +
+          "table: compact(), retire the CDC feed, then delete the sidecar dir " +
+          "explicitly)")
+
   /** Positions that are TOP-LEVEL: depth 0 and outside any string
     * literal. One scanner for all splitting, handling everything Spark's
     * lexer does to strings: single- AND double-quoted literals,
@@ -164,6 +181,7 @@ final case class DeleteFromGraftStore(path: String, whereSql: Option[String])
     Seq(AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireNoDeletionVector(spark, path)
     val table = graft.store.TableStore.read(spark, path)
     val survivors = whereSql match {
       case None => table.limit(0) // unconditional DELETE empties the table
@@ -187,6 +205,7 @@ final case class UpdateGraftStore(path: String,
     Seq(AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireNoDeletionVector(spark, path)
     val table = graft.store.TableStore.read(spark, path)
     // identifier resolution follows the session's analyzer semantics:
     // case-insensitive unless spark.sql.caseSensitive — SET V = 1 must

@@ -174,6 +174,7 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
     Seq(AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireNoDeletionVector(spark, path) // MoR tables refuse plain rewrites
     val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
     if (deleteMatched)
       graft.store.TableStore.mergeDelete(spark, path, incoming, keys, insertNotMatched)

@@ -102,6 +102,23 @@ class GraftSqlDmlSpec extends SparkSuite {
     assert(TableStore.read(spark, tbl).where("k = 1").head().getLong(2) == 777L)
   }
 
+  test("a merge-on-read table refuses plain DML rewrites that would resurrect masked rows") {
+    val tbl = mkTable("mor")
+    // mask a row through the DV tier: the table is now merge-on-read
+    graft.operators.DeletionVectors.dvDelete(spark, tbl,
+      Seq(2L).toDF("k"), "k")
+    assert(graft.operators.DeletionVectors.dvRead(spark, tbl).count() == 2)
+    for (sql <- Seq(
+      s"DELETE FROM graft_store.`$tbl` WHERE k = 1",
+      s"UPDATE graft_store.`$tbl` SET v = 0",
+      s"MERGE INTO graft_store.`$tbl` USING (SELECT CAST(1 AS BIGINT) AS k, 'z' AS s, CAST(0 AS BIGINT) AS v) ON KEYS (k)")) {
+      val e = intercept[IllegalArgumentException](runSql(sql).collect())
+      assert(e.getMessage.contains("deletion-vector sidecar"), s"for: $sql")
+    }
+    // the masked row stayed masked, nothing was rewritten
+    assert(graft.operators.DeletionVectors.dvRead(spark, tbl).count() == 2)
+  }
+
   test("non-graft_store DML delegates to Spark's parser verbatim") {
     val plan = parser.parsePlan("DELETE FROM t WHERE x > 1")
     assert(plan.getClass.getSimpleName.contains("DeleteFromTable"))
