@@ -127,6 +127,11 @@ object DeletionVectors {
     val batches = Set.newBuilder[Long]
     val excluded = Set.newBuilder[String]
     val files = Map.newBuilder[String, Seq[(Long, Long)]]
+    // pre-RLE sidecar compatibility: the previous release wrote one
+    // '<file>\t<idx>' line per masked row; accepted as single-row runs and
+    // merged below, so tables written before the run-length format remain
+    // readable (the next vector swap rewrites them in the new format)
+    val legacy = Seq.newBuilder[(String, Long)]
     lines.foreach {
       case l if l.startsWith("B\t") =>
         batches += graft.store.Sidecar.fields(path, rel, l, 2)(1).toLong
@@ -138,10 +143,16 @@ object DeletionVectors {
           val Array(s, n) = r.split("\\+")
           (s.toLong, n.toLong)
         }
+      case l if l.count(_ == '\t') == 1 && l.substring(l.indexOf('\t') + 1)
+          .matches("\\d+") =>
+        val i = l.indexOf('\t')
+        legacy += l.substring(0, i) -> l.substring(i + 1).toLong
       case l => throw new graft.store.Sidecar.SidecarCorruptionError(
         new Path(path, rel).toString, s"unknown record type in line '${l.take(40)}'")
     }
-    Vector(files.result(), excluded.result(), batches.result())
+    val v = Vector(files.result(), excluded.result(), batches.result())
+    val lg = legacy.result()
+    if (lg.isEmpty) v else merged(v, lg)
   }
 
   private[operators] def writeVector(spark: SparkSession, path: String, v: Vector): Unit =

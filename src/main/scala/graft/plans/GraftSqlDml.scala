@@ -91,17 +91,23 @@ object GraftSqlDml {
           "table: compact(), retire the CDC feed, then delete the sidecar dir " +
           "explicitly)")
 
-  /** Positions that are TOP-LEVEL: depth 0 and outside any string
-    * literal. One scanner for all splitting, handling everything Spark's
-    * lexer does to strings: single- AND double-quoted literals,
-    * backslash escapes inside them, and SQL doubled-quote escapes
-    * (`'don''t'` / `"say ""hi"""`). Structural chars (quotes, parens)
-    * are never themselves marked top-level.
+  /** Positions that are TOP-LEVEL: depth 0, outside any string literal,
+    * and outside any SQL comment. One scanner for all splitting, handling
+    * everything Spark's lexer does: single- AND double-quoted literals,
+    * backslash escapes inside them, SQL doubled-quote escapes (`'don''t'`
+    * / `"say ""hi"""`), `--` line comments, and `/* */` bracketed
+    * comments (NESTED, matching Spark's lexer) — a comma or WHERE inside
+    * a comment must not split the statement (a line comment would
+    * otherwise silently re-arm text after its newline as a second
+    * assignment). Structural chars (quotes, parens, comment openers) are
+    * never themselves marked top-level.
     */
   private def topLevelMask(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length)
     var depth = 0
-    var q: Char = 0 // 0 = outside any string literal
+    var q: Char = 0    // 0 = outside any string literal
+    var lc = false     // inside a -- line comment
+    var bc = 0         // bracketed-comment nesting depth
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -111,8 +117,15 @@ object GraftSqlDml {
           if (i + 1 < s.length && s.charAt(i + 1) == q) i += 1 // doubled quote
           else q = 0
         }
+      } else if (lc) {
+        if (c == '\n') lc = false
+      } else if (bc > 0) {
+        if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') { bc += 1; i += 1 }
+        else if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') { bc -= 1; i += 1 }
       } else c match {
         case '\'' | '"' => q = c
+        case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' => lc = true; i += 1
+        case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' => bc = 1; i += 1
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ => if (depth == 0) m(i) = true

@@ -30,7 +30,10 @@ import org.apache.spark.sql.SparkSession
   *    `read` verifies and strips: a torn file (truncated at OR inside a
   *    line) fails with a typed [[Sidecar.SidecarCorruptionError]] naming
   *    the path, never an empty-looking read. Headerless files (external
-  *    fixtures) are accepted verbatim for compatibility.
+  *    fixtures) are accepted verbatim for compatibility — EXCEPT content
+  *    leading with '#', which can only be a truncated or garbled header
+  *    (our writer always emits the full tag) and raises typed corruption
+  *    rather than slipping through the detector's own first bytes.
   *  - "Sidecar absent but its `__tmp` present" — the signature of a
   *    crash during the very FIRST swap — is a diagnosable typed error,
   *    not an empty read.
@@ -97,7 +100,22 @@ object Sidecar {
   }
 
   private def verifyHeader(path: String, raw: String): String = {
-    if (!raw.startsWith(Header)) return raw // headerless external fixture
+    if (!raw.startsWith(Header)) {
+      // The torn-write detector must not have a hole in its own first
+      // bytes: our writer always emits the header, so '#'-leading content
+      // that is NOT the full header is a truncated/garbled header (e.g. a
+      // file cut inside '#graft-sid'), never a legitimate fixture —
+      // returning it verbatim would hand downstream parsers garbage.
+      if (raw.nonEmpty && Header.startsWith(raw))
+        throw new SidecarCorruptionError(path,
+          "truncated inside the integrity header — torn write; re-derive or restore")
+      if (raw.startsWith("#"))
+        throw new SidecarCorruptionError(path,
+          s"malformed integrity header '${raw.takeWhile(_ != '\n').take(40)}' — " +
+            "every graft-written sidecar starts with the full header; " +
+            "'#'-leading content that does not is a torn or garbled write")
+      return raw // headerless external fixture
+    }
     val nl = raw.indexOf('\n')
     if (nl < 0)
       throw new SidecarCorruptionError(path, "truncated inside the integrity header")

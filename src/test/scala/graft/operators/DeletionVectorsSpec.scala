@@ -423,4 +423,27 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(DeletionVectors.readVector(spark, t).excluded.isEmpty)
     assert(DeletionVectors.dvRead(spark, t).count() == total - oneRows)
   }
+
+  test("legacy pre-RLE '<file>\\t<idx>' sidecars read as single-row runs") {
+    val t = freshTable("legacy")
+    val total = spark.read.parquet(t).count()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val one = f.makeQualified(f.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head).toString
+    // the previous release's format: one line per masked row, plus B ledger
+    graft.store.Sidecar.swap(spark, t, "_deletion_vectors/dv.tsv",
+      s"B\t7\n$one\t0\n$one\t1\n$one\t5\n")
+    val v = DeletionVectors.readVector(spark, t)
+    assert(v.batches == Set(7L), "ledger lines must survive the migration read")
+    assert(v.files(one) == Seq((0L, 2L), (5L, 1L)),
+      "adjacent legacy rows must coalesce into runs")
+    assert(DeletionVectors.dvRead(spark, t).count() == total - 3)
+    // the next write re-encodes: the sidecar is in the new format afterwards
+    DeletionVectors.writeDv(spark, t, DeletionVectors.readDv(spark, t))
+    val body = graft.store.Sidecar.readRequired(spark, t, "_deletion_vectors/dv.tsv")
+    assert(body.linesIterator.forall(l =>
+      l.startsWith("B\t") || l.startsWith("X\t") || l.startsWith("F\t")))
+    assert(DeletionVectors.dvRead(spark, t).count() == total - 3)
+  }
 }

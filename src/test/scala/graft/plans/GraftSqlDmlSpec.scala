@@ -96,6 +96,28 @@ class GraftSqlDmlSpec extends SparkSuite {
     assert(TableStore.read(spark, tbl).where("k = 1").head().getString(1) == "it's, ok")
   }
 
+  test("SQL comments never re-arm top-level splitting") {
+    val tbl = mkTable("cmt")
+    // the comma inside the line comment must NOT start a second assignment
+    // (it used to: 's = ...' after it was silently applied)
+    runSql(s"UPDATE graft_store.`$tbl` SET v = 1 -- note, s = 'CLOBBERED'\nWHERE k = 1")
+      .collect()
+    val r1 = TableStore.read(spark, tbl).where("k = 1").head()
+    assert(r1.getString(1) == "a" && r1.getLong(2) == 1L,
+      "comment content must not become an assignment")
+    // block comment carrying a comma and a WHERE keyword
+    runSql(s"UPDATE graft_store.`$tbl` SET v = /* , WHERE */ 2 WHERE k = 2").collect()
+    assert(TableStore.read(spark, tbl).where("k = 2").head().getLong(2) == 2L)
+    // nested block comment (Spark's lexer nests bracketed comments)
+    runSql(s"UPDATE graft_store.`$tbl` SET v = /* x /* y, */ z WHERE */ 3 WHERE k = 3")
+      .collect()
+    assert(TableStore.read(spark, tbl).where("k = 3").head().getLong(2) == 3L)
+    // '--' inside a string literal is NOT a comment
+    runSql(s"UPDATE graft_store.`$tbl` SET s = 'a--b', v = 9 WHERE k = 1").collect()
+    val r2 = TableStore.read(spark, tbl).where("k = 1").head()
+    assert(r2.getString(1) == "a--b" && r2.getLong(2) == 9L)
+  }
+
   test("SET identifiers resolve case-insensitively like the rest of the statement") {
     val tbl = mkTable("casei")
     runSql(s"UPDATE graft_store.`$tbl` SET V = 777 WHERE K = 1").collect()

@@ -93,4 +93,27 @@ class SidecarSpec extends SparkSuite {
     dropCrc()
     assert(Sidecar.readRequired(spark, t, "_m/x.tsv") == "x\t9\n")
   }
+
+  test("truncation INSIDE the integrity header is corruption, not a fixture") {
+    val t = root.resolve("t5").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t))
+    Sidecar.swap(spark, t, "_m/y.tsv", "a\t1\n")
+    val p = java.nio.file.Paths.get(t, "_m/y.tsv")
+    def dropCrc(): Unit =
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(t, "_m/.y.tsv.crc"))
+    // torn write cut inside the first ~20 bytes: a strict PREFIX of the
+    // header tag used to read as a 'headerless external fixture'
+    java.nio.file.Files.writeString(p, "#graft-sid")
+    dropCrc()
+    val e1 = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/y.tsv"))
+    assert(e1.getMessage.contains("integrity header"))
+    // '#'-leading content that is not the full header: garbled, not a fixture
+    java.nio.file.Files.writeString(p, "#graft-sidecar junk\nx\t9\n")
+    dropCrc()
+    val e2 = intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/y.tsv"))
+    assert(e2.getMessage.contains("malformed integrity header"))
+    java.nio.file.Files.writeString(p, "# hand comment\nx\t9\n")
+    dropCrc()
+    intercept[Sidecar.SidecarCorruptionError](Sidecar.read(spark, t, "_m/y.tsv"))
+  }
 }
