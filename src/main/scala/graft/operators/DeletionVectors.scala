@@ -60,12 +60,20 @@ object DeletionVectors {
 
   /** When to fold read debt back into the base files after a
     * merge-on-read apply: once appended `mor-*` files exceed
-    * `maxAppendedFiles` OR masked files exceed `maxDirtyRatio` of all
-    * data files. The defaults bound a q249-style long-running replica to
-    * a small constant read overhead.
+    * `maxAppendedFiles`, OR masked files exceed `maxDirtyRatio` of all
+    * data files, OR the vector sidecar itself exceeds `maxVectorBytes`
+    * on disk. The byte trigger (round-12 verdict item 8) is the hard
+    * ceiling on ACCUMULATED vector size: each write is bounded by
+    * `maxDriverRows`, but a replica issuing many bounded scattered
+    * deletes between compactions grows the vector across calls — and the
+    * vector broadcasts on every read, so its lifetime must have a cap
+    * that does not depend on any one write being large. The defaults
+    * bound a q249-style long-running replica to a small constant read
+    * overhead with a ≤32 MiB broadcast worst case.
     */
   final case class CompactionPolicy(maxAppendedFiles: Int = 16,
-                                    maxDirtyRatio: Double = 0.5)
+                                    maxDirtyRatio: Double = 0.5,
+                                    maxVectorBytes: Long = 32L << 20)
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -218,6 +226,33 @@ object DeletionVectors {
     writeVector(spark, path, merged(prior.copy(files = Map.empty), dv))
   }
 
+  /** Live (unmasked) row count from parquet FOOTER metadata + the vector —
+    * zero Spark jobs, no data pages decoded: Σ footer-declared rows of
+    * non-excluded files − Σ masked-run lengths of those files. Matches
+    * [[dvRead]] exactly by construction: an excluded file contributes
+    * nothing regardless of lingering row masks (the read drops it first),
+    * masks always reference live rows ([[dvDelete]]'s locate skips
+    * excluded files), and masks on vanished files are read no-ops.
+    */
+  def liveRowCount(spark: SparkSession, path: String): Long = {
+    val v = readVector(spark, path)
+    val p = new Path(path)
+    val f = fs(spark, p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val name = f.makeQualified(st.getPath).toString
+        if (v.excluded.contains(name)) 0L
+        else {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+          val rows = try r.getRecordCount finally r.close()
+          rows - v.files.getOrElse(name, Nil).map(_._2).sum
+        }
+      }.sum
+  }
+
   /** The vector sidecar's on-disk byte size (0 if absent) — the scale
     * probe's instrument for run-encoding compression.
     */
@@ -233,12 +268,15 @@ object DeletionVectors {
     * `maxDriverRows` the call REFUSES and routes to the rewrite tier.
     */
   def dvDelete(spark: SparkSession, path: String, keys: DataFrame, keyCol: String,
-               maxDriverRows: Long = MaxDriverRows): Long = {
+               maxDriverRows: Long = MaxDriverRows,
+               autoCompact: Option[CompactionPolicy] = None): Long = {
     // one sidecar read serves the locate's exclusion filter AND the merge
     // base (single-writer: nothing can move it mid-call)
     val prior = readVector(spark, path)
-    mask(spark, path, prior,
+    val masked = mask(spark, path, prior,
       locateHits(spark, path, keys, keyCol, maxDriverRows, prior.excluded))
+    autoCompact.foreach(maybeCompact(spark, path, _))
+    masked
   }
 
   /** (file, row_index) of every current row whose key is in `keys`;
@@ -434,9 +472,10 @@ object DeletionVectors {
   }
 
   /** Fire [[compact]] iff read debt exceeds `policy`: appended `mor-*`
-    * part files past `maxAppendedFiles`, or DV-masked files past
-    * `maxDirtyRatio` of all data files. Returns true iff it compacted.
-    * Both measurements are file-listing-sized (no data read).
+    * part files past `maxAppendedFiles`, DV-masked files past
+    * `maxDirtyRatio` of all data files, or the sidecar past
+    * `maxVectorBytes`. Returns true iff it compacted. All three
+    * measurements are file-listing/metadata-sized (no data read).
     *
     * When the APPENDED-files condition fires, the clean `mor-*` files are
     * folded into the rewrite too (as zero-mask rewrite candidates) — an
@@ -455,7 +494,8 @@ object DeletionVectors {
     val dirty = readVector(spark, path).files.size
     val appendedDue = appendedPaths.size > policy.maxAppendedFiles
     val due = appendedDue ||
-      (statuses.nonEmpty && dirty.toDouble / statuses.length > policy.maxDirtyRatio)
+      (statuses.nonEmpty && dirty.toDouble / statuses.length > policy.maxDirtyRatio) ||
+      vectorBytes(spark, path) > policy.maxVectorBytes // lifetime byte ceiling
     if (due) compact(spark, path, alsoRewrite = if (appendedDue) appendedPaths else Nil)
     due
   }

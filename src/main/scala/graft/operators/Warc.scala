@@ -42,7 +42,14 @@ object Warc {
   }
 
   def buildHttpResponse(contentType: String, body: Array[Byte]): Array[Byte] =
-    (s"HTTP/1.1 200 OK${Crlf}Content-Type: $contentType${Crlf}" +
+    buildHttpResponse(200, "OK", contentType, body)
+
+  /** Status-aware variant — the fetch executor records non-200 responses
+    * (robots said yes, the server said 404) as faithful WARC payloads.
+    */
+  def buildHttpResponse(status: Int, reason: String, contentType: String,
+                        body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status $reason${Crlf}Content-Type: $contentType${Crlf}" +
       s"Content-Length: ${body.length}$Crlf$Crlf").getBytes("UTF-8") ++ body
 
   /** Gzip-member-per-record stream (the Common Crawl convention). */

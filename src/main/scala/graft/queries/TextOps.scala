@@ -1885,7 +1885,70 @@ object TextOps {
       |LEFT JOIN ov2 ON ov2.a = pr.a AND ov2.b = pr.b
       |ORDER BY pr.a""".stripMargin
 
+  /** q261: the crawl FETCH EXECUTOR end-to-end
+    * ([[graft.operators.Fetcher]], round-12 verdict item 7) — the
+    * operator that CONSUMES a q255-shaped fetch plan and closes the
+    * crawl loop: plan → one host-keyed shuffle → per-host sequential
+    * fetch in (fetch_round, url) order → WARC gzip member per response →
+    * re-read through the q243 parse path. The graded frame is built by
+    * PARSING THE WARC BYTES BACK (status and body length come out of the
+    * gzip member, not the transport return), so a framing bug anywhere
+    * in the loop hash-mismatches; per-host plan order is
+    * require-asserted row-for-row (the executor's seq_in_host must equal
+    * the plan's idx). Transport is the documented deterministic offline
+    * stub with the status derived from the url text, so the DuckDB
+    * oracle recomputes every graded column.
+    */
+  def fetchExecutor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val plan = documents(spark, dir)
+      .select($"doc_id",
+        concat(lit("h"), ($"doc_id" % 7).cast("string")).as("host"),
+        concat(lit("/"), $"source", lit("/"), $"doc_id".cast("string")).as("url"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host").orderBy($"url", $"doc_id")
+    val sched = plan.withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .withColumn("fetch_round", floor($"idx" / 3).cast("long"))
+    val transport: graft.operators.Fetcher.Transport = url => {
+      val status = if (url.length % 5 == 0) 404 else 200
+      val reason = if (status == 200) "OK" else "Not Found"
+      (status, reason, "text/plain", s"content:$url".getBytes("UTF-8"))
+    }
+    val fetched = graft.operators.Fetcher.execute(sched, transport)
+    val parsed = fetched.map { r =>
+      val recs = graft.operators.Warc.parseWarcGz(r.warc)
+      require(recs.length == 1 && recs.head.warcType == "response",
+        "each response must be one WARC record in its own gzip member")
+      val http = graft.operators.Warc.parseHttpResponse(recs.head.payload)
+      (r.host, recs.head.targetUri.get, r.fetch_round, r.seq_in_host,
+        http.status, http.body.length.toLong)
+    }.toDF("host", "url", "fetch_round", "seq_in_host", "status", "body_len")
+    val drift = parsed.select($"host", $"url", $"seq_in_host")
+      .join(sched.select($"host", $"url", $"idx"), Seq("host", "url"))
+      .filter($"seq_in_host" =!= $"idx").count()
+    require(drift == 0, s"per-host fetch order drifted on $drift rows")
+    parsed.orderBy($"host", $"seq_in_host")
+  }
+
+  val fetchExecutorSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+      |    '/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |s AS (
+      |  SELECT host, url,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url, doc_id) - 1
+      |         AS BIGINT) AS idx
+      |  FROM p)
+      |SELECT host, url, idx // 3 AS fetch_round, idx AS seq_in_host,
+      |  CASE WHEN length(url) % 5 = 0 THEN 404 ELSE 200 END AS status,
+      |  CAST(8 + length(url) AS BIGINT) AS body_len
+      |FROM s
+      |ORDER BY host, seq_in_host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_fetch_executor" -> fetchExecutor,
     "q247_rouge_pairs"    -> rougePairs,
     "q244_robots_filter"  -> robotsFilter,
     "q251_politeness"     -> politenessSchedule,
@@ -1949,6 +2012,7 @@ object TextOps {
       |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q261_fetch_executor" -> fetchExecutorSql,
     "q247_rouge_pairs"    -> rougePairsSql,
     "q244_robots_filter"  -> robotsFilterSql,
     "q251_politeness"     -> politenessScheduleSql,

@@ -424,6 +424,32 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(DeletionVectors.dvRead(spark, t).count() == total - oneRows)
   }
 
+  test("vector byte ceiling: accumulated scattered deletes trigger compact; reads unchanged") {
+    val t = freshTable("vecbytes")
+    // only the byte trigger can fire: file-count and dirty-ratio are off
+    val policy = DeletionVectors.CompactionPolicy(
+      maxAppendedFiles = Int.MaxValue, maxDirtyRatio = 2.0, maxVectorBytes = 256)
+    val mods = Seq(499, 701, 997)
+    mods.foreach { m =>
+      val keys = Tables.orders(spark, sf).filter($"o_orderkey" % m === 0)
+        .select($"o_orderkey")
+      DeletionVectors.dvDelete(spark, t, keys, "o_orderkey",
+        autoCompact = Some(policy))
+    }
+    assert(new java.io.File(t).listFiles().exists(_.getName.startsWith("cmp-")),
+      "the byte ceiling must have fired a compact")
+    // the lifetime invariant: after every policied write the sidecar is
+    // either under the ceiling or was just reset by the compact it fired
+    assert(DeletionVectors.vectorBytes(spark, t) <= 256)
+    val got = DeletionVectors.dvRead(spark, t)
+      .select($"o_orderkey").as[Long].collect().toSet
+    val want = Tables.orders(spark, sf)
+      .filter($"o_orderkey" % 499 =!= 0 && $"o_orderkey" % 701 =!= 0 &&
+        $"o_orderkey" % 997 =!= 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    assert(got == want, "compaction driven by the byte ceiling must not change reads")
+  }
+
   test("legacy pre-RLE '<file>\\t<idx>' sidecars read as single-row runs") {
     val t = freshTable("legacy")
     val total = spark.read.parquet(t).count()

@@ -131,14 +131,105 @@ class GraftSqlDmlSpec extends SparkSuite {
       Seq(2L).toDF("k"), "k")
     assert(graft.operators.DeletionVectors.dvRead(spark, tbl).count() == 2)
     for (sql <- Seq(
-      s"DELETE FROM graft_store.`$tbl` WHERE k = 1",
+      s"DELETE FROM graft_store.`$tbl` WHERE v > 0", // not key-membership-shaped
+      s"DELETE FROM graft_store.`$tbl`",             // unconditional = table-scale
       s"UPDATE graft_store.`$tbl` SET v = 0",
       s"MERGE INTO graft_store.`$tbl` USING (SELECT CAST(1 AS BIGINT) AS k, 'z' AS s, CAST(0 AS BIGINT) AS v) ON KEYS (k)")) {
       val e = intercept[IllegalArgumentException](runSql(sql).collect())
-      assert(e.getMessage.contains("deletion-vector sidecar"), s"for: $sql")
+      assert(e.getMessage.contains("merge-on-read") ||
+        e.getMessage.contains("deletion-vector"), s"for: $sql")
     }
     // the masked row stayed masked, nothing was rewritten
     assert(graft.operators.DeletionVectors.dvRead(spark, tbl).count() == 2)
+  }
+
+  test("a key-membership DELETE on a merge-on-read table routes to dvDelete") {
+    val tbl = mkTable("morroute")
+    graft.operators.DeletionVectors.dvDelete(spark, tbl, Seq(2L).toDF("k"), "k")
+    val mt = dataFileMtimes(tbl)
+    // `k = 1 OR k IN (3)` is exactly a key-set mask: no data file touched
+    val n = runSql(s"DELETE FROM graft_store.`$tbl` WHERE k = 1 OR k IN (3)")
+      .head().getLong(0)
+    assert(n == 0L, "all three rows are now masked; live count is footer-derived")
+    assert(dataFileMtimes(tbl) == mt, "dv routing must not rewrite any data file")
+    assert(graft.operators.DeletionVectors.dvRead(spark, tbl).count() == 0)
+    // `col = NULL` is never TRUE: routes, masks nothing
+    val tbl2 = mkTable("mornull")
+    graft.operators.DeletionVectors.dvDelete(spark, tbl2, Seq(3L).toDF("k"), "k")
+    assert(runSql(s"DELETE FROM graft_store.`$tbl2` WHERE k = NULL")
+      .head().getLong(0) == 2L)
+  }
+
+  private def dataFileMtimes(path: String): Map[String, Long] = {
+    val d = new java.io.File(path)
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("partitioned tables route DELETE/UPDATE through the pruned engines, layout intact") {
+    val tbl = Files.createTempDirectory("sqldml").resolve("part").toString
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v"), tbl, "g")
+    val untouched = new java.io.File(tbl, "g=c")
+    val mtime = untouched.listFiles().map(_.lastModified()).max
+    Thread.sleep(1100)
+    // DELETE prunes to the victim partitions
+    val n1 = runSql(s"DELETE FROM graft_store.`$tbl` WHERE v = 20").head().getLong(0)
+    assert(n1 == 3L)
+    assert(new java.io.File(tbl, "g=a").exists(), "partition layout must survive DML")
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime,
+      "untouched partition files must not be rewritten by SQL DELETE")
+    // UPDATE (not touching the partition column) prunes too
+    runSql(s"UPDATE graft_store.`$tbl` SET v = v + 1 WHERE g = 'a'").collect()
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime,
+      "untouched partition files must not be rewritten by SQL UPDATE")
+    // NOTE: a partitioned read surfaces the partition column LAST — select
+    assert(TableStore.read(spark, tbl).select("k", "g", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 11L), (3L, "b", 30L), (4L, "c", 40L)))
+    // UPDATE assigning the partition column: full rewrite, layout PRESERVED
+    runSql(s"UPDATE graft_store.`$tbl` SET g = 'z' WHERE k = 3").collect()
+    assert(new java.io.File(tbl, "g=z").exists(), "moved row lands in its new partition dir")
+    assert(!new java.io.File(tbl, "g=b").exists(), "emptied partition dir is dropped")
+    assert(TableStore.detectPartitionColumn(spark, tbl).contains("g"))
+    assert(TableStore.read(spark, tbl).select("k", "g").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (3L, "z"), (4L, "c")))
+  }
+
+  test("partitioned MERGE routes through the partitioned engines, layout intact") {
+    val tbl = Files.createTempDirectory("sqldml").resolve("pmerge").toString
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("k", "g", "v"), tbl, "g")
+    val untouched = new java.io.File(tbl, "g=c")
+    val mtime = untouched.listFiles().map(_.lastModified()).max
+    Thread.sleep(1100)
+    import spark.implicits._
+    Seq((2L, "a", 200L), (9L, "b", 90L)).toDF("k", "g", "v")
+      .createOrReplaceTempView("pm_src")
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING pm_src ON KEYS (k)
+         |WHEN MATCHED THEN UPDATE SET (v)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(n == 5L)
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime,
+      "untouched partition files must not be rewritten by SQL MERGE")
+    assert(TableStore.detectPartitionColumn(spark, tbl).contains("g"))
+    assert(TableStore.read(spark, tbl).select("k", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L), (9L, 90L)))
+    // conditional clause engine, partitioned: prunes by matched-key residency
+    Thread.sleep(1100)
+    val mtime2 = untouched.listFiles().map(_.lastModified()).max
+    Seq((2L, "a", 0L)).toDF("k", "g", "v").createOrReplaceTempView("pm_src2")
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING pm_src2 ON KEYS (k)
+         |WHEN MATCHED AND t.v >= 100 THEN DELETE""".stripMargin).collect()
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime2,
+      "clause engine must prune untouched partitions")
+    assert(TableStore.read(spark, tbl).where("k = 2").count() == 0)
   }
 
   test("non-graft_store DML delegates to Spark's parser verbatim") {

@@ -97,20 +97,34 @@ class GraftSqlMergeSpec extends SparkSuite {
       parser.parsePlan("MERGE INTO graft_store.`/t` USING v ON t.k > s.k")
     }
     assert(e1.getMessage.contains("ON KEYS"))
-    // UPDATE and DELETE combined: ambiguous without conditional WHENs
+    // an unconditional matched clause followed by another matched clause:
+    // the second is unreachable (first-TRUE-condition-wins order)
     val e2 = intercept[IllegalArgumentException] {
       parser.parsePlan(
         "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
           "WHEN MATCHED THEN UPDATE SET * WHEN MATCHED THEN DELETE")
     }
-    assert(e2.getMessage.contains("cannot be combined"))
-    // conditional WHEN stays refused
+    assert(e2.getMessage.contains("unreachable"))
+    // INSERT with a column list is not the store's INSERT *
     val e3 = intercept[IllegalArgumentException] {
       parser.parsePlan(
         "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
-          "WHEN MATCHED AND v > 0 THEN DELETE")
+          "WHEN NOT MATCHED THEN INSERT (k, v)")
     }
-    assert(e3.getMessage.contains("unsupported clause"))
+    assert(e3.getMessage.contains("INSERT *"))
+    // two NOT MATCHED clauses
+    val e4 = intercept[IllegalArgumentException] {
+      parser.parsePlan(
+        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
+          "WHEN NOT MATCHED AND s.v > 0 THEN INSERT * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e4.getMessage.contains("at most one"))
+    // a garbage condition fails Spark's expression parser at parse time
+    intercept[Exception] {
+      parser.parsePlan(
+        "MERGE INTO graft_store.`/t` USING v ON KEYS (k) " +
+          "WHEN MATCHED AND ((( THEN DELETE")
+    }
     // unbalanced subquery
     intercept[IllegalArgumentException] {
       parser.parsePlan("MERGE INTO graft_store.`/t` USING (SELECT 1 ON KEYS (k)")
@@ -119,6 +133,86 @@ class GraftSqlMergeSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       parser.parsePlan("MERGE INTO graft_store.`/t` USING v ON KEYS ( )")
     }
+  }
+
+  test("conditional clauses: ordered first-match-wins, UPDATE and DELETE mixed") {
+    val tbl = mkTable("cond")
+    Seq((1L, "upd", 100L), (2L, "del", 0L), (3L, "skip", -1L), (9L, "new", 90L))
+      .toDF("k", "s", "v").createOrReplaceTempView("m_inc_cond")
+    // order matters: DELETE fires first where s.v = 0; UPDATE where s.v > 50;
+    // k=3 (s.v = -1) matches neither clause and keeps its stored values
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_cond ON KEYS (k)
+         |WHEN MATCHED AND s.v = 0 THEN DELETE
+         |WHEN MATCHED AND s.v > 50 THEN UPDATE SET (v)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(n == 3L)
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // k=1 updated (v only, s stays 'a'); k=2 deleted; k=3 untouched; k=9 inserted
+    assert(rows == Seq((1L, "a", 100L), (3L, "c", 30L), (9L, "new", 90L)))
+  }
+
+  test("conditions may reference the TARGET through the t alias") {
+    val tbl = mkTable("talias")
+    Seq((1L, "x", 999L), (2L, "x", 999L), (3L, "x", 999L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_t")
+    // delete matched rows whose STORED v is at least 20 — needs t.v
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_t ON KEYS (k)
+         |WHEN MATCHED AND t.v >= 20 THEN DELETE""".stripMargin).collect()
+    assert(TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("update-only merge does NOT insert unmatched source rows (ADVICE fix)") {
+    val tbl = mkTable("updonly")
+    Seq((2L, "B", 200L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_uo")
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_uo ON KEYS (k)
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).head().getLong(0)
+    assert(n == 3L, "k=9 matched nothing and must NOT be inserted")
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L)))
+  }
+
+  test("insert-only merge does NOT touch matched rows (ADVICE fix)") {
+    val tbl = mkTable("insonly")
+    Seq((2L, "CLOBBER", 0L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_io")
+    val n = runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_io ON KEYS (k)
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head().getLong(0)
+    assert(n == 4L)
+    val rows = TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (9L, "z", 90L)),
+      "k=2 must keep its stored values")
+  }
+
+  test("conditional NOT MATCHED inserts only the passing source rows") {
+    val tbl = mkTable("condins")
+    Seq((8L, "lo", 5L), (9L, "hi", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_ci")
+    runSql(
+      s"""MERGE INTO graft_store.`$tbl` USING m_inc_ci ON KEYS (k)
+         |WHEN NOT MATCHED AND s.v > 50 THEN INSERT *""".stripMargin).collect()
+    assert(TableStore.read(spark, tbl).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 9L))
+  }
+
+  test("a key-duplicated source is refused by the clause engine") {
+    val tbl = mkTable("dupsrc")
+    Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_inc_dup")
+    val e = intercept[IllegalArgumentException] {
+      runSql(
+        s"""MERGE INTO graft_store.`$tbl` USING m_inc_dup ON KEYS (k)
+           |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("key-unique"))
   }
 
   test("subquery sources containing parens and string literals split correctly") {

@@ -250,4 +250,109 @@ class TableStoreSpec extends SparkSuite {
       "untouched partition must not be rewritten")
     assert(!new java.io.File(path + "__dtmp").exists)
   }
+
+  /** Jobs started while `body` runs — listener delivery is async, so a
+    * description-tagged sentinel job runs after and we wait for ITS event:
+    * the bus is FIFO per listener, so everything before it was delivered.
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var sentinelSeen = false
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == "graft-job-count-sentinel") sentinelSeen = true
+        else n.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      spark.sparkContext.setJobDescription("graft-job-count-sentinel")
+      try spark.range(1).count() finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 20000
+      while (!sentinelSeen && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(sentinelSeen, "listener bus did not drain")
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("rowCountFromFooters: exact on flat and partitioned layouts, ZERO Spark jobs") {
+    val dir = java.nio.file.Files.createTempDirectory("footers").toString
+    val flat = dir + "/flat"
+    TableStore.atomicWrite(spark, base.repartition(3), flat)
+    assert(TableStore.rowCountFromFooters(spark, flat) ==
+      TableStore.read(spark, flat).count())
+    val part = dir + "/part"
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "g1", 1.0), (2L, "g2", 2.0), (3L, "g1", 3.0)).toDF("id", "g", "p"),
+      part, "g")
+    assert(TableStore.rowCountFromFooters(spark, part) == 3L)
+    assert(jobsDuring { TableStore.rowCountFromFooters(spark, flat) } == 0,
+      "footer counting must not launch a Spark job")
+    // the DML return paths ride it: deleteRows reports without a re-scan
+    val nDel = TableStore.deleteRows(spark, flat, Seq(2L).toDF("id"), Seq("id"))
+    assert(nDel == 1L)
+    assert(TableStore.rowCountFromFooters(spark, flat) == 2L)
+  }
+
+  test("rewriteFilesWhere: victim files rewritten, clean files byte-copied, full fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("filepruned").toString + "/t"
+    // cluster g per file so the predicate's victims live in few files
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("g", (col("id") % 4).cast("int"))
+      .repartitionByRange(4, col("g"))
+    TableStore.atomicWrite(spark, df, dir)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    assert(before.size >= 2, "fixture needs multiple part files")
+    val (hits, kept, rewritten) = TableStore.rewriteFilesWhere(spark, dir,
+      col("g") === 1, _.filter(col("g") =!= 1))
+    // range-clustered fixture: the victim file held ONLY g=1 rows, so its
+    // rewrite has zero survivors and yields no staged file at all
+    assert(hits == 100L && kept >= 1 && rewritten >= 0)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    val keptNames = after.keySet.filterNot(_.startsWith("rw-"))
+    assert(keptNames.subsetOf(before.keySet) && keptNames.size == kept,
+      "clean files keep their basenames")
+    keptNames.foreach(nm => assert(after(nm) == before(nm), s"$nm byte length drifted"))
+    assert(TableStore.read(spark, dir).filter(col("g") === 1).count() == 0)
+    assert(TableStore.read(spark, dir).count() == 300)
+    // no victim at all: zero-cost no-op
+    val (h0, k0, r0) = TableStore.rewriteFilesWhere(spark, dir,
+      col("g") === 99, _.filter(lit(false)))
+    assert(h0 == 0L && r0 == 0 && k0 == after.size)
+    // every file a victim: falls back to the plain full rewrite
+    val (hAll, kAll, _) = TableStore.rewriteFilesWhere(spark, dir,
+      col("g") >= 0, d => d.filter(col("g") =!= 0))
+    assert(hAll == 300L && kAll == 0)
+    assert(TableStore.read(spark, dir).count() == 200)
+  }
+
+  test("rewritePartitionsWhere: untouched partitions never rewritten; empty-table fallback keeps schema") {
+    val dir = java.nio.file.Files.createTempDirectory("partpruned").toString + "/t"
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+        .toDF("id", "g", "p"), dir, "g")
+    val untouched = new java.io.File(dir, "g=c")
+    val mtime = untouched.listFiles().map(_.lastModified()).max
+    Thread.sleep(1100)
+    val nHit = TableStore.rewritePartitionsWhere(spark, dir, "g",
+      col("p") <= 20.0, _.filter(col("p") > 20.0))
+    assert(nHit == 2L)
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime,
+      "untouched partition files must not be rewritten")
+    // g=a fully emptied → partition dir dropped; g=b and g=c intact
+    assert(!new java.io.File(dir, "g=a").exists())
+    assert(TableStore.read(spark, dir).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // all rows deleted → fileless-partition case falls back to an empty
+    // FLAT table that still carries the schema
+    TableStore.rewritePartitionsWhere(spark, dir, "g", lit(true), _.filter(lit(false)))
+    val t = TableStore.read(spark, dir)
+    assert(t.count() == 0 && t.columns.toSet == Set("id", "g", "p"))
+  }
 }

@@ -78,7 +78,16 @@ object ExtensionsCheck {
          |WHEN MATCHED THEN DELETE""".stripMargin).head().getLong(0)
     assert(nm == 9, s"post-merge-delete n_rows: $nm")
 
-    println("extensions OK: function + aggregate + rule + strategy + parser tiers (MERGE/DELETE/UPDATE) live via spark.sql.extensions")
+    // parser tier round 13: the SQL READ surface — SELECT FROM graft_store
+    // applies deletion-vector masks that a raw parquet SELECT misses
+    graft.operators.DeletionVectors.dvDelete(spark, tbl,
+      spark.sql("SELECT CAST(0 AS BIGINT) AS k"), "k")
+    val nRaw = spark.sql(s"SELECT COUNT(*) AS n FROM parquet.`$tbl`").head().getLong(0)
+    val nStore = spark.sql(s"SELECT COUNT(*) AS n FROM graft_store.`$tbl`").head().getLong(0)
+    assert(nStore == nRaw - 1,
+      s"graft_store SELECT must hide the masked row: raw=$nRaw store=$nStore")
+
+    println("extensions OK: function + aggregate + rule + strategy + parser tiers (MERGE/DELETE/UPDATE/SELECT) live via spark.sql.extensions")
     spark.stop()
   }
 }
