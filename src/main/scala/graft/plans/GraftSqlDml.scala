@@ -289,9 +289,12 @@ final case class DeleteFromGraftStore(path: String, whereSql: Option[String])
     GraftSqlDml.extractKeyMembership(parsed) match {
       case Some((keyCol, lits)) =>
         if (lits.nonEmpty) {
-          val keys = lits.map(l => spark.range(1).select(
-            org.apache.spark.sql.graftshim.GraftShim.column(l).as(keyCol)))
-            .reduce(_.union(_))
+          // ONE single-row plan exploding an array literal — NOT an
+          // N-way union of one-row frames, whose analysis cost goes
+          // quadratic on a large IN list (measured 30× on a 300-key
+          // list at sf0.1); array() coerces mixed literal types
+          val keys = spark.range(1).select(explode(array(
+            lits.map(org.apache.spark.sql.graftshim.GraftShim.column): _*)).as(keyCol))
           DeletionVectors.dvDelete(spark, path, keys, keyCol)
         }
         Seq(Row(DeletionVectors.liveRowCount(spark, path)))
