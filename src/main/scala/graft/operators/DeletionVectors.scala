@@ -415,6 +415,22 @@ object DeletionVectors {
     masked
   }
 
+  /** Public blind APPEND to a merge-on-read table — the SQL
+    * `INSERT INTO` route for MoR targets: rows land as `mor-*` part
+    * files (so [[maybeCompact]]'s appended-file debt accounting sees
+    * them), no key semantics, no mask — duplicates are the caller's
+    * business, exactly like standard INSERT INTO. Schema must match the
+    * base files exactly.
+    */
+  def morAppend(spark: SparkSession, path: String, rows: DataFrame): Unit = {
+    val base = spark.read.parquet(path)
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"INSERT schema must match the table exactly: batch has " +
+        s"${rows.schema.simpleString}, table has ${base.schema.simpleString} — cast explicitly")
+    appendDelta(spark, path, rows)
+  }
+
   /** Append `rows` as new `mor-*` part files via a staging dir + rename:
     * Spark's append mode could leave partial files on failure; rename-in
     * keeps the visible commit atomic per file and collision-free via a

@@ -16,6 +16,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * DELETE FROM graft_store.`/path/to/table` [WHERE <expr>]
   * UPDATE graft_store.`/path/to/table` SET c1 = <expr> [, c2 = <expr> …] [WHERE <expr>]
+  * INSERT INTO graft_store.`/path/to/table` <SELECT …> | VALUES (…) […]
   * }}}
   *
   * Standard SQL semantics, including the null case: DELETE removes rows
@@ -39,6 +40,8 @@ object GraftSqlDml {
     """(?is)\s*DELETE\s+FROM\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
   private val UpdateHead =
     """(?is)\s*UPDATE\s+graft_store\s*\.\s*`([^`]+)`\s+SET\s+(.*)""".r
+  private val InsertHead =
+    """(?is)\s*INSERT\s+INTO\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
   private val WhereTail = """(?is)\s*WHERE\s+(.*)""".r
 
   private def bad(msg: String): Nothing =
@@ -71,6 +74,15 @@ object GraftSqlDml {
         bad("a column is assigned twice in SET")
       cond.foreach(delegate.parseExpression) // validate
       Some(UpdateGraftStore(path, assignments, cond))
+    case InsertHead(path, rest) =>
+      val src = rest.trim
+      if (src.isEmpty) bad("INSERT is missing its source query (SELECT … or VALUES …)")
+      if (src.startsWith("("))
+        bad("INSERT column lists are not supported — the store writes whole " +
+          "rows; SELECT the full column set in table order")
+      // the source may itself read graft_store tables
+      Some(InsertIntoGraftStore(path,
+        GraftStoreRead.substitute(delegate.parsePlan(src))))
     case _ => None
   }
 
@@ -373,5 +385,68 @@ final case class UpdateGraftStore(path: String,
         TableStore.rewriteFilesWhere(spark, path, cond, project)
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+  }
+}
+
+/** `INSERT INTO graft_store` — the plain append statement completing the
+  * DML set (the conflict-aware write is MERGE). Standard positional
+  * semantics: the source's columns map to the table's columns by
+  * POSITION (names need not match, arity must) and cast to the table's
+  * exact types (ANSI mode keeps bad casts loud). Position follows the
+  * table's READ order — a partitioned layout surfaces its partition
+  * column LAST, exactly as SELECT * shows it. LAYOUT-ROUTED like the
+  * rest of the tier:
+  *
+  *  - flat table → [[graft.store.TableStore.appendRows]]: zero-rewrite,
+  *    statement batches coalesce to one part file so the visible commit
+  *    is ONE atomic rename;
+  *  - partitioned table → [[graft.store.TableStore.insertIntoPartitioned]]:
+  *    only the RECEIVING partitions rewrite, staged-marker atomic, new
+  *    partitions created, layout preserved;
+  *  - merge-on-read table → [[graft.operators.DeletionVectors.morAppend]]:
+  *    `mor-*` part files so compaction's appended-file debt accounting
+  *    sees them;
+  *  - missing table → created ([[graft.store.TableStore.atomicWrite]]),
+  *    the upsert bootstrap symmetry.
+  *
+  * Blind appends have no key semantics: retrying a crashed statement can
+  * duplicate rows (use MERGE for exactly-once). Returns the post-insert
+  * row count from footer metadata (mask-aware on MoR tables).
+  */
+final case class InsertIntoGraftStore(path: String, source: LogicalPlan)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
+    if (!TableStore.exists(spark, path)) {
+      TableStore.atomicWrite(spark, incoming, path)
+      return Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+    }
+    val mor = GraftSqlDml.hasDeletionVector(spark, path)
+    val table =
+      if (mor) spark.read.parquet(path)
+      else TableStore.read(spark, path)
+    if (incoming.columns.length != table.columns.length)
+      throw new IllegalArgumentException(
+        s"graft_store DML: INSERT arity mismatch — source has " +
+          s"${incoming.columns.length} columns, table has ${table.columns.length}")
+    // positional mapping + cast to the table's exact types (standard INSERT)
+    val aligned = incoming.toDF(table.columns.toIndexedSeq: _*)
+      .select(table.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    if (mor) {
+      graft.operators.DeletionVectors.morAppend(spark, path, aligned)
+      Seq(Row(graft.operators.DeletionVectors.liveRowCount(spark, path)))
+    } else {
+      TableStore.detectPartitionColumn(spark, path) match {
+        case Some(pcol) => TableStore.insertIntoPartitioned(spark, path, aligned, pcol)
+        case None => TableStore.appendRows(spark, path, aligned)
+      }
+      Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+    }
   }
 }

@@ -222,8 +222,8 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.TableStore
-    GraftSqlDml.requireNoDeletionVector(spark, path) // MoR tables refuse plain rewrites
     val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
+    if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark, incoming)
     val pcolOpt = TableStore.detectPartitionColumn(spark, path)
     (matched, notMatched) match {
       case (Seq(), None) => // documented default: ON CONFLICT DO UPDATE SET *
@@ -250,6 +250,39 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
         TableStore.mergeClauses(spark, path, incoming, keys, matched, notMatched, pcolOpt)
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+  }
+
+  /** MERGE against a merge-on-read table: the FULL-upsert shapes (no
+    * clauses, or unconditional `UPDATE SET *` + `INSERT *`) on a single
+    * key are EXACTLY [[graft.operators.DeletionVectors.morUpsert]] —
+    * append the delta, mask the replaced rows, zero data files touched —
+    * so they route there instead of refusing. Partial column lists,
+    * conditions, DELETE actions, and composite keys are not expressible
+    * as a blind append+mask and keep the loud refusal.
+    */
+  private def runMergeOnRead(spark: SparkSession,
+                             incoming: org.apache.spark.sql.DataFrame): Seq[Row] = {
+    import graft.operators.DeletionVectors
+    val fullUpsertShape = (matched, notMatched) match {
+      case (Seq(), None) => true
+      case (Seq(MergeWhenMatched(None, MergeMatchedAction.Update(None))),
+            Some(MergeWhenNotMatched(None))) => true
+      case _ => false
+    }
+    if (!fullUpsertShape || keys.length != 1)
+      GraftSqlDml.requireNoDeletionVector(spark, path) // throws the routing message
+    val base = spark.read.parquet(path)
+    require(incoming.columns.toSet == base.columns.toSet,
+      s"MERGE source schema must match the table: source has " +
+        s"${incoming.columns.sorted.toSeq}, table has ${base.columns.sorted.toSeq}")
+    val aligned = incoming.select(base.columns.map(
+      org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    require(aligned.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"MERGE source types must match the table exactly: source has " +
+        s"${aligned.schema.simpleString}, table has ${base.schema.simpleString} — cast explicitly")
+    DeletionVectors.morUpsert(spark, path, aligned, keys.head)
+    Seq(Row(DeletionVectors.liveRowCount(spark, path)))
   }
 }
 

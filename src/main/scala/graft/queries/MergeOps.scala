@@ -1672,7 +1672,121 @@ object MergeOps {
       |GROUP BY o_custkey
       |ORDER BY o_custkey""".stripMargin
 
+  /** q262: SQL MERGE routed to the MERGE-ON-READ tier — the full-upsert
+    * shape (`ON KEYS` with no clauses, the reference's `ON CONFLICT DO
+    * UPDATE SET *`) on a DV-masked table IS exactly
+    * [[graft.operators.DeletionVectors.morUpsert]]: the delta appends as
+    * new `mor-*` files and the replaced rows mask — ZERO pre-existing
+    * data files touched, require-asserted via the mtime listing. Source
+    * keys that were previously DV-masked re-insert (key absent ⇒ insert,
+    * standard upsert semantics over the LIVE table), which the oracle's
+    * full-outer recomputation over the post-delete state pins. Output is
+    * the visible table.
+    */
+  def sqlMergeMor(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.operators.DeletionVectors
+    val run = mergeRoot.resolve("runSqlMergeMor")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_mor").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlmm_orders")
+    spark.table("v_sqlmm_orders").repartition(8, $"o_custkey")
+      .write.mode("overwrite").parquet(tbl)
+    DeletionVectors.dvDelete(spark, tbl,
+      spark.table("v_sqlmm_orders").filter($"o_orderkey" % 7 === 0)
+        .select($"o_orderkey"), "o_orderkey")
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+         |  FROM v_sqlmm_orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+         |  FROM v_sqlmm_orders WHERE o_orderkey % 10 = 3
+         |)
+         |ON KEYS (o_orderkey)""".stripMargin)).head().getLong(0)
+    val after = files()
+    require(after.filter(f => before.exists(_._1 == f._1)) == before,
+      "a MoR-routed MERGE must not touch any pre-existing data file")
+    require(after.exists(_._1.startsWith("mor-")),
+      "the delta must land as appended mor-* files")
+    require(n == DeletionVectors.liveRowCount(spark, tbl),
+      "n_rows must equal the visible live count")
+    DeletionVectors.dvRead(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlMergeMorSql: String =
+    """WITH live AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE NOT (o_orderkey % 7 = 0)),
+      |src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 3)
+      |SELECT COALESCE(l.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+      |       ELSE l.o_custkey END AS o_custkey,
+      |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+      |       ELSE l.o_totalprice END AS o_totalprice
+      |FROM live l FULL JOIN src s ON l.o_orderkey = s.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q263: SQL `INSERT INTO graft_store` — the plain-append statement
+    * completing the DML set, with standard POSITIONAL column mapping
+    * (the source's expressions are unaliased on purpose) and the
+    * zero-rewrite commit: on a flat table the statement batch coalesces
+    * to ONE part file whose single rename is the atomic visible commit —
+    * require-asserted: every pre-existing file untouched (mtime+length),
+    * exactly one new `ins-*` file. Oracle is the UNION ALL
+    * recomputation.
+    */
+  def sqlInsert(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlInsert")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlins_orders")
+    TableStore.atomicWrite(spark, spark.table("v_sqlins_orders"), tbl)
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"INSERT INTO graft_store.`$tbl` " +
+        "SELECT o_orderkey + 40000000, o_custkey, o_totalprice " +
+        "FROM v_sqlins_orders WHERE o_orderkey % 13 = 0")).head().getLong(0)
+    val after = files()
+    require(after.filter(f => before.exists(_._1 == f._1)) == before,
+      "INSERT must not touch any pre-existing data file")
+    require(after.count(_._1.startsWith("ins-")) == 1,
+      "a statement batch commits as ONE appended file (atomic rename)")
+    require(n == TableStore.rowCountFromFooters(spark, tbl),
+      "n_rows is the footer-derived post-insert count")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
+  val sqlInsertSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 40000000, o_custkey, o_totalprice
+      |FROM orders WHERE o_orderkey % 13 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_sql_merge_mor" -> sqlMergeMor,
+    "q263_sql_insert" -> sqlInsert,
     "q260_sql_select_mor" -> sqlSelectMor,
     "q256_sql_delete_partitioned" -> sqlDeletePartitioned,
     "q257_sql_update_partitioned" -> sqlUpdatePartitioned,
@@ -1710,6 +1824,8 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q262_sql_merge_mor" -> sqlMergeMorSql,
+    "q263_sql_insert" -> sqlInsertSql,
     "q260_sql_select_mor" -> sqlSelectMorSql,
     "q256_sql_delete_partitioned" -> sqlDeletePartitionedSql,
     "q257_sql_update_partitioned" -> sqlUpdatePartitionedSql,

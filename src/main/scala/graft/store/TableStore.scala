@@ -916,6 +916,72 @@ object TableStore {
     joined.filter(keep).select(out: _*)
   }
 
+  /** Zero-rewrite APPEND to a FLAT table — the engine behind SQL
+    * `INSERT INTO graft_store`: the batch stages invisibly inside the
+    * table dir (`_`-prefixed → hidden from every parquet reader), is
+    * fenced, and renames in. With `singleFile` (the default, right for
+    * statement-sized batches) the batch coalesces to ONE part file, so
+    * the visible commit is ONE atomic rename — no partial-batch window
+    * at all. Multi-file mode (bulk appends) renames per file: a crash
+    * mid-batch leaves a clean prefix of the batch visible (whole files,
+    * never torn), and retrying duplicates it — exactly-once inserts
+    * need keys, i.e. MERGE. Schema must match the table EXACTLY (same
+    * names, same types): appended files with drifted types would poison
+    * the directory for every reader.
+    */
+  def appendRows(spark: SparkSession, path: String, rows: DataFrame,
+                 singleFile: Boolean = true): Unit = {
+    val table = read(spark, path)
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      table.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"INSERT schema must match the table exactly: batch has " +
+        s"${rows.schema.simpleString}, table has ${table.schema.simpleString} — cast explicitly")
+    val dst = new Path(path)
+    val f = fs(spark, dst)
+    val nonce = java.lang.Long.toHexString(System.nanoTime())
+    val tmp = new Path(path, s"__insert_$nonce")
+    (if (singleFile) rows.coalesce(1) else rows)
+      .write.mode("overwrite").parquet(tmp.toString)
+    try {
+      WriterLease.fence(spark, path) // before the visible renames
+      f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+        val out = new Path(dst, s"ins-$nonce-${st.getPath.getName}")
+        if (!f.rename(st.getPath, out))
+          throw new java.io.IOException(s"insert move failed for $out")
+      }
+    } finally f.delete(tmp, true) // fenced-out staging must not linger
+  }
+
+  /** Pruned APPEND to a PARTITIONED table: only the partitions the batch
+    * lands in are read and rewritten (existing rows ∪ batch, one
+    * `__ptmp` staged swap — atomic through the staged-marker protocol,
+    * layout preserved, new partitions created as dirs). The
+    * write-amplification tradeoff vs [[appendRows]] is deliberate: a
+    * per-file rename-in would be zero-rewrite but a crash could leave a
+    * partial batch across dirs; the swap keeps the store's
+    * no-partial-state brand at the cost of rewriting the RECEIVING
+    * partitions only.
+    */
+  def insertIntoPartitioned(spark: SparkSession, path: String, rows: DataFrame,
+                            partitionCol: String): Unit = {
+    val table = read(spark, path)
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      table.schema.fields.map(f => (f.name, f.dataType)).toSet,
+      s"INSERT schema must match the table exactly: batch has " +
+        s"${rows.schema.simpleString}, table has ${table.schema.simpleString} — cast explicitly")
+    val parts = rows.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq
+    if (parts.isEmpty) return
+    val nonNull = parts.filter(_ != null)
+    val touched =
+      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
+      else col(partitionCol).isin(nonNull: _*)
+    val merged = table.filter(touched)
+      .unionByName(rows.select(table.columns.map(col).toIndexedSeq: _*))
+    val tmp = path + "__ptmp"
+    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+    swapPartitionDirs(spark, path, tmp, partitionCol, parts)
+  }
+
   /** Apply a CDC feed — the replication-sink counterpart of [[changelog]]
     * (which PRODUCES a feed): one batch carrying inserts/updates (any op
     * but 'D') and deletes ('D' rows, keys only needed) lands in ONE

@@ -134,7 +134,10 @@ class GraftSqlDmlSpec extends SparkSuite {
       s"DELETE FROM graft_store.`$tbl` WHERE v > 0", // not key-membership-shaped
       s"DELETE FROM graft_store.`$tbl`",             // unconditional = table-scale
       s"UPDATE graft_store.`$tbl` SET v = 0",
-      s"MERGE INTO graft_store.`$tbl` USING (SELECT CAST(1 AS BIGINT) AS k, 'z' AS s, CAST(0 AS BIGINT) AS v) ON KEYS (k)")) {
+      // a PARTIAL-column merge is not expressible as append+mask (the
+      // default full-upsert shape routes to morUpsert instead — see
+      // GraftSqlMergeSpec's routing tests)
+      s"MERGE INTO graft_store.`$tbl` USING (SELECT CAST(1 AS BIGINT) AS k, 'z' AS s, CAST(0 AS BIGINT) AS v) ON KEYS (k) WHEN MATCHED THEN UPDATE SET (v) WHEN NOT MATCHED THEN INSERT *")) {
       val e = intercept[IllegalArgumentException](runSql(sql).collect())
       assert(e.getMessage.contains("merge-on-read") ||
         e.getMessage.contains("deletion-vector"), s"for: $sql")
@@ -230,6 +233,66 @@ class GraftSqlDmlSpec extends SparkSuite {
     assert(untouched.listFiles().map(_.lastModified()).max == mtime2,
       "clause engine must prune untouched partitions")
     assert(TableStore.read(spark, tbl).where("k = 2").count() == 0)
+  }
+
+  test("INSERT INTO: positional mapping + cast, single-file atomic append on flat tables") {
+    val tbl = mkTable("ins")
+    val before = dataFileMtimes(tbl)
+    // VALUES with int literals: positional mapping renames, casts to the
+    // table's BIGINT/String/BIGINT types
+    val n = runSql(s"INSERT INTO graft_store.`$tbl` VALUES (9, 'z', 90)").head().getLong(0)
+    assert(n == 4L)
+    val after = dataFileMtimes(tbl)
+    assert(before.toSet.subsetOf(after.toSet), "pre-existing files untouched")
+    assert(after.keySet.count(_.startsWith("ins-")) == 1, "one atomic appended file")
+    val r = TableStore.read(spark, tbl).where("k = 9").head()
+    assert(r.getString(1) == "z" && r.getLong(2) == 90L)
+    // arity mismatch is loud
+    val e = intercept[IllegalArgumentException](
+      runSql(s"INSERT INTO graft_store.`$tbl` VALUES (1, 'x')").collect())
+    assert(e.getMessage.contains("arity"))
+    // column lists refused at parse
+    val e2 = intercept[IllegalArgumentException](
+      parser.parsePlan(s"INSERT INTO graft_store.`$tbl` (k, s) VALUES (1, 'x')"))
+    assert(e2.getMessage.contains("column lists"))
+    // missing table: created
+    val fresh = Files.createTempDirectory("sqldml").resolve("insnew").toString
+    runSql(s"INSERT INTO graft_store.`$fresh` SELECT k, s, v FROM graft_store.`$tbl`")
+      .collect()
+    assert(TableStore.read(spark, fresh).count() == 4L)
+  }
+
+  test("INSERT INTO a partitioned table rewrites only the receiving partitions") {
+    val tbl = Files.createTempDirectory("sqldml").resolve("inspart").toString
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v"), tbl, "g")
+    val untouched = new java.io.File(tbl, "g=b")
+    val mtime = untouched.listFiles().map(_.lastModified()).max
+    Thread.sleep(1100)
+    // positional mapping follows the table's READ order — a partitioned
+    // layout surfaces the partition column LAST: (k, v, g)
+    runSql(s"INSERT INTO graft_store.`$tbl` " +
+      "SELECT CAST(3 AS BIGINT), CAST(30 AS BIGINT), 'a' " +
+      "UNION ALL SELECT CAST(4 AS BIGINT), CAST(40 AS BIGINT), 'c'").collect()
+    assert(untouched.listFiles().map(_.lastModified()).max == mtime,
+      "partitions not receiving rows must stay untouched")
+    assert(new java.io.File(tbl, "g=c").exists(), "new partition dir created")
+    assert(TableStore.read(spark, tbl).select("k").orderBy("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("INSERT INTO a merge-on-read table appends mor-* files; masks stay") {
+    val tbl = mkTable("insmor")
+    graft.operators.DeletionVectors.dvDelete(spark, tbl, Seq(2L).toDF("k"), "k")
+    val before = dataFileMtimes(tbl)
+    val n = runSql(s"INSERT INTO graft_store.`$tbl` VALUES (9, 'z', 90)").head().getLong(0)
+    assert(n == 3L, "2 live + 1 inserted (k=2 stays masked)")
+    val after = dataFileMtimes(tbl)
+    assert(before.toSet.subsetOf(after.toSet))
+    assert(after.keySet.exists(_.startsWith("mor-")),
+      "MoR inserts land as mor-* files so compaction debt accounting sees them")
+    assert(graft.operators.DeletionVectors.dvRead(spark, tbl)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 9L))
   }
 
   test("non-graft_store DML delegates to Spark's parser verbatim") {

@@ -215,6 +215,41 @@ class GraftSqlMergeSpec extends SparkSuite {
     assert(e.getMessage.contains("key-unique"))
   }
 
+  test("a full-upsert MERGE on a merge-on-read table routes to morUpsert") {
+    val tbl = mkTable("morroute")
+    graft.operators.DeletionVectors.dvDelete(spark, tbl, Seq(3L).toDF("k"), "k")
+    def mtimes() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes()
+    Seq((2L, "B", 200L), (9L, "z", 90L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("m_mor_src")
+    val n = runSql(s"MERGE INTO graft_store.`$tbl` USING m_mor_src ON KEYS (k)")
+      .head().getLong(0)
+    assert(n == 3L, "k=1 kept, k=2 replaced, k=3 stays masked, k=9 inserted")
+    assert(before.toSet.subsetOf(mtimes().toSet),
+      "MoR routing must not rewrite any pre-existing data file")
+    assert(mtimes().keySet.exists(_.startsWith("mor-")), "delta appended as mor-*")
+    val rows = graft.operators.DeletionVectors.dvRead(spark, tbl).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 200L), (9L, 90L)))
+  }
+
+  test("MERGE shapes morUpsert cannot express keep the MoR refusal") {
+    val tbl = mkTable("morrefuse")
+    graft.operators.DeletionVectors.dvDelete(spark, tbl, Seq(3L).toDF("k"), "k")
+    Seq((2L, "B", 200L)).toDF("k", "s", "v").createOrReplaceTempView("m_mor_ref")
+    for (clauses <- Seq(
+      "WHEN MATCHED THEN UPDATE SET (v) WHEN NOT MATCHED THEN INSERT *", // partial cols
+      "WHEN MATCHED THEN DELETE",                                        // delete action
+      "WHEN MATCHED AND s.v > 0 THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *", // cond
+      "WHEN MATCHED THEN UPDATE SET *")) {                               // update-only
+      val e = intercept[IllegalArgumentException](runSql(
+        s"MERGE INTO graft_store.`$tbl` USING m_mor_ref ON KEYS (k) $clauses").collect())
+      assert(e.getMessage.contains("deletion-vector"), s"for: $clauses")
+    }
+  }
+
   test("subquery sources containing parens and string literals split correctly") {
     val tbl = mkTable("parens")
     runSql(
