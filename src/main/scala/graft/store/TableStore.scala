@@ -542,6 +542,31 @@ object TableStore {
     }
   }
 
+  /** Garbage-collect `_`-hidden staging dirs INSIDE the table dir
+    * abandoned by hard-killed writers (`__insert_*` from [[appendRows]],
+    * `__append_*` from the MoR append, `__compact_*` from DV
+    * compaction). They are invisible to every parquet reader, so they
+    * are an operational leak, never a correctness one — but a
+    * long-lived table accumulates them across crashes. Normal
+    * completion deletes them in a finally; this is the TTL'd sweep for
+    * the hard-kill case, the in-table twin of [[vacuumStages]] (same
+    * mtime-based liveness rule: pick TTLs in hours). Returns the
+    * deleted dirs.
+    */
+  def vacuumInnerStaging(spark: SparkSession, path: String,
+                         olderThanMs: Long): Seq[String] = {
+    WriterLease.fence(spark, path) // same stale-housekeeping rationale as vacuumStages
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Nil
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val prefixes = Seq("__insert_", "__append_", "__compact_")
+    f.listStatus(p).filter(st => st.isDirectory &&
+        prefixes.exists(st.getPath.getName.startsWith) &&
+        st.getModificationTime < cutoff)
+      .map { st => f.delete(st.getPath, true); st.getPath.toString }.toSeq
+  }
+
   /** Copy-on-write DELETE by key set — the S5 complement (and the
     * right-to-be-forgotten path a compliant 100 TB store must have):
     * rows whose `joinCols` match a row in `victims` are dropped via
@@ -625,6 +650,22 @@ object TableStore {
     nBefore - nAfterTouched
   }
 
+  /** The rewrite engines re-pack parquet files, which INVALIDATES row
+    * positions — and a deletion-vector sidecar references exactly those
+    * positions, so running a rewrite on a merge-on-read table would
+    * silently re-point masks at the wrong rows (worse than the
+    * resurrect-masked-rows failure the SQL tier refuses). Every rewrite
+    * engine below refuses loudly; the DV tier's own `compact` is the one
+    * legitimate rewriter of a masked table.
+    */
+  private def requireNoDeletionVector(spark: SparkSession, path: String, op: String): Unit =
+    if (Sidecar.read(spark, path, "_deletion_vectors/dv.tsv").isDefined)
+      throw new IllegalArgumentException(
+        s"$op on $path: the table carries a deletion-vector sidecar " +
+          "(merge-on-read) — a file rewrite would re-point row-position " +
+          "masks at the wrong rows; mutate through DeletionVectors " +
+          "(dvDelete/morUpsert/morApplyCdc/compact) instead")
+
   /** The partition column of a Hive-layout table, detected from the
     * directory shape itself (`<col>=<value>` subdirs) — the DML front
     * door's routing probe (round-12 verdict item 1: a statement tier
@@ -670,6 +711,7 @@ object TableStore {
     */
   def rewritePartitionsWhere(spark: SparkSession, path: String, partitionCol: String,
                              cond: Column, rewrite: DataFrame => DataFrame): Long = {
+    requireNoDeletionVector(spark, path, "rewritePartitionsWhere")
     val table = read(spark, path)
     val byPart = table.filter(cond)
       .groupBy(col(partitionCol)).agg(count(lit(1)).as("__n")).collect()
@@ -708,6 +750,7 @@ object TableStore {
     */
   def rewriteFilesWhere(spark: SparkSession, path: String, cond: Column,
                         rewrite: DataFrame => DataFrame): (Long, Int, Int) = {
+    requireNoDeletionVector(spark, path, "rewriteFilesWhere")
     val table = read(spark, path)
     val byFile = table.select(col("_metadata.file_path").as("__file"), cond.as("__hit"))
       .filter(col("__hit")).groupBy(col("__file")).agg(count(lit(1)).as("__n"))
@@ -829,6 +872,7 @@ object TableStore {
                    keys: Seq[String], matched: Seq[MergeWhenMatched],
                    notMatched: Option[MergeWhenNotMatched],
                    partitionCol: Option[String] = None): Unit = {
+    requireNoDeletionVector(spark, path, "mergeClauses")
     val table = read(spark, path)
     val cols = table.columns.toSeq
     require(source.columns.toSet == cols.toSet,
@@ -964,6 +1008,7 @@ object TableStore {
     */
   def insertIntoPartitioned(spark: SparkSession, path: String, rows: DataFrame,
                             partitionCol: String): Unit = {
+    requireNoDeletionVector(spark, path, "insertIntoPartitioned")
     val table = read(spark, path)
     require(rows.schema.fields.map(f => (f.name, f.dataType)).toSet ==
       table.schema.fields.map(f => (f.name, f.dataType)).toSet,

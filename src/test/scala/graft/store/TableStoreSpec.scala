@@ -332,6 +332,44 @@ class TableStoreSpec extends SparkSuite {
     assert(TableStore.read(spark, dir).count() == 200)
   }
 
+  test("rewrite engines refuse merge-on-read tables (masks reference row positions)") {
+    val dir = java.nio.file.Files.createTempDirectory("rwguard").toString + "/t"
+    TableStore.atomicWrite(spark, base, dir)
+    graft.operators.DeletionVectors.dvDelete(spark, dir,
+      Seq(2L).toDF("id"), "id")
+    val e1 = intercept[IllegalArgumentException](
+      TableStore.rewriteFilesWhere(spark, dir, col("id") === 1, _.filter(lit(false))))
+    assert(e1.getMessage.contains("deletion-vector"))
+    val e2 = intercept[IllegalArgumentException](
+      TableStore.rewritePartitionsWhere(spark, dir, "status",
+        col("id") === 1, _.filter(lit(false))))
+    assert(e2.getMessage.contains("deletion-vector"))
+    intercept[IllegalArgumentException](
+      TableStore.insertIntoPartitioned(spark, dir, base, "status"))
+    intercept[IllegalArgumentException](
+      TableStore.mergeClauses(spark, dir, base, Seq("id"),
+        Seq(MergeWhenMatched(None, MergeMatchedAction.Update(None))), None))
+    // the masked row stayed masked, nothing was rewritten
+    assert(graft.operators.DeletionVectors.dvRead(spark, dir).count() == 2)
+  }
+
+  test("vacuumInnerStaging sweeps only OLD hidden staging dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("innervac").toString + "/t"
+    TableStore.atomicWrite(spark, base, dir)
+    val nBefore = TableStore.read(spark, dir).count()
+    val old1 = new java.io.File(dir, "__insert_dead")
+    val old2 = new java.io.File(dir, "__append_dead")
+    val old3 = new java.io.File(dir, "__compact_dead")
+    val fresh = new java.io.File(dir, "__insert_live")
+    Seq(old1, old2, old3, fresh).foreach(_.mkdirs())
+    Seq(old1, old2, old3).foreach(_.setLastModified(
+      System.currentTimeMillis() - 7200000))
+    val swept = TableStore.vacuumInnerStaging(spark, dir, olderThanMs = 3600000)
+    assert(swept.size == 3 && !old1.exists && !old2.exists && !old3.exists)
+    assert(fresh.exists, "a fresh staging dir may belong to a live writer")
+    assert(TableStore.read(spark, dir).count() == nBefore, "data untouched")
+  }
+
   test("rewritePartitionsWhere: untouched partitions never rewritten; empty-table fallback keeps schema") {
     val dir = java.nio.file.Files.createTempDirectory("partpruned").toString + "/t"
     TableStore.atomicWritePartitioned(spark,
