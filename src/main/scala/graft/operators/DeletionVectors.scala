@@ -127,7 +127,7 @@ object DeletionVectors {
       files.toSeq.flatMap { case (f, runs) => expandRuns(runs).map(f -> _) }
   }
 
-  private def rel = DvDir + "/dv.tsv"
+  private def rel = graft.store.Sidecar.DvRel // single shared definition
 
   private[operators] def readVector(spark: SparkSession, path: String): Vector = {
     val lines = graft.store.Sidecar.read(spark, path, rel)
@@ -151,8 +151,12 @@ object DeletionVectors {
           val Array(s, n) = r.split("\\+")
           (s.toLong, n.toLong)
         }
-      case l if l.count(_ == '\t') == 1 && l.substring(l.indexOf('\t') + 1)
-          .matches("\\d+") =>
+      case l if l.count(_ == '\t') == 1 && l.take(l.indexOf('\t')).contains('/') &&
+          l.substring(l.indexOf('\t') + 1).matches("\\d+") =>
+        // legacy shape ONLY when the first field looks like a file path
+        // (qualified URIs always carry '/'): a garbled one-letter record
+        // like 'Z\t5' must stay typed corruption, not launder into a
+        // fabricated mask on a file named 'Z'
         val i = l.indexOf('\t')
         legacy += l.substring(0, i) -> l.substring(i + 1).toLong
       case l => throw new graft.store.Sidecar.SidecarCorruptionError(
@@ -423,11 +427,7 @@ object DeletionVectors {
     * base files exactly.
     */
   def morAppend(spark: SparkSession, path: String, rows: DataFrame): Unit = {
-    val base = spark.read.parquet(path)
-    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"INSERT schema must match the table exactly: batch has " +
-        s"${rows.schema.simpleString}, table has ${base.schema.simpleString} — cast explicitly")
+    graft.store.TableStore.requireExactSchema(rows, spark.read.parquet(path), "INSERT")
     appendDelta(spark, path, rows)
   }
 

@@ -88,8 +88,7 @@ object GraftSqlDml {
 
   /** Does `path` carry a deletion-vector sidecar (merge-on-read table)? */
   private[plans] def hasDeletionVector(spark: SparkSession, path: String): Boolean =
-    graft.store.Sidecar.read(spark, path,
-      graft.operators.DeletionVectors.DvDir + "/dv.tsv").isDefined
+    graft.store.Sidecar.read(spark, path, graft.store.Sidecar.DvRel).isDefined
 
   /** `col = lit`, `col IN (lits…)`, or an OR of those over ONE column —
     * the predicate shape whose DELETE is EXACTLY a key-set mask, so it
@@ -218,25 +217,37 @@ object GraftSqlDml {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Index of the first TOP-LEVEL, word-bounded, case-insensitive
-    * occurrence of keyword `kw` at or after `from`, -1 if none — shared
-    * with the MERGE clause splitter: a keyword inside a string literal,
-    * comment, or parenthesized subexpression never splits a statement.
+  /** A keyword scanner over ONE precomputed top-level mask — build it
+    * once per string and probe repeatedly (the MERGE clause splitter
+    * probes per WHEN clause; recomputing the O(n) mask per probe would
+    * make clause parsing quadratic in statement length). A keyword
+    * inside a string literal, comment, or parenthesized subexpression
+    * never matches.
     */
-  private[plans] def indexOfTopLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
-    val m = topLevelMask(s)
-    val upper = s.toUpperCase(java.util.Locale.ROOT)
-    def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
-    var i = math.max(0, from)
-    while (i < s.length) {
-      if (m(i) && upper.startsWith(kw, i) &&
-          (i == 0 || !wordChar(s.charAt(i - 1))) &&
-          (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
-        return i
-      i += 1
+  private[plans] final class KeywordScanner(s: String) {
+    private val m = topLevelMask(s)
+    private val upper = s.toUpperCase(java.util.Locale.ROOT)
+    private def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
+
+    /** First word-bounded, case-insensitive, top-level `kw` at or after
+      * `from`; -1 if none.
+      */
+    def indexOf(kw: String, from: Int = 0): Int = {
+      var i = math.max(0, from)
+      while (i < s.length) {
+        if (m(i) && upper.startsWith(kw, i) &&
+            (i == 0 || !wordChar(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
+          return i
+        i += 1
+      }
+      -1
     }
-    -1
   }
+
+  /** One-shot convenience over [[KeywordScanner]]. */
+  private[plans] def indexOfTopLevelKeyword(s: String, kw: String, from: Int = 0): Int =
+    new KeywordScanner(s).indexOf(kw, from)
 
   /** First top-level occurrence of `ch`, -1 if none. */
   private def indexOfTopLevel(s: String, ch: Char): Int = {

@@ -144,13 +144,14 @@ object GraftSqlMerge {
       : (Seq[MergeWhenMatched], Option[MergeWhenNotMatched]) = {
     val s = clauses.trim
     if (s.isEmpty) return (Nil, None) // default upsert shape
-    if (GraftSqlDml.indexOfTopLevelKeyword(s, "WHEN") != 0)
+    val scanner = new GraftSqlDml.KeywordScanner(s) // ONE mask for all probes
+    if (scanner.indexOf("WHEN") != 0)
       bad(s"expected WHEN clauses or end of statement, got: ${s.take(60)}")
     val starts = scala.collection.mutable.ArrayBuffer[Int]()
     var p = 0
     while (p >= 0) {
       starts += p
-      p = GraftSqlDml.indexOfTopLevelKeyword(s, "WHEN", p + 4)
+      p = scanner.indexOf("WHEN", p + 4)
     }
     val segs = starts.indices.map { k =>
       val to = if (k + 1 < starts.length) starts(k + 1) else s.length
@@ -277,10 +278,7 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
         s"${incoming.columns.sorted.toSeq}, table has ${base.columns.sorted.toSeq}")
     val aligned = incoming.select(base.columns.map(
       org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    require(aligned.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"MERGE source types must match the table exactly: source has " +
-        s"${aligned.schema.simpleString}, table has ${base.schema.simpleString} — cast explicitly")
+    graft.store.TableStore.requireExactSchema(aligned, base, "MERGE source")
     DeletionVectors.morUpsert(spark, path, aligned, keys.head)
     Seq(Row(DeletionVectors.liveRowCount(spark, path)))
   }

@@ -40,6 +40,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Sidecar {
 
+  /** The deletion-vector sidecar's path relative to the table root — ONE
+    * definition shared by the DV tier, the SQL front door's
+    * merge-on-read probe, and the store rewrite guards (a rename in one
+    * place must not silently disable a guard in another).
+    */
+  val DvRel = "_deletion_vectors/dv.tsv"
+
   /** A sidecar exists but cannot be trusted: truncated, header mismatch,
     * malformed line, or a crashed first write. Carries the path so the
     * operator knows exactly which file to inspect or re-derive.

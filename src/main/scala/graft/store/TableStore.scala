@@ -496,6 +496,44 @@ object TableStore {
     f.delete(new Path(tmp), true)
   }
 
+  /** Commit a staged partition rewrite — or, when the stage holds NO
+    * partition dirs and the drop plan covers EVERY remaining partition
+    * (an all-rows rewrite-to-nothing), replace the whole table with an
+    * empty schema-bearing FLAT table through the atomic backup-rename
+    * swap instead. Two failure modes of the naive path are closed here:
+    * a fileless table no parquet reader can infer a schema from, and
+    * the crash window a drop-then-write-empty sequence would have (no
+    * readable version between the last dir drop and the empty write —
+    * the flat swap has a complete version on disk at every instant; a
+    * crash BEFORE it leaves the stage discarded and the table
+    * untouched). `ledgerMarker` carries the exactly-once batch id into
+    * the empty fallback so a CDC apply that empties the table keeps its
+    * replay protection.
+    */
+  private def commitPartitionRewrite(spark: SparkSession, path: String, tmp: String,
+                                     partitionCol: String, parts: Seq[Any],
+                                     schema: org.apache.spark.sql.types.StructType,
+                                     ledgerBatch: Option[Long] = None): Unit = {
+    val f = fs(spark, new Path(path))
+    val stagedHasDirs = f.exists(new Path(tmp)) &&
+      f.listStatus(new Path(tmp)).exists(_.isDirectory)
+    if (!stagedHasDirs) {
+      val drops = parts.map(partitionDirName(partitionCol, _)).toSet
+      val remaining = f.listStatus(new Path(path)).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith(".") && n.contains('='))
+        .filterNot(drops.contains)
+      if (remaining.isEmpty) {
+        f.delete(new Path(tmp), true) // discard the empty stage
+        atomicWriteMarked(spark,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schema), path, ledgerBatch.map(b => (LastBatchFile, b.toString)))
+        return
+      }
+    }
+    swapPartitionDirs(spark, path, tmp, partitionCol, parts, ledgerBatch)
+  }
+
   /** Heal a partitioned table whose per-partition swap was interrupted:
     * a staging dir carrying the staged marker is a COMPLETE stage — roll
     * it forward (finish drops + renames). One WITHOUT the marker is left
@@ -639,8 +677,10 @@ object TableStore {
     val tmp = path + "__dtmp"
     keep.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
     // a partition whose rows were ALL victims produces no tmp dir — the
-    // swap helper drops it from the target (Hive-escaped dir rendering)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
+    // commit helper drops it from the target (Hive-escaped dir rendering)
+    // and falls back to an empty schema-bearing flat table when NOTHING
+    // would remain (a fileless dir wedges every reader)
+    commitPartitionRewrite(spark, path, tmp, partitionCol, parts.toSeq, table.schema)
     // deleted count = before − footer rows of the touched partition dirs
     // (metadata-only, the untouched partitions are never even listed into)
     val f = fs(spark, new Path(path))
@@ -659,7 +699,7 @@ object TableStore {
     * legitimate rewriter of a masked table.
     */
   private def requireNoDeletionVector(spark: SparkSession, path: String, op: String): Unit =
-    if (Sidecar.read(spark, path, "_deletion_vectors/dv.tsv").isDefined)
+    if (Sidecar.read(spark, path, Sidecar.DvRel).isDefined)
       throw new IllegalArgumentException(
         s"$op on $path: the table carries a deletion-vector sidecar " +
           "(merge-on-read) — a file rewrite would re-point row-position " +
@@ -722,17 +762,10 @@ object TableStore {
     val touched =
       if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
       else col(partitionCol).isin(nonNull: _*)
-    val schema = table.schema // captured before the swap for the empty case
     val tmp = path + "__dtmp"
     rewrite(table.filter(touched))
       .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts)
-    val f = fs(spark, new Path(path))
-    if (!f.listStatus(new Path(path)).exists(st => st.isDirectory &&
-        st.getPath.getName.contains('=')))
-      atomicWrite(spark,
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          schema), path)
+    commitPartitionRewrite(spark, path, tmp, partitionCol, parts, table.schema)
     nHit
   }
 
@@ -815,6 +848,7 @@ object TableStore {
   def mergeDeletePartitioned(spark: SparkSession, path: String, source: DataFrame,
                              keys: Seq[String], partitionCol: String,
                              insertNotMatched: Boolean): (Long, Long) = {
+    requireNoDeletionVector(spark, path, "mergeDeletePartitioned")
     val table = read(spark, path)
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val inserts =
@@ -840,7 +874,7 @@ object TableStore {
     val merged = inserts.fold(kept)(kept.unionByName(_))
     val tmp = path + "__ptmp"
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts)
+    commitPartitionRewrite(spark, path, tmp, partitionCol, parts, table.schema)
     (nDel, nIns)
   }
 
@@ -914,7 +948,7 @@ object TableStore {
           matched, notMatched)
         val tmp = path + "__ptmp"
         merged.write.partitionBy(pcol).mode("overwrite").parquet(tmp)
-        swapPartitionDirs(spark, path, tmp, pcol, parts)
+        commitPartitionRewrite(spark, path, tmp, pcol, parts, table.schema)
     }
   }
 
@@ -973,13 +1007,21 @@ object TableStore {
     * names, same types): appended files with drifted types would poison
     * the directory for every reader.
     */
+  /** Loud exact-schema contract shared by every append surface: appended
+    * files with drifted names or types would poison the directory for
+    * all readers. Nullability excluded (literal sources are non-null).
+    */
+  private[graft] def requireExactSchema(rows: DataFrame, table: DataFrame,
+                                        what: String): Unit =
+    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      table.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"$what schema must match the table exactly: batch has " +
+        s"${rows.schema.simpleString}, table has ${table.schema.simpleString} — cast explicitly")
+
   def appendRows(spark: SparkSession, path: String, rows: DataFrame,
                  singleFile: Boolean = true): Unit = {
     val table = read(spark, path)
-    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-      table.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"INSERT schema must match the table exactly: batch has " +
-        s"${rows.schema.simpleString}, table has ${table.schema.simpleString} — cast explicitly")
+    requireExactSchema(rows, table, "INSERT")
     val dst = new Path(path)
     val f = fs(spark, dst)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
@@ -1010,10 +1052,11 @@ object TableStore {
                             partitionCol: String): Unit = {
     requireNoDeletionVector(spark, path, "insertIntoPartitioned")
     val table = read(spark, path)
-    require(rows.schema.fields.map(f => (f.name, f.dataType)).toSet ==
-      table.schema.fields.map(f => (f.name, f.dataType)).toSet,
-      s"INSERT schema must match the table exactly: batch has " +
-        s"${rows.schema.simpleString}, table has ${table.schema.simpleString} — cast explicitly")
+    require(rows.columns.toSet == table.columns.toSet,
+      s"INSERT columns ${rows.columns.sorted.toSeq} do not match the table's " +
+        s"${table.columns.sorted.toSeq}")
+    requireExactSchema(rows.select(table.columns.map(col).toIndexedSeq: _*),
+      table, "INSERT")
     val parts = rows.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq
     if (parts.isEmpty) return
     val nonNull = parts.filter(_ != null)
@@ -1295,6 +1338,9 @@ object TableStore {
     val merged = mergePlan(affected.join(dels, keys, "left_anti"), ups, keys, None)
     val tmp = path + "__ctmp"
     merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq, ledgerBatch)
+    // an all-deletes feed emptying the table falls back to an empty flat
+    // table WITH the ledger marker, keeping replay protection intact
+    commitPartitionRewrite(spark, path, tmp, partitionCol, parts.toSeq,
+      table.schema, ledgerBatch)
   }
 }

@@ -471,5 +471,11 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(body.linesIterator.forall(l =>
       l.startsWith("B\t") || l.startsWith("X\t") || l.startsWith("F\t")))
     assert(DeletionVectors.dvRead(spark, t).count() == total - 3)
+    // a garbled one-letter record must NOT launder into a legacy mask on
+    // a file named 'Z' — the legacy shape requires a path-like field
+    graft.store.Sidecar.swap(spark, t, "_deletion_vectors/dv.tsv", "Z\t5\n")
+    val e = intercept[graft.store.Sidecar.SidecarCorruptionError](
+      DeletionVectors.readVector(spark, t))
+    assert(e.getMessage.contains("unknown record type"))
   }
 }

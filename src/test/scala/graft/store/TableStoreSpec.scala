@@ -332,6 +332,46 @@ class TableStoreSpec extends SparkSuite {
     assert(TableStore.read(spark, dir).count() == 200)
   }
 
+  test("emptying partitioned engines leave a readable schema-bearing table") {
+    import org.apache.spark.sql.functions.col
+    // mergeDeletePartitioned deleting EVERY row of EVERY partition
+    val d1 = java.nio.file.Files.createTempDirectory("emptymd").toString + "/t"
+    val part = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "g", "p")
+    TableStore.atomicWritePartitioned(spark, part, d1, "g")
+    val (nDel, nIns) = TableStore.mergeDeletePartitioned(spark, d1,
+      Seq(1L, 2L).toDF("id"), Seq("id"), "g", insertNotMatched = false)
+    assert(nDel == 2L && nIns == 0L)
+    val t1 = TableStore.read(spark, d1)
+    assert(t1.count() == 0 && t1.columns.toSet == Set("id", "g", "p"),
+      "an emptied table must stay readable with its schema")
+    // conditional clause engine deleting everything
+    val d2 = java.nio.file.Files.createTempDirectory("emptymc").toString + "/t"
+    TableStore.atomicWritePartitioned(spark, part, d2, "g")
+    TableStore.mergeClauses(spark, d2, part, Seq("id"),
+      Seq(MergeWhenMatched(None, MergeMatchedAction.Delete)), None, Some("g"))
+    val t2 = TableStore.read(spark, d2)
+    assert(t2.count() == 0 && t2.columns.toSet == Set("id", "g", "p"))
+    // an all-deletes CDC feed: emptied, ledger marker PRESERVED
+    val d3 = java.nio.file.Files.createTempDirectory("emptycdc").toString + "/t"
+    TableStore.atomicWritePartitioned(spark, part, d3, "g")
+    val feed = Seq(("D", 1L, "a", 0.0), ("D", 2L, "b", 0.0))
+      .toDF("op", "id", "g", "p")
+    assert(TableStore.applyCdcPartitionedExactlyOnce(spark, d3, feed,
+      Seq("id"), "g", batchId = 9))
+    val t3 = TableStore.read(spark, d3)
+    assert(t3.count() == 0 && t3.columns.toSet == Set("id", "g", "p"))
+    assert(TableStore.lastAppliedBatch(spark, d3) == 9L,
+      "replay protection must survive the empty fallback")
+    assert(!TableStore.applyCdcPartitionedExactlyOnce(spark, d3, feed,
+      Seq("id"), "g", batchId = 9), "the replayed batch must be skipped")
+    // deleteRowsPartitioned emptying everything
+    val d4 = java.nio.file.Files.createTempDirectory("emptydrp").toString + "/t"
+    TableStore.atomicWritePartitioned(spark, part, d4, "g")
+    assert(TableStore.deleteRowsPartitioned(spark, d4,
+      Seq(1L, 2L).toDF("id"), Seq("id"), "g") == 2L)
+    assert(TableStore.read(spark, d4).count() == 0)
+  }
+
   test("rewrite engines refuse merge-on-read tables (masks reference row positions)") {
     val dir = java.nio.file.Files.createTempDirectory("rwguard").toString + "/t"
     TableStore.atomicWrite(spark, base, dir)
