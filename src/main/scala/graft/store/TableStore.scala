@@ -773,9 +773,10 @@ object TableStore {
     * without needing a manifest (round-12 verdict item 1b): ONE scan
     * discovers which part files hold a predicate-TRUE row (reading only
     * the predicate's columns, thanks to parquet projection); untouched
-    * files are carried into the staged directory byte-for-byte (no
-    * decode, no shuffle — on an object store this is a server-side copy
-    * or manifest pointer); only victim files are decoded, passed through
+    * files are carried into the staged directory WITHOUT decoding — a
+    * hard link (O(1) metadata) on local filesystems, byte copy as the
+    * fallback, a server-side copy or manifest pointer on an object
+    * store; only victim files are decoded, passed through
     * `rewrite`, and re-encoded. The stage commits through the same
     * crash-safe backup-rename swap as [[atomicWrite]]. When every file
     * is a victim it degenerates to the plain full rewrite. Returns
@@ -822,10 +823,24 @@ object TableStore {
         throw new java.io.IOException(s"pruned-rewrite move failed for $out")
     }
     f.delete(rw, true)
-    // untouched files: straight byte copy into the stage, same basename
+    // untouched files: carried into the stage with the same basename —
+    // HARD LINK on a local filesystem (O(1) metadata per file; part files
+    // are immutable so sharing the inode is safe, and deleting the backup
+    // dir after the swap just drops a link), byte copy as the fallback
+    // (and the only option on filesystems without links; an object store
+    // caller would do a server-side copy / manifest pointer here)
     kept.foreach { src =>
-      org.apache.hadoop.fs.FileUtil.copy(f, src, f, new Path(tmp, src.getName),
-        false, spark.sparkContext.hadoopConfiguration)
+      val linked = (src.toUri.getScheme == null || src.toUri.getScheme == "file") && {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(tmp.toUri.getPath, src.getName),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch { case _: Exception => false } // cross-device, perms, exists…
+      }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(f, src, f, new Path(tmp, src.getName),
+          false, spark.sparkContext.hadoopConfiguration)
     }
     commitStagedFlatTmp(spark, path)
     (nHit, kept.size, moved.length)
