@@ -298,7 +298,7 @@ class TableStoreSpec extends SparkSuite {
     assert(TableStore.rowCountFromFooters(spark, flat) == 2L)
   }
 
-  test("rewriteFilesWhere: victim files rewritten, clean files byte-copied, full fallback") {
+  test("rewriteFilesWhere: victim files rewritten, clean files hard-linked, full fallback") {
     val dir = java.nio.file.Files.createTempDirectory("filepruned").toString + "/t"
     // cluster g per file so the predicate's victims live in few files
     val df = spark.range(0, 400).toDF("id")
@@ -307,7 +307,10 @@ class TableStoreSpec extends SparkSuite {
     TableStore.atomicWrite(spark, df, dir)
     val before = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length()).toMap
+    val beforeMtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
     assert(before.size >= 2, "fixture needs multiple part files")
+    Thread.sleep(1100) // mtime resolution guard for the hardlink assertion
     val (hits, kept, rewritten) = TableStore.rewriteFilesWhere(spark, dir,
       col("g") === 1, _.filter(col("g") =!= 1))
     // range-clustered fixture: the victim file held ONLY g=1 rows, so its
@@ -319,6 +322,13 @@ class TableStoreSpec extends SparkSuite {
     assert(keptNames.subsetOf(before.keySet) && keptNames.size == kept,
       "clean files keep their basenames")
     keptNames.foreach(nm => assert(after(nm) == before(nm), s"$nm byte length drifted"))
+    // kept files are HARD LINKS on a local fs (O(1) metadata, no byte
+    // copy): a link shares the source inode, so the mtime is preserved;
+    // a fallback byte copy would stamp a fresh one
+    val afterMtimes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    keptNames.foreach(nm => assert(afterMtimes(nm) == beforeMtimes(nm),
+      s"$nm was byte-copied, not linked"))
     assert(TableStore.read(spark, dir).filter(col("g") === 1).count() == 0)
     assert(TableStore.read(spark, dir).count() == 300)
     // no victim at all: zero-cost no-op
