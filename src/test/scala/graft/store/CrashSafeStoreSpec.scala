@@ -341,4 +341,31 @@ class CrashSafeStoreSpec extends SparkSuite {
         s"iteration $i")
     }
   }
+
+  for (step <- Seq("staged", "backedUp", "committed")) {
+    test(s"table-emptying partitioned merge crash at '$step': readable at every instant") {
+      // the all-rows-deleted case routes through the FLAT atomic swap (an
+      // empty schema-bearing table) precisely so a crash anywhere leaves a
+      // complete version — the old drop-then-write-empty sequence had a
+      // window with NO readable table (round-13 review finding)
+      val dir = java.nio.file.Files.createTempDirectory(s"crash_empty_$step").toString
+      val path = s"$dir/t"
+      val part = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "g", "p")
+      TableStore.atomicWritePartitioned(spark, part, path, "g")
+      crashAt(step)(TableStore.mergeDeletePartitioned(spark, path,
+        Seq(1L, 2L).toDF("id"), Seq("id"), "g", insertNotMatched = false))
+      // read() self-heals; the table is EITHER the full pre-statement
+      // version or the committed empty one — never unreadable
+      val t = TableStore.read(spark, path)
+      val n = t.count()
+      assert(n == 2L || n == 0L, s"after crash at $step: $n rows")
+      assert(t.columns.toSet == Set("id", "g", "p"), "schema survives every outcome")
+      if (step == "staged") assert(n == 2L, "pre-commit crash leaves the statement unapplied")
+      if (step == "committed") assert(n == 0L)
+      // the retried statement converges to the empty table
+      TableStore.mergeDeletePartitioned(spark, path,
+        Seq(1L, 2L).toDF("id"), Seq("id"), "g", insertNotMatched = false)
+      assert(TableStore.read(spark, path).count() == 0L)
+    }
+  }
 }
