@@ -78,6 +78,23 @@ object DeletionVectors {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The rendering every vector key uses — `_metadata.file_path`'s exact
+    * form (URL-encoded, null authority; see
+    * [[graft.store.TableStore.metadataFilePath]]). ALL filesystem-derived
+    * names must be GENERATED in this form: a decoded `Path.toString`
+    * against an encoded vector key silently misses on any table path
+    * carrying a space/%/+ (liveRowCount would ignore masks; compact's
+    * visibility switch would hide nothing), and cmpQ keys written into
+    * the vector must round-trip against in-plan `__file` compares.
+    */
+  private def uriName(f: org.apache.hadoop.fs.FileSystem, p: Path): String =
+    graft.store.TableStore.metadataFilePath(f, p)
+
+  /** Vector-key string (URI form) → filesystem Path (decoded), for
+    * exists/delete/read of a file named by a mask.
+    */
+  private def pathOf(s: String): Path = new Path(java.net.URI.create(s))
+
   /** Collect `df` only if its size is within `maxDriverRows` — checked
     * with a COUNT before the collect, so the oversized case never
     * materializes a single row on the driver. Two fully PARALLEL jobs on
@@ -246,7 +263,7 @@ object DeletionVectors {
     f.listStatus(p)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map { st =>
-        val name = f.makeQualified(st.getPath).toString
+        val name = uriName(f, st.getPath)
         if (v.excluded.contains(name)) 0L
         else {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -506,7 +523,7 @@ object DeletionVectors {
     val statuses = f.listStatus(p).map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
     val appendedPaths = statuses.filter(_.getName.startsWith("mor-"))
-      .map(q => f.makeQualified(q).toString).toSeq
+      .map(q => f.makeQualified(q).toString).toSeq // plain paths; compact re-renders
     val dirty = readVector(spark, path).files.size
     val appendedDue = appendedPaths.size > policy.maxAppendedFiles
     val due = appendedDue ||
@@ -562,20 +579,20 @@ object DeletionVectors {
     val f = fs(spark, dst)
     // crash leftovers from a prior compact: excluded files hold NO live
     // rows (that is what exclusion means), so sweeping them needs no scan
-    val deadExisting = v0.excluded.filter(e => f.exists(new Path(e))).toSeq.sorted
+    val deadExisting = v0.excluded.filter(e => f.exists(pathOf(e))).toSeq.sorted
     val dirty = ((v0.files.keySet -- v0.excluded) ++
-      (alsoRewrite.map(a => f.makeQualified(new Path(a)).toString).toSet -- v0.excluded))
+      (alsoRewrite.map(a => uriName(f, new Path(a))).toSet -- v0.excluded))
       .toSeq.sorted
     if (dirty.isEmpty) {
       if (v0.excluded.nonEmpty) {
         graft.store.WriterLease.fence(spark, path)
-        deadExisting.foreach(d => f.delete(new Path(d), false))
+        deadExisting.foreach(d => f.delete(pathOf(d), false))
         writeVector(spark, path, v0.copy(files = Map.empty, excluded = Set.empty))
       }
       return (0, countDataFiles(spark, path))
     }
     val survivors = maskRuns(spark,
-      spark.read.parquet(dirty: _*)
+      spark.read.parquet(dirty.map(d => pathOf(d).toString): _*)
         .withColumn("__file", col("_metadata.file_path")), v0)
       .drop("__file")
     val nonce = java.lang.Long.toHexString(System.nanoTime())
@@ -587,7 +604,7 @@ object DeletionVectors {
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => st.getPath -> new Path(dst, s"cmp-$nonce-${st.getPath.getName}"))
-    val cmpQ = staged.map(s => f.makeQualified(s._2).toString).toSet
+    val cmpQ = staged.map(s => uriName(f, s._2)).toSet
     // swap #1: pre-exclude the incoming names (read no-op — files not there yet)
     writeVector(spark, path, v0.copy(excluded = v0.excluded ++ cmpQ))
     staged.foreach { case (src, out) =>
@@ -597,12 +614,12 @@ object DeletionVectors {
     f.delete(tmp, true)
     // swap #2 — the flip: unhide cmp, fully hide dirty, drop the row masks;
     // every read before/during/after sees exactly one copy of each live row
-    val dirtyQ = dirty.map(d => f.makeQualified(new Path(d)).toString).toSet
+    val dirtyQ = dirty.toSet // already in vector-key (URI) form
     writeVector(spark, path,
       v0.copy(files = Map.empty, excluded = (v0.excluded -- cmpQ) ++ dirtyQ))
     // housekeeping fence before dropping originals (the vacuum rationale)
     graft.store.WriterLease.fence(spark, path)
-    (dirty ++ deadExisting).distinct.foreach(d => f.delete(new Path(d), false))
+    (dirty ++ deadExisting).distinct.foreach(d => f.delete(pathOf(d), false))
     // swap #3: drop exclusions that now reference deleted files
     writeVector(spark, path, v0.copy(files = Map.empty, excluded = Set.empty))
     (staged.length, countDataFiles(spark, path) - staged.length)

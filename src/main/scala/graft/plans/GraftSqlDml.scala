@@ -41,7 +41,7 @@ object GraftSqlDml {
   private val UpdateHead =
     """(?is)\s*UPDATE\s+graft_store\s*\.\s*`([^`]+)`\s+SET\s+(.*)""".r
   private val InsertHead =
-    """(?is)\s*INSERT\s+INTO\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
+    """(?is)\s*INSERT\s+INTO\s+(?:TABLE\s+)?graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
   private val WhereTail = """(?is)\s*WHERE\s+(.*)""".r
 
   private def bad(msg: String): Nothing =
@@ -187,11 +187,13 @@ object GraftSqlDml {
     */
   private def splitWhere(rest: String): (String, Option[String]) = {
     val m = topLevelMask(rest)
-    val upper = rest.toUpperCase(java.util.Locale.ROOT)
     def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
     var i = 0
     while (i < rest.length) {
-      if (m(i) && upper.startsWith("WHERE", i) &&
+      // regionMatches(ignoreCase) folds per CHARACTER, so a length-changing
+      // uppercase mapping inside a string literal ('ß' -> "SS", ligatures)
+      // cannot shift offsets the way a pre-uppercased copy did
+      if (m(i) && rest.regionMatches(true, i, "WHERE", 0, 5) &&
           (i == 0 || !wordChar(rest.charAt(i - 1))) &&
           (i + 5 >= rest.length || !wordChar(rest.charAt(i + 5)))) {
         val c2 = rest.substring(i + 5).trim
@@ -226,16 +228,18 @@ object GraftSqlDml {
     */
   private[plans] final class KeywordScanner(s: String) {
     private val m = topLevelMask(s)
-    private val upper = s.toUpperCase(java.util.Locale.ROOT)
     private def wordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
     /** First word-bounded, case-insensitive, top-level `kw` at or after
-      * `from`; -1 if none.
+      * `from`; -1 if none. Case folding is per CHARACTER (`regionMatches`)
+      * — a pre-uppercased copy would shift every offset after a
+      * length-changing mapping ('ß' -> "SS") and mis-split WHEN/THEN
+      * clauses following such a string literal (round-13 ADVICE).
       */
     def indexOf(kw: String, from: Int = 0): Int = {
       var i = math.max(0, from)
       while (i < s.length) {
-        if (m(i) && upper.startsWith(kw, i) &&
+        if (m(i) && s.regionMatches(true, i, kw, 0, kw.length) &&
             (i == 0 || !wordChar(s.charAt(i - 1))) &&
             (i + kw.length >= s.length || !wordChar(s.charAt(i + kw.length))))
           return i

@@ -223,7 +223,22 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.TableStore
-    val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
+    val raw = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
+    // align by NAME and cast to the table's exact types (ANSI mode keeps
+    // bad casts loud) — without this an int-literal source column against
+    // a bigint table column would coerce silently through the merge join
+    // and the swap would rewrite the table with a changed schema
+    val incoming =
+      if (!TableStore.exists(spark, path)) raw // bootstrap: source defines the schema
+      else {
+        val tblSchema = spark.read.parquet(path).schema
+        require(raw.columns.toSet == tblSchema.fieldNames.toSet,
+          s"MERGE source schema must match the table: source has " +
+            s"${raw.columns.sorted.toSeq}, table has ${tblSchema.fieldNames.sorted.toSeq}")
+        raw.select(tblSchema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name))
+          .toIndexedSeq: _*)
+      }
     if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark, incoming)
     val pcolOpt = TableStore.detectPartitionColumn(spark, path)
     (matched, notMatched) match {
@@ -292,7 +307,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     GraftSqlMerge.tryParse(sqlText, delegate)
       .orElse(GraftSqlDml.tryParse(sqlText, delegate))
       .getOrElse(GraftStoreRead.substitute(delegate.parsePlan(sqlText)))
-  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    // same substitution as parsePlan: a graft_store relation inside a plan
+    // parsed through parseQuery (view bodies, nested-query paths) must get
+    // store read semantics too, not a catalog fallback without DV masking
+    GraftStoreRead.substitute(delegate.parseQuery(sqlText))
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) = delegate.parseTableIdentifier(sqlText)
   override def parseFunctionIdentifier(sqlText: String) = delegate.parseFunctionIdentifier(sqlText)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UnresolvedWith, UpdateTable}
 
 /** The SQL READ surface of the store (round-12 verdict item 2): a
   * `graft_store.\`/path\`` relation anywhere inside a parsed statement
@@ -43,6 +43,7 @@ object GraftStoreRead {
     */
   def substitute(plan: LogicalPlan): LogicalPlan = {
     lazy val spark = SparkSession.active
+    requireNoWriteTarget(plan)
     def walk(p: LogicalPlan): LogicalPlan = p.transformUpWithSubqueries {
       case w: UnresolvedWith =>
         w.copy(cteRelations = w.cteRelations.map { case (name, s, maxDepth) =>
@@ -58,6 +59,37 @@ object GraftStoreRead {
   private def isGraftStore(r: UnresolvedRelation): Boolean =
     r.multipartIdentifier.length == 2 &&
       r.multipartIdentifier.head.equalsIgnoreCase("graft_store")
+
+  /** A graft_store relation in WRITE position that the DML front door did
+    * not intercept (`INSERT OVERWRITE`, Spark-syntax `UPDATE`/`DELETE`/
+    * `MERGE` variants the graft regexes don't match) must REFUSE, not
+    * substitute: the substituted target resolves to a writable parquet
+    * LogicalRelation and Spark's own insert command would write the
+    * directory directly — bypassing the crash-safe commit protocol, the
+    * merge-on-read refusal, and leaving a stale DV sidecar/ledger over
+    * clobbered files (round-13 ADVICE, medium).
+    */
+  private def requireNoWriteTarget(plan: LogicalPlan): Unit = plan.foreach {
+    case n: InsertIntoStatement => refuseWrite(n.table, "INSERT")
+    case n: UpdateTable => refuseWrite(n.table, "UPDATE")
+    case n: DeleteFromTable => refuseWrite(n.table, "DELETE")
+    case n: MergeIntoTable => refuseWrite(n.targetTable, "MERGE")
+    case _ => ()
+  }
+
+  private def refuseWrite(target: LogicalPlan, what: String): Unit = target.foreach {
+    case r: UnresolvedRelation if isGraftStore(r) =>
+      throw new IllegalArgumentException(
+        s"graft_store: this $what statement targets graft_store." +
+          s"`${r.multipartIdentifier(1)}` but did not match the graft DML " +
+          "surface — executing it through Spark's own write path would " +
+          "bypass the store's crash-safe commit protocol and merge-on-read " +
+          "guards; use the supported forms: INSERT INTO graft_store.`p` " +
+          "SELECT …|VALUES …, DELETE FROM graft_store.`p` [WHERE …], " +
+          "UPDATE graft_store.`p` SET … [WHERE …], MERGE INTO " +
+          "graft_store.`p` USING … ON KEYS (…)")
+    case _ => ()
+  }
 
   /** The store-semantics read as a logical plan: recover-on-read always;
     * deletion-vector masking when the sidecar exists.

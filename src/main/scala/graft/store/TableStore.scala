@@ -141,6 +141,28 @@ object TableStore {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Render a filesystem path EXACTLY as Spark's `_metadata.file_path`
+    * column renders it: the qualified Path's URI form — URL-encoded, with
+    * a NULL (not empty) authority on local paths, i.e. `file:/tmp/a%20b`,
+    * not `file:///tmp/a%20b` and not the decoded `file:/tmp/a b`. Every
+    * compare between a scan-derived file name and a listStatus-derived one
+    * must go through this: decoded-vs-encoded or empty-vs-null-authority
+    * drift matches NOTHING on a table path carrying a space/%/+, which
+    * turned the file-pruned rewrite into keep-AND-rewrite (resurrected
+    * deletes, duplicated updates — round-13 ADVICE, medium; rendering
+    * pinned empirically by AdviceR13Spec).
+    */
+  private[graft] def metadataFilePath(f: org.apache.hadoop.fs.FileSystem,
+                                      p: Path): String = {
+    val u = f.makeQualified(p).toUri
+    // REBUILD from components: a qualified local URI prints `file:///tmp`
+    // (empty authority — which java.net.URI parses back as null, so it
+    // cannot be probed via getAuthority); reconstructing with that null
+    // authority renders the single-slash `file:/tmp` form Spark emits,
+    // while a real authority (hdfs://nn:8020) survives untouched
+    new java.net.URI(u.getScheme, u.getAuthority, u.getPath, null, null).toString
+  }
+
   /** Test seam for crash-safety specs: invoked between the swap protocol's
     * steps with a step label (`staged`, `backedUp`, `committed`); a spec
     * throws from here to simulate a JVM death at that exact point, then
@@ -791,13 +813,21 @@ object TableStore {
       .collect()
     if (byFile.isEmpty) return (0L, countTableFiles(spark, path), 0)
     val nHit = byFile.map(_.getLong(1)).sum
-    val victims = byFile.map(_.getString(0)).toSet
+    val victimUris = byFile.map(_.getString(0)).toSet
     val target = new Path(path)
     val f = fs(spark, target)
     val all = f.listStatus(target)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => f.makeQualified(st.getPath)).toSeq
-    val kept = all.filterNot(p => victims.contains(p.toString))
+    // compare in `_metadata.file_path`'s own rendering ([[metadataFilePath]])
+    // — a decoded-vs-encoded compare on a table path with a space/%/+
+    // matches nothing, so every victim file would be both hard-link-kept
+    // AND rewritten (DELETE silently resurrects, UPDATE silently duplicates)
+    val (victimPaths, kept) = all.partition(p => victimUris.contains(metadataFilePath(f, p)))
+    require(victimPaths.size == victimUris.size,
+      s"pruned rewrite on $path: discovery found ${victimUris.size} victim files " +
+        s"but only ${victimPaths.size} matched the directory listing — " +
+        "path-rendering drift between the scan and the filesystem")
     if (kept.isEmpty) { // nothing to prune: plain full rewrite
       atomicWrite(spark, rewrite(table), path)
       return (nHit, 0, countTableFiles(spark, path))
@@ -806,7 +836,7 @@ object TableStore {
     if (f.exists(tmp)) f.delete(tmp, true)
     // victim rewrite first (the only Spark job), staged under tmp/__rw
     val rw = new Path(tmp, "__rw")
-    rewrite(spark.read.parquet(victims.toSeq.sorted: _*))
+    rewrite(spark.read.parquet(victimPaths.map(_.toString).sorted: _*))
       .write.mode("overwrite").parquet(rw.toString)
     // skip zero-row part files (empty shuffle partitions): they would never
     // match any future victim discovery and accumulate forever
@@ -928,6 +958,11 @@ object TableStore {
       s"schema mismatch: source has ${source.columns.sorted.toSeq}, " +
         s"table has ${cols.sorted}")
     val src = source.select(cols.map(col): _*) // align field order
+    // same loud contract as every append surface: a type-drifted source
+    // (int vs bigint) would otherwise coerce silently through the join
+    // plan and the swap would rewrite the whole table with a changed
+    // schema (round-13 ADVICE; the SQL tier casts to table types first)
+    requireExactSchema(src, table, "MERGE source")
     val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).collect()
     if (dup.nonEmpty)
