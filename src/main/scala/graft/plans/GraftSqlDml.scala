@@ -285,16 +285,16 @@ final case class DeleteFromGraftStore(path: String, whereSql: Option[String])
     import graft.store.TableStore
     if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark)
     val hit = whereSql.map(w => coalesce(expr(w), lit(false)))
-    TableStore.detectPartitionColumn(spark, path) match {
+    TableStore.detectPartitionColumns(spark, path) match {
       case _ if hit.isEmpty =>
         // unconditional DELETE: empty the table, keep the schema (an
         // empty table's layout is vacuous; a partition column survives
         // as a data column)
         TableStore.atomicWrite(spark, TableStore.read(spark, path).limit(0), path)
-      case Some(pcol) =>
-        TableStore.rewritePartitionsWhere(spark, path, pcol, hit.get,
+      case pcols if pcols.nonEmpty =>
+        TableStore.rewritePartitionsWhere(spark, path, pcols, hit.get,
           _.filter(!hit.get))
-      case None =>
+      case _ =>
         TableStore.rewriteFilesWhere(spark, path, hit.get, _.filter(!hit.get))
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
@@ -356,7 +356,7 @@ final case class UpdateGraftStore(path: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlDml.requireNoDeletionVector(spark, path)
-    val pcolOpt = graft.store.TableStore.detectPartitionColumn(spark, path)
+    val pcols = graft.store.TableStore.detectPartitionColumns(spark, path)
     val table = graft.store.TableStore.read(spark, path)
     // identifier resolution follows the session's analyzer semantics:
     // case-insensitive unless spark.sql.caseSensitive — SET V = 1 must
@@ -391,12 +391,15 @@ final case class UpdateGraftStore(path: String,
         }
       }.toIndexedSeq: _*)
     import graft.store.TableStore
-    pcolOpt match {
-      case Some(pcol) if targets.keys.exists(_.equalsIgnoreCase(pcol)) =>
-        TableStore.atomicWritePartitioned(spark, project(table), path, pcol)
-      case Some(pcol) =>
-        TableStore.rewritePartitionsWhere(spark, path, pcol, cond, project)
-      case None =>
+    pcols match {
+      case ps if ps.nonEmpty && targets.keys.exists(t => ps.exists(_.equalsIgnoreCase(t))) =>
+        // an assignment to any partition column can move rows across
+        // partitions — full rewrite through the partitioned writer,
+        // layout preserved at every level
+        TableStore.atomicWritePartitioned(spark, project(table), path, ps)
+      case ps if ps.nonEmpty =>
+        TableStore.rewritePartitionsWhere(spark, path, ps, cond, project)
+      case _ =>
         TableStore.rewriteFilesWhere(spark, path, cond, project)
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
@@ -457,9 +460,9 @@ final case class InsertIntoGraftStore(path: String, source: LogicalPlan)
       graft.operators.DeletionVectors.morAppend(spark, path, aligned)
       Seq(Row(graft.operators.DeletionVectors.liveRowCount(spark, path)))
     } else {
-      TableStore.detectPartitionColumn(spark, path) match {
-        case Some(pcol) => TableStore.insertIntoPartitioned(spark, path, aligned, pcol)
-        case None => TableStore.appendRows(spark, path, aligned)
+      TableStore.detectPartitionColumns(spark, path) match {
+        case pcs if pcs.nonEmpty => TableStore.insertIntoPartitioned(spark, path, aligned, pcs)
+        case _ => TableStore.appendRows(spark, path, aligned)
       }
       Seq(Row(TableStore.rowCountFromFooters(spark, path)))
     }

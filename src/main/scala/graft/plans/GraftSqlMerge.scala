@@ -240,30 +240,24 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
           .toIndexedSeq: _*)
       }
     if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark, incoming)
-    val pcolOpt = TableStore.detectPartitionColumn(spark, path)
+    val pcols = TableStore.detectPartitionColumns(spark, path)
     (matched, notMatched) match {
       case (Seq(), None) => // documented default: ON CONFLICT DO UPDATE SET *
-        pcolOpt match {
-          case Some(pc) => TableStore.upsertPartitioned(spark, path, incoming, keys, pc)
-          case None => TableStore.upsert(spark, path, incoming, keys)
-        }
+        if (pcols.nonEmpty)
+          TableStore.upsertPartitioned(spark, path, incoming, keys, pcols, None)
+        else TableStore.upsert(spark, path, incoming, keys)
       case (Seq(MergeWhenMatched(None, MergeMatchedAction.Update(cols))),
             Some(MergeWhenNotMatched(None))) =>
-        pcolOpt match {
-          case Some(pc) =>
-            TableStore.upsertPartitioned(spark, path, incoming, keys, pc, cols)
-          case None => TableStore.upsert(spark, path, incoming, keys, cols)
-        }
+        if (pcols.nonEmpty)
+          TableStore.upsertPartitioned(spark, path, incoming, keys, pcols, cols)
+        else TableStore.upsert(spark, path, incoming, keys, cols)
       case (Seq(MergeWhenMatched(None, MergeMatchedAction.Delete)), nm)
           if nm.forall(_.condSql.isEmpty) =>
-        pcolOpt match {
-          case Some(pc) =>
-            TableStore.mergeDeletePartitioned(spark, path, incoming, keys, pc, nm.isDefined)
-          case None =>
-            TableStore.mergeDelete(spark, path, incoming, keys, nm.isDefined)
-        }
+        if (pcols.nonEmpty)
+          TableStore.mergeDeletePartitioned(spark, path, incoming, keys, pcols, nm.isDefined)
+        else TableStore.mergeDelete(spark, path, incoming, keys, nm.isDefined)
       case _ =>
-        TableStore.mergeClauses(spark, path, incoming, keys, matched, notMatched, pcolOpt)
+        TableStore.mergeClauses(spark, path, incoming, keys, matched, notMatched, pcols)
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
   }

@@ -1784,7 +1784,156 @@ object MergeOps {
       |FROM orders WHERE o_orderkey % 13 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** (path, mtime, length) of every data file in the two-level layout's
+    * leaf dirs selected by `keep(priority, status)` — the untouched-subtree
+    * instrument of q264/q265: a leaf whose files change (or whose listing
+    * gains/loses files) was rewritten.
+    */
+  private def twoLevelListing(tbl: String)(keep: (String, String) => Boolean)
+      : Seq[(String, Long, Long)] =
+    new java.io.File(tbl).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("o_orderpriority="))
+      .flatMap(p => p.listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("o_orderstatus="))
+        .filter(s => keep(p.getName, s.getName))
+        .flatMap(_.listFiles().map(f => (f.getPath, f.lastModified(), f.length()))))
+      .sortBy(_._1).toSeq
+
+  /** q264: SQL DELETE against a TWO-LEVEL (priority, status) partitioned
+    * store — the canonical (source, day) lakehouse layout the store
+    * refused until this round. The statement tier detects BOTH levels
+    * from the directory shape ([[TableStore.detectPartitionColumns]]),
+    * discovers victim LEAF dirs in one pruned scan, and swaps only those:
+    * require-asserted at LEAF precision — the sibling status leaves UNDER
+    * the victim priority keep their exact (path, mtime, length) listing,
+    * so pruning provably happens per (priority, status) leaf, not per
+    * top-level subtree. Layout survives at both levels. Output is the
+    * post-delete table vs the oracle's negated predicate.
+    */
+  def sqlDeleteTwoLevel(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlDel2L")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_2l").toString
+    TableStore.atomicWritePartitioned(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority", $"o_orderstatus"),
+      tbl, Seq("o_orderpriority", "o_orderstatus"))
+    require(TableStore.detectPartitionColumns(spark, tbl)
+      == Seq("o_orderpriority", "o_orderstatus"),
+      "fixture must detect the two-level layout")
+    // the ONLY victim leaf is (1-URGENT, O); every other leaf — including
+    // (1-URGENT, F/P), the same priority's sibling statuses — stays put
+    def untouched() = twoLevelListing(tbl)((p, s) =>
+      !(p.contains("1-URGENT") && s.contains("=O")))
+    val before = untouched()
+    require(before.nonEmpty, "fixture must have untouched leaves")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"DELETE FROM graft_store.`$tbl` WHERE o_custkey % 10 = 3 AND " +
+        "o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'")).head().getLong(0)
+    require(n > 0, "delete reported an empty table")
+    require(TableStore.detectPartitionColumns(spark, tbl)
+      == Seq("o_orderpriority", "o_orderstatus"),
+      "SQL DELETE must not flatten the two-level layout")
+    require(untouched() == before,
+      "a leaf outside (1-URGENT, O) was rewritten — pruning is not leaf-precise")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlDeleteTwoLevelSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, o_orderstatus
+      |FROM orders
+      |WHERE NOT (o_custkey % 10 = 3 AND o_orderpriority = '1-URGENT'
+      |           AND o_orderstatus = 'O')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q265: conditional SQL MERGE against the TWO-LEVEL layout — the
+    * clause engine's pruned arm generalized to leaf tuples: updates land
+    * only in '2-HIGH' leaves, inserts only in '4-NOT SPECIFIED' leaves,
+    * and every leaf under the three OTHER priorities is require-asserted
+    * byte-untouched (mtime+length listing). Clause semantics (first-TRUE
+    * wins, conditional insert gate) recomputed relationally by the
+    * oracle.
+    */
+  def sqlMergeTwoLevel(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlMerge2L")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_2l").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+      $"o_orderpriority", $"o_orderstatus")
+      .createOrReplaceTempView("v_sqlm2l_orders")
+    TableStore.atomicWritePartitioned(spark, spark.table("v_sqlm2l_orders"),
+      tbl, Seq("o_orderpriority", "o_orderstatus"))
+    def untouched() = twoLevelListing(tbl)((p, _) =>
+      !p.contains("2-HIGH") && !p.contains("4-NOT"))
+    val before = untouched()
+    require(before.nonEmpty, "fixture must have untouched leaves")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+         |         o_orderpriority, o_orderstatus
+         |  FROM v_sqlm2l_orders
+         |  WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH'
+         |  UNION ALL
+         |  SELECT o_orderkey + 50000000, o_custkey, o_totalprice,
+         |         o_orderpriority, o_orderstatus
+         |  FROM v_sqlm2l_orders
+         |  WHERE o_orderkey % 17 = 2 AND o_orderpriority = '4-NOT SPECIFIED'
+         |)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED AND s.o_custkey % 2 = 0 THEN UPDATE SET (o_totalprice)
+         |WHEN NOT MATCHED AND s.o_custkey % 3 = 1 THEN INSERT *""".stripMargin))
+      .head().getLong(0)
+    require(n > 0, "merge reported an empty table")
+    require(TableStore.detectPartitionColumns(spark, tbl)
+      == Seq("o_orderpriority", "o_orderstatus"),
+      "SQL MERGE must not flatten the two-level layout")
+    require(untouched() == before,
+      "a leaf outside the source's priorities was rewritten — pruning did not engage")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlMergeTwoLevelSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice,
+      |         o_orderpriority, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderpriority = '2-HIGH'
+      |  UNION ALL
+      |  SELECT o_orderkey + 50000000, o_custkey, o_totalprice,
+      |         o_orderpriority, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 17 = 2
+      |    AND o_orderpriority = '4-NOT SPECIFIED'),
+      |upd AS (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND s.o_custkey % 2 = 0
+      |         THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      |    t.o_orderpriority, t.o_orderstatus
+      |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey),
+      |ins AS (
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice,
+      |         s.o_orderpriority, s.o_orderstatus
+      |  FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL AND s.o_custkey % 3 = 1)
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, o_orderstatus
+      |FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, o_orderstatus
+      |FROM ins
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_sql_delete_two_level" -> sqlDeleteTwoLevel,
+    "q265_sql_merge_two_level" -> sqlMergeTwoLevel,
     "q262_sql_merge_mor" -> sqlMergeMor,
     "q263_sql_insert" -> sqlInsert,
     "q260_sql_select_mor" -> sqlSelectMor,
@@ -1824,6 +1973,8 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q264_sql_delete_two_level" -> sqlDeleteTwoLevelSql,
+    "q265_sql_merge_two_level" -> sqlMergeTwoLevelSql,
     "q262_sql_merge_mor" -> sqlMergeMorSql,
     "q263_sql_insert" -> sqlInsertSql,
     "q260_sql_select_mor" -> sqlSelectMorSql,

@@ -245,8 +245,9 @@ object TableStore {
     dirFooterRows(spark, f, p, recurse = true)
   }
 
-  /** Footer-declared rows under one directory; `recurse` descends one
-    * partition-dir level (`name=value`, never `_`-staging).
+  /** Footer-declared rows under one directory; `recurse` descends
+    * partition-dir levels (`name=value`, never `_`-staging) to ANY depth
+    * — multi-level (source, day) layouts count like single-level ones.
     */
   private[store] def dirFooterRows(spark: SparkSession,
                                    f: org.apache.hadoop.fs.FileSystem,
@@ -261,7 +262,7 @@ object TableStore {
         try r.getRecordCount finally r.close()
       } else if (recurse && st.isDirectory && !n.startsWith("_") &&
           !n.startsWith(".") && n.contains('=')) {
-        dirFooterRows(spark, f, st.getPath, recurse = false)
+        dirFooterRows(spark, f, st.getPath, recurse = true)
       } else 0L
     }.sum
   }
@@ -385,14 +386,22 @@ object TableStore {
     * the touched partition dirs).
     */
   def atomicWritePartitioned(spark: SparkSession, df: DataFrame, path: String,
-                             partitionCol: String): Unit = {
+                             partitionCol: String): Unit =
+    atomicWritePartitioned(spark, df, path, Seq(partitionCol))
+
+  /** Multi-level layout: `partitionCols` outermost first — the canonical
+    * (source, day) lakehouse shape.
+    */
+  def atomicWritePartitioned(spark: SparkSession, df: DataFrame, path: String,
+                             partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "atomicWritePartitioned needs partition columns")
     recover(spark, path)
     val target = new Path(path)
     val tmp = new Path(path + "__tmp")
     val old = new Path(path + "__old")
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
-    df.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp.toString)
+    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
     crashHook("staged")
     WriterLease.fence(spark, path)
     if (f.exists(target)) {
@@ -422,6 +431,56 @@ object TableStore {
     s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$rendered"
   }
 
+  /** The RELATIVE leaf directory of one partition value tuple in a
+    * (possibly multi-level) Hive layout — `src=a/day=2021-01-01` for
+    * partitionCols (src, day): each level rendered exactly as the writer
+    * renders it ([[partitionDirName]]), joined by '/'.
+    */
+  private[store] def partitionLeafDir(partitionCols: Seq[String], values: Seq[Any]): String = {
+    require(values.length == partitionCols.length,
+      s"partition tuple $values does not match columns $partitionCols")
+    partitionCols.zip(values).map { case (c, v) => partitionDirName(c, v) }.mkString("/")
+  }
+
+  /** Relative paths of the depth-`depth` partition LEAF dirs under `root`
+    * (chains of `col=value` dirs; `_`/`.`-prefixed names invisible, like
+    * every other store metadata). Depth 1 reproduces the flat listing the
+    * single-level protocol used.
+    */
+  private[store] def listLeafDirs(f: org.apache.hadoop.fs.FileSystem,
+                                  root: Path, depth: Int): Seq[String] = {
+    def isPart(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains('=')
+    def go(dir: Path, level: Int, prefix: String): Seq[String] =
+      f.listStatus(dir).filter(st => st.isDirectory && isPart(st.getPath.getName)).toSeq
+        .flatMap { st =>
+          val rel = if (prefix.isEmpty) st.getPath.getName
+                    else prefix + "/" + st.getPath.getName
+          if (level == depth) Seq(rel) else go(st.getPath, level + 1, rel)
+        }
+    if (!f.exists(root)) Nil else go(root, 1, "")
+  }
+
+  /** Membership of the partition-column tuple in `parts` — the pruning
+    * predicate every partitioned engine pushes into its scan. Single
+    * column keeps the `isin` form (one IN filter); multi-level builds an
+    * OR of per-tuple ANDs, which Spark's partition pruning evaluates
+    * against the directory values without opening a file. Null values
+    * compare with isNull (`isin` and `===` are null-rejecting — a null
+    * partition in the batch must still pull the stored null partition).
+    */
+  private[store] def partsMembership(partitionCols: Seq[String],
+                                     parts: Seq[Seq[Any]]): Column = {
+    if (partitionCols.length == 1) {
+      val vs = parts.map(_.head)
+      val nonNull = vs.filter(_ != null)
+      if (vs.contains(null)) col(partitionCols.head).isin(nonNull: _*) || col(partitionCols.head).isNull
+      else col(partitionCols.head).isin(nonNull: _*)
+    } else
+      parts.map(t => partitionCols.zip(t).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)).reduce(_ || _)
+  }
+
   /** Marker written into a staging dir AFTER its partition write completes
     * and its drop-plan is persisted: its presence is what lets crash
     * recovery distinguish "staging finished, roll the swap FORWARD" from
@@ -430,6 +489,28 @@ object TableStore {
     */
   private val StagedMarker = "_GRAFT_STAGED"
   private val DropPlan = "_GRAFT_DROPS"
+
+  /** The stage's partition column names (escaped, '/'-joined), persisted
+    * BEFORE the staged marker: crash recovery must walk the stage to the
+    * same LEAF level the writer staged at — a multi-level stage rolled
+    * forward at depth 1 would rename intermediate `src=` dirs wholesale,
+    * clobbering sibling days that were never part of the write.
+    */
+  private val PartColsFile = "_GRAFT_PARTCOLS"
+
+  /** The stage's partition depth: the persisted [[PartColsFile]], or 1
+    * (every pre-multi-level stage was single-level).
+    */
+  private def stagePartDepth(f: org.apache.hadoop.fs.FileSystem, tmp: String): Int = {
+    val p = new Path(tmp, PartColsFile)
+    if (!f.exists(p)) 1
+    else {
+      val in = f.open(p)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim finally in.close()
+      if (s.isEmpty) 1 else s.count(_ == '/') + 1
+    }
+  }
 
   /** The ONLY valid partition-stage suffixes: recovery scans exactly this
     * list, so a new partitioned op must stage under one of these (enforced
@@ -455,14 +536,14 @@ object TableStore {
     * ones are gone from the stage, so the resume is idempotent).
     */
   private def swapPartitionDirs(spark: SparkSession, path: String, tmp: String,
-                                partitionCol: String, expectedParts: Seq[Any],
+                                partitionCols: Seq[String], expectedParts: Seq[Seq[Any]],
                                 ledgerBatch: Option[Long] = None): Unit = {
     require(StageSuffixes.exists(tmp.endsWith),
       s"partition stage $tmp must use a suffix recovery scans: $StageSuffixes")
+    require(partitionCols.nonEmpty, "swapPartitionDirs needs at least one partition column")
     val f = fs(spark, new Path(path))
-    val written = f.listStatus(new Path(tmp)).filter(_.isDirectory)
-      .map(_.getPath.getName).toSet
-    val drops = expectedParts.map(partitionDirName(partitionCol, _))
+    val written = listLeafDirs(f, new Path(tmp), partitionCols.length).toSet
+    val drops = expectedParts.map(partitionLeafDir(partitionCols, _))
       .filterNot(written.contains)
     // the batch-ledger marker stages WITH the partitions: commit (or crash
     // roll-forward) moves it to the table root, so ledger and data land
@@ -471,6 +552,12 @@ object TableStore {
       val lo = f.create(new Path(tmp, LastBatchFile), true)
       try lo.write(s"$b\n".getBytes("UTF-8")) finally lo.close()
     }
+    // the partition depth rides the stage so recovery rolls forward at the
+    // LEAF level the writer staged at (see PartColsFile)
+    val pc = f.create(new Path(tmp, PartColsFile), true)
+    try pc.write((partitionCols.map(c =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c))
+      .mkString("/") + "\n").getBytes("UTF-8")) finally pc.close()
     val out = f.create(new Path(tmp, DropPlan), true)
     try out.write(drops.mkString("\n").getBytes("UTF-8")) finally out.close()
     // fence BEFORE the staged marker: the marker is this protocol's commit
@@ -488,6 +575,19 @@ object TableStore {
     */
   private def commitPartitionSwap(f: org.apache.hadoop.fs.FileSystem,
                                   path: String, tmp: String): Unit = {
+    val depth = stagePartDepth(f, tmp)
+    val tableRoot = f.makeQualified(new Path(path))
+    // drop an all-victim leaf's now-empty ancestor partition dirs too: an
+    // emptied `src=a` husk above dropped `day=` leaves must not linger
+    // (idempotent — each step checks state before acting)
+    def pruneEmptyAncestors(leaf: Path): Unit = {
+      var parent = leaf.getParent
+      while (parent != null && f.makeQualified(parent) != tableRoot &&
+             f.exists(parent) && f.listStatus(parent).isEmpty) {
+        f.delete(parent, false)
+        parent = parent.getParent
+      }
+    }
     val planPath = new Path(tmp, DropPlan)
     if (f.exists(planPath)) {
       val in = f.open(planPath)
@@ -496,13 +596,18 @@ object TableStore {
       plan.split("\n").filter(_.nonEmpty).foreach { dirName =>
         val dead = new Path(path, dirName)
         if (f.exists(dead)) f.delete(dead, true)
+        pruneEmptyAncestors(dead)
       }
     }
     crashHook("partDropped")
-    f.listStatus(new Path(tmp)).filter(_.isDirectory).foreach { st =>
-      val target = new Path(path, st.getPath.getName)
+    // rename at the LEAF level the writer staged at: renaming a top-level
+    // `src=` dir of a multi-level stage wholesale would clobber sibling
+    // leaves of the same source that this write never touched
+    listLeafDirs(f, new Path(tmp), depth).foreach { rel =>
+      val target = new Path(path, rel)
       if (f.exists(target)) f.delete(target, true)
-      if (!f.rename(st.getPath, target))
+      if (depth > 1) f.mkdirs(target.getParent)
+      if (!f.rename(new Path(tmp, rel), target))
         throw new java.io.IOException(s"partition swap failed for $target")
     }
     // move the staged batch-ledger marker (if any) to the table root via
@@ -533,17 +638,15 @@ object TableStore {
     * replay protection.
     */
   private def commitPartitionRewrite(spark: SparkSession, path: String, tmp: String,
-                                     partitionCol: String, parts: Seq[Any],
+                                     partitionCols: Seq[String], parts: Seq[Seq[Any]],
                                      schema: org.apache.spark.sql.types.StructType,
                                      ledgerBatch: Option[Long] = None): Unit = {
     val f = fs(spark, new Path(path))
     val stagedHasDirs = f.exists(new Path(tmp)) &&
       f.listStatus(new Path(tmp)).exists(_.isDirectory)
     if (!stagedHasDirs) {
-      val drops = parts.map(partitionDirName(partitionCol, _)).toSet
-      val remaining = f.listStatus(new Path(path)).filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(n => !n.startsWith("_") && !n.startsWith(".") && n.contains('='))
+      val drops = parts.map(partitionLeafDir(partitionCols, _)).toSet
+      val remaining = listLeafDirs(f, new Path(path), partitionCols.length)
         .filterNot(drops.contains)
       if (remaining.isEmpty) {
         f.delete(new Path(tmp), true) // discard the empty stage
@@ -553,7 +656,7 @@ object TableStore {
         return
       }
     }
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts, ledgerBatch)
+    swapPartitionDirs(spark, path, tmp, partitionCols, parts, ledgerBatch)
   }
 
   /** Heal a partitioned table whose per-partition swap was interrupted:
@@ -683,31 +786,33 @@ object TableStore {
     * victims LIVE, not from the predicate's shape.
     */
   def deleteRowsPartitioned(spark: SparkSession, path: String, victims: DataFrame,
-                            joinCols: Seq[String], partitionCol: String): Long = {
+                            joinCols: Seq[String], partitionCol: String): Long =
+    deleteRowsPartitioned(spark, path, victims, joinCols, Seq(partitionCol))
+
+  /** Multi-level layout: pruning is per LEAF (source, day) dir. */
+  def deleteRowsPartitioned(spark: SparkSession, path: String, victims: DataFrame,
+                            joinCols: Seq[String], partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "deleteRowsPartitioned needs partition columns")
     val v = victims.select(joinCols.map(col): _*).distinct()
     val table = read(spark, path)
     val parts = table.join(v, joinCols, "left_semi")
-      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+      .select(partitionCols.map(col): _*).distinct().collect().map(_.toSeq).toSeq
     if (parts.isEmpty) return 0L
-    val nonNull = parts.filter(_ != null).toSeq
-    val touched =
-      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-      else col(partitionCol).isin(nonNull: _*)
-    val affected = table.filter(touched)
+    val affected = table.filter(partsMembership(partitionCols, parts))
     val nBefore = affected.count()
     val keep = affected.join(v, joinCols, "left_anti")
     val tmp = path + "__dtmp"
-    keep.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+    keep.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
     // a partition whose rows were ALL victims produces no tmp dir — the
     // commit helper drops it from the target (Hive-escaped dir rendering)
     // and falls back to an empty schema-bearing flat table when NOTHING
     // would remain (a fileless dir wedges every reader)
-    commitPartitionRewrite(spark, path, tmp, partitionCol, parts.toSeq, table.schema)
+    commitPartitionRewrite(spark, path, tmp, partitionCols, parts, table.schema)
     // deleted count = before − footer rows of the touched partition dirs
     // (metadata-only, the untouched partitions are never even listed into)
     val f = fs(spark, new Path(path))
-    val nAfterTouched = parts.map(v =>
-      dirFooterRows(spark, f, new Path(path, partitionDirName(partitionCol, v)),
+    val nAfterTouched = parts.map(t =>
+      dirFooterRows(spark, f, new Path(path, partitionLeafDir(partitionCols, t)),
         recurse = false)).sum
     nBefore - nAfterTouched
   }
@@ -728,32 +833,76 @@ object TableStore {
           "masks at the wrong rows; mutate through DeletionVectors " +
           "(dvDelete/morUpsert/morApplyCdc/compact) instead")
 
-  /** The partition column of a Hive-layout table, detected from the
-    * directory shape itself (`<col>=<value>` subdirs) — the DML front
-    * door's routing probe (round-12 verdict item 1: a statement tier
-    * blind to the layout silently flattens it). One metadata listing, no
-    * data read. Exactly one partition level is supported — every graft
-    * partitioned writer produces one; multiple distinct column prefixes
-    * raise rather than guess.
+  /** The partition columns of a Hive-layout table, OUTERMOST FIRST,
+    * detected from the directory shape itself (nested `<col>=<value>`
+    * subdirs) — the DML front door's routing probe (round-12 verdict
+    * item 1: a statement tier blind to the layout silently flattens it).
+    * One metadata listing per level, no data read. Empty for a flat
+    * table. Ambiguity refuses rather than guesses: two distinct column
+    * names at one level, or data files sitting NEXT to partition dirs at
+    * the same level (uneven depth) — both are half-written layouts no
+    * pruned engine can route safely.
     */
-  def detectPartitionColumn(spark: SparkSession, path: String): Option[String] = {
+  def detectPartitionColumns(spark: SparkSession, path: String): Seq[String] = {
     recover(spark, path)
-    val p = new Path(path)
-    val f = fs(spark, p)
-    if (!f.exists(p)) return None
+    val root = new Path(path)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return Nil
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    val cols = f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => !n.startsWith("_") && !n.startsWith(".") && n.contains('='))
-      .map(n => ExternalCatalogUtils.unescapePathName(n.substring(0, n.indexOf('='))))
-      .distinct.toSeq
-    cols match {
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    def partDirs(dir: Path): Seq[Path] =
+      f.listStatus(dir).filter(st => st.isDirectory && visible(st.getPath.getName) &&
+        st.getPath.getName.contains('=')).map(_.getPath).toSeq
+    def colOf(p: Path): String = ExternalCatalogUtils.unescapePathName(
+      p.getName.substring(0, p.getName.indexOf('=')))
+    def hasDataFiles(dir: Path): Boolean =
+      f.listStatus(dir).exists(st => st.isFile && visible(st.getPath.getName))
+    @annotation.tailrec
+    def walk(dirs: Seq[Path], acc: Seq[String]): Seq[String] = {
+      val subs = dirs.map(d => d -> partDirs(d))
+      val (withSub, without) = subs.partition(_._2.nonEmpty)
+      if (withSub.isEmpty) acc
+      else if (without.exists(w => hasDataFiles(w._1)))
+        throw new IllegalArgumentException(
+          s"$path: uneven partition depth — ${without.filter(w => hasDataFiles(w._1))
+            .map(_._1.getName).sorted.head} holds data files while sibling " +
+            "partitions nest deeper; the layout cannot be routed safely")
+      else {
+        val next = withSub.flatMap(_._2)
+        next.map(colOf).distinct match {
+          case Seq(one) => walk(next, acc :+ one)
+          case many => throw new IllegalArgumentException(
+            s"$path carries multiple partition-dir column names at one level " +
+              s"(${many.sorted.mkString(", ")}) — ambiguous layout")
+        }
+      }
+    }
+    val first = partDirs(root)
+    if (first.isEmpty) Nil
+    else first.map(colOf).distinct match {
+      case Seq(one) =>
+        if (hasDataFiles(root))
+          throw new IllegalArgumentException(
+            s"$path holds data files next to partition dirs — mixed layout")
+        walk(first, Seq(one))
+      case many => throw new IllegalArgumentException(
+        s"$path carries multiple partition-dir column names (${many.sorted.mkString(", ")}) " +
+          "— ambiguous layout")
+    }
+  }
+
+  /** [[detectPartitionColumns]] restricted to the single-level contract:
+    * None for flat, Some(col) for one level; a multi-level layout raises
+    * (callers that can route it use [[detectPartitionColumns]]).
+    */
+  def detectPartitionColumn(spark: SparkSession, path: String): Option[String] =
+    detectPartitionColumns(spark, path) match {
       case Seq() => None
       case Seq(one) => Some(one)
       case many => throw new IllegalArgumentException(
-        s"$path carries multiple partition-dir column names (${many.sorted.mkString(", ")}) " +
-          "— multi-level partition layouts are not supported by the store")
+        s"$path is partitioned by ${many.size} levels (${many.mkString(", ")}) — " +
+          "use detectPartitionColumns / the multi-column engine variants")
     }
-  }
 
   /** Partition-pruned predicate rewrite — the shared engine behind SQL
     * DELETE/UPDATE on a partitioned layout: ONE pruned scan discovers
@@ -772,22 +921,27 @@ object TableStore {
     * schema (an empty table's layout is vacuous, its schema is not).
     */
   def rewritePartitionsWhere(spark: SparkSession, path: String, partitionCol: String,
+                             cond: Column, rewrite: DataFrame => DataFrame): Long =
+    rewritePartitionsWhere(spark, path, Seq(partitionCol), cond, rewrite)
+
+  /** Multi-level layout: discovery groups by the full partition-column
+    * tuple and only the victim LEAF dirs are read, rewritten, and swapped.
+    */
+  def rewritePartitionsWhere(spark: SparkSession, path: String, partitionCols: Seq[String],
                              cond: Column, rewrite: DataFrame => DataFrame): Long = {
+    require(partitionCols.nonEmpty, "rewritePartitionsWhere needs partition columns")
     requireNoDeletionVector(spark, path, "rewritePartitionsWhere")
     val table = read(spark, path)
     val byPart = table.filter(cond)
-      .groupBy(col(partitionCol)).agg(count(lit(1)).as("__n")).collect()
+      .groupBy(partitionCols.map(col): _*).agg(count(lit(1)).as("__n")).collect()
     if (byPart.isEmpty) return 0L
-    val parts = byPart.map(_.get(0)).toSeq
-    val nHit = byPart.map(_.getLong(1)).sum
-    val nonNull = parts.filter(_ != null)
-    val touched =
-      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-      else col(partitionCol).isin(nonNull: _*)
+    val k = partitionCols.length
+    val parts = byPart.map(_.toSeq.take(k)).toSeq
+    val nHit = byPart.map(_.getLong(k)).sum
     val tmp = path + "__dtmp"
-    rewrite(table.filter(touched))
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    commitPartitionRewrite(spark, path, tmp, partitionCol, parts, table.schema)
+    rewrite(table.filter(partsMembership(partitionCols, parts)))
+      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    commitPartitionRewrite(spark, path, tmp, partitionCols, parts, table.schema)
     nHit
   }
 
@@ -892,7 +1046,14 @@ object TableStore {
     */
   def mergeDeletePartitioned(spark: SparkSession, path: String, source: DataFrame,
                              keys: Seq[String], partitionCol: String,
+                             insertNotMatched: Boolean): (Long, Long) =
+    mergeDeletePartitioned(spark, path, source, keys, Seq(partitionCol), insertNotMatched)
+
+  /** Multi-level layout: victim/insert discovery per LEAF tuple. */
+  def mergeDeletePartitioned(spark: SparkSession, path: String, source: DataFrame,
+                             keys: Seq[String], partitionCols: Seq[String],
                              insertNotMatched: Boolean): (Long, Long) = {
+    require(partitionCols.nonEmpty, "mergeDeletePartitioned needs partition columns")
     requireNoDeletionVector(spark, path, "mergeDeletePartitioned")
     val table = read(spark, path)
     val srcKeys = source.select(keys.map(col): _*).distinct()
@@ -903,23 +1064,22 @@ object TableStore {
         .select(table.columns.map(col).toIndexedSeq: _*))
     // one pruned pass per side: victim partitions + the deleted count,
     // insert partitions + the inserted count
+    val k = partitionCols.length
     val victimByPart = table.join(srcKeys, keys, "left_semi")
-      .groupBy(col(partitionCol)).agg(count(lit(1)).as("__n")).collect()
-    val insByPart = inserts.map(_.groupBy(col(partitionCol))
+      .groupBy(partitionCols.map(col): _*).agg(count(lit(1)).as("__n")).collect()
+    val insByPart = inserts.map(_.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).collect()).getOrElse(Array.empty)
-    val nDel = victimByPart.map(_.getLong(1)).sum
-    val nIns = insByPart.map(_.getLong(1)).sum
-    val parts = (victimByPart.map(_.get(0)) ++ insByPart.map(_.get(0))).distinct.toSeq
+    val nDel = victimByPart.map(_.getLong(k)).sum
+    val nIns = insByPart.map(_.getLong(k)).sum
+    val parts = (victimByPart.map(_.toSeq.take(k)) ++ insByPart.map(_.toSeq.take(k)))
+      .distinct.toSeq
     if (parts.isEmpty) return (0L, 0L)
-    val nonNull = parts.filter(_ != null)
-    val touched =
-      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-      else col(partitionCol).isin(nonNull: _*)
-    val kept = table.filter(touched).join(srcKeys, keys, "left_anti")
+    val kept = table.filter(partsMembership(partitionCols, parts))
+      .join(srcKeys, keys, "left_anti")
     val merged = inserts.fold(kept)(kept.unionByName(_))
     val tmp = path + "__ptmp"
-    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    commitPartitionRewrite(spark, path, tmp, partitionCol, parts, table.schema)
+    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    commitPartitionRewrite(spark, path, tmp, partitionCols, parts, table.schema)
     (nDel, nIns)
   }
 
@@ -950,7 +1110,15 @@ object TableStore {
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
                    keys: Seq[String], matched: Seq[MergeWhenMatched],
                    notMatched: Option[MergeWhenNotMatched],
-                   partitionCol: Option[String] = None): Unit = {
+                   partitionCol: Option[String] = None): Unit =
+    mergeClauses(spark, path, source, keys, matched, notMatched,
+      partitionCol.toSeq)
+
+  /** Multi-level layout variant: `partitionCols` empty = flat table. */
+  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+                   keys: Seq[String], matched: Seq[MergeWhenMatched],
+                   notMatched: Option[MergeWhenNotMatched],
+                   partitionCols: Seq[String]): Unit = {
     requireNoDeletionVector(spark, path, "mergeClauses")
     val table = read(spark, path)
     val cols = table.columns.toSeq
@@ -970,35 +1138,34 @@ object TableStore {
         s"MERGE source is not key-unique on ${keys.mkString(",")} — a duplicated " +
           "key would fan the merge join out and duplicate table rows; dedupe " +
           "upstream (TableStore.dedupeByKey)")
-    partitionCol match {
-      case None =>
+    partitionCols match {
+      case Seq() =>
         atomicWrite(spark,
           mergeClausesPlan(table, src, cols, keys, matched, notMatched), path)
-      case Some(pcol) =>
+      case pcols =>
         require(!matched.exists {
           case MergeWhenMatched(_, MergeMatchedAction.Update(cs)) =>
-            cs.getOrElse(cols.filterNot(keys.contains)).exists(_.equalsIgnoreCase(pcol))
+            cs.getOrElse(cols.filterNot(keys.contains))
+              .exists(c => pcols.exists(_.equalsIgnoreCase(c)))
           case _ => false
-        }, s"an UPDATE clause assigns partition column $pcol — rows would " +
-          "move across partitions, which a pruned per-partition swap cannot " +
-          "express safely; rewrite the table through atomicWritePartitioned")
+        }, s"an UPDATE clause assigns a partition column (${pcols.mkString(", ")}) " +
+          "— rows would move across partitions, which a pruned per-partition " +
+          "swap cannot express safely; rewrite the table through " +
+          "atomicWritePartitioned")
         // touched = partitions holding a matched key ∪ (when inserting)
         // partitions any source row lands in (over-approximation is safe:
         // an extra partition is rewritten byte-identical)
         val srcKeys = src.select(keys.map(col): _*).distinct()
-        var partsDf = table.join(srcKeys, keys, "left_semi").select(col(pcol))
-        if (notMatched.isDefined) partsDf = partsDf.union(src.select(col(pcol)))
-        val parts = partsDf.distinct().collect().map(_.get(0)).toSeq
+        var partsDf = table.join(srcKeys, keys, "left_semi")
+          .select(pcols.map(col): _*)
+        if (notMatched.isDefined) partsDf = partsDf.union(src.select(pcols.map(col): _*))
+        val parts = partsDf.distinct().collect().map(_.toSeq).toSeq
         if (parts.isEmpty) return
-        val nonNull = parts.filter(_ != null)
-        val touched =
-          if (parts.contains(null)) col(pcol).isin(nonNull: _*) || col(pcol).isNull
-          else col(pcol).isin(nonNull: _*)
-        val merged = mergeClausesPlan(table.filter(touched), src, cols, keys,
-          matched, notMatched)
+        val merged = mergeClausesPlan(table.filter(partsMembership(pcols, parts)),
+          src, cols, keys, matched, notMatched)
         val tmp = path + "__ptmp"
-        merged.write.partitionBy(pcol).mode("overwrite").parquet(tmp)
-        commitPartitionRewrite(spark, path, tmp, pcol, parts, table.schema)
+        merged.write.partitionBy(pcols: _*).mode("overwrite").parquet(tmp)
+        commitPartitionRewrite(spark, path, tmp, pcols, parts, table.schema)
     }
   }
 
@@ -1099,7 +1266,13 @@ object TableStore {
     * partitions only.
     */
   def insertIntoPartitioned(spark: SparkSession, path: String, rows: DataFrame,
-                            partitionCol: String): Unit = {
+                            partitionCol: String): Unit =
+    insertIntoPartitioned(spark, path, rows, Seq(partitionCol))
+
+  /** Multi-level layout: only the RECEIVING leaf dirs rewrite. */
+  def insertIntoPartitioned(spark: SparkSession, path: String, rows: DataFrame,
+                            partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "insertIntoPartitioned needs partition columns")
     requireNoDeletionVector(spark, path, "insertIntoPartitioned")
     val table = read(spark, path)
     require(rows.columns.toSet == table.columns.toSet,
@@ -1107,17 +1280,14 @@ object TableStore {
         s"${table.columns.sorted.toSeq}")
     requireExactSchema(rows.select(table.columns.map(col).toIndexedSeq: _*),
       table, "INSERT")
-    val parts = rows.select(col(partitionCol)).distinct().collect().map(_.get(0)).toSeq
+    val parts = rows.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSeq
     if (parts.isEmpty) return
-    val nonNull = parts.filter(_ != null)
-    val touched =
-      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-      else col(partitionCol).isin(nonNull: _*)
-    val merged = table.filter(touched)
+    val merged = table.filter(partsMembership(partitionCols, parts))
       .unionByName(rows.select(table.columns.map(col).toIndexedSeq: _*))
     val tmp = path + "__ptmp"
-    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-    swapPartitionDirs(spark, path, tmp, partitionCol, parts)
+    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    swapPartitionDirs(spark, path, tmp, partitionCols, parts)
   }
 
   /** Apply a CDC feed — the replication-sink counterpart of [[changelog]]
@@ -1231,29 +1401,35 @@ object TableStore {
     */
   def upsertPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
                         keys: Seq[String], partitionCol: String,
-                        updateColumns: Option[Seq[String]] = None): Unit = {
+                        updateColumns: Option[Seq[String]] = None): Unit =
+    upsertPartitioned(spark, path, incoming, keys, Seq(partitionCol), updateColumns)
+
+  /** Multi-level layout: a batch touches only its (source, day)-style
+    * LEAF dirs; same immutable-partition-column contract per level.
+    */
+  def upsertPartitioned(spark: SparkSession, path: String, incoming: DataFrame,
+                        keys: Seq[String], partitionCols: Seq[String],
+                        updateColumns: Option[Seq[String]]): Unit = {
+    require(partitionCols.nonEmpty, "upsertPartitioned needs partition columns")
     if (!exists(spark, path)) {
       // zero-row bootstrap guard: see applyCdcPartitioned
       if (!incoming.isEmpty)
-        incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+        incoming.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
     } else {
-      val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
-      // isin() is null-rejecting: a null partition value in the batch must
-      // still pull the stored null partition into the merge, or the swap
-      // below would replace it with incoming-only rows (data loss)
-      val nonNull = parts.filter(_ != null).toSeq
-      val touched =
-        if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-        else col(partitionCol).isin(nonNull: _*)
+      // partsMembership is null-safe: a null partition value in the batch
+      // must still pull the stored null partition into the merge, or the
+      // swap below would replace it with incoming-only rows (data loss)
+      val parts = incoming.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSeq
       val existingAffected = read(spark, path)
-        .filter(touched)                                   // partition pruning
+        .filter(partsMembership(partitionCols, parts))     // partition pruning
         .select(incoming.columns.map(col).toSeq: _*)       // align field order
       val merged = mergePlan(existingAffected, incoming, keys, updateColumns)
       // Stage the merged partitions, then swap ONLY those partition dirs —
       // untouched partitions are never read or rewritten.
       val tmp = path + "__ptmp"
-      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-      swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
+      merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+      swapPartitionDirs(spark, path, tmp, partitionCols, parts)
     }
   }
 
@@ -1277,25 +1453,29 @@ object TableStore {
     * constraint as [[upsertPartitioned]].
     */
   def upsertPartitionedEvolve(spark: SparkSession, path: String, incoming: DataFrame,
-                              keys: Seq[String], partitionCol: String): Unit = {
-    require(incoming.columns.contains(partitionCol),
-      s"incoming batch must carry partition column $partitionCol")
+                              keys: Seq[String], partitionCol: String): Unit =
+    upsertPartitionedEvolve(spark, path, incoming, keys, Seq(partitionCol))
+
+  /** Multi-level layout variant. */
+  def upsertPartitionedEvolve(spark: SparkSession, path: String, incoming: DataFrame,
+                              keys: Seq[String], partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "upsertPartitionedEvolve needs partition columns")
+    partitionCols.foreach(pc => require(incoming.columns.contains(pc),
+      s"incoming batch must carry partition column $pc"))
     if (!exists(spark, path)) {
       // zero-row bootstrap guard: see applyCdcPartitioned — an empty
       // dynamic-partition write creates a schema-less unreadable dir
       if (!incoming.isEmpty)
-        incoming.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+        incoming.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
     } else {
-      val parts = incoming.select(col(partitionCol)).distinct().collect().map(_.get(0))
-      val nonNull = parts.filter(_ != null).toSeq
-      val touched =
-        if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-        else col(partitionCol).isin(nonNull: _*)
-      val existingAffected = readEvolved(spark, path).filter(touched)
+      val parts = incoming.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSeq
+      val existingAffected = readEvolved(spark, path)
+        .filter(partsMembership(partitionCols, parts))
       val merged = mergePlanEvolve(existingAffected, incoming, keys)
       val tmp = path + "__ptmp"
-      merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
-      swapPartitionDirs(spark, path, tmp, partitionCol, parts.toSeq)
+      merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+      swapPartitionDirs(spark, path, tmp, partitionCols, parts)
     }
   }
 
@@ -1315,7 +1495,14 @@ object TableStore {
                           keys: Seq[String], partitionCol: String,
                           opCol: String = "op",
                           checkUnique: Boolean = true): Unit =
-    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCol, opCol,
+    applyCdcPartitionedImpl(spark, path, feed, keys, Seq(partitionCol), opCol,
+      checkUnique, None)
+
+  /** Multi-level layout variant. */
+  def applyCdcPartitioned(spark: SparkSession, path: String, feed: DataFrame,
+                          keys: Seq[String], partitionCols: Seq[String],
+                          opCol: String, checkUnique: Boolean): Unit =
+    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCols, opCol,
       checkUnique, None)
 
   /** EXACTLY-ONCE [[applyCdcPartitioned]] — same batch ledger as
@@ -1331,19 +1518,28 @@ object TableStore {
                                      feed: DataFrame, keys: Seq[String],
                                      partitionCol: String, batchId: Long,
                                      opCol: String = "op",
-                                     checkUnique: Boolean = true): Boolean = {
+                                     checkUnique: Boolean = true): Boolean =
+    applyCdcPartitionedExactlyOnce(spark, path, feed, keys, Seq(partitionCol),
+      batchId, opCol, checkUnique)
+
+  /** Multi-level layout variant. */
+  def applyCdcPartitionedExactlyOnce(spark: SparkSession, path: String,
+                                     feed: DataFrame, keys: Seq[String],
+                                     partitionCols: Seq[String], batchId: Long,
+                                     opCol: String, checkUnique: Boolean): Boolean = {
     require(batchId >= 0, s"batch ids are non-negative, got $batchId")
     if (batchId <= lastAppliedBatch(spark, path)) return false
-    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCol, opCol,
+    applyCdcPartitionedImpl(spark, path, feed, keys, partitionCols, opCol,
       checkUnique, Some(batchId))
     true
   }
 
   private def applyCdcPartitionedImpl(spark: SparkSession, path: String,
                                       feed: DataFrame, keys: Seq[String],
-                                      partitionCol: String, opCol: String,
+                                      partitionCols: Seq[String], opCol: String,
                                       checkUnique: Boolean,
                                       ledgerBatch: Option[Long]): Unit = {
+    require(partitionCols.nonEmpty, "applyCdcPartitioned needs partition columns")
     if (checkUnique) requireUniqueKeys(feed, keys, opCol)
     if (!exists(spark, path)) {
       val firstRows = feed.filter(col(opCol) =!= "D").drop(opCol)
@@ -1352,7 +1548,7 @@ object TableStore {
       // unlike the flat path, which writes a schema-bearing empty file)
       // that wedges every subsequent read with 'unable to infer schema'
       if (!firstRows.isEmpty) {
-        firstRows.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+        firstRows.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
         ledgerBatch.foreach { b =>
           val f = fs(spark, new Path(path))
           val o = f.create(new Path(path, LastBatchFile), true)
@@ -1363,8 +1559,8 @@ object TableStore {
     }
     val dels = feed.filter(col(opCol) === "D").select(keys.map(col): _*)
     val ups = feed.filter(col(opCol) =!= "D").drop(opCol)
-    require(ups.columns.contains(partitionCol),
-      s"CDC upsert rows must carry partition column $partitionCol")
+    partitionCols.foreach(pc => require(ups.columns.contains(pc),
+      s"CDC upsert rows must carry partition column $pc"))
     val table = read(spark, path)
     // same loud schema contract as the flat path: a feed missing table
     // columns would otherwise silently project them away in the touched
@@ -1375,22 +1571,18 @@ object TableStore {
     // victim-bearing partitions: key-only semi-join, reads only key+partition
     // columns of the table; upsert-landing partitions: from the feed itself
     val parts = table.join(dels, keys, "left_semi")
-      .select(col(partitionCol))
-      .union(ups.select(col(partitionCol)))
-      .distinct().collect().map(_.get(0))
+      .select(partitionCols.map(col): _*)
+      .union(ups.select(partitionCols.map(col): _*))
+      .distinct().collect().map(_.toSeq).toSeq
     if (parts.isEmpty) return
-    val nonNull = parts.filter(_ != null).toSeq
-    val touched =
-      if (parts.contains(null)) col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull
-      else col(partitionCol).isin(nonNull: _*)
-    val affected = table.filter(touched)
+    val affected = table.filter(partsMembership(partitionCols, parts))
       .select(ups.columns.map(col).toSeq: _*) // align field order
     val merged = mergePlan(affected.join(dels, keys, "left_anti"), ups, keys, None)
     val tmp = path + "__ctmp"
-    merged.write.partitionBy(partitionCol).mode("overwrite").parquet(tmp)
+    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
     // an all-deletes feed emptying the table falls back to an empty flat
     // table WITH the ledger marker, keeping replay protection intact
-    commitPartitionRewrite(spark, path, tmp, partitionCol, parts.toSeq,
+    commitPartitionRewrite(spark, path, tmp, partitionCols, parts,
       table.schema, ledgerBatch)
   }
 }
