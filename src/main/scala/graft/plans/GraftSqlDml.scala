@@ -90,6 +90,24 @@ object GraftSqlDml {
   private[plans] def hasDeletionVector(spark: SparkSession, path: String): Boolean =
     graft.store.Sidecar.read(spark, path, graft.store.Sidecar.DvRel).isDefined
 
+  /** A VERSIONED-store root (CURRENT pointer present) must refuse the
+    * rewrite statements: its `v=N` snapshot dirs read as a partition
+    * column, so a layout-routed DML would "prune" into history and
+    * rewrite immutable snapshots out from under pinned readers. Mutation
+    * of a versioned table goes through VersionedTable (new snapshots),
+    * never in-place.
+    */
+  private[plans] def requireNotVersioned(spark: SparkSession, path: String,
+                                         what: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "CURRENT")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      throw new IllegalArgumentException(
+        s"graft_store DML: $what on $path, a VERSIONED table — in-place " +
+          "rewrites would mutate immutable snapshots out from under pinned " +
+          "readers; write a new version through VersionedTable.upsert/" +
+          "writeSnapshot (reads: SELECT … VERSION AS OF n)")
+  }
+
   /** `col = lit`, `col IN (lits…)`, or an OR of those over ONE column —
     * the predicate shape whose DELETE is EXACTLY a key-set mask, so it
     * routes to [[graft.operators.DeletionVectors.dvDelete]] on a
@@ -283,6 +301,7 @@ final case class DeleteFromGraftStore(path: String, whereSql: Option[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.TableStore
+    GraftSqlDml.requireNotVersioned(spark, path, "DELETE")
     if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark)
     val hit = whereSql.map(w => coalesce(expr(w), lit(false)))
     TableStore.detectPartitionColumns(spark, path) match {
@@ -355,6 +374,7 @@ final case class UpdateGraftStore(path: String,
     Seq(AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireNotVersioned(spark, path, "UPDATE")
     GraftSqlDml.requireNoDeletionVector(spark, path)
     val pcols = graft.store.TableStore.detectPartitionColumns(spark, path)
     val table = graft.store.TableStore.read(spark, path)
@@ -439,6 +459,7 @@ final case class InsertIntoGraftStore(path: String, source: LogicalPlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.TableStore
+    GraftSqlDml.requireNotVersioned(spark, path, "INSERT")
     val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
     if (!TableStore.exists(spark, path)) {
       TableStore.atomicWrite(spark, incoming, path)

@@ -223,6 +223,7 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.store.TableStore
+    GraftSqlDml.requireNotVersioned(spark, path, "MERGE")
     val raw = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
     // align by NAME and cast to the table's exact types (ANSI mode keeps
     // bad casts loud) — without this an int-literal source column against

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, MergeIntoTable, UnresolvedWith, UpdateTable}
 
 /** The SQL READ surface of the store (round-12 verdict item 2): a
@@ -50,6 +50,21 @@ object GraftStoreRead {
           (name, walk(s).asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
             maxDepth)
         })
+      case tt @ RelationTimeTravel(r: UnresolvedRelation, ts, version)
+          if isGraftStore(r) =>
+        // SQL time travel (round-13 verdict item 2): `VERSION AS OF n`
+        // resolves through the versioned store's snapshot dirs. NOTE:
+        // RelationTimeTravel is a LEAF node (the inner relation is not a
+        // child), so the generic relation case below never sees it.
+        val path = r.multipartIdentifier(1)
+        if (ts.isDefined) throw new IllegalArgumentException(
+          s"graft_store: TIMESTAMP AS OF on graft_store.`$path` is not " +
+            "supported — the versioned store is version-numbered; use " +
+            "VERSION AS OF n (see VersionedTable.currentVersion for the head)")
+        val v = version.getOrElse(throw new IllegalArgumentException(
+          s"graft_store: time travel on graft_store.`$path` needs VERSION AS OF n"))
+        versionReadPlan(spark, path, v)
+      case tt: RelationTimeTravel => tt // non-graft targets resolve downstream
       case r: UnresolvedRelation if isGraftStore(r) =>
         readPlan(spark, r.multipartIdentifier(1))
     }
@@ -92,14 +107,48 @@ object GraftStoreRead {
   }
 
   /** The store-semantics read as a logical plan: recover-on-read always;
-    * deletion-vector masking when the sidecar exists.
+    * deletion-vector masking when the sidecar exists; a VERSIONED root
+    * (CURRENT pointer present) reads its LIVE snapshot — a raw parquet
+    * scan of that root would silently union every `v=N` snapshot with
+    * `v` as a partition column, the read-side twin of the MoR hole.
     */
   private[plans] def readPlan(spark: SparkSession, path: String): LogicalPlan = {
     graft.store.TableStore.recover(spark, path)
     val df =
-      if (GraftSqlDml.hasDeletionVector(spark, path))
+      if (isVersionedRoot(spark, path))
+        graft.store.VersionedTable.read(spark, path)
+      else if (GraftSqlDml.hasDeletionVector(spark, path))
         graft.operators.DeletionVectors.dvRead(spark, path)
       else spark.read.parquet(path)
     df.queryExecution.logical
+  }
+
+  /** `VERSION AS OF v` against the versioned store; refuses cleanly on a
+    * non-versioned table and on a non-numeric or absent version.
+    */
+  private[plans] def versionReadPlan(spark: SparkSession, path: String,
+                                     v: String): LogicalPlan = {
+    graft.store.TableStore.recover(spark, path)
+    if (!isVersionedRoot(spark, path))
+      throw new IllegalArgumentException(
+        s"graft_store: VERSION AS OF on graft_store.`$path`, which is not a " +
+          "versioned table (no CURRENT pointer) — snapshot it through " +
+          "VersionedTable.writeSnapshot/upsert first")
+    val n = v.trim
+    if (!n.matches("\\d+"))
+      throw new IllegalArgumentException(
+        s"graft_store: VERSION AS OF takes the integer snapshot number, got '$v'")
+    graft.store.VersionedTable.readVersion(spark, path, n.toInt)
+      .queryExecution.logical
+  }
+
+  /** A versioned-store root is identified by its CURRENT pointer file —
+    * written by every pointer flip, absent only during a bootstrap crash
+    * (where the max-`v=N` fallback applies to library reads; the SQL
+    * surface keeps the simpler contract).
+    */
+  private def isVersionedRoot(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "CURRENT")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 }

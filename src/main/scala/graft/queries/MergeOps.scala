@@ -1931,7 +1931,57 @@ object MergeOps {
       |FROM ins
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q266: SQL TIME TRAVEL (round-13 verdict item 2) — two snapshots of
+    * one versioned table laid side by side from PURE SQL text: the bare
+    * `graft_store` relation resolves to the LIVE version (the CURRENT
+    * pointer — a raw parquet read of the root would union every `v=N`
+    * snapshot, require-asserted divergent in the fixture), and
+    * `VERSION AS OF 1` pins the original through
+    * [[graft.store.VersionedTable.readVersion]]. The join exposes both
+    * prices per key; the oracle recomputes v2 relationally from the base
+    * table. (A raw parquet read of the root is not even a fallback: the
+    * CURRENT pointer file chokes the footer reader — the SQL surface is
+    * the only non-library way in.)
+    */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.store.VersionedTable
+    val run = mergeRoot.resolve("runSqlTT")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_v").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    require(VersionedTable.writeSnapshot(spark, base, tbl) == 1)
+    val delta = base.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+    require(VersionedTable.upsert(spark, tbl, delta, Seq("o_orderkey")) == 2)
+    // both snapshots exist on disk and differ — the fixture's divergence
+    require(spark.read.parquet(s"$tbl/v=2").count() == base.count() &&
+      graft.store.VersionedTable.currentVersion(spark, tbl).contains(2),
+      "fixture must hold two snapshots with v2 live")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val out = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"""SELECT cur.o_orderkey, cur.o_totalprice AS price_now,
+         |       old.o_totalprice AS price_v1
+         |FROM graft_store.`$tbl` cur
+         |JOIN graft_store.`$tbl` VERSION AS OF 1 old
+         |  ON cur.o_orderkey = old.o_orderkey
+         |WHERE cur.o_orderkey % 5 = 0
+         |ORDER BY cur.o_orderkey""".stripMargin))
+    require(out.filter($"price_now" =!= $"price_v1").count() > 0,
+      "the two versions must observably differ through SQL")
+    out
+  }
+
+  val sqlTimeTravelSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0
+      |       ELSE o_totalprice END AS price_now,
+      |  o_totalprice AS price_v1
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_sql_time_travel" -> sqlTimeTravel,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevel,
     "q265_sql_merge_two_level" -> sqlMergeTwoLevel,
     "q262_sql_merge_mor" -> sqlMergeMor,
@@ -1973,6 +2023,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q266_sql_time_travel" -> sqlTimeTravelSql,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevelSql,
     "q265_sql_merge_two_level" -> sqlMergeTwoLevelSql,
     "q262_sql_merge_mor" -> sqlMergeMorSql,
