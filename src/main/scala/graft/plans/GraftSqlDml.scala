@@ -363,7 +363,10 @@ final case class DeleteFromGraftStore(path: String, whereSql: Option[String])
   * column itself, which can move rows across partitions (a pruned
   * per-dir swap cannot express that safely), so that case runs the full
   * rewrite through the partitioned writer, layout preserved either way;
-  * flat tables rewrite only the part files holding a predicate-TRUE row.
+  * flat tables rewrite only the part files holding a predicate-TRUE row;
+  * a MERGE-ON-READ table routes a key-membership predicate to the
+  * deletion-vector tier (updated images append as `mor-*` files, old
+  * rows mask — ZERO data files rewritten) and refuses anything else.
   */
 final case class UpdateGraftStore(path: String,
                                   assignments: Seq[(String, String)],
@@ -373,24 +376,22 @@ final case class UpdateGraftStore(path: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("n_rows", LongType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] = {
-    GraftSqlDml.requireNotVersioned(spark, path, "UPDATE")
-    GraftSqlDml.requireNoDeletionVector(spark, path)
-    val pcols = graft.store.TableStore.detectPartitionColumns(spark, path)
-    val table = graft.store.TableStore.read(spark, path)
-    // identifier resolution follows the session's analyzer semantics:
-    // case-insensitive unless spark.sql.caseSensitive — SET V = 1 must
-    // hit column `v` exactly like every other identifier in the statement
+  /** SET targets resolved against the table's columns with the session's
+    * analyzer case semantics — SET V = 1 must hit column `v` exactly like
+    * every other identifier in the statement.
+    */
+  private def resolveTargets(spark: SparkSession,
+                             columns: Array[String]): Map[String, String] = {
     val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     def resolve(c: String): String = {
       val hits =
-        if (caseSensitive) table.columns.filter(_ == c)
-        else table.columns.filter(_.equalsIgnoreCase(c))
+        if (caseSensitive) columns.filter(_ == c)
+        else columns.filter(_.equalsIgnoreCase(c))
       hits match {
         case Array(one) => one
         case Array() => throw new IllegalArgumentException(
           s"graft_store DML: UPDATE SET targets unknown column `$c` " +
-            s"(table has ${table.columns.mkString(", ")})")
+            s"(table has ${columns.mkString(", ")})")
         case many => throw new IllegalArgumentException(
           s"graft_store DML: UPDATE SET column `$c` is ambiguous among " +
             s"${many.mkString(", ")} (set spark.sql.caseSensitive=true)")
@@ -400,7 +401,15 @@ final case class UpdateGraftStore(path: String,
     if (byName.map(_._1).distinct.size != byName.size)
       throw new IllegalArgumentException(
         "graft_store DML: two SET assignments resolve to the same column")
-    val targets = byName.toMap
+    byName.toMap
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlDml.requireNotVersioned(spark, path, "UPDATE")
+    if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark)
+    val pcols = graft.store.TableStore.detectPartitionColumns(spark, path)
+    val table = graft.store.TableStore.read(spark, path)
+    val targets = resolveTargets(spark, table.columns)
     val cond = whereSql.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
     // one select over the old row = simultaneous assignments by construction
     def project(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -423,6 +432,64 @@ final case class UpdateGraftStore(path: String,
         TableStore.rewriteFilesWhere(spark, path, cond, project)
     }
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+  }
+
+  /** UPDATE against a merge-on-read table (round-13 verdict item 3) — the
+    * q259-DELETE routing mirrored for the other statement: a
+    * key-membership predicate locates the victim rows through the masked
+    * read (`dvRead` — already-deleted rows are invisible, so they are
+    * neither re-masked nor duplicated), the simultaneous-assignment
+    * projection produces the updated images, and `morUpsert` appends the
+    * images while masking the originals — ZERO data files rewritten,
+    * ledger intact. Refused: predicates that are not key-membership
+    * (their victims are not a key set), and assignments to the predicate
+    * key itself (the mask is keyed on it — a changed key would leave the
+    * original unmasked, duplicating the row).
+    */
+  private def runMergeOnRead(spark: SparkSession): Seq[Row] = {
+    import graft.operators.DeletionVectors
+    val w = whereSql.getOrElse(throw new IllegalArgumentException(
+      s"graft_store DML: unconditional UPDATE on $path — a merge-on-read " +
+        "table — is a table-scale mutation, not a delta; compact() and " +
+        "retire the sidecar first, or rewrite through the library"))
+    val parsed = spark.sessionState.sqlParser.parseExpression(w)
+    GraftSqlDml.extractKeyMembership(parsed) match {
+      case Some((keyCol, lits)) =>
+        val base = spark.read.parquet(path)
+        val keyName = base.columns.find(_.equalsIgnoreCase(keyCol)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft_store DML: UPDATE predicate references unknown column " +
+              s"`$keyCol` (table has ${base.columns.mkString(", ")})"))
+        val targets = resolveTargets(spark, base.columns)
+        if (targets.contains(keyName))
+          throw new IllegalArgumentException(
+            s"graft_store DML: UPDATE on merge-on-read $path assigns the " +
+              s"predicate key `$keyName` — the deletion-vector mask is keyed " +
+              "on it, so the original row would survive unmasked; rewrite " +
+              "through compact() + the library instead")
+        if (lits.nonEmpty) {
+          // same single-row explode(array) key frame as the DELETE route —
+          // never an N-way union of one-row frames (q259's scale lesson)
+          val keys = spark.range(1).select(explode(array(
+            lits.map(org.apache.spark.sql.graftshim.GraftShim.column): _*)).as(keyName))
+          val victims = DeletionVectors.dvRead(spark, path)
+            .join(broadcast(keys), Seq(keyName), "left_semi")
+          // ONE select over the old row = simultaneous assignments; every
+          // victim satisfies the key-membership predicate by construction
+          val images = victims.select(victims.columns.map { c =>
+            targets.get(c).map(e => expr(e).cast(base.schema(c).dataType).as(c))
+              .getOrElse(col(c))
+          }.toIndexedSeq: _*)
+          if (!images.isEmpty) DeletionVectors.morUpsert(spark, path, images, keyName)
+        }
+        Seq(Row(DeletionVectors.liveRowCount(spark, path)))
+      case None => throw new IllegalArgumentException(
+        s"graft_store DML: $path carries a deletion-vector sidecar " +
+          "(merge-on-read table); only key-membership UPDATE predicates " +
+          "(`col = lit`, `col IN (…)`, ORs of those over one column) route " +
+          "to the deletion-vector tier — this predicate does not; locate " +
+          "the keys and go through DeletionVectors.morUpsert, or compact() first")
+    }
   }
 }
 

@@ -1980,7 +1980,67 @@ object MergeOps {
       |FROM orders WHERE o_orderkey % 5 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q267: SQL UPDATE routed to the DELETION-VECTOR tier (round-13
+    * verdict item 3) — the q259 DELETE routing mirrored for UPDATE: a
+    * key-membership predicate (`IN` literal list) on a merge-on-read
+    * table locates victims through the masked read, applies the
+    * simultaneous-assignment projection, and lands the images via
+    * `morUpsert` — require-asserted in the graded query: every
+    * PRE-EXISTING data file keeps its exact (name, mtime, length), the
+    * images appear as appended `mor-*` files, the exactly-once ledger
+    * survives, and `n_rows` equals the visible live count. Output is the
+    * post-update visible table vs the oracle's CASE recomputation.
+    */
+  def sqlUpdateMor(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.operators.DeletionVectors
+    val run = mergeRoot.resolve("runSqlUpdMor")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_mor").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    base.orderBy($"o_orderkey").coalesce(1).write.mode("overwrite").parquet(tbl)
+    val applied = DeletionVectors.morApplyCdc(spark, tbl,
+      Seq(("I", 99999999L, 1L, 0.0)).toDF("op", "o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey", batchId = 3L)
+    require(applied, "fixture CDC batch must apply")
+    val victims = base.filter($"o_orderkey" % 499 === 0)
+      .select($"o_orderkey").as[Long].collect().sorted
+    require(victims.nonEmpty, "fixture needs victims")
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"UPDATE graft_store.`$tbl` " +
+        "SET o_totalprice = o_totalprice * 2 + o_custkey % 7 " +
+        s"WHERE o_orderkey IN (${victims.mkString(", ")})")).head().getLong(0)
+    val after = files()
+    require(after.filter(f => before.exists(_._1 == f._1)) == before,
+      "dv-routed UPDATE must not touch any pre-existing data file")
+    require(after.exists(f => f._1.startsWith("mor-") && !before.exists(_._1 == f._1)),
+      "the updated images must land as appended mor-* files")
+    require(DeletionVectors.appliedBatches(spark, tbl) == Set(3L),
+      "the exactly-once ledger must survive the SQL UPDATE")
+    val live = DeletionVectors.dvRead(spark, tbl)
+    require(n == live.count(), "n_rows must equal the visible live count")
+    live.select($"o_orderkey", $"o_custkey", $"o_totalprice").orderBy($"o_orderkey")
+  }
+
+  val sqlUpdateMorSql: String =
+    """WITH live AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT 99999999 AS o_orderkey, 1 AS o_custkey, 0.0 AS o_totalprice)
+      |SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 499 = 0 AND o_orderkey <> 99999999
+      |       THEN o_totalprice * 2 + o_custkey % 7
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM live
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_sql_update_mor" -> sqlUpdateMor,
     "q266_sql_time_travel" -> sqlTimeTravel,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevel,
     "q265_sql_merge_two_level" -> sqlMergeTwoLevel,
@@ -2023,6 +2083,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q267_sql_update_mor" -> sqlUpdateMorSql,
     "q266_sql_time_travel" -> sqlTimeTravelSql,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevelSql,
     "q265_sql_merge_two_level" -> sqlMergeTwoLevelSql,
