@@ -2039,7 +2039,84 @@ object MergeOps {
       |FROM live
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q268: FILE-PRUNED conditional MERGE on a FLAT table (round-13
+    * verdict item 5) — q258's clause semantics with q253's write
+    * amplification: the source's matched keys cluster in the bottom
+    * range of a range-partitioned table, so victim-file discovery (one
+    * key+metadata semi-join) decodes only those files; every clean file
+    * is require-asserted byte-untouched ((name, mtime, length) listing
+    * preserved — hard-linked, never re-encoded) while inserts land as
+    * new `rw-*` files. Oracle recomputes the clause semantics
+    * relationally.
+    */
+  def sqlMergePrunedFlat(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlMergePf")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_flat").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlmpf_orders")
+    spark.table("v_sqlmpf_orders").repartitionByRange(8, $"o_orderkey")
+      .write.mode("overwrite").parquet(tbl)
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    require(before.size >= 4, "fixture needs enough files to prune")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+         |  FROM v_sqlmpf_orders
+         |  WHERE o_orderkey * 8 <= (SELECT MAX(o_orderkey) FROM v_sqlmpf_orders)
+         |  UNION ALL
+         |  SELECT o_orderkey + 60000000, o_custkey, o_totalprice
+         |  FROM v_sqlmpf_orders WHERE o_orderkey % 23 = 1
+         |)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED AND s.o_custkey % 2 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET (o_totalprice)
+         |WHEN NOT MATCHED AND s.o_custkey % 3 = 0 THEN INSERT *""".stripMargin))
+      .head().getLong(0)
+    require(n > 0, "merge reported an empty table")
+    val after = files()
+    val survivors = after.filter(f => before.exists(_._1 == f._1))
+    require(survivors.size >= before.size / 2,
+      s"matched keys cluster in the bottom range — most files must survive " +
+        s"by hard link (${survivors.size} of ${before.size})")
+    require(survivors == before.filter(f => survivors.exists(_._1 == f._1)),
+      "surviving files must keep their exact mtime and byte length")
+    require(after.exists(f => f._1.startsWith("rw-")),
+      "rewritten victims and inserts land as rw-* files")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
+  val sqlMergePrunedFlatSql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice * 2.0 AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey * 8 <= (SELECT MAX(o_orderkey) FROM orders)
+      |  UNION ALL
+      |  SELECT o_orderkey + 60000000, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 23 = 1),
+      |kept AS (
+      |  SELECT t.o_orderkey, t.o_custkey,
+      |    CASE WHEN s.o_orderkey IS NOT NULL AND NOT (s.o_custkey % 2 = 0)
+      |         THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |  WHERE s.o_orderkey IS NULL OR NOT (s.o_custkey % 2 = 0)),
+      |ins AS (
+      |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice
+      |  FROM src s LEFT JOIN orders t ON t.o_orderkey = s.o_orderkey
+      |  WHERE t.o_orderkey IS NULL AND s.o_custkey % 3 = 0)
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM kept
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM ins
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlat,
     "q267_sql_update_mor" -> sqlUpdateMor,
     "q266_sql_time_travel" -> sqlTimeTravel,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevel,
@@ -2083,6 +2160,7 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlatSql,
     "q267_sql_update_mor" -> sqlUpdateMorSql,
     "q266_sql_time_travel" -> sqlTimeTravelSql,
     "q264_sql_delete_two_level" -> sqlDeleteTwoLevelSql,

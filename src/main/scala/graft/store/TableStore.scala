@@ -1071,12 +1071,25 @@ object TableStore {
       atomicWrite(spark, rewrite(table), path)
       return (nHit, 0, countTableFiles(spark, path))
     }
+    val moved = stagePrunedRewrite(spark, path, kept,
+      rewrite(spark.read.parquet(victimPaths.map(_.toString).sorted: _*)))
+    (nHit, kept.size, moved)
+  }
+
+  /** Stage `rewritten` as `rw-*` part files next to hard-linked/copied
+    * `kept` files (qualified paths) and commit through the crash-safe
+    * flat backup-rename swap; returns the number of non-empty rewritten
+    * part files that landed. The shared second half of every file-pruned
+    * flat mutation ([[rewriteFilesWhere]], pruned conditional MERGE).
+    */
+  private def stagePrunedRewrite(spark: SparkSession, path: String,
+                                 kept: Seq[Path], rewritten: DataFrame): Int = {
+    val f = fs(spark, new Path(path))
     val tmp = new Path(path + "__tmp")
     if (f.exists(tmp)) f.delete(tmp, true)
-    // victim rewrite first (the only Spark job), staged under tmp/__rw
+    // the rewrite job first (the only Spark job), staged under tmp/__rw
     val rw = new Path(tmp, "__rw")
-    rewrite(spark.read.parquet(victimPaths.map(_.toString).sorted: _*))
-      .write.mode("overwrite").parquet(rw.toString)
+    rewritten.write.mode("overwrite").parquet(rw.toString)
     // skip zero-row part files (empty shuffle partitions): they would never
     // match any future victim discovery and accumulate forever
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1121,7 +1134,7 @@ object TableStore {
         false, conf)
     }
     commitStagedFlatTmp(spark, path)
-    (nHit, kept.size, moved.length)
+    moved.length
   }
 
   private def countTableFiles(spark: SparkSession, path: String): Int = {
@@ -1234,8 +1247,7 @@ object TableStore {
           "upstream (TableStore.dedupeByKey)")
     partitionCols match {
       case Seq() =>
-        atomicWrite(spark,
-          mergeClausesPlan(table, src, cols, keys, matched, notMatched), path)
+        mergeClausesFlatPruned(spark, path, table, src, cols, keys, matched, notMatched)
       case pcols =>
         require(!matched.exists {
           case MergeWhenMatched(_, MergeMatchedAction.Update(cs)) =>
@@ -1261,6 +1273,53 @@ object TableStore {
         merged.write.partitionBy(pcols: _*).mode("overwrite").parquet(tmp)
         commitPartitionRewrite(spark, path, tmp, pcols, parts, table.schema)
     }
+  }
+
+  /** FILE-pruned conditional MERGE on a flat table (round-13 verdict
+    * item 5): victim files — the part files holding a key-MATCHED row —
+    * are discovered with ONE key+metadata column scan (a semi-join
+    * against the source's keys; parquet projection keeps it narrow);
+    * only those files decode through the full-outer clause plan, clean
+    * files hard-link into the stage byte-untouched. Correctness hinges on
+    * the discovery being exactly the match set: every table row matching
+    * a source key lives in a victim file, so "not matched vs the victim
+    * slice" ≡ "not matched vs the table" and inserts cannot duplicate.
+    * A source touching no file and inserting nothing is a NO-OP (zero
+    * writes); a source whose inserts are its only effect stages them as
+    * new `rw-*` files with every existing file linked.
+    */
+  private def mergeClausesFlatPruned(spark: SparkSession, path: String,
+                                     table: DataFrame, src: DataFrame,
+                                     cols: Seq[String], keys: Seq[String],
+                                     matched: Seq[MergeWhenMatched],
+                                     notMatched: Option[MergeWhenNotMatched]): Unit = {
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val victimUris = table
+      .select(keys.map(col) :+ col("_metadata.file_path").as("__file"): _*)
+      .join(srcKeys, keys, "left_semi")
+      .select(col("__file")).distinct().collect().map(_.getString(0)).toSet
+    if (victimUris.isEmpty && notMatched.isEmpty) return // provably no effect
+    val target = new Path(path)
+    val f = fs(spark, target)
+    val all = f.listStatus(target)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => f.makeQualified(st.getPath)).toSeq
+    val (victimPaths, kept) = all.partition(p => victimUris.contains(metadataFilePath(f, p)))
+    require(victimPaths.size == victimUris.size,
+      s"pruned merge on $path: discovery found ${victimUris.size} victim files " +
+        s"but only ${victimPaths.size} matched the directory listing — " +
+        "path-rendering drift between the scan and the filesystem")
+    if (kept.isEmpty) { // every file holds a match: plain full rewrite
+      atomicWrite(spark,
+        mergeClausesPlan(table, src, cols, keys, matched, notMatched), path)
+      return
+    }
+    val victimSlice =
+      if (victimPaths.isEmpty) table.limit(0)
+      else spark.read.parquet(victimPaths.map(_.toString).sorted: _*)
+        .select(cols.map(col): _*)
+    stagePrunedRewrite(spark, path, kept,
+      mergeClausesPlan(victimSlice, src, cols, keys, matched, notMatched))
   }
 
   /** The pure clause plan over (already pruned) `table` vs `src`. */
