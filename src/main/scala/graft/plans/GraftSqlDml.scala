@@ -77,13 +77,51 @@ object GraftSqlDml {
     case InsertHead(path, rest) =>
       val src = rest.trim
       if (src.isEmpty) bad("INSERT is missing its source query (SELECT … or VALUES …)")
-      if (src.startsWith("("))
-        bad("INSERT column lists are not supported — the store writes whole " +
-          "rows; SELECT the full column set in table order")
+      // a leading paren is EITHER a column list — a pure identifier list
+      // with a source following — or a parenthesized source query; only
+      // the identifier-list shape disambiguates to a column list, exactly
+      // how SQL parsers resolve `INSERT INTO t (SELECT …)` vs `(c1, c2)`
+      val (columns, sourceSql) =
+        if (src.startsWith("(")) {
+          val close = closingParen(src)
+          if (close < 0) bad("unbalanced parentheses after INSERT INTO")
+          val inside = src.substring(1, close)
+          val remainder = src.substring(close + 1).trim
+          val parts = splitTopLevel(inside)
+          val identRe = "`[^`]+`|[A-Za-z_][A-Za-z0-9_]*"
+          if (remainder.nonEmpty && parts.nonEmpty && parts.forall(_.matches(identRe))) {
+            val cs = parts.map(_.stripPrefix("`").stripSuffix("`"))
+            if (cs.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size != cs.size)
+              bad("a column appears twice in the INSERT column list")
+            (Some(cs), remainder)
+          } else (None, src)
+        } else (None, src)
       // the source may itself read graft_store tables
       Some(InsertIntoGraftStore(path,
-        GraftStoreRead.substitute(delegate.parsePlan(src))))
+        GraftStoreRead.substitute(delegate.parsePlan(sourceSql)), columns))
     case _ => None
+  }
+
+  /** Index of the ')' closing the '(' at position 0, string literals
+    * respected; -1 if unbalanced.
+    */
+  private def closingParen(s: String): Int = {
+    var depth = 0
+    var q: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (q != 0) {
+        if (c == '\\') i += 1 else if (c == q) q = 0
+      } else c match {
+        case '\'' | '"' => q = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Does `path` carry a deletion-vector sidecar (merge-on-read table)? */
@@ -224,7 +262,7 @@ object GraftSqlDml {
   }
 
   /** Split on top-level commas. */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[plans] def splitTopLevel(s: String): Seq[String] = {
     val m = topLevelMask(s)
     val out = Seq.newBuilder[String]
     var start = 0
@@ -272,7 +310,7 @@ object GraftSqlDml {
     new KeywordScanner(s).indexOf(kw, from)
 
   /** First top-level occurrence of `ch`, -1 if none. */
-  private def indexOfTopLevel(s: String, ch: Char): Int = {
+  private[plans] def indexOfTopLevel(s: String, ch: Char): Int = {
     val m = topLevelMask(s)
     var i = 0
     while (i < s.length) {
@@ -518,7 +556,8 @@ final case class UpdateGraftStore(path: String,
   * duplicate rows (use MERGE for exactly-once). Returns the post-insert
   * row count from footer metadata (mask-aware on MoR tables).
   */
-final case class InsertIntoGraftStore(path: String, source: LogicalPlan)
+final case class InsertIntoGraftStore(path: String, source: LogicalPlan,
+                                      columns: Option[Seq[String]] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -529,21 +568,59 @@ final case class InsertIntoGraftStore(path: String, source: LogicalPlan)
     GraftSqlDml.requireNotVersioned(spark, path, "INSERT")
     val incoming = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
     if (!TableStore.exists(spark, path)) {
-      TableStore.atomicWrite(spark, incoming, path)
+      // bootstrap: the column list (if any) just NAMES the source columns
+      val named = columns.fold(incoming) { cs =>
+        if (incoming.columns.length != cs.length)
+          throw new IllegalArgumentException(
+            s"graft_store DML: INSERT column list names ${cs.length} columns " +
+              s"but the source has ${incoming.columns.length}")
+        incoming.toDF(cs.toIndexedSeq: _*)
+      }
+      TableStore.atomicWrite(spark, named, path)
       return Seq(Row(TableStore.rowCountFromFooters(spark, path)))
     }
     val mor = GraftSqlDml.hasDeletionVector(spark, path)
     val table =
       if (mor) spark.read.parquet(path)
       else TableStore.read(spark, path)
-    if (incoming.columns.length != table.columns.length)
-      throw new IllegalArgumentException(
-        s"graft_store DML: INSERT arity mismatch — source has " +
-          s"${incoming.columns.length} columns, table has ${table.columns.length}")
-    // positional mapping + cast to the table's exact types (standard INSERT)
-    val aligned = incoming.toDF(table.columns.toIndexedSeq: _*)
-      .select(table.schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val aligned = columns match {
+      case None =>
+        if (incoming.columns.length != table.columns.length)
+          throw new IllegalArgumentException(
+            s"graft_store DML: INSERT arity mismatch — source has " +
+              s"${incoming.columns.length} columns, table has ${table.columns.length}")
+        // positional mapping + cast to the table's exact types (standard INSERT)
+        incoming.toDF(table.columns.toIndexedSeq: _*)
+          .select(table.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case Some(cs) =>
+        // named→positional mapping with typed-NULL fill for unmentioned
+        // columns (round-13 verdict item 6): the list's i-th name receives
+        // the source's i-th column
+        if (incoming.columns.length != cs.length)
+          throw new IllegalArgumentException(
+            s"graft_store DML: INSERT column list names ${cs.length} columns " +
+              s"but the source has ${incoming.columns.length}")
+        val resolved = cs.map { c =>
+          table.columns.filter(_.equalsIgnoreCase(c)) match {
+            case Array(one) => one
+            case Array() => throw new IllegalArgumentException(
+              s"graft_store DML: INSERT column list names unknown column `$c` " +
+                s"(table has ${table.columns.mkString(", ")})")
+            case many => throw new IllegalArgumentException(
+              s"graft_store DML: INSERT column `$c` is ambiguous among " +
+                s"${many.mkString(", ")} (set spark.sql.caseSensitive=true)")
+          }
+        }
+        if (resolved.distinct.size != resolved.size)
+          throw new IllegalArgumentException(
+            "graft_store DML: two INSERT list columns resolve to the same column")
+        val renamed = incoming.toDF(resolved.toIndexedSeq: _*)
+        renamed.select(table.schema.fields.map { f =>
+          if (resolved.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+    }
     if (mor) {
       graft.operators.DeletionVectors.morAppend(spark, path, aligned)
       Seq(Row(graft.operators.DeletionVectors.liveRowCount(spark, path)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Row, SparkSession}
-import graft.store.{MergeMatchedAction, MergeWhenMatched, MergeWhenNotMatched}
+import graft.store.{MergeBySourceAction, MergeMatchedAction, MergeWhenMatched, MergeWhenNotMatched, MergeWhenNotMatchedBySource}
 
 /** The SQL-text surface for the store's merge — the reference's flagship
   * write is SQL (`INSERT … ON CONFLICT (id) DO UPDATE SET …`,
@@ -67,9 +67,12 @@ object GraftSqlMerge {
   private val Head =
     """(?is)\s*MERGE\s+INTO\s+graft_store\s*\.\s*`([^`]+)`\s+USING\s+(.*)""".r
   private val OnKeys = """(?is)\s*ON\s+KEYS\s*\(([^)]+)\)\s*(.*)""".r
-  private val NotHead = """(?is)NOT\s+MATCHED(?:\s+AND\s+(.+))?""".r
+  private val NotBySrcHead =
+    """(?is)NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+))?""".r
+  private val NotHead = """(?is)NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+))?""".r
   private val MatchHead = """(?is)MATCHED(?:\s+AND\s+(.+))?""".r
   private val UpdAction = """(?is)UPDATE\s+SET\s+(\*|\(([^)]*)\))\s*""".r
+  private val UpdAssignHead = """(?is)UPDATE\s+SET\s+(.+)""".r
   private val DelAction = """(?is)DELETE\s*""".r
   private val InsAction = """(?is)INSERT\s+\*\s*""".r
 
@@ -90,8 +93,8 @@ object GraftSqlMerge {
           val keys = keyList.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
             .filter(_.nonEmpty).toSeq
           if (keys.isEmpty) bad("ON KEYS list is empty")
-          val (matched, notMatched) = parseClauses(clauses, delegate)
-          Some(MergeIntoGraftStore(path, source, keys, matched, notMatched))
+          val (matched, notMatched, bySource) = parseClauses(clauses, delegate)
+          Some(MergeIntoGraftStore(path, source, keys, matched, notMatched, bySource))
         case other => bad(
           s"expected ON KEYS (k1, …) after the USING source (upsert matches " +
             s"on key equality only; arbitrary ON conditions are not honored), " +
@@ -141,9 +144,10 @@ object GraftSqlMerge {
     * matched clause; at most one NOT MATCHED clause.
     */
   private def parseClauses(clauses: String, delegate: ParserInterface)
-      : (Seq[MergeWhenMatched], Option[MergeWhenNotMatched]) = {
+      : (Seq[MergeWhenMatched], Option[MergeWhenNotMatched],
+         Seq[MergeWhenNotMatchedBySource]) = {
     val s = clauses.trim
-    if (s.isEmpty) return (Nil, None) // default upsert shape
+    if (s.isEmpty) return (Nil, None, Nil) // default upsert shape
     val scanner = new GraftSqlDml.KeywordScanner(s) // ONE mask for all probes
     if (scanner.indexOf("WHEN") != 0)
       bad(s"expected WHEN clauses or end of statement, got: ${s.take(60)}")
@@ -158,14 +162,27 @@ object GraftSqlMerge {
       s.substring(starts(k) + 4, to).trim
     }
     val matchedB = Seq.newBuilder[MergeWhenMatched]
+    val bySourceB = Seq.newBuilder[MergeWhenNotMatchedBySource]
     var notM: Option[MergeWhenNotMatched] = None
     var sawUnconditionalMatched = false
+    var sawUnconditionalBySource = false
     segs.foreach { seg =>
       val iThen = GraftSqlDml.indexOfTopLevelKeyword(seg, "THEN")
       if (iThen < 0) bad(s"WHEN clause missing THEN: ${seg.take(60)}")
       val head = seg.substring(0, iThen).trim
       val action = seg.substring(iThen + 4).trim
       head match {
+        // BY SOURCE must probe before the plain NOT MATCHED regex (which
+        // would otherwise swallow 'BY SOURCE …' into its condition group)
+        case NotBySrcHead(cond) =>
+          if (sawUnconditionalBySource) bad(
+            "an unconditional WHEN NOT MATCHED BY SOURCE must be the LAST " +
+              "BY SOURCE clause (first TRUE condition wins — anything after " +
+              "an unconditional clause is unreachable)")
+          if (cond == null) sawUnconditionalBySource = true
+          Option(cond).foreach(delegate.parseExpression(_))
+          bySourceB += MergeWhenNotMatchedBySource(Option(cond).map(_.trim),
+            parseBySourceAction(action, delegate))
         case NotHead(cond) =>
           if (notM.isDefined) bad("at most one WHEN NOT MATCHED clause")
           if (!InsAction.matches(action))
@@ -183,8 +200,35 @@ object GraftSqlMerge {
         case _ => bad(s"expected MATCHED or NOT MATCHED after WHEN: ${head.take(60)}")
       }
     }
-    (matchedB.result(), notM)
+    (matchedB.result(), notM, bySourceB.result())
   }
+
+  /** BY SOURCE actions: DELETE, or UPDATE SET with an explicit
+    * `col = expr` assignment list (there is no source row, so the
+    * matched clauses' take-from-source column lists make no sense here).
+    */
+  private def parseBySourceAction(action: String,
+                                  delegate: ParserInterface): MergeBySourceAction =
+    action match {
+      case DelAction() => MergeBySourceAction.Delete
+      case UpdAssignHead(setList) =>
+        val assignments = GraftSqlDml.splitTopLevel(setList).map { a =>
+          val i = GraftSqlDml.indexOfTopLevel(a, '=')
+          if (i <= 0) bad(
+            s"malformed BY SOURCE assignment '${a.trim.take(60)}' (expected col = expr)")
+          val colName = a.take(i).trim.stripPrefix("`").stripSuffix("`")
+          val exprSql = a.drop(i + 1).trim
+          if (colName.isEmpty || exprSql.isEmpty)
+            bad(s"malformed BY SOURCE assignment '${a.trim.take(60)}'")
+          delegate.parseExpression(exprSql) // validate at parse time
+          colName -> exprSql
+        }
+        if (assignments.isEmpty) bad("empty BY SOURCE UPDATE SET list")
+        MergeBySourceAction.Update(assignments)
+      case _ => bad(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action (UPDATE SET col = expr " +
+          s"[, …] or DELETE): ${action.take(60)}")
+    }
 
   private def parseAction(action: String): MergeMatchedAction = action match {
     case UpdAction(star, cols) =>
@@ -215,7 +259,8 @@ object GraftSqlMerge {
 final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
                                      keys: Seq[String],
                                      matched: Seq[MergeWhenMatched],
-                                     notMatched: Option[MergeWhenNotMatched])
+                                     notMatched: Option[MergeWhenNotMatched],
+                                     bySource: Seq[MergeWhenNotMatchedBySource] = Nil)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
@@ -242,6 +287,13 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
       }
     if (GraftSqlDml.hasDeletionVector(spark, path)) return runMergeOnRead(spark, incoming)
     val pcols = TableStore.detectPartitionColumns(spark, path)
+    if (bySource.nonEmpty) {
+      // BY SOURCE reaches rows the source does not name — only the
+      // full-surface clause engine expresses it (full rewrite by design)
+      TableStore.mergeClauses(spark, path, incoming, keys, matched, notMatched,
+        pcols, bySource)
+      return Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+    }
     (matched, notMatched) match {
       case (Seq(), None) => // documented default: ON CONFLICT DO UPDATE SET *
         if (pcols.nonEmpty)
@@ -280,7 +332,7 @@ final case class MergeIntoGraftStore(path: String, source: LogicalPlan,
             Some(MergeWhenNotMatched(None))) => true
       case _ => false
     }
-    if (!fullUpsertShape || keys.length != 1)
+    if (!fullUpsertShape || keys.length != 1 || bySource.nonEmpty)
       GraftSqlDml.requireNoDeletionVector(spark, path) // throws the routing message
     val base = spark.read.parquet(path)
     require(incoming.columns.toSet == base.columns.toSet,

@@ -2115,7 +2115,98 @@ object MergeOps {
       |SELECT o_orderkey, o_custkey, o_totalprice FROM ins
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q269: `WHEN NOT MATCHED BY SOURCE` clauses (round-13 verdict
+    * item 6) — the merge surface's third row class: TARGET-ONLY rows
+    * (key absent from the source) take the first TRUE BY SOURCE clause
+    * in order — here a conditional DELETE then an unconditional UPDATE
+    * whose assignment is an expression over the stored row (`t` alias) —
+    * while matched rows update from the source, all in ONE full-outer
+    * clause plan and one swap. Oracle recomputes all three classes
+    * relationally.
+    */
+  def sqlMergeBySource(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlMergeBs")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlmbs_orders")
+    TableStore.atomicWrite(spark, spark.table("v_sqlmbs_orders"), tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"""MERGE INTO graft_store.`$tbl`
+         |USING (
+         |  SELECT o_orderkey, o_custkey, o_totalprice * 3.0 AS o_totalprice
+         |  FROM v_sqlmbs_orders WHERE o_orderkey % 4 = 0
+         |)
+         |ON KEYS (o_orderkey)
+         |WHEN MATCHED THEN UPDATE SET (o_totalprice)
+         |WHEN NOT MATCHED BY SOURCE AND t.o_custkey % 5 = 0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_totalprice = t.o_totalprice + 1""".stripMargin))
+      .head().getLong(0)
+    require(n > 0, "by-source merge reported an empty table")
+    TableStore.read(spark, tbl).orderBy($"o_orderkey")
+  }
+
+  val sqlMergeBySourceSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 3.0
+      |       ELSE o_totalprice + 1 END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 4 = 0 OR NOT (o_custkey % 5 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q270: INSERT column lists (round-13 verdict item 6b) — named →
+    * positional mapping with typed-NULL fill for unmentioned columns: the
+    * list's i-th name receives the source's i-th expression (here
+    * deliberately out of table order), `o_custkey` is never named and
+    * backfills as a typed null. The zero-rewrite commit contract of q263
+    * still holds (one appended `ins-*` file, pre-existing files
+    * byte-untouched — require-asserted). Oracle is the UNION ALL
+    * recomputation with an explicit NULL.
+    */
+  def sqlInsertColumnList(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlInsCols")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .createOrReplaceTempView("v_sqlinc_orders")
+    TableStore.atomicWrite(spark, spark.table("v_sqlinc_orders"), tbl)
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val n = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"INSERT INTO graft_store.`$tbl` (o_totalprice, o_orderkey) " +
+        "SELECT o_totalprice + 5, o_orderkey + 70000000 " +
+        "FROM v_sqlinc_orders WHERE o_orderkey % 31 = 2")).head().getLong(0)
+    val after = files()
+    require(after.filter(f => before.exists(_._1 == f._1)) == before,
+      "INSERT must not touch any pre-existing data file")
+    require(after.count(_._1.startsWith("ins-")) == 1,
+      "a statement batch commits as ONE appended file (atomic rename)")
+    val t = TableStore.read(spark, tbl)
+    require(t.filter($"o_custkey".isNull).count() > 0,
+      "the unmentioned column must backfill as NULL")
+    require(n == TableStore.rowCountFromFooters(spark, tbl),
+      "n_rows is the footer-derived post-insert count")
+    t.orderBy($"o_orderkey")
+  }
+
+  val sqlInsertColumnListSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 70000000 AS o_orderkey,
+      |       CAST(NULL AS BIGINT) AS o_custkey,
+      |       o_totalprice + 5 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 31 = 2
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_sql_merge_by_source" -> sqlMergeBySource,
+    "q270_sql_insert_column_list" -> sqlInsertColumnList,
     "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlat,
     "q267_sql_update_mor" -> sqlUpdateMor,
     "q266_sql_time_travel" -> sqlTimeTravel,
@@ -2160,6 +2251,8 @@ object MergeOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q269_sql_merge_by_source" -> sqlMergeBySourceSql,
+    "q270_sql_insert_column_list" -> sqlInsertColumnListSql,
     "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlatSql,
     "q267_sql_update_mor" -> sqlUpdateMorSql,
     "q266_sql_time_travel" -> sqlTimeTravelSql,

@@ -25,6 +25,23 @@ final case class MergeWhenMatched(condSql: Option[String], action: MergeMatchedA
   */
 final case class MergeWhenNotMatched(condSql: Option[String])
 
+/** What a `WHEN NOT MATCHED BY SOURCE` clause does to a TARGET-ONLY row:
+  * update with explicit assignments (SQL expressions over the target row,
+  * alias `t` — there is no source row to take columns from) or delete.
+  */
+sealed trait MergeBySourceAction
+object MergeBySourceAction {
+  final case class Update(assignments: Seq[(String, String)]) extends MergeBySourceAction
+  case object Delete extends MergeBySourceAction
+}
+
+/** One ordered `WHEN NOT MATCHED BY SOURCE [AND cond] THEN …` clause;
+  * the condition sees the target row (alias `t` — source columns are
+  * null on a target-only row).
+  */
+final case class MergeWhenNotMatchedBySource(condSql: Option[String],
+                                             action: MergeBySourceAction)
+
 /** Parquet-backed table store with idempotent upsert — the Spark rebuild of
   * the reference's Postgres layer (`/root/reference/db.py:115-407`,
   * `setup.sql`).
@@ -1219,13 +1236,31 @@ object TableStore {
                    notMatched: Option[MergeWhenNotMatched],
                    partitionCol: Option[String] = None): Unit =
     mergeClauses(spark, path, source, keys, matched, notMatched,
-      partitionCol.toSeq)
+      partitionCol.toSeq, Nil)
 
   /** Multi-level layout variant: `partitionCols` empty = flat table. */
   def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
                    keys: Seq[String], matched: Seq[MergeWhenMatched],
                    notMatched: Option[MergeWhenNotMatched],
-                   partitionCols: Seq[String]): Unit = {
+                   partitionCols: Seq[String]): Unit =
+    mergeClauses(spark, path, source, keys, matched, notMatched, partitionCols, Nil)
+
+  /** Full-surface variant carrying `WHEN NOT MATCHED BY SOURCE` clauses
+    * (round-13 verdict item 6): TARGET-ONLY rows (key matches no source
+    * row) take the FIRST bySource clause whose condition is TRUE —
+    * `DELETE` drops them, `UPDATE` applies explicit `col -> exprSql`
+    * assignments evaluated over the target row (alias `t`); no clause
+    * TRUE → the row keeps its stored values. BY SOURCE reaches rows the
+    * source does NOT name, so pruning is impossible by construction: any
+    * bySource clause forces the FULL rewrite (layout preserved through
+    * the partitioned writer), which also makes partition-moving
+    * assignments safe there.
+    */
+  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+                   keys: Seq[String], matched: Seq[MergeWhenMatched],
+                   notMatched: Option[MergeWhenNotMatched],
+                   partitionCols: Seq[String],
+                   bySource: Seq[MergeWhenNotMatchedBySource]): Unit = {
     requireNoDeletionVector(spark, path, "mergeClauses")
     val table = read(spark, path)
     val cols = table.columns.toSeq
@@ -1245,6 +1280,31 @@ object TableStore {
         s"MERGE source is not key-unique on ${keys.mkString(",")} — a duplicated " +
           "key would fan the merge join out and duplicate table rows; dedupe " +
           "upstream (TableStore.dedupeByKey)")
+    // bySource assignment targets resolve against the table's columns and
+    // may not rename keys (a key change would detach the row's identity)
+    bySource.foreach {
+      case MergeWhenNotMatchedBySource(_, MergeBySourceAction.Update(as)) =>
+        as.foreach { case (c, _) =>
+          val hit = cols.filter(_.equalsIgnoreCase(c))
+          require(hit.size == 1,
+            s"BY SOURCE UPDATE targets unknown or ambiguous column `$c` " +
+              s"(table has ${cols.mkString(", ")})")
+          require(!keys.exists(_.equalsIgnoreCase(c)),
+            s"BY SOURCE UPDATE assigns key column `$c` — keys are the row's " +
+              "identity and cannot be reassigned")
+        }
+        require(as.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size == as.size,
+          "BY SOURCE UPDATE assigns a column twice")
+      case _ => ()
+    }
+    if (bySource.nonEmpty) {
+      // BY SOURCE touches rows the source does NOT name — no victim set
+      // exists to prune on; full rewrite, layout preserved
+      val merged = mergeClausesPlan(table, src, cols, keys, matched, notMatched, bySource)
+      if (partitionCols.isEmpty) atomicWrite(spark, merged, path)
+      else atomicWritePartitioned(spark, merged, path, partitionCols)
+      return
+    }
     partitionCols match {
       case Seq() =>
         mergeClausesFlatPruned(spark, path, table, src, cols, keys, matched, notMatched)
@@ -1322,10 +1382,13 @@ object TableStore {
       mergeClausesPlan(victimSlice, src, cols, keys, matched, notMatched))
   }
 
-  /** The pure clause plan over (already pruned) `table` vs `src`. */
+  /** The pure clause plan over (already pruned) `table` vs `src`; the
+    * `bySource` clauses govern the target-only (`tP && !sP`) branch.
+    */
   private def mergeClausesPlan(table: DataFrame, src: DataFrame, cols: Seq[String],
                                keys: Seq[String], matched: Seq[MergeWhenMatched],
-                               notMatched: Option[MergeWhenNotMatched]): DataFrame = {
+                               notMatched: Option[MergeWhenNotMatched],
+                               bySource: Seq[MergeWhenNotMatchedBySource] = Nil): DataFrame = {
     val nonKey = cols.filterNot(keys.contains)
     val t = table.withColumn("__t", lit(true)).as("t")
     val s = src.withColumn("__s", lit(true)).as("s")
@@ -1343,14 +1406,27 @@ object TableStore {
       case (MergeWhenMatched(_, MergeMatchedAction.Delete), ix) => ix
     }
     val insertC = notMatched.map(nm => condCol(nm.condSql)).getOrElse(lit(false))
+    // same first-TRUE-wins index over the ordered BY SOURCE list
+    val bsIdx = bySource.zipWithIndex.foldRight(lit(-1)) { case ((cl, ix), acc) =>
+      when(condCol(cl.condSql), lit(ix)).otherwise(acc)
+    }
+    val bsDeleteIdx = bySource.zipWithIndex.collect {
+      case (MergeWhenNotMatchedBySource(_, MergeBySourceAction.Delete), ix) => ix
+    }
     val keep =
       when(matchedF,
         if (deleteIdx.isEmpty) lit(true) else !clauseIdx.isin(deleteIdx: _*))
-        .when(tP, lit(true))
+        .when(tP,
+          if (bsDeleteIdx.isEmpty) lit(true) else !bsIdx.isin(bsDeleteIdx: _*))
         .otherwise(insertC)
     val updateSets: Seq[(Int, Set[String])] = matched.zipWithIndex.collect {
       case (MergeWhenMatched(_, MergeMatchedAction.Update(cs)), ix) =>
         ix -> cs.getOrElse(nonKey).toSet
+    }
+    val bsAssigns: Seq[(Int, Map[String, String])] = bySource.zipWithIndex.collect {
+      case (MergeWhenNotMatchedBySource(_, MergeBySourceAction.Update(as)), ix) =>
+        ix -> as.map { case (c, e) =>
+          cols.find(_.equalsIgnoreCase(c)).getOrElse(c) -> e }.toMap
     }
     val out = cols.map { c =>
       if (keys.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
@@ -1358,7 +1434,14 @@ object TableStore {
         val matchedVal = updateSets.foldLeft(col(s"t.$c")) { case (acc, (ix, set)) =>
           if (set.contains(c)) when(clauseIdx === ix, col(s"s.$c")).otherwise(acc) else acc
         }
-        when(matchedF, matchedVal).when(tP, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
+        // assignment expressions cast to the column's stored type (ANSI
+        // keeps bad casts loud) so a drifting expression cannot rewrite
+        // the table with a changed schema through the swap
+        val targetOnlyVal = bsAssigns.foldLeft(col(s"t.$c")) { case (acc, (ix, as)) =>
+          as.get(c).map(e => when(bsIdx === ix,
+            expr(e).cast(table.schema(c).dataType)).otherwise(acc)).getOrElse(acc)
+        }
+        when(matchedF, matchedVal).when(tP, targetOnlyVal).otherwise(col(s"s.$c")).as(c)
       }
     }
     joined.filter(keep).select(out: _*)
