@@ -56,4 +56,47 @@ class FetcherSpec extends SparkSuite {
       assert(new String(http.body, "UTF-8") == s"body:${r.url}")
     }
   }
+
+  test("crawl-delay pacing: round N+1's first request waits >= delay after round N's last, per host") {
+    FakePacer.reset()
+    // 2 hosts x 3 rounds x 2 urls — serialized per host within one partition
+    val plan = (for (h <- 0 until 2; r <- 0 until 3; u <- 0 until 2)
+      yield (s"p$h", f"/r$r%d-u$u%d", r.toLong)).toDF("host", "url", "fetch_round")
+    val out = Fetcher.execute(plan, transport, numPartitions = 1,
+      crawlDelayMs = h => if (h == "p0") 1000L else 5000L,
+      pacer = FakePacer).collect()
+    out.groupBy(_.host).foreach { case (h, rs) =>
+      val delay = if (h == "p0") 1000L else 5000L
+      val byRound = rs.groupBy(_.fetch_round)
+      for (r <- 0L to 1L) {
+        val lastPrev = byRound(r).map(_.issued_at_ms).max
+        val firstNext = byRound(r + 1).map(_.issued_at_ms).min
+        assert(firstNext >= lastPrev + delay,
+          s"$h round ${r + 1} first request at $firstNext must wait " +
+            s">= $delay after round $r's last at $lastPrev")
+      }
+      // requests INSIDE one round stay back-to-back (no politeness gap)
+      byRound.values.foreach { rr =>
+        val ts = rr.map(_.issued_at_ms).sorted.toSeq
+        ts.zip(ts.drop(1)).foreach { case (a, b) =>
+          assert(b - a < 1000L, "same-round requests must not pace")
+        }
+      }
+    }
+  }
+}
+
+/** Deterministic clock for the pacing spec: `now()` advances 10ms per
+  * sample (simulated request work), `sleepUntil` jumps the clock forward
+  * — a Scala object, so executor-side deserialization in local mode
+  * resolves back to this singleton and the clock stays shared.
+  */
+object FakePacer extends Fetcher.Pacer {
+  private val t = new java.util.concurrent.atomic.AtomicLong(0L)
+  def reset(): Unit = t.set(100000L)
+  def now(): Long = t.addAndGet(10L)
+  def sleepUntil(until: Long): Unit = {
+    var c = t.get()
+    while (c < until && !t.compareAndSet(c, until)) c = t.get()
+  }
 }
