@@ -1,0 +1,429 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The table-MAINTENANCE statements over the store — the operational
+  * surface every long-lived lakehouse deployment runs nightly, reachable
+  * from SQL text like the DML tier ([[GraftSqlDml]]/[[GraftSqlMerge]]):
+  *
+  * {{{
+  * OPTIMIZE graft_store.`/path` [WHERE <pred>]
+  *                              [ZORDER BY (c1, c2)] [TARGET <n> FILES]
+  * VACUUM graft_store.`/path` KEEP <n> [VERSIONS]
+  * CREATE [OR REPLACE] TABLE graft_store.`/path`
+  *   [PARTITIONED BY (c1 [, c2 …])] AS <select>
+  * DROP TABLE [IF EXISTS] graft_store.`/path`
+  * }}}
+  *
+  * OPTIMIZE is LAYOUT-ROUTED like the DML statements, because the right
+  * compaction move differs per layout:
+  *
+  *  - flat table → read-coalesce-swap into the target file count
+  *    (default: ceil(bytes / `graft.optimize.targetFileBytes`, 128 MiB) —
+  *    `coalesce`, not `repartition`: compaction must not pay a shuffle);
+  *    with WHERE → the FILE-PRUNED rewrite: only part files holding a
+  *    predicate-TRUE row are decoded and repacked, clean files hard-link
+  *    through the stage byte-untouched — targeted small-file cleanup
+  *    after a localized ingest;
+  *  - flat + ZORDER BY (x, y) → rewrite range-clustered on the Morton
+  *    interleave of the two columns (each bucketized to 2^16 rank
+  *    buckets off one min/max aggregate — `width_bucket`, codegen'd), so
+  *    file-level min/max statistics prune predicates on EITHER column;
+  *  - partitioned table → per-LEAF compaction through the pruned
+  *    partition rewrite; WHERE limits it to the leaves holding a
+  *    predicate-TRUE row, untouched leaves' files are never opened;
+  *  - merge-on-read table → HARDENING: materialize the deletion-vector
+  *    masks and fold the appended `mor-*` debt through
+  *    [[graft.operators.DeletionVectors.compact]] (read-consistent,
+  *    ledger preserved — the table stays merge-on-read, just debt-free);
+  *  - versioned root → refused (snapshots are immutable; VACUUM is the
+  *    maintenance statement for history).
+  *
+  * OPTIMIZE never changes table CONTENT — only the file layout. VACUUM
+  * routes to [[graft.store.VersionedTable.vacuum]] (pin- and
+  * fence-aware: pinned snapshots survive any KEEP). CTAS writes through
+  * the same crash-safe swap as every store write and refuses to replace
+  * merge-on-read or versioned state wholesale (DROP first, explicitly).
+  * Statements not targeting `graft_store.` delegate verbatim.
+  */
+object GraftSqlMaintenance {
+
+  private val OptimizeHead =
+    """(?is)\s*OPTIMIZE\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
+  private val VacuumHead =
+    """(?is)\s*VACUUM\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
+  private val CreateHead =
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
+  private val DropHead =
+    """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
+
+  private val ZorderTail = """(?is)ZORDER\s+BY\s*\(([^)]+)\)\s*(.*)""".r
+  private val TargetTail = """(?is)TARGET\s+(\d+)\s+FILES\s*(.*)""".r
+  private val KeepTail = """(?is)\s*KEEP\s+(\d+)\s*(?:VERSIONS\s*)?""".r
+  private val PartByTail = """(?is)\s*PARTITIONED\s+BY\s*\(([^)]+)\)\s*(.*)""".r
+  private val AsTail = """(?is)\s*AS\s+(.*)""".r
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft_store maintenance: $msg")
+
+  def tryParse(sql: String, delegate: ParserInterface): Option[LogicalPlan] = sql match {
+    case OptimizeHead(path, rest) =>
+      val (whereSql, zorder, target) = parseOptimizeTail(rest.trim, delegate)
+      Some(OptimizeGraftStore(path, whereSql, zorder, target))
+    case VacuumHead(path, rest) => rest.trim match {
+      case KeepTail(n, _*) =>
+        val keep = n.toInt
+        if (keep < 1) bad("VACUUM KEEP must retain at least 1 version")
+        Some(VacuumGraftStore(path, keep))
+      case "" => bad("VACUUM requires KEEP <n> [VERSIONS] — an unbounded " +
+        "vacuum would delete every non-current snapshot")
+      case other => bad(s"expected KEEP <n> [VERSIONS], got: ${other.take(60)}")
+    }
+    case CreateHead(orReplace, path, rest) =>
+      val (pcols, afterPart) = rest match {
+        case PartByTail(cols, r2) =>
+          val cs = GraftSqlDml.splitTopLevel(cols)
+            .map(_.stripPrefix("`").stripSuffix("`"))
+          if (cs.isEmpty) bad("empty PARTITIONED BY list")
+          if (cs.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size != cs.size)
+            bad("a column appears twice in PARTITIONED BY")
+          (cs, r2)
+        case _ => (Seq.empty[String], rest)
+      }
+      afterPart match {
+        case AsTail(src) if src.trim.nonEmpty =>
+          Some(CreateTableGraftStore(path,
+            GraftStoreRead.substitute(delegate.parsePlan(src)),
+            pcols, orReplace != null))
+        case _ => bad("CREATE TABLE graft_store requires AS <select> — the " +
+          "store is schema-on-write parquet; there is no column-DDL-only table")
+      }
+    case DropHead(ifExists, path, rest) =>
+      if (rest.trim.nonEmpty) bad(s"unexpected text after DROP TABLE: ${rest.trim.take(60)}")
+      Some(DropTableGraftStore(path, ifExists != null))
+    case _ => None
+  }
+
+  /** `[WHERE <pred>] [ZORDER BY (x, y)] [TARGET <n> FILES]` — clauses in
+    * order, each optional. The WHERE predicate runs to the first
+    * TOP-LEVEL clause keyword that actually heads a well-formed clause
+    * (so a column literally named `target` inside the predicate does not
+    * truncate it).
+    */
+  private def parseOptimizeTail(rest: String, delegate: ParserInterface)
+      : (Option[String], Option[(String, String)], Option[Int]) = {
+    def parseClauses(s: String): (Option[(String, String)], Option[Int]) = s match {
+      case "" => (None, None)
+      case ZorderTail(cols, r2) =>
+        val cs = GraftSqlDml.splitTopLevel(cols)
+          .map(_.stripPrefix("`").stripSuffix("`"))
+        if (cs.length != 2)
+          bad(s"ZORDER BY takes exactly two columns (Morton interleave " +
+            s"of two dimensions), got ${cs.length}")
+        val (_, target) = parseClauses(r2.trim)
+        (Some((cs.head, cs.last)), target)
+      case TargetTail(n, r2) =>
+        if (r2.trim.nonEmpty) bad(s"unexpected text after TARGET n FILES: ${r2.trim.take(60)}")
+        val t = n.toInt
+        if (t < 1) bad("TARGET must be at least 1 file")
+        (None, Some(t))
+      case other => bad(s"expected WHERE / ZORDER BY (…) / TARGET n FILES, " +
+        s"got: ${other.take(60)}")
+    }
+    if (rest.isEmpty) (None, None, None)
+    else if (rest.toUpperCase(java.util.Locale.ROOT).startsWith("WHERE")) {
+      val body = rest.drop(5)
+      // predicate ends at the first top-level WELL-FORMED trailing clause
+      val sc = new GraftSqlDml.KeywordScanner(body)
+      def clauseStart(kw: String): Int = {
+        var i = sc.indexOf(kw)
+        while (i >= 0 && !body.substring(i).matches("(?is)(ZORDER\\s+BY\\s*\\(|TARGET\\s+\\d+\\s+FILES).*"))
+          i = sc.indexOf(kw, i + 1)
+        i
+      }
+      val cut = Seq(clauseStart("ZORDER"), clauseStart("TARGET"))
+        .filter(_ >= 0).sorted.headOption.getOrElse(body.length)
+      val pred = body.substring(0, cut).trim
+      if (pred.isEmpty) bad("empty WHERE predicate")
+      delegate.parseExpression(pred) // validate at parse time, like the DML tier
+      val (z, t) = parseClauses(body.substring(cut).trim)
+      (Some(pred), z, t)
+    } else {
+      val (z, t) = parseClauses(rest)
+      (None, z, t)
+    }
+  }
+}
+
+/** `OPTIMIZE graft_store` — layout-routed compaction/clustering; content
+  * is NEVER changed, only the file layout. Returns (files_before,
+  * files_after, n_rows) — counts from one driver listing, rows from
+  * footer metadata (zero post-swap jobs, manifest-cached).
+  */
+final case class OptimizeGraftStore(path: String,
+                                    whereSql: Option[String],
+                                    zorder: Option[(String, String)],
+                                    targetFiles: Option[Int])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft_store maintenance: $msg")
+
+  /** Default target: one file per `graft.optimize.targetFileBytes`
+    * (128 MiB — about one parquet row group at the scale the store
+    * targets), never less than one file.
+    */
+  private def defaultTarget(spark: SparkSession, bytes: Long): Int = {
+    val per = spark.conf.getOption("graft.optimize.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    math.max(1L, (bytes + per - 1) / per).min(Int.MaxValue).toInt
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    GraftSqlDml.requireNotVersioned(spark, path, "OPTIMIZE")
+    if (!TableStore.exists(spark, path)) bad(s"no table at $path")
+    val (filesBefore, bytesBefore) = TableStore.dataFileStats(spark, path)
+    if (GraftSqlDml.hasDeletionVector(spark, path)) runMergeOnRead(spark, filesBefore)
+    else {
+      val pcols = TableStore.detectPartitionColumns(spark, path)
+      if (pcols.nonEmpty) runPartitioned(spark, pcols)
+      else zorder match {
+        case Some((cx, cy)) => runZorder(spark, cx, cy, bytesBefore)
+        case None => runFlat(spark, bytesBefore)
+      }
+      val (filesAfter, _) = TableStore.dataFileStats(spark, path)
+      Seq(Row(filesBefore.toLong, filesAfter.toLong,
+        TableStore.rowCountFromFooters(spark, path)))
+    }
+  }
+
+  /** MoR hardening: materialize the DV masks and fold every appended
+    * `mor-*` file into the same read-consistent rewrite (the
+    * [[graft.operators.DeletionVectors.maybeCompact]] appended-debt
+    * move, fired unconditionally) — the table stays merge-on-read with
+    * its ledger, just debt-free. The layout knobs are meaningless here
+    * and refuse rather than silently no-op.
+    */
+  private def runMergeOnRead(spark: SparkSession, filesBefore: Int): Seq[Row] = {
+    import graft.operators.DeletionVectors
+    if (whereSql.isDefined || zorder.isDefined || targetFiles.isDefined)
+      bad(s"OPTIMIZE on merge-on-read $path takes no WHERE/ZORDER/TARGET — " +
+        "it hardens the deletion-vector debt (masks materialize, mor-* " +
+        "files fold in); compact to a plain table first for layout control")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val morFiles = f.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.endsWith(".parquet") && q.getName.startsWith("mor-"))
+      .map(q => f.makeQualified(q).toString).toSeq
+    DeletionVectors.compact(spark, path, alsoRewrite = morFiles)
+    val (filesAfter, _) = graft.store.TableStore.dataFileStats(spark, path)
+    Seq(Row(filesBefore.toLong, filesAfter.toLong,
+      DeletionVectors.liveRowCount(spark, path)))
+  }
+
+  /** Partitioned: compact each victim leaf to ONE file through the
+    * pruned partition rewrite — untouched leaves' files never open. The
+    * repartition on the partition tuple puts each leaf's rows in one
+    * task, so the partitionBy writer emits exactly one file per leaf.
+    */
+  private def runPartitioned(spark: SparkSession, pcols: Seq[String]): Unit = {
+    import graft.store.TableStore
+    if (zorder.isDefined)
+      bad(s"ZORDER BY on partitioned $path is not supported — the layout " +
+        "already clusters on the partition columns; zorder a flat table")
+    if (targetFiles.isDefined)
+      bad(s"TARGET n FILES on partitioned $path is not supported — a " +
+        "partitioned OPTIMIZE compacts each victim leaf to one file")
+    val cond = whereSql.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
+    TableStore.rewritePartitionsWhere(spark, path, pcols, cond,
+      _.repartition(pcols.map(col): _*))
+  }
+
+  /** Flat, no zorder: coalesce into the target file count (no shuffle)
+    * and swap; with WHERE, the file-pruned rewrite repacks only the part
+    * files holding a predicate-TRUE row while clean files hard-link
+    * through the stage.
+    */
+  private def runFlat(spark: SparkSession, bytes: Long): Unit = {
+    import graft.store.TableStore
+    whereSql match {
+      case Some(w) =>
+        TableStore.rewriteFilesWhere(spark, path,
+          coalesce(expr(w), lit(false)), _.coalesce(targetFiles.getOrElse(1)))
+      case None =>
+        val n = targetFiles.getOrElse(defaultTarget(spark, bytes))
+        TableStore.atomicWrite(spark,
+          TableStore.read(spark, path).coalesce(n), path)
+    }
+  }
+
+  /** Flat + ZORDER BY (x, y): bucketize each dimension to 2^16 uniform
+    * buckets off ONE min/max aggregate (`width_bucket` — codegen'd, no
+    * window, no extra shuffle beyond the range partition), Morton-
+    * interleave ([[graft.operators.Layout.zorderKey]]), range-partition
+    * + sort on the key, swap. Every output file then covers a tight key
+    * band, so file-level min/max statistics prune predicates on EITHER
+    * column.
+    */
+  private def runZorder(spark: SparkSession, cx: String, cy: String,
+                        bytes: Long): Unit = {
+    import graft.store.TableStore
+    if (whereSql.isDefined)
+      bad("WHERE with ZORDER BY is not supported — clustering is a " +
+        "whole-table layout property on a flat table")
+    val table = TableStore.read(spark, path)
+    def resolve(c: String): String =
+      table.columns.filter(_.equalsIgnoreCase(c)) match {
+        case Array(one) => one
+        case Array() => bad(s"ZORDER BY names unknown column `$c` " +
+          s"(table has ${table.columns.mkString(", ")})")
+        case many => bad(s"ZORDER BY column `$c` is ambiguous among ${many.mkString(", ")}")
+      }
+    val (x, y) = (resolve(cx), resolve(cy))
+    Seq(x, y).foreach { c =>
+      if (!table.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        bad(s"ZORDER BY column `$c` is ${table.schema(c).dataType.simpleString} — " +
+          "the Morton bucketization needs numeric dimensions")
+    }
+    val n = targetFiles.getOrElse(defaultTarget(spark, bytes))
+    val bounds = table.agg(
+      min(col(x)).cast("double"), max(col(x)).cast("double"),
+      min(col(y)).cast("double"), max(col(y)).cast("double")).head()
+    if (bounds.isNullAt(0)) { // empty table: layout is vacuous
+      TableStore.atomicWrite(spark, table, path)
+      return
+    }
+    val buckets = 1 << 16
+    def bucketize(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      // width_bucket: 1..n in range, n+1 AT the max — clamp, then 0-base
+      else least(width_bucket(c.cast("double"), lit(lo), lit(hi), lit(buckets)),
+        lit(buckets.toLong)) - lit(1L)
+    val zkey = graft.operators.Layout.zorderKey(
+      bucketize(col(x), bounds.getDouble(0), bounds.getDouble(1)),
+      bucketize(col(y), bounds.getDouble(2), bounds.getDouble(3)), bits = 16)
+    TableStore.atomicWrite(spark,
+      table.withColumn("__zkey", zkey)
+        .repartitionByRange(n, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey"),
+      path)
+  }
+}
+
+/** `VACUUM graft_store … KEEP n` — retention over a VERSIONED root:
+  * [[graft.store.VersionedTable.vacuum]] (fences stale writers first;
+  * the CURRENT version and live reader pins survive any KEEP). Returns
+  * (versions_before, versions_after, current_version).
+  */
+final case class VacuumGraftStore(path: String, keep: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("versions_before", LongType, nullable = false)(),
+    AttributeReference("versions_after", LongType, nullable = false)(),
+    AttributeReference("current_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.VersionedTable
+    val cur = VersionedTable.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_store maintenance: VACUUM on $path, which is not a " +
+          "versioned table (no CURRENT pointer) — plain tables keep no " +
+          "history; OPTIMIZE is their maintenance statement"))
+    val before = VersionedTable.versions(spark, path)
+    VersionedTable.vacuum(spark, path, keepLast = keep)
+    val after = VersionedTable.versions(spark, path)
+    Seq(Row(before.size.toLong, after.size.toLong, cur.toLong))
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE graft_store … [PARTITIONED BY (…)] AS
+  * <select>` — CTAS through the crash-safe swap. Plain CREATE refuses an
+  * existing table; OR REPLACE swaps atomically but refuses to clobber
+  * merge-on-read or versioned state wholesale (masks/ledger/history
+  * don't die as a side effect — DROP first, explicitly). The source may
+  * read graft_store tables (including `VERSION AS OF` — CTAS is how a
+  * snapshot materializes to a plain table).
+  */
+final case class CreateTableGraftStore(path: String, source: LogicalPlan,
+                                       partitionCols: Seq[String],
+                                       orReplace: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_rows", LongType, nullable = false)())
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft_store maintenance: $msg")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    if (TableStore.exists(spark, path)) {
+      if (!orReplace) bad(s"table $path already exists — CREATE OR REPLACE " +
+        "TABLE to overwrite it, or INSERT/MERGE to mutate it")
+      GraftSqlDml.requireNotVersioned(spark, path, "CREATE OR REPLACE TABLE")
+      if (GraftSqlDml.hasDeletionVector(spark, path))
+        bad(s"CREATE OR REPLACE TABLE on $path, a merge-on-read table — " +
+          "replacing it would silently drop the deletion-vector masks and " +
+          "the exactly-once ledger; DROP TABLE first, explicitly")
+    }
+    val df = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
+    val resolved = partitionCols.map { c =>
+      df.columns.filter(_.equalsIgnoreCase(c)) match {
+        case Array(one) => one
+        case Array() => bad(s"PARTITIONED BY names unknown column `$c` " +
+          s"(select produces ${df.columns.mkString(", ")})")
+        case many => bad(s"PARTITIONED BY column `$c` is ambiguous among " +
+          many.mkString(", "))
+      }
+    }
+    if (resolved.nonEmpty)
+      TableStore.atomicWritePartitioned(spark, df, path, resolved)
+    else TableStore.atomicWrite(spark, df, path)
+    Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+  }
+}
+
+/** `DROP TABLE [IF EXISTS] graft_store` — removes the table directory
+  * and its crash-protocol debris (`__old`/`__tmp`/`__dtmp` siblings), so
+  * a later CREATE cannot resurrect a parked backup through recovery.
+  * Fences stale writers first (a fenced-out writer's late commit must
+  * not re-materialize the dropped table). Returns `dropped` = 1/0.
+  */
+final case class DropTableGraftStore(path: String, ifExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    if (!TableStore.exists(spark, path)) { // exists() runs crash recovery
+      if (ifExists) return Seq(Row(0L))
+      throw new IllegalArgumentException(
+        s"graft_store maintenance: no table at $path (DROP TABLE IF " +
+          "EXISTS to make this a no-op)")
+    }
+    graft.store.WriterLease.fence(spark, path)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path, path + "__old", path + "__tmp", path + "__dtmp").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    Seq(Row(1L))
+  }
+}

@@ -353,6 +353,7 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlMerge.tryParse(sqlText, delegate)
       .orElse(GraftSqlDml.tryParse(sqlText, delegate))
+      .orElse(GraftSqlMaintenance.tryParse(sqlText, delegate))
       .getOrElse(GraftStoreRead.substitute(delegate.parsePlan(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
     // same substitution as parsePlan: a graft_store relation inside a plan

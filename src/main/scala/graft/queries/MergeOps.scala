@@ -2204,9 +2204,245 @@ object MergeOps {
       |FROM orders WHERE o_orderkey % 31 = 2
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q271: SQL OPTIMIZE on a flat table — the small-file maintenance
+    * statement every long-lived ingest needs (incremental appends accrete
+    * files whose listing/open overhead eventually dominates scan cost).
+    * A 24-file table compacts to TARGET 2 FILES through the crash-safe
+    * swap with `coalesce` (NO shuffle — compaction moves bytes, not
+    * rows-across-keys); content is require-asserted unchanged (the
+    * statement's n_rows equals the pre-statement footer count) and the
+    * oracle is the identity recomputation.
+    */
+  def sqlOptimizeCompact(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlOpt")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_flat").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(24).write.mode("overwrite").parquet(tbl)
+    val nBefore = TableStore.rowCountFromFooters(spark, tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val out = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"OPTIMIZE graft_store.`$tbl` TARGET 2 FILES")).head()
+    require(out.getLong(0) == 24L, s"fixture wrote 24 files, saw ${out.getLong(0)}")
+    require(out.getLong(1) <= 2L && out.getLong(1) >= 1L,
+      s"OPTIMIZE must land at most the TARGET file count, got ${out.getLong(1)}")
+    require(out.getLong(2) == nBefore,
+      "OPTIMIZE changes layout, never content (footer count must not move)")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlOptimizeCompactSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q272: SQL OPTIMIZE with WHERE on a partitioned table — per-LEAF
+    * compaction under partition pruning: only the leaves holding a
+    * predicate-TRUE row are read and rewritten (to ONE file each); every
+    * other leaf keeps its exact (path, mtime, length) listing,
+    * require-asserted inside the graded query. At 100 TB this is the
+    * nightly "compact yesterday's partition" pass: cost is the victim
+    * leaves, not the table.
+    */
+  def sqlOptimizePartitioned(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlOptPart")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_part").toString
+    TableStore.atomicWritePartitioned(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority").repartition(8),
+      tbl, Seq("o_orderpriority"))
+    def leaves(keep: String => Boolean): Seq[(String, Long, Long)] =
+      new java.io.File(tbl).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("o_orderpriority="))
+        .filter(d => keep(d.getName))
+        .flatMap(_.listFiles().map(f => (f.getPath, f.lastModified(), f.length())))
+        .sortBy(_._1).toSeq
+    require(leaves(_.contains("1-URGENT")).size > 1, "victim leaf must be fragmented")
+    val untouchedBefore = leaves(n => !n.contains("1-URGENT"))
+    require(untouchedBefore.nonEmpty, "fixture needs untouched leaves")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"OPTIMIZE graft_store.`$tbl` WHERE o_orderpriority = '1-URGENT'")).head()
+    require(leaves(n => !n.contains("1-URGENT")) == untouchedBefore,
+      "a leaf outside 1-URGENT was touched — partition pruning did not engage")
+    require(leaves(_.contains("1-URGENT")).count(_._1.endsWith(".parquet")) == 1,
+      "the victim leaf must compact to ONE file")
+    require(TableStore.detectPartitionColumns(spark, tbl) == Seq("o_orderpriority"),
+      "OPTIMIZE must not flatten the layout")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlOptimizePartitionedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q273: SQL OPTIMIZE ZORDER BY — data-layout clustering for scan
+    * pruning on TWO dimensions at once. The fixture scatters orders so
+    * every file spans the whole (o_custkey, o_totalprice) range (no
+    * file-level min/max can prune anything); the statement bucketizes
+    * each dimension to 2^16 rank buckets off one min/max aggregate,
+    * Morton-interleaves, and range-partitions on the key — after which a
+    * band predicate on EITHER column overlaps a require-asserted
+    * fraction of the files (measured from real per-file min/max, the
+    * same statistics parquet pruning uses). Output is the band query
+    * itself vs the oracle.
+    */
+  def sqlOptimizeZorder(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlOptZ")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_z").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(16).write.mode("overwrite").parquet(tbl)
+    def overlapping(c: String, lo: Double, hi: Double): Long =
+      spark.read.parquet(tbl)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+        .where($"lo" <= hi && $"hi" >= lo).count()
+    // a 10%-quantile band per dimension: SF-independent, and far enough
+    // from the z-octant boundaries that range-sampling jitter (the
+    // repartitionByRange reservoir is randomized) cannot flip the assert
+    val Array(xLo, xHi) = spark.read.parquet(tbl)
+      .stat.approxQuantile("o_custkey", Array(0.05, 0.15), 0.001)
+    val Array(yLo, yHi) = spark.read.parquet(tbl)
+      .stat.approxQuantile("o_totalprice", Array(0.05, 0.15), 0.001)
+    require(overlapping("o_custkey", xLo, xHi) >= 12,
+      "scattered fixture: nearly all 16 files must overlap the x band")
+    require(overlapping("o_totalprice", yLo, yHi) >= 12,
+      "scattered fixture: nearly all 16 files must overlap the y band")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val out = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"OPTIMIZE graft_store.`$tbl` ZORDER BY (o_custkey, o_totalprice) " +
+        "TARGET 64 FILES")).head()
+    require(out.getLong(1) >= 32L, "clustering must keep many files to mean anything")
+    val files = out.getLong(1)
+    require(overlapping("o_custkey", xLo, xHi) <= (files * 2) / 5,
+      s"a 10% x band must overlap well under half the files after zorder " +
+        s"(${overlapping("o_custkey", xLo, xHi)} of $files)")
+    require(overlapping("o_totalprice", yLo, yHi) <= (files * 2) / 5,
+      s"the SECOND dimension must prune too — that is the point of zorder " +
+        s"(${overlapping("o_totalprice", yLo, yHi)} of $files)")
+    TableStore.read(spark, tbl)
+      .filter($"o_custkey".between(100, 400))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlOptimizeZorderSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 400
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q274: SQL VACUUM over the versioned store — retention from pure SQL
+    * text: three snapshots, `KEEP 1` deletes the two non-current ones
+    * (require-asserted on disk), the survivor stays readable both live
+    * and via `VERSION AS OF`, and a read of a vacuumed version fails
+    * loudly. Output is the live (v3) table; the oracle recomputes both
+    * upserts relationally.
+    */
+  def sqlVacuum(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    import graft.store.VersionedTable
+    val run = mergeRoot.resolve("runSqlVac")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_v").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    require(VersionedTable.writeSnapshot(spark, base, tbl) == 1)
+    require(VersionedTable.upsert(spark, tbl,
+      base.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2.0), Seq("o_orderkey")) == 2)
+    require(VersionedTable.upsert(spark, tbl,
+      VersionedTable.read(spark, tbl).filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1.0), Seq("o_orderkey")) == 3)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    val out = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"VACUUM graft_store.`$tbl` KEEP 1")).head()
+    require(out.getLong(0) == 3L && out.getLong(1) == 1L && out.getLong(2) == 3L,
+      s"(versions_before, versions_after, current) = $out")
+    require(VersionedTable.versions(spark, tbl) == Seq(3),
+      "v1 and v2 must be deleted on disk")
+    require(!new java.io.File(s"$tbl/v=1").exists(), "v1 dir must be gone")
+    val pinned = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"SELECT count(*) AS n FROM graft_store.`$tbl` VERSION AS OF 3")).head().getLong(0)
+    require(pinned == base.count(), "the survivor stays SQL-readable by version")
+    org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+      s"SELECT o_orderkey, o_custkey, o_totalprice FROM graft_store.`$tbl` " +
+        "ORDER BY o_orderkey"))
+  }
+
+  val sqlVacuumSql: String =
+    """WITH v2 AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM v2
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q275: SQL CTAS + DROP — the table-lifecycle statements: CREATE
+    * TABLE … PARTITIONED BY … AS SELECT lays the Hive layout down from
+    * pure SQL (detectPartitionColumns require-asserted), a second plain
+    * CREATE refuses the existing table, DROP TABLE removes it (and its
+    * crash debris), and CREATE OR REPLACE swaps content atomically. The
+    * final table is the OR REPLACE result vs the oracle's recomputation.
+    */
+  def sqlCtas(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlCtas")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_ctas").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+      $"o_orderstatus").createOrReplaceTempView("v_sqlctas_orders")
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def run1(sql: String) =
+      org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql)).head()
+    val n1 = run1(s"CREATE TABLE graft_store.`$tbl` PARTITIONED BY (o_orderstatus) AS " +
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus " +
+      "FROM v_sqlctas_orders WHERE o_orderkey % 3 = 1").getLong(0)
+    require(n1 > 0, "CTAS reported an empty table")
+    require(TableStore.detectPartitionColumns(spark, tbl) == Seq("o_orderstatus"),
+      "PARTITIONED BY must lay the Hive layout down")
+    val refused = try { run1(s"CREATE TABLE graft_store.`$tbl` AS SELECT 1 AS x"); false }
+    catch { case e: IllegalArgumentException => e.getMessage.contains("already exists") }
+    require(refused, "plain CREATE must refuse an existing table")
+    require(run1(s"DROP TABLE graft_store.`$tbl`").getLong(0) == 1L)
+    require(!new java.io.File(tbl).exists(), "DROP must remove the directory")
+    require(run1(s"DROP TABLE IF EXISTS graft_store.`$tbl`").getLong(0) == 0L,
+      "IF EXISTS on a missing table is a counted no-op")
+    val n2 = run1(s"CREATE TABLE graft_store.`$tbl` AS " +
+      "SELECT o_orderkey, o_custkey, o_totalprice " +
+      "FROM v_sqlctas_orders WHERE o_orderkey % 3 = 2").getLong(0)
+    val n3 = run1(s"CREATE OR REPLACE TABLE graft_store.`$tbl` AS " +
+      "SELECT o_orderkey, o_custkey, o_totalprice " +
+      "FROM v_sqlctas_orders WHERE o_orderkey % 3 <> 1").getLong(0)
+    require(n3 > n2, "OR REPLACE must swap in the new (larger) content")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlCtasSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 3 <> 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q269_sql_merge_by_source" -> sqlMergeBySource,
     "q270_sql_insert_column_list" -> sqlInsertColumnList,
+    "q271_sql_optimize" -> sqlOptimizeCompact,
+    "q272_sql_optimize_partitioned" -> sqlOptimizePartitioned,
+    "q273_sql_optimize_zorder" -> sqlOptimizeZorder,
+    "q274_sql_vacuum" -> sqlVacuum,
+    "q275_sql_ctas" -> sqlCtas,
     "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlat,
     "q267_sql_update_mor" -> sqlUpdateMor,
     "q266_sql_time_travel" -> sqlTimeTravel,
@@ -2253,6 +2489,11 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q269_sql_merge_by_source" -> sqlMergeBySourceSql,
     "q270_sql_insert_column_list" -> sqlInsertColumnListSql,
+    "q271_sql_optimize" -> sqlOptimizeCompactSql,
+    "q272_sql_optimize_partitioned" -> sqlOptimizePartitionedSql,
+    "q273_sql_optimize_zorder" -> sqlOptimizeZorderSql,
+    "q274_sql_vacuum" -> sqlVacuumSql,
+    "q275_sql_ctas" -> sqlCtasSql,
     "q268_sql_merge_pruned_flat" -> sqlMergePrunedFlatSql,
     "q267_sql_update_mor" -> sqlUpdateMorSql,
     "q266_sql_time_travel" -> sqlTimeTravelSql,

@@ -264,6 +264,23 @@ object TableStore {
     fileFooterRows(spark, path).map(_._2).sum
   }
 
+  /** Data-file census for the maintenance tier: (file count, total bytes)
+    * over the table's parquet files, recursing partition dirs at any
+    * depth — one driver listing, no footer opened. OPTIMIZE sizes its
+    * default target file count from the byte total and reports the
+    * before/after counts from this.
+    */
+  def dataFileStats(spark: SparkSession, path: String): (Int, Long) = {
+    recover(spark, path)
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (!f.exists(p)) (0, 0L)
+    else {
+      val files = listDataFiles(f, p, "")
+      (files.size, files.map(_._2.getLen).sum)
+    }
+  }
+
   /** The row-count manifest's sidecar location (one TSV line per data
     * file: `relPath\tbyteLength\trows`). DERIVED data with self-healing
     * semantics: identity is (relative path, byte length) — part files are

@@ -49,6 +49,12 @@ object VersionedTable {
       .sorted
   }
 
+  /** Snapshot versions present on disk, ascending — the maintenance
+    * tier's census (SQL VACUUM reports versions before/after from it).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    listVersions(spark, path)
+
   /** The live version: the CURRENT pointer, or (mid-pointer-flip
     * fallback) the highest staged version directory. None for an empty
     * table.
