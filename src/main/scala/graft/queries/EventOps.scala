@@ -498,6 +498,122 @@ object EventOps {
       |GROUP BY day
       |ORDER BY day""".stripMargin
 
+  // q276 fixture: a TWO-LEVEL (etype, tenday) replica — the canonical
+  // (source, day) lakehouse layout — seeded without the held-out 'view'
+  // quarter, plus a 4-file CDC feed confined to etype='view' (updates,
+  // deletes, re-inserts), so every leaf outside 'view' must survive the
+  // whole replication byte-identical.
+  private val streamCdc2LStaged =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def streamCdc2LFixtures(spark: SparkSession, dir: String): java.nio.file.Path =
+    streamCdc2LStaged.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val ev = events(spark, dir).select($"event_id", $"user_id",
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+        $"event_type".as("etype"),
+        expr("CAST((dayofmonth(ts) - 1) div 10 AS INT)").as("tenday"))
+      val fix = streamUpsertRoot.resolve(
+        "fixcdc2l_" + java.lang.Integer.toHexString(dir.hashCode))
+      val m4 = pmod($"event_id", lit(4))
+      ev.filter(m4 =!= 3).write.mode("overwrite")
+        .partitionBy("etype", "tenday")
+        .parquet(fix.resolve("replica_seed").toString)
+      val view = ev.filter($"etype" === "view")
+      val feed = view.filter(m4 === 0) // doubled-and-shifted cents
+        .select(lit("U").as("op"), $"event_id", $"user_id",
+          ($"cents" * 2 + 7).as("cents"), $"etype", $"tenday")
+        .unionByName(view.filter(m4 === 1) // doomed rows
+          .select(lit("D").as("op"), $"event_id", $"user_id", $"cents",
+            $"etype", $"tenday"))
+        .unionByName(view.filter(m4 === 3) // the held-out quarter returns
+          .select(lit("I").as("op"), $"event_id", $"user_id", $"cents",
+            $"etype", $"tenday"))
+      feed.repartitionByRange(4, $"event_id").write.mode("overwrite")
+        .parquet(fix.resolve("feed").toString)
+      fix
+    })
+
+  /** q276: the EXACTLY-ONCE CDC replication loop into a TWO-LEVEL
+    * (etype, tenday) partitioned replica on the real micro-batch path —
+    * the streaming closure of the round-14 multi-level store work:
+    * [[graft.streaming.EventStream.cdcSinkPartitionedExactlyOnce]] with
+    * `Seq("etype", "tenday")` routes each micro-batch through the
+    * leaf-pruned CDC apply with the batch ledger riding the partition
+    * stage. The feed's mutations are confined to `etype='view'`, and the
+    * graded query require-asserts that every LEAF outside 'view' keeps
+    * its exact (path, mtime, length) listing across all four
+    * micro-batches — leaf-precise pruning on the streaming path — then
+    * REPLAYS the whole stream from a fresh checkpoint and asserts the
+    * table is byte-identical (the ledger skips every replayed batch:
+    * exactly-once, not at-least-once). Output is the on-disk replica
+    * aggregated per leaf vs the primary-derived oracle.
+    */
+  def streamCdcTwoLevel(spark: SparkSession, dir: String): DataFrame = streamUpsertRoot.synchronized { withStreamShuffle(spark, 8) {
+    import spark.implicits._
+    val fix = streamCdc2LFixtures(spark, dir)
+    val feedSchema = spark.read.parquet(fix.resolve("feed").toString).schema
+    val run = streamUpsertRoot.resolve("runCdc2L")
+    deleteRecursive(run)
+    val replica = run.resolve("replica_tbl")
+    java.nio.file.Files.createDirectories(replica)
+    copyRecursive(fix.resolve("replica_seed"), replica)
+    def leaves(keep: String => Boolean): Seq[(String, Long, Long)] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory && f.getName.contains("=")) walk(f)
+          else if (f.isFile && f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(replica.toFile).map(f => (f.getPath, f.lastModified(), f.length()))
+        .filter(t => keep(t._1)).sortBy(_._1)
+    }
+    val untouchedBefore = leaves(p => !p.contains("etype=view"))
+    require(untouchedBefore.nonEmpty, "fixture needs non-view leaves")
+    def replay(ckpt: String): Unit = {
+      val feed = spark.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(fix.resolve("feed").toString)
+      graft.streaming.EventStream.cdcSinkPartitionedExactlyOnce(
+        feed, replica.toString, Seq("event_id"), Seq("etype", "tenday"),
+        run.resolve(ckpt).toString).awaitTermination()
+    }
+    replay("ckpt")
+    require(leaves(p => !p.contains("etype=view")) == untouchedBefore,
+      "a leaf outside etype=view changed — streaming CDC must prune at LEAF precision")
+    require(graft.store.TableStore.detectPartitionColumns(spark, replica.toString)
+      == Seq("etype", "tenday"), "the two-level layout must survive replication")
+    val afterFirst = leaves(_ => true)
+    replay("ckpt2") // fresh checkpoint replays batch ids 0..3 from zero
+    require(leaves(_ => true) == afterFirst,
+      "a replayed batch re-applied — the ledger must make replication " +
+        "exactly-once, not at-least-once")
+    spark.read.parquet(replica.toString)
+      .groupBy($"etype".cast("string").as("etype"), $"tenday".cast("int").as("tenday"))
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"),
+        sum($"event_id").as("id_checksum"))
+      .orderBy($"etype", $"tenday")
+  } }
+
+  val streamCdcTwoLevelSql: String =
+    """WITH base AS (
+      |  SELECT event_id, user_id,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    event_type AS etype,
+      |    CAST((date_part('day', ts) - 1) // 10 AS INT) AS tenday
+      |  FROM events),
+      |final AS (
+      |  SELECT event_id, cents, etype, tenday FROM base
+      |  WHERE etype <> 'view' AND event_id % 4 <> 3
+      |  UNION ALL
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 4 = 0 THEN cents * 2 + 7 ELSE cents END AS cents,
+      |    etype, tenday
+      |  FROM base WHERE etype = 'view' AND event_id % 4 IN (0, 2, 3))
+      |SELECT etype, tenday, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_checksum
+      |FROM final
+      |GROUP BY etype, tenday
+      |ORDER BY etype, tenday""".stripMargin
+
   // q84 fixture: the full events projection INCLUDING ts (q71's fixture
   // drops it), staged once per (JVM, sfDir) as 4 event_id-ranged files so
   // AvailableNow + maxFilesPerTrigger=1 replays several real micro-batches
@@ -2578,6 +2694,7 @@ object EventOps {
     "q71_stream_upsert"  -> streamUpsert,
     "q182_stream_cdc_replica" -> streamCdcReplica,
     "q187_stream_cdc_partitioned" -> streamCdcPartitioned,
+    "q276_stream_cdc_two_level" -> streamCdcTwoLevel,
     "q227_cdc_exactly_once" -> streamCdcExactlyOnce,
     "q249_stream_cdc_mor" -> streamCdcMorExactlyOnce,
     "q84_stream_interval_join" -> streamIntervalJoin,
@@ -2625,6 +2742,7 @@ object EventOps {
     "q71_stream_upsert"  -> streamUpsertSql,
     "q182_stream_cdc_replica" -> streamCdcReplicaSql,
     "q187_stream_cdc_partitioned" -> streamCdcPartitionedSql,
+    "q276_stream_cdc_two_level" -> streamCdcTwoLevelSql,
     "q227_cdc_exactly_once" -> streamCdcExactlyOnceSql,
     "q249_stream_cdc_mor" -> streamCdcMorExactlyOnceSql,
     "q84_stream_interval_join" -> streamIntervalJoinSql,

@@ -336,6 +336,29 @@ object EventStream {
       }
       .start()
 
+  /** [[cdcSinkPartitionedExactlyOnce]] against a MULTI-LEVEL layout —
+    * the (source, day) lakehouse replica: each micro-batch touches only
+    * the LEAF dirs its deletes live in and its upserts land in, at any
+    * partition depth, under the same root-marker ledger.
+    */
+  def cdcSinkPartitionedExactlyOnce(feed: DataFrame, targetPath: String,
+                                    keys: Seq[String], partitionCols: Seq[String],
+                                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val materialized = batch.persist()
+        try TableStore.applyCdcPartitionedExactlyOnce(
+          spark, targetPath, materialized, keys, partitionCols, batchId,
+          opCol = "op", checkUnique = true)
+        finally materialized.unpersist()
+        ()
+      }
+      .start()
+
   /** [[cdcSink]] against a PARTITIONED replica — the 100 TB steady state:
     * a continuously-running replication stream must touch only the
     * partitions each micro-batch's deletes live in and upserts land in
