@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * CREATE [OR REPLACE] TABLE graft_store.`/path`
   *   [PARTITIONED BY (c1 [, c2 …])] AS <select>
   * DROP TABLE [IF EXISTS] graft_store.`/path`
+  * SHOW PARTITIONS graft_store.`/path`
+  * ALTER TABLE graft_store.`/path` ADD COLUMN c <type> [DEFAULT <expr>]
+  *                                | RENAME COLUMN a TO b | DROP COLUMN c
   * }}}
   *
   * OPTIMIZE is LAYOUT-ROUTED like the DML statements, because the right
@@ -63,6 +66,16 @@ object GraftSqlMaintenance {
   private val DropHead =
     """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?graft_store\s*\.\s*`([^`]+)`\s*(.*)""".r
 
+  private val ShowPartsHead =
+    """(?is)\s*SHOW\s+PARTITIONS\s+graft_store\s*\.\s*`([^`]+)`\s*""".r
+  private val AlterHead =
+    """(?is)\s*ALTER\s+TABLE\s+graft_store\s*\.\s*`([^`]+)`\s+(.*)""".r
+  private val AddColTail =
+    """(?is)ADD\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+(.+)""".r
+  private val RenameColTail =
+    """(?is)RENAME\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+TO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""".r
+  private val DropColTail =
+    """(?is)DROP\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""".r
   private val ZorderTail = """(?is)ZORDER\s+BY\s*\(([^)]+)\)\s*(.*)""".r
   private val TargetTail = """(?is)TARGET\s+(\d+)\s+FILES\s*(.*)""".r
   private val KeepTail = """(?is)\s*KEEP\s+(\d+)\s*(?:VERSIONS\s*)?""".r
@@ -107,7 +120,38 @@ object GraftSqlMaintenance {
     case DropHead(ifExists, path, rest) =>
       if (rest.trim.nonEmpty) bad(s"unexpected text after DROP TABLE: ${rest.trim.take(60)}")
       Some(DropTableGraftStore(path, ifExists != null))
+    case ShowPartsHead(path) => Some(ShowPartitionsGraftStore(path))
+    case AlterHead(path, action) => Some(parseAlter(path, action.trim, delegate))
     case _ => None
+  }
+
+  /** `ADD COLUMN c <type> [DEFAULT <expr>]` | `RENAME COLUMN a TO b` |
+    * `DROP COLUMN c`. The ADD type runs to the first top-level DEFAULT
+    * keyword (types are multi-token: `DECIMAL(10, 2)`); both the type and
+    * the default expression validate through Spark's own parsers at parse
+    * time, like every expression in the DML tier.
+    */
+  private def parseAlter(path: String, action: String,
+                         delegate: ParserInterface): LogicalPlan = action match {
+    case RenameColTail(from, to) =>
+      AlterGraftStore(path, AlterAction.Rename(from, to))
+    case DropColTail(c) =>
+      AlterGraftStore(path, AlterAction.Drop(c))
+    case AddColTail(c, rest) =>
+      val sc = new GraftSqlDml.KeywordScanner(rest)
+      val (typeSql, default) = sc.indexOf("DEFAULT") match {
+        case -1 => (rest.trim, None)
+        case i =>
+          val d = rest.substring(i + 7).trim
+          if (d.isEmpty) bad("empty DEFAULT expression")
+          delegate.parseExpression(d) // validate
+          (rest.substring(0, i).trim, Some(d))
+      }
+      if (typeSql.isEmpty) bad(s"ADD COLUMN `$c` is missing its type")
+      val dt = delegate.parseDataType(typeSql) // validate + resolve
+      AlterGraftStore(path, AlterAction.Add(c, dt, default))
+    case other => bad(s"expected ADD COLUMN c <type> [DEFAULT e] / " +
+      s"RENAME COLUMN a TO b / DROP COLUMN c, got: ${other.take(60)}")
   }
 
   /** `[WHERE <pred>] [ZORDER BY (x, y)] [TARGET <n> FILES]` — clauses in
@@ -425,5 +469,120 @@ final case class DropTableGraftStore(path: String, ifExists: Boolean)
       if (f.exists(p)) f.delete(p, true)
     }
     Seq(Row(1L))
+  }
+}
+
+/** `SHOW PARTITIONS graft_store` — the partition-value census from
+  * DIRECTORY LISTINGS alone ([[graft.store.TableStore.partitionTuples]]):
+  * zero files opened, zero Spark jobs (at 100 TB partition discovery
+  * must never touch data). Output columns ARE the partition columns
+  * (string-typed, Hive-unescaped), one row per leaf — directly joinable
+  * against data, unlike a concatenated `partition` string.
+  */
+final case class ShowPartitionsGraftStore(path: String)
+  extends LeafRunnableCommand {
+
+  // the statement's schema depends on the table: surface the tuples in
+  // stable generic columns plus the column NAME each level carries
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    if (!TableStore.exists(spark, path))
+      throw new IllegalArgumentException(s"graft_store maintenance: no table at $path")
+    val (pcols, tuples) = TableStore.partitionTuples(spark, path)
+    if (pcols.isEmpty)
+      throw new IllegalArgumentException(
+        s"graft_store maintenance: SHOW PARTITIONS on $path, a flat table " +
+          "(no partition dirs)")
+    // Hive-style rendering `c1=v1/c2=v2`, sorted — one row per leaf
+    tuples.map(t => pcols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/"))
+      .sorted.map(Row(_))
+  }
+}
+
+/** The ALTER COLUMN actions — resolved and validated at parse time. */
+sealed trait AlterAction
+object AlterAction {
+  final case class Add(column: String, dataType: org.apache.spark.sql.types.DataType,
+                       defaultSql: Option[String]) extends AlterAction
+  final case class Rename(from: String, to: String) extends AlterAction
+  final case class Drop(column: String) extends AlterAction
+}
+
+/** `ALTER TABLE graft_store` — column evolution as an EAGER rewrite
+  * through the crash-safe swap, layout preserved through the partitioned
+  * writer. Eager on purpose: after the statement, every engine and every
+  * raw parquet reader sees ONE schema on disk — no mixed-schema
+  * directories, no mergeSchema hazards, no sidecar a foreign reader
+  * could miss. (The pay-as-you-go alternative exists in the library —
+  * `upsertPartitionedEvolve`/`readEvolved` widen per touched partition —
+  * and is the right tool for 100 TB-wide ADDs; the SQL statement chooses
+  * the semantics a SQL user expects from ALTER: done when it returns.)
+  *
+  * ADD backfills the new column with a typed NULL or the DEFAULT
+  * expression — evaluated per ROW over the existing columns, so computed
+  * backfills (`DEFAULT cents / 100`) work. Refused: partition columns
+  * (dropping/renaming one re-layouts the table — rewrite through CTAS),
+  * existing/unknown names, dropping the last data column, merge-on-read
+  * and versioned tables (masks/history do not survive a rewrite).
+  */
+final case class AlterGraftStore(path: String, action: AlterAction)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("n_rows", LongType, nullable = false)())
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft_store maintenance: $msg")
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.TableStore
+    GraftSqlDml.requireNotVersioned(spark, path, "ALTER TABLE")
+    if (GraftSqlDml.hasDeletionVector(spark, path))
+      bad(s"ALTER TABLE on $path, a merge-on-read table — a rewrite drops " +
+        "the deletion-vector masks and ledger; compact() first")
+    if (!TableStore.exists(spark, path)) bad(s"no table at $path")
+    val pcols = TableStore.detectPartitionColumns(spark, path)
+    val table = TableStore.read(spark, path)
+    def existing(c: String): String =
+      table.columns.filter(_.equalsIgnoreCase(c)) match {
+        case Array(one) => one
+        case Array() => bad(s"ALTER names unknown column `$c` " +
+          s"(table has ${table.columns.mkString(", ")})")
+        case many => bad(s"ALTER column `$c` is ambiguous among ${many.mkString(", ")}")
+      }
+    def requireNotPartition(c: String): Unit =
+      if (pcols.exists(_.equalsIgnoreCase(c)))
+        bad(s"column `$c` is a partition column — dropping or renaming it " +
+          "re-layouts the table; rewrite through CREATE OR REPLACE TABLE … AS")
+    val evolved = action match {
+      case AlterAction.Add(c, dt, default) =>
+        if (table.columns.exists(_.equalsIgnoreCase(c)))
+          bad(s"ADD COLUMN `$c` already exists")
+        val value = default.map(d => expr(d)).getOrElse(lit(null)).cast(dt).as(c)
+        // keep the partition columns LAST (the partitioned writer's order)
+        if (pcols.isEmpty) table.select(col("*"), value)
+        else table.select(
+          (table.columns.filterNot(pcols.contains).map(col) :+ value) ++
+            pcols.map(col): _*)
+      case AlterAction.Rename(from, to) =>
+        val src = existing(from)
+        requireNotPartition(src)
+        if (table.columns.exists(_.equalsIgnoreCase(to)))
+          bad(s"RENAME target `$to` already exists")
+        table.withColumnRenamed(src, to)
+      case AlterAction.Drop(c) =>
+        val victim = existing(c)
+        requireNotPartition(victim)
+        if (table.columns.length <= 1 + pcols.length)
+          bad(s"DROP COLUMN `$victim` would leave no data columns")
+        table.drop(victim)
+    }
+    if (pcols.nonEmpty) TableStore.atomicWritePartitioned(spark, evolved, path, pcols)
+    else TableStore.atomicWrite(spark, evolved, path)
+    Seq(Row(TableStore.rowCountFromFooters(spark, path)))
   }
 }

@@ -2435,7 +2435,108 @@ object MergeOps {
       |WHERE o_orderkey % 3 <> 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q277: SQL SHOW PARTITIONS — the partition census of a TWO-LEVEL
+    * layout from DIRECTORY LISTINGS alone: zero parquet files opened,
+    * ZERO Spark jobs (require-asserted with a sentinel-drained job
+    * listener inside the graded query — at 100 TB partition discovery
+    * must never touch data). Output is one Hive-rendered
+    * `col=val/col=val` row per leaf, hash-matched against the oracle's
+    * DISTINCT recomputation from the data itself.
+    */
+  def sqlShowPartitions(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlShowP")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_2l").toString
+    TableStore.atomicWritePartitioned(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_totalprice",
+        $"o_orderpriority", $"o_orderstatus"),
+      tbl, Seq("o_orderpriority", "o_orderstatus"))
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var sentinelSeen = false
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == "graft-q277-sentinel") sentinelSeen = true
+        else jobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val rows =
+      try {
+        val r = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(
+          s"SHOW PARTITIONS graft_store.`$tbl`")).collect().map(_.getString(0)).toSeq
+        spark.sparkContext.setJobDescription("graft-q277-sentinel")
+        try spark.range(1).count() finally spark.sparkContext.setJobDescription(null)
+        val deadline = System.currentTimeMillis() + 20000
+        while (!sentinelSeen && System.currentTimeMillis() < deadline) Thread.sleep(10)
+        require(sentinelSeen, "listener bus did not drain")
+        require(jobs.get() == 0,
+          s"SHOW PARTITIONS must launch ZERO Spark jobs, saw ${jobs.get()}")
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    require(rows.nonEmpty && rows == rows.sorted, "sorted leaf census")
+    spark.createDataset(rows).toDF("partition").orderBy($"partition")
+  }
+
+  val sqlShowPartitionsSql: String =
+    """SELECT DISTINCT 'o_orderpriority=' || o_orderpriority ||
+      |  '/o_orderstatus=' || o_orderstatus AS partition
+      |FROM orders
+      |ORDER BY partition""".stripMargin
+
+  /** q278: SQL ALTER TABLE — column evolution over a partitioned table
+    * from pure SQL text, completing the DDL statement family: ADD COLUMN
+    * with a COMPUTED default (evaluated per row over the existing
+    * columns), RENAME COLUMN, DROP COLUMN — each an eager rewrite through
+    * the crash-safe swap with the Hive layout require-asserted intact
+    * after every step, and the partition column protected (dropping it
+    * refuses, require-asserted). Oracle recomputes the final shape
+    * relationally.
+    */
+  def sqlAlterTable(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlAlter")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    TableStore.atomicWritePartitioned(spark,
+      orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderstatus"),
+      tbl, Seq("o_orderstatus"))
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def run1(sql: String) =
+      org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql)).head()
+    val n = run1(s"ALTER TABLE graft_store.`$tbl` ADD COLUMN price_bucket BIGINT " +
+      "DEFAULT CAST(FLOOR(o_totalprice / 1000) AS BIGINT)").getLong(0)
+    require(n > 0, "ALTER reported an empty table")
+    require(TableStore.detectPartitionColumns(spark, tbl) == Seq("o_orderstatus"),
+      "ADD COLUMN must preserve the layout")
+    run1(s"ALTER TABLE graft_store.`$tbl` RENAME COLUMN o_custkey TO cust_id")
+    run1(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN o_totalprice")
+    require(TableStore.detectPartitionColumns(spark, tbl) == Seq("o_orderstatus"),
+      "the layout must survive the whole ALTER chain")
+    val refused = try {
+      run1(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN o_orderstatus"); false
+    } catch { case e: IllegalArgumentException => e.getMessage.contains("partition column") }
+    require(refused, "dropping the partition column must refuse")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"cust_id", $"price_bucket", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlAlterTableSql: String =
+    """SELECT o_orderkey, o_custkey AS cust_id,
+      |  CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+      |  o_orderstatus
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_sql_show_partitions" -> sqlShowPartitions,
+    "q278_sql_alter_table" -> sqlAlterTable,
     "q269_sql_merge_by_source" -> sqlMergeBySource,
     "q270_sql_insert_column_list" -> sqlInsertColumnList,
     "q271_sql_optimize" -> sqlOptimizeCompact,
@@ -2489,6 +2590,8 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q269_sql_merge_by_source" -> sqlMergeBySourceSql,
     "q270_sql_insert_column_list" -> sqlInsertColumnListSql,
+    "q277_sql_show_partitions" -> sqlShowPartitionsSql,
+    "q278_sql_alter_table" -> sqlAlterTableSql,
     "q271_sql_optimize" -> sqlOptimizeCompactSql,
     "q272_sql_optimize_partitioned" -> sqlOptimizePartitionedSql,
     "q273_sql_optimize_zorder" -> sqlOptimizeZorderSql,

@@ -1010,6 +1010,29 @@ object TableStore {
     }
   }
 
+  /** The partition VALUE tuples of a Hive-layout table — (columns,
+    * decoded leaf tuples) — from directory listings alone: one listing
+    * per directory level, zero files opened, zero Spark jobs. This is
+    * `SHOW PARTITIONS`: at 100 TB partition discovery must never touch
+    * data. Values are Hive-unescaped exactly as the writer escaped them
+    * (the null sentinel comes back as Hive's default-partition string).
+    */
+  def partitionTuples(spark: SparkSession, path: String): (Seq[String], Seq[Seq[String]]) = {
+    val pcols = detectPartitionColumns(spark, path)
+    if (pcols.isEmpty) return (Nil, Nil)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val f = fs(spark, new Path(path))
+    def valOf(p: Path): String = ExternalCatalogUtils.unescapePathName(
+      p.getName.substring(p.getName.indexOf('=') + 1))
+    def walk(dir: Path, depth: Int): Seq[Seq[String]] =
+      if (depth == pcols.length) Seq(Nil)
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") && st.getPath.getName.contains('='))
+        .flatMap(st => walk(st.getPath, depth + 1).map(valOf(st.getPath) +: _))
+    (pcols, walk(new Path(path), 0))
+  }
+
   /** [[detectPartitionColumns]] restricted to the single-level contract:
     * None for flat, Some(col) for one level; a multi-level layout raises
     * (callers that can route it use [[detectPartitionColumns]]).

@@ -242,6 +242,91 @@ class GraftSqlMaintenanceSpec extends SparkSuite {
     assert(TableStore.read(spark, tbl).count() == 1L)
   }
 
+  test("SHOW PARTITIONS lists leaf tuples from directory metadata with zero jobs") {
+    val tbl = tmpDir("showparts")
+    val df = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"), (4L, "b 4", "z"))
+      .toDF("k", "s", "d")
+    TableStore.atomicWritePartitioned(spark, df, tbl, Seq("s", "d"))
+    // sentinel-drained job counting, the TableStoreSpec pattern: the bus
+    // is FIFO per listener, so once the tagged sentinel's event arrives,
+    // everything before it was delivered
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    @volatile var sentinelSeen = false
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .map(_.getProperty("spark.job.description")).orNull
+        if (desc == "graft-maint-sentinel") sentinelSeen = true
+        else n.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val rows = runSql(s"SHOW PARTITIONS graft_store.`$tbl`")
+        .collect().map(_.getString(0)).toSeq
+      spark.sparkContext.setJobDescription("graft-maint-sentinel")
+      try spark.range(1).count() finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.currentTimeMillis() + 20000
+      while (!sentinelSeen && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(sentinelSeen, "listener bus did not drain")
+      assert(rows == Seq("s=a/d=x", "s=a/d=y", "s=b 4/d=z", "s=b/d=x"),
+        s"sorted decoded leaves (incl. the Hive-escaped space): $rows")
+      assert(n.get() == 0, s"partition discovery must launch zero Spark jobs, saw ${n.get()}")
+    } finally spark.sparkContext.removeSparkListener(l)
+    val flat = tmpDir("showflat")
+    Seq((1L, "a")).toDF("k", "s").write.parquet(flat)
+    val e = intercept[IllegalArgumentException] {
+      runSql(s"SHOW PARTITIONS graft_store.`$flat`").collect()
+    }
+    assert(e.getMessage.contains("flat table"))
+  }
+
+  test("ALTER TABLE: add with computed default, rename, drop — layout preserved") {
+    val tbl = tmpDir("alter")
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, 10L, "a"), (2L, 25L, "b")).toDF("k", "v", "g"), tbl, Seq("g"))
+    val n = runSql(s"ALTER TABLE graft_store.`$tbl` ADD COLUMN v2 BIGINT DEFAULT v * 2")
+      .head().getLong(0)
+    assert(n == 2L)
+    assert(TableStore.detectPartitionColumns(spark, tbl) == Seq("g"))
+    assert(TableStore.read(spark, tbl).select("k", "v2").as[(Long, Long)]
+      .collect().sorted === Array((1L, 20L), (2L, 50L)))
+    runSql(s"ALTER TABLE graft_store.`$tbl` RENAME COLUMN v TO v_old").collect()
+    runSql(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN v_old").collect()
+    val t = TableStore.read(spark, tbl)
+    assert(t.columns.sorted.toSeq == Seq("g", "k", "v2"))
+    assert(TableStore.detectPartitionColumns(spark, tbl) == Seq("g"))
+    // a NULL-backfilled add (no DEFAULT) with a multi-token type
+    runSql(s"ALTER TABLE graft_store.`$tbl` ADD COLUMN score DECIMAL(10, 2)").collect()
+    assert(TableStore.read(spark, tbl).filter($"score".isNull).count() == 2L)
+  }
+
+  test("ALTER TABLE refusals: partition columns, dup/unknown names, MoR, versioned") {
+    val tbl = tmpDir("alterref")
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, 10L, "a")).toDF("k", "v", "g"), tbl, Seq("g"))
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { runSql(sql).collect() }
+      assert(e.getMessage.contains(frag), s"$sql → ${e.getMessage}")
+    }
+    refuse(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN g", "partition column")
+    refuse(s"ALTER TABLE graft_store.`$tbl` RENAME COLUMN g TO h", "partition column")
+    refuse(s"ALTER TABLE graft_store.`$tbl` ADD COLUMN v BIGINT", "already exists")
+    refuse(s"ALTER TABLE graft_store.`$tbl` RENAME COLUMN v TO k", "already exists")
+    refuse(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN nope", "unknown column")
+    runSql(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN v").collect() // k remains
+    refuse(s"ALTER TABLE graft_store.`$tbl` DROP COLUMN k",
+      "would leave no data columns")
+    val mor = tmpDir("altermor")
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(mor)
+    DeletionVectors.dvDelete(spark, mor, Seq(1L).toDF("k"), "k")
+    refuse(s"ALTER TABLE graft_store.`$mor` ADD COLUMN x BIGINT", "merge-on-read")
+    val ver = tmpDir("alterver")
+    VersionedTable.writeSnapshot(spark, Seq(1L).toDF("k"), ver)
+    refuse(s"ALTER TABLE graft_store.`$ver` ADD COLUMN x BIGINT", "VERSIONED")
+  }
+
   test("OPTIMIZE refuses versioned roots and layout knobs on the wrong layout") {
     val ver = tmpDir("optver")
     VersionedTable.writeSnapshot(spark, Seq(1L).toDF("k"), ver)
