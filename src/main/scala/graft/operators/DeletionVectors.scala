@@ -452,7 +452,8 @@ object DeletionVectors {
     val f = fs(spark, dst)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__append_$nonce")
-    rows.write.mode("overwrite").parquet(tmp.toString)
+    graft.store.Constraints.guard(spark, path, rows)
+      .write.mode("overwrite").parquet(tmp.toString)
     try {
       graft.store.WriterLease.fence(spark, path) // before the visible appends
       f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
@@ -594,7 +595,7 @@ object DeletionVectors {
     // output file count: one per masked-dirty file, but appended-file
     // folding REPACKS — an 8:1 fold bounds small-file debt
     val outFiles = math.max(1, math.max(v0.files.size, (dirty.size + 7) / 8))
-    survivors.repartition(outFiles)
+    graft.store.Constraints.guard(spark, path, survivors.repartition(outFiles))
       .write.mode("overwrite").parquet(tmp.toString)
     val staged = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
       .map(st => st.getPath -> new Path(dst, s"cmp-$nonce-${st.getPath.getName}"))

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   * SHOW PARTITIONS graft_store.`/path`
   * ALTER TABLE graft_store.`/path` ADD COLUMN c <type> [DEFAULT <expr>]
   *                                | RENAME COLUMN a TO b | DROP COLUMN c
+  *                                | ADD CONSTRAINT n CHECK (<expr>)
+  *                                | DROP CONSTRAINT n
   * }}}
   *
   * OPTIMIZE is LAYOUT-ROUTED like the DML statements, because the right
@@ -76,6 +78,10 @@ object GraftSqlMaintenance {
     """(?is)RENAME\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+TO\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""".r
   private val DropColTail =
     """(?is)DROP\s+COLUMN\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""".r
+  private val AddConstraintTail =
+    """(?is)ADD\s+CONSTRAINT\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s+CHECK\s*\((.*)\)\s*""".r
+  private val DropConstraintTail =
+    """(?is)DROP\s+CONSTRAINT\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\s*""".r
   private val ZorderTail = """(?is)ZORDER\s+BY\s*\(([^)]+)\)\s*(.*)""".r
   private val TargetTail = """(?is)TARGET\s+(\d+)\s+FILES\s*(.*)""".r
   private val KeepTail = """(?is)\s*KEEP\s+(\d+)\s*(?:VERSIONS\s*)?""".r
@@ -126,13 +132,21 @@ object GraftSqlMaintenance {
   }
 
   /** `ADD COLUMN c <type> [DEFAULT <expr>]` | `RENAME COLUMN a TO b` |
-    * `DROP COLUMN c`. The ADD type runs to the first top-level DEFAULT
-    * keyword (types are multi-token: `DECIMAL(10, 2)`); both the type and
-    * the default expression validate through Spark's own parsers at parse
-    * time, like every expression in the DML tier.
+    * `DROP COLUMN c` | `ADD CONSTRAINT n CHECK (expr)` |
+    * `DROP CONSTRAINT n`. The ADD COLUMN type runs to the first top-level
+    * DEFAULT keyword (types are multi-token: `DECIMAL(10, 2)`); every
+    * type and expression validates through Spark's own parsers at parse
+    * time, like the rest of the DML tier.
     */
   private def parseAlter(path: String, action: String,
                          delegate: ParserInterface): LogicalPlan = action match {
+    case AddConstraintTail(name, exprSql) =>
+      val e = exprSql.trim
+      if (e.isEmpty) bad("empty CHECK expression")
+      delegate.parseExpression(e) // validate
+      AlterGraftStore(path, AlterAction.AddConstraint(name, e))
+    case DropConstraintTail(name) =>
+      AlterGraftStore(path, AlterAction.DropConstraint(name))
     case RenameColTail(from, to) =>
       AlterGraftStore(path, AlterAction.Rename(from, to))
     case DropColTail(c) =>
@@ -423,6 +437,13 @@ final case class CreateTableGraftStore(path: String, source: LogicalPlan,
         bad(s"CREATE OR REPLACE TABLE on $path, a merge-on-read table — " +
           "replacing it would silently drop the deletion-vector masks and " +
           "the exactly-once ledger; DROP TABLE first, explicitly")
+      // OR REPLACE defines a NEW table: the old table's CHECK constraints
+      // do not apply to the replacement, so disarm BEFORE the write (the
+      // guard would otherwise validate — or fail to resolve — the new
+      // data against the old declarations). A crash before the write
+      // leaves the old data with its constraints dropped: metadata the
+      // user had already asked to discard, never corruption.
+      graft.store.Constraints.clear(spark, path)
     }
     val df = org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, source)
     val resolved = partitionCols.map { c =>
@@ -510,6 +531,8 @@ object AlterAction {
                        defaultSql: Option[String]) extends AlterAction
   final case class Rename(from: String, to: String) extends AlterAction
   final case class Drop(column: String) extends AlterAction
+  final case class AddConstraint(name: String, checkSql: String) extends AlterAction
+  final case class DropConstraint(name: String) extends AlterAction
 }
 
 /** `ALTER TABLE graft_store` — column evolution as an EAGER rewrite
@@ -539,14 +562,53 @@ final case class AlterGraftStore(path: String, action: AlterAction)
     throw new IllegalArgumentException(s"graft_store maintenance: $msg")
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import graft.store.TableStore
+    import graft.store.{Constraints, TableStore}
     GraftSqlDml.requireNotVersioned(spark, path, "ALTER TABLE")
-    if (GraftSqlDml.hasDeletionVector(spark, path))
+    val mor = GraftSqlDml.hasDeletionVector(spark, path)
+    action match { // the constraint actions mutate METADATA, not files
+      case AlterAction.AddConstraint(name, e) =>
+        if (!TableStore.exists(spark, path)) bad(s"no table at $path")
+        // name check BEFORE the validation scan (cheap refusals first)
+        if (Constraints.list(spark, path).exists(_._1.equalsIgnoreCase(name)))
+          bad(s"constraint `$name` already exists on $path")
+        // the one non-free moment: validate the EXISTING data, so every
+        // row on disk always satisfies every declared constraint (MoR
+        // validates the LIVE view — masked rows are not data)
+        val data =
+          if (mor) graft.operators.DeletionVectors.dvRead(spark, path)
+          else TableStore.read(spark, path)
+        val nBad = Constraints.violations(data, e).count()
+        if (nBad > 0)
+          bad(s"ADD CONSTRAINT `$name` on $path: $nBad existing rows " +
+            s"violate CHECK ($e) — fix the data first")
+        try Constraints.add(spark, path, name, e)
+        catch { case ex: IllegalArgumentException => bad(ex.getMessage) }
+        return Seq(Row(
+          if (mor) graft.operators.DeletionVectors.liveRowCount(spark, path)
+          else TableStore.rowCountFromFooters(spark, path)))
+      case AlterAction.DropConstraint(name) =>
+        if (!TableStore.exists(spark, path)) bad(s"no table at $path")
+        try Constraints.drop(spark, path, name)
+        catch { case ex: IllegalArgumentException => bad(ex.getMessage) }
+        return Seq(Row(
+          if (mor) graft.operators.DeletionVectors.liveRowCount(spark, path)
+          else TableStore.rowCountFromFooters(spark, path)))
+      case _ => ()
+    }
+    if (mor)
       bad(s"ALTER TABLE on $path, a merge-on-read table — a rewrite drops " +
         "the deletion-vector masks and ledger; compact() first")
     if (!TableStore.exists(spark, path)) bad(s"no table at $path")
     val pcols = TableStore.detectPartitionColumns(spark, path)
     val table = TableStore.read(spark, path)
+    // a declared CHECK may reference the column being renamed or dropped —
+    // the guard would then fail on every later write; refuse up front
+    def requireNotChecked(c: String): Unit =
+      Constraints.list(spark, path).foreach { case (n, e) =>
+        if (Constraints.referencedColumns(spark, e).exists(_.equalsIgnoreCase(c)))
+          bad(s"column `$c` is referenced by constraint `$n` (CHECK ($e)) — " +
+            "DROP CONSTRAINT first")
+      }
     def existing(c: String): String =
       table.columns.filter(_.equalsIgnoreCase(c)) match {
         case Array(one) => one
@@ -571,15 +633,19 @@ final case class AlterGraftStore(path: String, action: AlterAction)
       case AlterAction.Rename(from, to) =>
         val src = existing(from)
         requireNotPartition(src)
+        requireNotChecked(src)
         if (table.columns.exists(_.equalsIgnoreCase(to)))
           bad(s"RENAME target `$to` already exists")
         table.withColumnRenamed(src, to)
       case AlterAction.Drop(c) =>
         val victim = existing(c)
         requireNotPartition(victim)
+        requireNotChecked(victim)
         if (table.columns.length <= 1 + pcols.length)
           bad(s"DROP COLUMN `$victim` would leave no data columns")
         table.drop(victim)
+      case _: AlterAction.AddConstraint | _: AlterAction.DropConstraint =>
+        throw new IllegalStateException("handled above")
     }
     if (pcols.nonEmpty) TableStore.atomicWritePartitioned(spark, evolved, path, pcols)
     else TableStore.atomicWrite(spark, evolved, path)

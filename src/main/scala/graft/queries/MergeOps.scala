@@ -2534,7 +2534,75 @@ object MergeOps {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q279: CHECK constraints — declared from SQL, enforced per-row on
+    * every write funnel for FREE (the guard folds into the write's own
+    * codegen: no extra pass, no extra job; `ADD CONSTRAINT`'s one
+    * validation scan is the only non-free moment). The graded chain:
+    * declare → violating INSERT and UPDATE both abort with the
+    * constraint's name and the offending row, table require-asserted
+    * byte-intact after each refusal → valid statements flow → DROP
+    * CONSTRAINT disarms and the previously-refused row lands. Oracle
+    * recomputes the surviving mutations relationally.
+    */
+  def sqlCheckConstraints(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlCheck")
+    deleteRecursive(run)
+    val tbl = run.resolve("orders_tbl").toString
+    orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .coalesce(2).write.mode("overwrite").parquet(tbl)
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def run1(sql: String) =
+      org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql)).head()
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    def refused(sql: String): Boolean = try { run1(sql); false } catch {
+      case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .exists(e => Option(e.getMessage).exists(_.contains("price_pos")))
+    }
+    run1(s"ALTER TABLE graft_store.`$tbl` ADD CONSTRAINT price_pos " +
+      "CHECK (o_totalprice > 0)")
+    val before = files()
+    require(refused(s"INSERT INTO graft_store.`$tbl` VALUES (90000001, 1, -5.0)"),
+      "a violating INSERT must abort naming the constraint")
+    require(files() == before, "the refused INSERT must leave the table byte-intact")
+    run1(s"UPDATE graft_store.`$tbl` SET o_totalprice = o_totalprice + 10 " +
+      "WHERE o_orderkey % 17 = 3")
+    require(refused(s"UPDATE graft_store.`$tbl` SET o_totalprice = -1 " +
+      "WHERE o_orderkey % 13 = 0"), "a violating UPDATE must abort")
+    val after = files()
+    run1(s"INSERT INTO graft_store.`$tbl` " +
+      "SELECT o_orderkey + 80000000, o_custkey, o_totalprice + 1 " +
+      s"FROM graft_store.`$tbl` WHERE o_orderkey % 41 = 7 AND o_orderkey < 80000000")
+    require(files().filter(f => after.exists(_._1 == f._1)) == after,
+      "the refused UPDATE must leave every file byte-intact")
+    run1(s"ALTER TABLE graft_store.`$tbl` DROP CONSTRAINT price_pos")
+    run1(s"INSERT INTO graft_store.`$tbl` VALUES (99999999, 1, -42.0)") // disarmed
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlCheckConstraintsSql: String =
+    """WITH upd AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 17 = 3 THEN o_totalprice + 10
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM upd
+      |UNION ALL
+      |SELECT o_orderkey + 80000000 AS o_orderkey, o_custkey,
+      |       o_totalprice + 1 AS o_totalprice
+      |FROM upd WHERE o_orderkey % 41 = 7
+      |UNION ALL
+      |SELECT 99999999 AS o_orderkey, 1 AS o_custkey,
+      |       CAST(-42.0 AS DOUBLE) AS o_totalprice
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_sql_check_constraints" -> sqlCheckConstraints,
     "q277_sql_show_partitions" -> sqlShowPartitions,
     "q278_sql_alter_table" -> sqlAlterTable,
     "q269_sql_merge_by_source" -> sqlMergeBySource,
@@ -2590,6 +2658,7 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q269_sql_merge_by_source" -> sqlMergeBySourceSql,
     "q270_sql_insert_column_list" -> sqlInsertColumnListSql,
+    "q279_sql_check_constraints" -> sqlCheckConstraintsSql,
     "q277_sql_show_partitions" -> sqlShowPartitionsSql,
     "q278_sql_alter_table" -> sqlAlterTableSql,
     "q271_sql_optimize" -> sqlOptimizeCompactSql,

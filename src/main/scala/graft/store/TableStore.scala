@@ -306,8 +306,12 @@ object TableStore {
       val n = st.getPath.getName
       val rel = if (prefix.isEmpty) n else prefix + "/" + n
       if (st.isFile && n.endsWith(".parquet")) Seq((rel, st))
-      else if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
-               n.contains('=')) listDataFiles(f, st.getPath, rel)
+      // a `name=value` dir is a PARTITION dir even when the column name is
+      // _-prefixed (`__day=...`): Spark's own file index exempts names
+      // containing '=' from metadata hiding, and the ingest layouts use
+      // exactly that shape — hiding them here miscounted those tables
+      else if (st.isDirectory && n.contains('='))
+        listDataFiles(f, st.getPath, rel)
       else Nil
     }
 
@@ -379,8 +383,8 @@ object TableStore {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try r.getRecordCount finally r.close()
-      } else if (recurse && st.isDirectory && !n.startsWith("_") &&
-          !n.startsWith(".") && n.contains('=')) {
+      } else if (recurse && st.isDirectory && n.contains('=')) {
+        // '=' exempts a dir from metadata hiding, matching Spark's index
         dirFooterRows(spark, f, st.getPath, recurse = true)
       } else 0L
     }.sum
@@ -412,12 +416,19 @@ object TableStore {
     val old = new Path(path + "__old")
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    Constraints.guard(spark, path, df).write.mode("overwrite").parquet(tmp.toString)
     marker.foreach { case (name, content) =>
       require(name.startsWith("_"), s"marker $name must be _-prefixed")
       val o = f.create(new Path(tmp, name), true)
       try o.write((content + "\n").getBytes("UTF-8")) finally o.close()
     }
+    // CHECK-constraint declarations survive the full swap: they are table
+    // metadata, not derived cache — losing them would silently disarm
+    // every later write's guard
+    val cDir = new Path(path, "_constraints")
+    if (f.exists(cDir))
+      org.apache.hadoop.fs.FileUtil.copy(f, cDir, f, new Path(tmp, "_constraints"),
+        false, spark.sparkContext.hadoopConfiguration)
     commitStagedFlatTmp(spark, path)
   }
 
@@ -520,7 +531,8 @@ object TableStore {
     val old = new Path(path + "__old")
     val f = fs(spark, target)
     if (f.exists(tmp)) f.delete(tmp, true)
-    df.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp.toString)
+    Constraints.guard(spark, path, df).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(tmp.toString)
     crashHook("staged")
     WriterLease.fence(spark, path)
     if (f.exists(target)) {
@@ -568,7 +580,11 @@ object TableStore {
     */
   private[store] def listLeafDirs(f: org.apache.hadoop.fs.FileSystem,
                                   root: Path, depth: Int): Seq[String] = {
-    def isPart(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains('=')
+    // '=' marks a partition dir even with a _-prefixed column name
+    // (`__day=...`) — Spark's index exempts such names from hiding, and
+    // excluding them here made the swap see an EMPTY stage: the drop plan
+    // then deleted every live partition while renaming nothing in
+    def isPart(n: String) = n.contains('=')
     def go(dir: Path, level: Int, prefix: String): Seq[String] =
       f.listStatus(dir).filter(st => st.isDirectory && isPart(st.getPath.getName)).toSeq
         .flatMap { st =>
@@ -921,7 +937,8 @@ object TableStore {
     val nBefore = affected.count()
     val keep = affected.join(v, joinCols, "left_anti")
     val tmp = path + "__dtmp"
-    keep.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    Constraints.guard(spark, path, keep).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(tmp)
     // a partition whose rows were ALL victims produces no tmp dir — the
     // commit helper drops it from the target (Hive-escaped dir rendering)
     // and falls back to an empty schema-bearing flat table when NOTHING
@@ -969,8 +986,10 @@ object TableStore {
     if (!f.exists(root)) return Nil
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    // dirs: '=' exempts from hiding (an `__day=...` layout IS partitioned);
+    // files keep the `_`-metadata convention (_SUCCESS et al.)
     def partDirs(dir: Path): Seq[Path] =
-      f.listStatus(dir).filter(st => st.isDirectory && visible(st.getPath.getName) &&
+      f.listStatus(dir).filter(st => st.isDirectory &&
         st.getPath.getName.contains('=')).map(_.getPath).toSeq
     def colOf(p: Path): String = ExternalCatalogUtils.unescapePathName(
       p.getName.substring(0, p.getName.indexOf('=')))
@@ -1027,8 +1046,7 @@ object TableStore {
     def walk(dir: Path, depth: Int): Seq[Seq[String]] =
       if (depth == pcols.length) Seq(Nil)
       else f.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".") && st.getPath.getName.contains('='))
+        .filter(st => st.isDirectory && st.getPath.getName.contains('='))
         .flatMap(st => walk(st.getPath, depth + 1).map(valOf(st.getPath) +: _))
     (pcols, walk(new Path(path), 0))
   }
@@ -1081,7 +1099,8 @@ object TableStore {
     val parts = byPart.map(_.toSeq.take(k)).toSeq
     val nHit = byPart.map(_.getLong(k)).sum
     val tmp = path + "__dtmp"
-    rewrite(table.filter(partsMembership(partitionCols, parts)))
+    Constraints.guard(spark, path,
+      rewrite(table.filter(partsMembership(partitionCols, parts))))
       .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
     commitPartitionRewrite(spark, path, tmp, partitionCols, parts, table.schema)
     nHit
@@ -1146,7 +1165,7 @@ object TableStore {
     if (f.exists(tmp)) f.delete(tmp, true)
     // the rewrite job first (the only Spark job), staged under tmp/__rw
     val rw = new Path(tmp, "__rw")
-    rewritten.write.mode("overwrite").parquet(rw.toString)
+    Constraints.guard(spark, path, rewritten).write.mode("overwrite").parquet(rw.toString)
     // skip zero-row part files (empty shuffle partitions): they would never
     // match any future victim discovery and accumulate forever
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1190,6 +1209,13 @@ object TableStore {
       org.apache.hadoop.fs.FileUtil.copy(f, rc, f, new Path(tmp, RowCountRel),
         false, conf)
     }
+    // constraint declarations ride the stage too (table metadata, like
+    // the atomicWrite carry — the guard must stay armed after a pruned
+    // rewrite)
+    val cDir = new Path(path, "_constraints")
+    if (f.exists(cDir))
+      org.apache.hadoop.fs.FileUtil.copy(f, cDir, f, new Path(tmp, "_constraints"),
+        false, conf)
     commitStagedFlatTmp(spark, path)
     moved.length
   }
@@ -1242,7 +1268,8 @@ object TableStore {
       .join(srcKeys, keys, "left_anti")
     val merged = inserts.fold(kept)(kept.unionByName(_))
     val tmp = path + "__ptmp"
-    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    Constraints.guard(spark, path, merged).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(tmp)
     commitPartitionRewrite(spark, path, tmp, partitionCols, parts, table.schema)
     (nDel, nIns)
   }
@@ -1370,7 +1397,8 @@ object TableStore {
         val merged = mergeClausesPlan(table.filter(partsMembership(pcols, parts)),
           src, cols, keys, matched, notMatched)
         val tmp = path + "__ptmp"
-        merged.write.partitionBy(pcols: _*).mode("overwrite").parquet(tmp)
+        Constraints.guard(spark, path, merged).write.partitionBy(pcols: _*)
+          .mode("overwrite").parquet(tmp)
         commitPartitionRewrite(spark, path, tmp, pcols, parts, table.schema)
     }
   }
@@ -1519,7 +1547,7 @@ object TableStore {
     val f = fs(spark, dst)
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val tmp = new Path(path, s"__insert_$nonce")
-    (if (singleFile) rows.coalesce(1) else rows)
+    Constraints.guard(spark, path, if (singleFile) rows.coalesce(1) else rows)
       .write.mode("overwrite").parquet(tmp.toString)
     try {
       WriterLease.fence(spark, path) // before the visible renames
@@ -1562,7 +1590,8 @@ object TableStore {
     val merged = table.filter(partsMembership(partitionCols, parts))
       .unionByName(rows.select(table.columns.map(col).toIndexedSeq: _*))
     val tmp = path + "__ptmp"
-    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    Constraints.guard(spark, path, merged).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(tmp)
     swapPartitionDirs(spark, path, tmp, partitionCols, parts)
   }
 
@@ -1690,7 +1719,8 @@ object TableStore {
     if (!exists(spark, path)) {
       // zero-row bootstrap guard: see applyCdcPartitioned
       if (!incoming.isEmpty)
-        incoming.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+        Constraints.guard(spark, path, incoming).write
+          .partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
     } else {
       // partsMembership is null-safe: a null partition value in the batch
       // must still pull the stored null partition into the merge, or the
@@ -1704,7 +1734,8 @@ object TableStore {
       // Stage the merged partitions, then swap ONLY those partition dirs —
       // untouched partitions are never read or rewritten.
       val tmp = path + "__ptmp"
-      merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+      Constraints.guard(spark, path, merged).write.partitionBy(partitionCols: _*)
+        .mode("overwrite").parquet(tmp)
       swapPartitionDirs(spark, path, tmp, partitionCols, parts)
     }
   }
@@ -1742,7 +1773,8 @@ object TableStore {
       // zero-row bootstrap guard: see applyCdcPartitioned — an empty
       // dynamic-partition write creates a schema-less unreadable dir
       if (!incoming.isEmpty)
-        incoming.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+        Constraints.guard(spark, path, incoming).write
+          .partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
     } else {
       val parts = incoming.select(partitionCols.map(col): _*).distinct()
         .collect().map(_.toSeq).toSeq
@@ -1750,7 +1782,8 @@ object TableStore {
         .filter(partsMembership(partitionCols, parts))
       val merged = mergePlanEvolve(existingAffected, incoming, keys)
       val tmp = path + "__ptmp"
-      merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+      Constraints.guard(spark, path, merged).write.partitionBy(partitionCols: _*)
+        .mode("overwrite").parquet(tmp)
       swapPartitionDirs(spark, path, tmp, partitionCols, parts)
     }
   }
@@ -1824,7 +1857,8 @@ object TableStore {
       // unlike the flat path, which writes a schema-bearing empty file)
       // that wedges every subsequent read with 'unable to infer schema'
       if (!firstRows.isEmpty) {
-        firstRows.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+        Constraints.guard(spark, path, firstRows).write
+          .partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
         ledgerBatch.foreach { b =>
           val f = fs(spark, new Path(path))
           val o = f.create(new Path(path, LastBatchFile), true)
@@ -1855,7 +1889,8 @@ object TableStore {
       .select(ups.columns.map(col).toSeq: _*) // align field order
     val merged = mergePlan(affected.join(dels, keys, "left_anti"), ups, keys, None)
     val tmp = path + "__ctmp"
-    merged.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    Constraints.guard(spark, path, merged).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(tmp)
     // an all-deletes feed emptying the table falls back to an empty flat
     // table WITH the ledger marker, keeping replay protection intact
     commitPartitionRewrite(spark, path, tmp, partitionCols, parts,

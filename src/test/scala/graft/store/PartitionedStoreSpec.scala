@@ -58,4 +58,29 @@ class PartitionedStoreSpec extends SparkSuite {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("a _-prefixed partition column (__day) is a partition dir, not hidden metadata") {
+    // the ingest layouts partition by `__day` — Spark's file index exempts
+    // `name=value` dirs from metadata hiding, and so must every store
+    // walk: the multi-level swap once saw an EMPTY stage here, dropped
+    // every live partition, and renamed nothing in (GoldenE2E regression)
+    val d = Files.createTempDirectory("upart").toString + "/t"
+    val b1 = Seq((1L, "2021-01-01", 1.0), (2L, "2021-01-02", 2.0))
+      .toDF("id", "__day", "price")
+    TableStore.upsertPartitioned(spark, d, b1, Seq("id"), "__day")
+    assert(TableStore.detectPartitionColumns(spark, d) == Seq("__day"),
+      "an __day= layout must DETECT as partitioned (the DML router depends on it)")
+    assert(TableStore.rowCountFromFooters(spark, d) == 2L,
+      "footer counts must walk __day= dirs")
+    // the second upsert is the crash site: swap saw zero staged leaves
+    TableStore.upsertPartitioned(spark, d,
+      Seq((2L, "2021-01-02", 20.0), (3L, "2021-01-03", 3.0)).toDF("id", "__day", "price"),
+      Seq("id"), "__day")
+    assert(TableStore.read(spark, d)
+      .select($"id", $"price").as[(Long, Double)].collect().sorted
+      === Array((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    val (pcols, tuples) = TableStore.partitionTuples(spark, d)
+    assert(pcols == Seq("__day") && tuples.flatten.sorted ==
+      Seq("2021-01-01", "2021-01-02", "2021-01-03"))
+  }
 }
