@@ -70,6 +70,8 @@ object GraftSqlMaintenance {
 
   private val ShowPartsHead =
     """(?is)\s*SHOW\s+PARTITIONS\s+graft_store\s*\.\s*`([^`]+)`\s*""".r
+  private val CopyHead =
+    """(?is)\s*COPY\s+INTO\s+graft_store\s*\.\s*`([^`]+)`\s+FROM\s+'([^']+)'\s+FORMAT\s+([A-Za-z]+)\s*""".r
   private val AlterHead =
     """(?is)\s*ALTER\s+TABLE\s+graft_store\s*\.\s*`([^`]+)`\s+(.*)""".r
   private val AddColTail =
@@ -127,6 +129,11 @@ object GraftSqlMaintenance {
       if (rest.trim.nonEmpty) bad(s"unexpected text after DROP TABLE: ${rest.trim.take(60)}")
       Some(DropTableGraftStore(path, ifExists != null))
     case ShowPartsHead(path) => Some(ShowPartitionsGraftStore(path))
+    case CopyHead(path, src, fmt) =>
+      val format = fmt.toUpperCase(java.util.Locale.ROOT)
+      if (!Seq("PARQUET", "CSV", "JSONL").contains(format))
+        bad(s"COPY INTO FORMAT must be PARQUET, CSV, or JSONL, got $fmt")
+      Some(CopyIntoGraftStore(path, src, format))
     case AlterHead(path, action) => Some(parseAlter(path, action.trim, delegate))
     case _ => None
   }
@@ -650,5 +657,124 @@ final case class AlterGraftStore(path: String, action: AlterAction)
     if (pcols.nonEmpty) TableStore.atomicWritePartitioned(spark, evolved, path, pcols)
     else TableStore.atomicWrite(spark, evolved, path)
     Seq(Row(TableStore.rowCountFromFooters(spark, path)))
+  }
+}
+
+/** `COPY INTO graft_store … FROM '<dir-or-file>' FORMAT PARQUET|CSV|JSONL`
+  * — idempotent bulk file ingest, the statement a landing-zone pipeline
+  * reruns on a schedule: each source file loads EXACTLY ONCE. Already-
+  * loaded files (identity = path + byte length + mtime, recorded in a
+  * `_copy/loaded.tsv` sidecar) are skipped; the pending set loads as ONE
+  * schema-pinned read (no inference — the TARGET's schema drives the
+  * parse) appended through [[graft.store.TableStore.appendRowsNamed]]
+  * with a name derived from the pending identities, so the single
+  * visible rename is the commit point: a crash between the rename and
+  * the ledger swap reconciles on rerun (the batch file's presence proves
+  * the load) instead of duplicating. CHECK constraints and the exact-
+  * schema contract apply like every append.
+  *
+  * Scope: FLAT tables (the zero-rewrite exactly-once append is
+  * flat-scoped). Partitioned targets route through
+  * `INSERT INTO … SELECT`; merge-on-read and versioned targets refuse.
+  * The target must exist — `CREATE TABLE … AS` defines the schema that
+  * pins the parse. Returns (files_loaded, rows_loaded, n_rows).
+  */
+final case class CopyIntoGraftStore(path: String, source: String, format: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  private def bad(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft_store maintenance: $msg")
+
+  private val LedgerRel = "_copy/loaded.tsv"
+
+  private def sha(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.{Sidecar, TableStore}
+    GraftSqlDml.requireNotVersioned(spark, path, "COPY INTO")
+    if (GraftSqlDml.hasDeletionVector(spark, path))
+      bad(s"COPY INTO $path, a merge-on-read table — route the batch " +
+        "through MERGE/morAppend; the copy ledger is flat-table scoped")
+    if (!TableStore.exists(spark, path))
+      bad(s"COPY INTO $path: no table — CREATE TABLE … AS first (the " +
+        "target's schema pins the parse; COPY never infers)")
+    if (TableStore.detectPartitionColumns(spark, path).nonEmpty)
+      bad(s"COPY INTO $path, a partitioned table — route through " +
+        "INSERT INTO … SELECT (the zero-rewrite exactly-once append is " +
+        "flat-table scoped)")
+    val table = TableStore.read(spark, path)
+    // source census: a directory loads every file with the format's
+    // extension; a single file loads itself
+    val srcPath = new org.apache.hadoop.fs.Path(source)
+    val sf = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sf.exists(srcPath)) bad(s"COPY source $source does not exist")
+    val exts = format match {
+      case "PARQUET" => Seq(".parquet")
+      case "CSV" => Seq(".csv")
+      case "JSONL" => Seq(".jsonl", ".json")
+    }
+    val files =
+      if (sf.getFileStatus(srcPath).isFile) Seq(sf.getFileStatus(srcPath))
+      else sf.listStatus(srcPath).toSeq
+        .filter(st => st.isFile && exts.exists(st.getPath.getName.endsWith)
+          && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    if (files.isEmpty) bad(s"COPY source $source holds no $format files")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val idents = files.map { st =>
+      val p = sf.makeQualified(st.getPath).toString
+      (sha(s"$p|${st.getLen}|${st.getModificationTime}"), p, st)
+    }.sortBy(_._1)
+    // the ledger is exactness-critical (losing it would reload = duplicate
+    // rows), so corruption wedges loudly like the deletion vector's
+    val loaded: Set[String] = Sidecar.read(spark, path, LedgerRel) match {
+      case None => Set.empty
+      case Some(body) => body.linesIterator.filter(_.nonEmpty)
+        .map(l => Sidecar.fields(path, LedgerRel, l, 4)(0)).toSet
+    }
+    val pending = idents.filterNot(i => loaded.contains(i._1))
+    val tableCount = () => TableStore.rowCountFromFooters(spark, path)
+    if (pending.isEmpty) return Seq(Row(0L, 0L, tableCount()))
+    val batchName = s"copy-${sha(pending.map(_._1).mkString("|"))}.parquet"
+    val paths = pending.map(_._2)
+    // schema-pinned parse: the TARGET defines names and types
+    val batch = format match {
+      case "PARQUET" =>
+        val raw = spark.read.parquet(paths: _*)
+        if (raw.columns.map(_.toLowerCase(java.util.Locale.ROOT)).sorted.toSeq !=
+            table.columns.map(_.toLowerCase(java.util.Locale.ROOT)).sorted.toSeq)
+          bad(s"COPY PARQUET columns ${raw.columns.sorted.mkString(", ")} do not " +
+            s"match the table's ${table.columns.sorted.mkString(", ")}")
+        raw.select(table.schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      case "CSV" => // positional under the table's schema; header row skipped
+        spark.read.option("header", "true").schema(table.schema).csv(paths: _*)
+      case "JSONL" => // by NAME under the table's schema; absent fields null
+        spark.read.schema(table.schema).json(paths: _*)
+    }
+    TableStore.appendRowsNamed(spark, path, batch, batchName)
+    // ledger swap AFTER the data rename: a crash between them reconciles
+    // here on rerun — appendRowsNamed sees the batch file and no-ops
+    val prior = Sidecar.read(spark, path, LedgerRel).getOrElse("")
+    val add = pending.map { case (h, p, st) =>
+      s"$h\t${enc(p)}\t${st.getLen}\t${st.getModificationTime}" }
+      .mkString("", "\n", "\n")
+    Sidecar.swap(spark, path, LedgerRel, prior + add)
+    // rows loaded = the batch file's footer count (zero jobs)
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = f.getFileStatus(new org.apache.hadoop.fs.Path(path, batchName))
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st,
+        spark.sparkContext.hadoopConfiguration))
+    val rowsLoaded = try r.getRecordCount finally r.close()
+    Seq(Row(pending.size.toLong, rowsLoaded, tableCount()))
   }
 }

@@ -2601,7 +2601,71 @@ object MergeOps {
       |       CAST(-42.0 AS DOUBLE) AS o_totalprice
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q280: SQL COPY INTO — exactly-once bulk file ingest, the statement
+    * a landing-zone pipeline reruns on a schedule. Each source file
+    * loads EXACTLY ONCE (identity = path+length+mtime in a ledger
+    * sidecar; the batch's deterministic file name makes the single
+    * visible rename the commit point, so a crash between rename and
+    * ledger reconciles instead of duplicating). The graded chain:
+    * 3-file CSV landing zone → COPY loads all (files_loaded
+    * require-asserted) → a RERUN loads NOTHING → one late-arriving file
+    * → COPY loads only it, pre-existing table files byte-untouched. The
+    * parse is SCHEMA-PINNED by the target (no inference). Oracle
+    * recomputes the landed set relationally.
+    */
+  def sqlCopyInto(spark: SparkSession, dir: String): DataFrame = mergeRoot.synchronized {
+    import spark.implicits._
+    val run = mergeRoot.resolve("runSqlCopy")
+    deleteRecursive(run)
+    val src = run.resolve("landing").toString
+    val base = orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    base.repartition(3).write.option("header", "true").csv(src)
+    val tbl = run.resolve("orders_tbl").toString
+    val parser = new graft.plans.GraftSqlParser(spark.sessionState.sqlParser)
+    def run1(sql: String) =
+      org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, parser.parsePlan(sql)).head()
+    base.limit(0).createOrReplaceTempView("v_sqlcopy_schema")
+    run1(s"CREATE TABLE graft_store.`$tbl` AS SELECT * FROM v_sqlcopy_schema")
+    val n = base.count()
+    val r1 = run1(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV")
+    require(r1.getLong(0) == 3L && r1.getLong(1) == n && r1.getLong(2) == n,
+      s"first COPY must load all 3 files, $n rows: $r1")
+    val r2 = run1(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV")
+    require(r2.getLong(0) == 0L && r2.getLong(1) == 0L && r2.getLong(2) == n,
+      s"a RERUN must load nothing: $r2")
+    def files() = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).sortBy(_._1).toSeq
+    val before = files()
+    // one late-arriving file lands in the zone
+    val late = run.resolve("late").toString
+    base.filter($"o_orderkey" % 29 === 5)
+      .select(($"o_orderkey" + 90000000).as("o_orderkey"), $"o_custkey",
+        ($"o_totalprice" + 7).as("o_totalprice"))
+      .coalesce(1).write.option("header", "true").csv(late)
+    val part = new java.io.File(late).listFiles().filter(_.getName.endsWith(".csv"))
+    require(part.length == 1)
+    java.nio.file.Files.move(part.head.toPath,
+      java.nio.file.Paths.get(src, "late-arrival.csv"))
+    val r3 = run1(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV")
+    require(r3.getLong(0) == 1L, s"only the late file may load: $r3")
+    require(files().filter(f => before.exists(_._1 == f._1)) == before,
+      "COPY must never touch a pre-existing table file")
+    TableStore.read(spark, tbl)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val sqlCopyIntoSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 90000000 AS o_orderkey, o_custkey,
+      |       o_totalprice + 7 AS o_totalprice
+      |FROM orders WHERE o_orderkey % 29 = 5
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_sql_copy_into" -> sqlCopyInto,
     "q279_sql_check_constraints" -> sqlCheckConstraints,
     "q277_sql_show_partitions" -> sqlShowPartitions,
     "q278_sql_alter_table" -> sqlAlterTable,
@@ -2658,6 +2722,7 @@ object MergeOps {
   val oracles: Map[String, String] = Map(
     "q269_sql_merge_by_source" -> sqlMergeBySourceSql,
     "q270_sql_insert_column_list" -> sqlInsertColumnListSql,
+    "q280_sql_copy_into" -> sqlCopyIntoSql,
     "q279_sql_check_constraints" -> sqlCheckConstraintsSql,
     "q277_sql_show_partitions" -> sqlShowPartitionsSql,
     "q278_sql_alter_table" -> sqlAlterTableSql,

@@ -1559,6 +1559,37 @@ object TableStore {
     } finally f.delete(tmp, true) // fenced-out staging must not linger
   }
 
+  /** [[appendRows]] with a DETERMINISTIC file name — the exactly-once
+    * primitive behind `COPY INTO`: the caller derives `fileName` from
+    * the identity of what it is appending, and the single visible rename
+    * IS the commit point. Returns false without writing when the file
+    * already exists — a crashed prior attempt that got past its rename
+    * is already committed, so the retry is a no-op instead of a
+    * duplicate. Schema and CHECK constraints enforced like every append.
+    */
+  def appendRowsNamed(spark: SparkSession, path: String, rows: DataFrame,
+                      fileName: String): Boolean = {
+    require(fileName.endsWith(".parquet") && !fileName.contains('/'),
+      s"appendRowsNamed wants a bare .parquet file name, got $fileName")
+    val table = read(spark, path)
+    requireExactSchema(rows, table, "COPY")
+    val dst = new Path(path)
+    val f = fs(spark, dst)
+    val out = new Path(dst, fileName)
+    if (f.exists(out)) return false // prior attempt committed past its rename
+    val tmp = new Path(path, s"__copy_${fileName.stripSuffix(".parquet")}")
+    Constraints.guard(spark, path, rows.coalesce(1))
+      .write.mode("overwrite").parquet(tmp.toString)
+    try {
+      WriterLease.fence(spark, path)
+      val part = f.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"coalesce(1) staged ${part.length} part files")
+      if (!f.rename(part.head.getPath, out))
+        throw new java.io.IOException(s"copy move failed for $out")
+    } finally f.delete(tmp, true)
+    true
+  }
+
   /** Pruned APPEND to a PARTITIONED table: only the partitions the batch
     * lands in are read and rewritten (existing rows ∪ batch, one
     * `__ptmp` staged swap — atomic through the staged-marker protocol,

@@ -327,6 +327,94 @@ class GraftSqlMaintenanceSpec extends SparkSuite {
     refuse(s"ALTER TABLE graft_store.`$ver` ADD COLUMN x BIGINT", "VERSIONED")
   }
 
+  test("COPY INTO: exactly-once file ingest — rerun loads nothing, new files load alone") {
+    val src = tmpDir("copysrc")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2)
+      .write.option("header", "true").csv(src)
+    val tbl = tmpDir("copytbl")
+    runSql(s"CREATE TABLE graft_store.`$tbl` AS " +
+      "SELECT CAST(0 AS BIGINT) AS k, CAST('' AS STRING) AS s WHERE 1 = 0").collect()
+    val r1 = runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV").head()
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L && r1.getLong(2) == 2L,
+      s"(files, rows, total) = $r1")
+    val r2 = runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV").head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L && r2.getLong(2) == 2L,
+      "a rerun must load NOTHING")
+    // a new landing file loads alone
+    val extra = tmpDir("copyextra")
+    Seq((3L, "c")).toDF("k", "s").coalesce(1)
+      .write.option("header", "true").csv(extra)
+    val part = new java.io.File(extra).listFiles()
+      .find(_.getName.endsWith(".csv")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(src, "late-arrival.csv"))
+    val r3 = runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT CSV").head()
+    assert(r3.getLong(0) == 1L && r3.getLong(1) == 1L && r3.getLong(2) == 3L)
+    assert(TableStore.read(spark, tbl).as[(Long, String)].collect().sorted
+      === Array((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(new java.io.File(tbl).listFiles()
+      .count(_.getName.startsWith("copy-")) == 2, "one batch file per COPY that loaded")
+  }
+
+  test("COPY INTO: JSONL by name with null backfill; refusals stay loud") {
+    val src = tmpDir("copyjson")
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "a.jsonl"),
+      "{\"k\": 1, \"s\": \"x\"}\n{\"k\": 2}\n".getBytes("UTF-8"))
+    val tbl = tmpDir("copyjtbl")
+    runSql(s"CREATE TABLE graft_store.`$tbl` AS " +
+      "SELECT CAST(0 AS BIGINT) AS k, CAST('' AS STRING) AS s WHERE 1 = 0").collect()
+    runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT JSONL").collect()
+    val rows = TableStore.read(spark, tbl).orderBy("k").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(1), "absent JSON field -> null")
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { runSql(sql).collect() }
+      assert(e.getMessage.contains(frag), s"$sql → ${e.getMessage}")
+    }
+    refuse(s"COPY INTO graft_store.`/tmp/copy-none` FROM '$src' FORMAT JSONL", "no table")
+    refuse(s"COPY INTO graft_store.`$tbl` FROM '/tmp/copy-missing-src' FORMAT JSONL",
+      "does not exist")
+    intercept[IllegalArgumentException] {
+      parser.parsePlan(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT AVRO")
+    }
+    val part = tmpDir("copypart")
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a")).toDF("k", "g"), part, Seq("g"))
+    refuse(s"COPY INTO graft_store.`$part` FROM '$src' FORMAT JSONL", "partitioned")
+  }
+
+  test("COPY INTO: a violating source aborts, ledger untouched, retry-after-fix loads") {
+    val src = tmpDir("copybad")
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "bad.jsonl"),
+      "{\"k\": 1, \"v\": -5}\n".getBytes("UTF-8"))
+    val tbl = tmpDir("copyctbl")
+    runSql(s"CREATE TABLE graft_store.`$tbl` AS " +
+      "SELECT CAST(9 AS BIGINT) AS k, CAST(9 AS BIGINT) AS v").collect()
+    runSql(s"ALTER TABLE graft_store.`$tbl` ADD CONSTRAINT v_pos CHECK (v > 0)").collect()
+    intercept[Throwable] {
+      runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT JSONL").collect()
+    }
+    assert(TableStore.read(spark, tbl).count() == 1L, "no violating row may land")
+    // fix the source: the file's identity changes, so it loads cleanly
+    java.nio.file.Files.write(java.nio.file.Paths.get(src, "bad.jsonl"),
+      "{\"k\": 1, \"v\": 5}\n".getBytes("UTF-8"))
+    val r = runSql(s"COPY INTO graft_store.`$tbl` FROM '$src' FORMAT JSONL").head()
+    assert(r.getLong(0) == 1L && r.getLong(2) == 2L,
+      "the failed attempt must not have burned the file's ledger entry")
+  }
+
+  test("appendRowsNamed is the commit point: a second call with the same name no-ops") {
+    val tbl = tmpDir("apnamed")
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(tbl)
+    assert(TableStore.appendRowsNamed(spark, tbl,
+      Seq((2L, 20L)).toDF("k", "v"), "copy-abc.parquet"))
+    assert(!TableStore.appendRowsNamed(spark, tbl,
+      Seq((3L, 30L)).toDF("k", "v"), "copy-abc.parquet"),
+      "the name already committed — the retry must not duplicate")
+    assert(TableStore.read(spark, tbl).count() == 2L)
+  }
+
   test("OPTIMIZE refuses versioned roots and layout knobs on the wrong layout") {
     val ver = tmpDir("optver")
     VersionedTable.writeSnapshot(spark, Seq(1L).toDF("k"), ver)
