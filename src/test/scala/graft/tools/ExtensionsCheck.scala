@@ -87,7 +87,27 @@ object ExtensionsCheck {
     assert(nStore == nRaw - 1,
       s"graft_store SELECT must hide the masked row: raw=$nRaw store=$nStore")
 
-    println("extensions OK: function + aggregate + rule + strategy + parser tiers (MERGE/DELETE/UPDATE/SELECT) live via spark.sql.extensions")
+    // parser tier round 14: the MAINTENANCE statements from spark.sql text
+    val mt = java.nio.file.Files.createTempDirectory("ec_maint").resolve("m").toString
+    val nCtas = spark.sql(s"CREATE TABLE graft_store.`$mt` AS " +
+      "SELECT CAST(id AS BIGINT) AS k, CAST(id * 10 AS BIGINT) AS v FROM range(50)")
+      .head().getLong(0)
+    assert(nCtas == 50, s"CTAS n_rows: $nCtas")
+    val opt = spark.sql(s"OPTIMIZE graft_store.`$mt` TARGET 1 FILES").head()
+    assert(opt.getLong(1) == 1L && opt.getLong(2) == 50L,
+      s"OPTIMIZE (files_after, n_rows): $opt")
+    spark.sql(s"ALTER TABLE graft_store.`$mt` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      .collect()
+    val refusedByCheck = try {
+      spark.sql(s"INSERT INTO graft_store.`$mt` VALUES (99, -1)").collect(); false
+    } catch { case t: Throwable =>
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .exists(e => Option(e.getMessage).exists(_.contains("v_pos")))
+    }
+    assert(refusedByCheck, "a declared CHECK must refuse a violating INSERT from spark.sql")
+    assert(spark.sql(s"DROP TABLE graft_store.`$mt`").head().getLong(0) == 1L)
+
+    println("extensions OK: function + aggregate + rule + strategy + parser tiers (MERGE/DELETE/UPDATE/SELECT + CTAS/OPTIMIZE/CONSTRAINT/DROP) live via spark.sql.extensions")
     spark.stop()
   }
 }
