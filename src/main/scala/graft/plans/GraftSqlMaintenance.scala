@@ -70,6 +70,8 @@ object GraftSqlMaintenance {
 
   private val ShowPartsHead =
     """(?is)\s*SHOW\s+PARTITIONS\s+graft_store\s*\.\s*`([^`]+)`\s*""".r
+  private val DescribeHead =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?graft_store\s*\.\s*`([^`]+)`\s*""".r
   private val CopyHead =
     """(?is)\s*COPY\s+INTO\s+graft_store\s*\.\s*`([^`]+)`\s+FROM\s+'([^']+)'\s+FORMAT\s+([A-Za-z]+)\s*""".r
   private val AlterHead =
@@ -129,6 +131,7 @@ object GraftSqlMaintenance {
       if (rest.trim.nonEmpty) bad(s"unexpected text after DROP TABLE: ${rest.trim.take(60)}")
       Some(DropTableGraftStore(path, ifExists != null))
     case ShowPartsHead(path) => Some(ShowPartitionsGraftStore(path))
+    case DescribeHead(path) => Some(DescribeGraftStore(path))
     case CopyHead(path, src, fmt) =>
       val format = fmt.toUpperCase(java.util.Locale.ROOT)
       if (!Seq("PARQUET", "CSV", "JSONL").contains(format))
@@ -776,5 +779,68 @@ final case class CopyIntoGraftStore(path: String, source: String, format: String
         spark.sparkContext.hadoopConfiguration))
     val rowsLoaded = try r.getRecordCount finally r.close()
     Seq(Row(pending.size.toLong, rowsLoaded, tableCount()))
+  }
+}
+
+/** `DESCRIBE [TABLE] graft_store` — the operational one-stop: columns
+  * with types (partition columns flagged), then `#`-prefixed metadata
+  * rows — layout tier (flat / hive-partitioned / merge-on-read /
+  * versioned), file and byte census, footer row count (manifest-cached,
+  * zero jobs after the first call), declared CHECK constraints, and for
+  * versioned roots the version census and CURRENT pointer. Everything
+  * comes from driver metadata: directory listings, sidecars, and the
+  * live schema — no data pages decoded.
+  */
+final case class DescribeGraftStore(path: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("data_type", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("info", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.store.{Constraints, TableStore, VersionedTable}
+    if (!TableStore.exists(spark, path))
+      throw new IllegalArgumentException(s"graft_store maintenance: no table at $path")
+    val versioned = VersionedTable.currentVersion(spark, path).filter(_ =>
+      new org.apache.hadoop.fs.Path(path, "CURRENT")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(path, "CURRENT")))
+    val mor = GraftSqlDml.hasDeletionVector(spark, path)
+    val pcols =
+      if (versioned.isDefined) Nil else TableStore.detectPartitionColumns(spark, path)
+    val schema = versioned match {
+      case Some(_) => VersionedTable.read(spark, path).schema
+      case None => TableStore.read(spark, path).schema
+    }
+    val colRows = schema.fields.map { f =>
+      Row(f.name, f.dataType.simpleString,
+        if (pcols.exists(_.equalsIgnoreCase(f.name))) "partition column" else "")
+    }.toSeq
+    val (files, bytes) = TableStore.dataFileStats(spark, path)
+    val layout =
+      if (versioned.isDefined) s"versioned (current v=${versioned.get})"
+      else if (mor) "merge-on-read (deletion-vector sidecar)"
+      else if (pcols.nonEmpty) s"hive-partitioned (${pcols.mkString(", ")})"
+      else "flat"
+    val rows =
+      if (mor) graft.operators.DeletionVectors.liveRowCount(spark, path)
+      else if (versioned.isDefined) -1L // per-version counts, not a table total
+      else TableStore.rowCountFromFooters(spark, path)
+    val meta = Seq(
+      Row("# layout", layout, ""),
+      Row("# files", files.toString, ""),
+      Row("# bytes", bytes.toString, "")) ++
+      (if (rows >= 0) Seq(Row("# rows", rows.toString,
+        if (mor) "live (masks applied)" else "footer metadata")) else Nil) ++
+      versioned.toSeq.map(_ => Row("# versions",
+        VersionedTable.versions(spark, path).mkString(", "), "")) ++
+      Constraints.list(spark, path).map { case (n, e) =>
+        Row(s"# constraint $n", s"CHECK ($e)", "enforced on every write") }
+    colRows ++ meta
   }
 }

@@ -404,6 +404,43 @@ class GraftSqlMaintenanceSpec extends SparkSuite {
       "the failed attempt must not have burned the file's ledger entry")
   }
 
+  test("DESCRIBE reports columns, layout tier, census, and constraints per layout") {
+    def desc(tbl: String): Map[String, (String, String)] =
+      runSql(s"DESCRIBE graft_store.`$tbl`").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    // flat + constraint
+    val flat = tmpDir("descflat")
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(flat)
+    runSql(s"ALTER TABLE graft_store.`$flat` ADD CONSTRAINT v_pos CHECK (v > 0)").collect()
+    val df = desc(flat)
+    assert(df("k")._1 == "bigint" && df("# layout")._1 == "flat")
+    assert(df("# rows")._1 == "1" && df("# constraint v_pos")._1 == "CHECK (v > 0)")
+    // two-level partitioned: partition columns flagged
+    val part = tmpDir("descpart")
+    TableStore.atomicWritePartitioned(spark,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "s", "d"), part, Seq("s", "d"))
+    val dp = desc(part)
+    assert(dp("# layout")._1 == "hive-partitioned (s, d)")
+    assert(dp("s")._2 == "partition column" && dp("d")._2 == "partition column"
+      && dp("k")._2 == "")
+    assert(dp("# rows")._1 == "2")
+    // merge-on-read: live count, not raw
+    val mor = tmpDir("descmor")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(mor)
+    DeletionVectors.dvDelete(spark, mor, Seq(2L).toDF("k"), "k")
+    val dm = desc(mor)
+    assert(dm("# layout")._1.startsWith("merge-on-read") && dm("# rows")._1 == "1")
+    // versioned: version census + CURRENT
+    val ver = tmpDir("descver")
+    VersionedTable.writeSnapshot(spark, Seq(1L).toDF("k"), ver)
+    VersionedTable.upsert(spark, ver, Seq(2L).toDF("k"), Seq("k"))
+    val dv = desc(ver)
+    assert(dv("# layout")._1 == "versioned (current v=2)" && dv("# versions")._1 == "1, 2")
+    intercept[IllegalArgumentException] {
+      runSql(s"DESCRIBE graft_store.`/tmp/desc-none`").collect()
+    }
+  }
+
   test("appendRowsNamed is the commit point: a second call with the same name no-ops") {
     val tbl = tmpDir("apnamed")
     Seq((1L, 10L)).toDF("k", "v").write.parquet(tbl)
