@@ -174,7 +174,22 @@ object EventOps {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    // All replay checkpoints live on the local temp filesystem; route their
+    // file traffic through the fork-free NIO manager (see
+    // [[org.apache.spark.sql.graft.NioCheckpointFileManager]] — the default
+    // Hadoop local-FS managers fork chmod/readlink per checkpoint file,
+    // ~1,500 forks per micro-batch measured on the q145 harness). Scoped
+    // here, with the prior value restored, like the shuffle setting.
+    val fmKey = org.apache.spark.sql.graft.NioCheckpointFileManager.ConfKey
+    val prevFm = spark.conf.getOption(fmKey)
+    spark.conf.set(fmKey, org.apache.spark.sql.graft.NioCheckpointFileManager.ClassName)
+    try body finally {
+      spark.conf.set(key, prev)
+      prevFm match {
+        case Some(v) => spark.conf.set(fmKey, v)
+        case None    => spark.conf.unset(fmKey)
+      }
+    }
   }
 
   // One temp root per JVM for q71's fixtures and run dirs, deleted on JVM
