@@ -105,9 +105,16 @@ object TextOps {
     * are lossless: any dropped candidate hash-mismatches the round.
     */
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    // hashed shingles (longs) instead of n-gram strings: the AllPairs
+    // order only needs ANY total order both sides share (doc frequency,
+    // then the 64-bit hash), and set sizes/intersections are preserved up
+    // to the same 64-bit collisions the q30 path accepts — so the
+    // checkpointed element list, the prefix candidate join, and the
+    // verify arrays all move 8-byte longs, and array_intersect takes its
+    // primitive fast path (the round-10 string-array finding, inverted)
     PrefixJoin.jaccardSelfJoin(
-      TextFunctions.shingles(documents(spark, dir), "doc_id", "text", 3),
-      "doc_id", "shingle", p = 1, q = 2)
+      TextFunctions.shingleHashes(documents(spark, dir), "doc_id", "text", 3),
+      "doc_id", "h", p = 1, q = 2)
 
   /** Brute-force oracle: identical to ngramJaccardSql by design. */
   def prefixJaccardSql: String = ngramJaccardSql
@@ -1006,7 +1013,12 @@ object TextOps {
     * breaks exactly where the grams stop matching.
     *
     * Scale: the only corpus-sized shuffle is the gram equi-join (grams
-    * are md5 fingerprints, not token arrays); islands group within
+    * are 8-byte xxhash64 fingerprints, not token arrays — the same
+    * fingerprint-not-payload move as shingleHashes, and 4× fewer shuffle
+    * bytes plus no MD5 digest work vs the earlier 32-char md5 hex; the
+    * output carries no fingerprint, so the oracle is unchanged and a
+    * cross-document collision is the same ~len²·2⁻⁶⁴ event the dedup
+    * family already accepts); islands group within
     * (d1, d2, diagonal) — bounded per document pair. The q65 passage
     * dedup is the bucketed approximation; this is its exact counterpart,
     * like q125 is to q30.
@@ -1019,9 +1031,9 @@ object TextOps {
       .select($"doc_id", explode(
         when(size(toks) >= 8,
           transform(sequence(lit(1), size(toks) - 7), i =>
-            struct(i.as("i"), md5(concat_ws(" ", slice(toks, i, lit(8)))).as("g"))))
-          .otherwise(typedLit(Seq.empty[(Int, String)])
-            .cast("array<struct<i:int,g:string>>"))).as("s"))
+            struct(i.as("i"), xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("g"))))
+          .otherwise(typedLit(Seq.empty[(Int, Long)])
+            .cast("array<struct<i:int,g:bigint>>"))).as("s"))
       .select($"doc_id", $"s.i".as("i"), $"s.g".as("g"))
     val p = grams.as("a").join(grams.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -1092,16 +1104,21 @@ object TextOps {
     val tc = documents(spark, dir)
       .select($"doc_id", explode(TextFunctions.tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    // occurrence elements as 64-bit hashes: cache, signature groupBy, and
+    // both verify joins move 8-byte longs instead of "tok#k" strings (the
+    // shingleHashes move — identical results up to the 64-bit collisions
+    // the whole MinHash family accepts; signatures are unchanged because
+    // minhashSignaturesAndCounts hashed to the same xxhash64 anyway)
     val els = tc.select($"doc_id",
         explode(transform(sequence(lit(1L), $"c"), k =>
-          concat($"tok", lit("#"), k))).as("shingle"))
+          xxhash64(concat($"tok", lit("#"), k)))).as("h"))
       .cache()
-    val sc = Dedup.minhashSignaturesAndCounts(els, "doc_id", numHashes = 96).persist()
+    val sc = Dedup.minhashSignaturesAndCountsFromHashes(els, "doc_id", numHashes = 96).persist()
     val cand = Dedup.minhashCandidates(sc.select($"doc_id", $"sig"), "doc_id", bands = 12)
     val counts = sc.select($"doc_id", $"n_sh")
-    val inter = els.select($"doc_id".as("d1"), $"shingle")
+    val inter = els.select($"doc_id".as("d1"), $"h")
       .join(cand, Seq("d1"))
-      .join(els.select($"doc_id".as("d2"), $"shingle"), Seq("d2", "shingle"))
+      .join(els.select($"doc_id".as("d2"), $"h"), Seq("d2", "h"))
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("smin"))
     inter
       .join(counts.select($"doc_id".as("d1"), $"n_sh".as("t1")), "d1")
