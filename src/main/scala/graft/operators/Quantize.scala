@@ -18,15 +18,27 @@ object Quantize {
   def absMax(vec: Column): Column =
     aggregate(vec, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
 
-  /** (scale, int8 array) columns for a float-vector column. */
-  def int8(vec: Column): (Column, Column) = {
-    val scale = absMax(vec) / lit(127.0d)
-    val q = transform(vec, x =>
+  /** int8 quantization of `vec` against an ALREADY-MATERIALIZED scale
+    * column. The scale must be projected in a previous select: an inline
+    * aggregate expression referenced inside the transform lambda would be
+    * re-evaluated per vector ELEMENT (O(d²) per vector — the q85/q138
+    * lambda lesson; higher-order functions get no common-subexpression
+    * elimination).
+    */
+  def int8At(vec: Column, scale: Column): Column =
+    transform(vec, x =>
       when(scale === 0.0, lit(0))
         .otherwise(
           greatest(lit(-127), least(lit(127),
             round(x.cast("double") / scale, 0).cast("int")))))
-    (scale, q)
+
+  /** (scale, int8 array) columns for a float-vector column. Prefer
+    * projecting [[absMax]]/127 first and calling [[int8At]] — see its
+    * scaladoc for why the inline form is quadratic in vector length.
+    */
+  def int8(vec: Column): (Column, Column) = {
+    val scale = absMax(vec) / lit(127.0d)
+    (scale, int8At(vec, scale))
   }
 
   /** Dequantized reconstruction (for error measurement): q_i * scale. */
@@ -37,8 +49,12 @@ object Quantize {
     * absolute reconstruction error.
     */
   def report(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val (scale, q) = int8(col(vecCol))
-    val withQ = df.select(col(idCol), col(vecCol), scale.as("scale"), q.as("q8"))
+    // scale projected FIRST, so the q8 transform reads a materialized
+    // double instead of re-running the absMax aggregate per element
+    val withQ = df
+      .select(col(idCol), col(vecCol), (absMax(col(vecCol)) / lit(127.0d)).as("scale"))
+      .select(col(idCol), col(vecCol), col("scale"),
+        int8At(col(vecCol), col("scale")).as("q8"))
     withQ.select(
       col(idCol), col("scale"), col("q8"),
       aggregate(
