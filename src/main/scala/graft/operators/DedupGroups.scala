@@ -149,7 +149,7 @@ object DedupGroups {
     * CacheManager, which doesn't track checkpoint blocks) — the RDD lives
     * inside the plan's LogicalRDD leaf.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)

@@ -78,8 +78,12 @@ object GraphOps {
   def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
     import edges.sparkSession.implicits._
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    // adjacency with out-degree attached once; reused by every iteration
+    // adjacency with out-degree attached once; reused by every iteration —
+    // MATERIALIZED once: each unrolled iteration's plan re-executes the
+    // deg aggregate + join lineage per reference otherwise (iters× the
+    // degree join; the q220 peel lesson applied to the linear case)
     val adj = edges.join(deg, "src").select($"src", $"dst", $"deg")
+      .localCheckpoint(eager = true)
     var ranks = deg.select($"src".as("node"), lit(1000000L).as("rk"))
     for (_ <- 1 to iters) {
       val contrib = adj.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -268,12 +272,21 @@ object GraphOps {
     val nodes = edges.select($"src".as("node")).distinct()
     var dist = nodes.filter($"node" % 100 === 0)
       .select($"node", lit(0L).as("d"))
-    for (_ <- 1 to 3) {
-      dist = edges
+    // per-round frontier materialized: round k's dist is consumed TWICE in
+    // round k+1 (relax join + union), so an unmaterialized lineage doubles
+    // per level — 2^rounds recompute by round 3 (the q220 peel fix; the
+    // frontier is node-sized, the cheapest frame in the query)
+    for (round <- 1 to 3) {
+      val next = edges
         .join(dist.select($"node".as("dst"), $"d"), "dst")
         .select($"src".as("node"), ($"d" + 1L).as("d"))
         .unionByName(dist)
         .groupBy($"node").agg(min($"d").as("d"))
+        .localCheckpoint(eager = true)
+      // free only PRIOR ROUND checkpoints: the initial frontier's lineage
+      // contains the pairs checkpoint leaf, which later rounds still need
+      if (round > 1) graft.operators.DedupGroups.freeLocalCheckpoint(dist)
+      dist = next
     }
     nodes.join(dist, Seq("node"), "left")
       .select($"node", coalesce($"d", lit(-1L)).as("d"))
@@ -324,15 +337,27 @@ object GraphOps {
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = pairEdges(spark, dir, 2L).localCheckpoint(eager = true)
+    // each round's survivor edge list is materialized: round k's edges are
+    // consumed TWICE in round k+1 (degree aggregate + semi-join restriction),
+    // so an unmaterialized lineage re-executes every earlier round's joins
+    // 2x per level — 2^rounds recompute of the peel by round 3 (measured
+    // 5.2 s vs 2.7 s checkpointed at sf0.1, identical output). Same move as
+    // DedupGroups' checkpointed label frames; blocks are freed by the next
+    // trial's cleanup / session teardown like every other localCheckpoint
+    // in the query tier.
     var edges = pairs.select($"p1".as("src"), $"p2".as("dst"))
       .unionByName(pairs.select($"p2".as("src"), $"p1".as("dst")))
+      .localCheckpoint(eager = true)
     for (_ <- 1 to 3) {
       val keep = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
         .filter($"deg" >= 2).select($"src".as("node"))
-      edges = edges
+      val next = edges
         .join(keep.select($"node".as("src")), Seq("src"), "left_semi")
         .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
         .select($"src", $"dst")
+        .localCheckpoint(eager = true)
+      graft.operators.DedupGroups.freeLocalCheckpoint(edges)
+      edges = next
     }
     edges.groupBy($"src").agg(count(lit(1)).as("deg"))
       .groupBy($"deg".as("degree"))
