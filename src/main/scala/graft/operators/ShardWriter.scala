@@ -67,18 +67,24 @@ object ShardWriter {
     * sum with overwhelming probability, which is the same tamper evidence
     * the sorted-md5 gave.
     */
-  private def md5Word(off: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(col("doc_id").cast("string").cast("binary")), off, 15), 16, 10)
+  private def md5Word(h: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    conv(substring(h, off, 15), 16, 10)
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))
 
-  private def statsOf(df: DataFrame): Seq[ShardStat] =
-    df.groupBy(col("shard_id").cast("long").as("shard_id"))
+  private def statsOf(df: DataFrame): Seq[ShardStat] = {
+    // one MD5 per row, projected before the aggregate: the two digest
+    // words previously each embedded their own md5(...) call (2 digests
+    // per row, and this pass runs twice per write-verify cycle)
+    val hashed = df.select(col("shard_id"), col("n_tokens"),
+      md5(col("doc_id").cast("string").cast("binary")).as("__h"))
+    hashed.groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"),
-        concat(sum(md5Word(1)).cast("string"), lit(":"),
-          sum(md5Word(18)).cast("string")).as("docs_md5"))
+        concat(sum(md5Word(col("__h"), 1)).cast("string"), lit(":"),
+          sum(md5Word(col("__h"), 18)).cast("string")).as("docs_md5"))
       .collect() // bounded by shard count
       .map(r => ShardStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .toSeq.sortBy(_.shardId)
+  }
 
   // sidecar IO via graft.store.Sidecar (shared fence-then-swap commit)
   def writeManifest(spark: SparkSession, path: String, stats: Seq[ShardStat]): Unit =
