@@ -209,13 +209,23 @@ object EventOps {
         .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
     }
 
+  /** Per-trial replica-seed restore: hard-link when possible, copy as the
+    * fallback — safe because every store write is new-file-then-rename
+    * (see the MergeOps twin for the full argument).
+    */
   private def copyRecursive(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(from).iterator().asScala.foreach { f =>
       val dst = to.resolve(from.relativize(f))
       if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(dst)
-      else java.nio.file.Files.copy(f, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        java.nio.file.Files.deleteIfExists(dst)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
   }
 

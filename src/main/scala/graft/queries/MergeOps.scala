@@ -86,13 +86,27 @@ object MergeOps {
         .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Throwable => () })
     }
 
+  /** Per-trial fixture restore. Files are HARD-LINKED when the filesystem
+    * allows (same-device temp dirs always do here), bytes copied otherwise.
+    * Safe because the store mutates nothing in place — every write surface
+    * is new-file-then-atomic-rename (the crash-safe swap contract), so a
+    * DML run only ever unlinks the run dir's names; the fixture's links
+    * keep the inodes. Restore cost drops from a full byte copy of the
+    * staged tables to directory-entry creation.
+    */
   private def copyRecursive(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(from).iterator().asScala.foreach { f =>
       val dst = to.resolve(from.relativize(f))
       if (java.nio.file.Files.isDirectory(f)) java.nio.file.Files.createDirectories(dst)
-      else java.nio.file.Files.copy(f, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        java.nio.file.Files.deleteIfExists(dst)
+        try java.nio.file.Files.createLink(dst, f)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
     }
   }
 
