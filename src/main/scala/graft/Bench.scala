@@ -277,7 +277,7 @@ object Bench {
     val normTotal = normMedians.map(_._2).filter(_ >= 0).sum
     val json = BenchFormat.line(medians, trials, sfDir, failed,
       normTotal = Some(normTotal), fastProbe = Some(fastProbe))
-    if (json.length > 1400) // BenchFormatSpec asserts the 80-query budget
+    if (json.length > BenchFormat.MaxLineBytes)
       System.err.println(s"[bench] WARNING: json line ${json.length} bytes risks tail clipping")
     // The driver parses the JSON line out of the run's output; sbt's logger
     // may prefix stdout lines, so ALSO persist the result to a plain file

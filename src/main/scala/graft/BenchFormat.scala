@@ -49,10 +49,19 @@ object BenchFormat {
     if (v >= 100) "%.1f".formatLocal(java.util.Locale.ROOT, v) else f2(v)
 
   /** Hard cap on the graded line. The driver's usable tail window is
-    * ~1900 bytes (2000 minus sbt's "[success]" suffix); capping the line
-    * at 1400 keeps >=25% headroom below that at ANY query count.
+    * ~1920 bytes: every committed BENCH_r*.json records tail_len=2000
+    * exactly (measured again round 15 — the window has not grown), and
+    * sbt appends a ~76-byte "[success] Total time: ... completed <date>"
+    * line plus a newline after the JSON. 1400 was >=25% headroom at the
+    * round-10 query count but by 280 queries it omitted 174 sub-second
+    * entries and made the driver's round-over-round slice shift run to
+    * run (round-14 verdict item 3 — 17 phantom "dropped_from_bench"
+    * rows). 1780 keeps ~140 bytes of slack for suffix drift while
+    * emitting ~30 more of the slowest queries; ALL 280 medians cannot
+    * fit (280 entries × ~11 bytes ≈ 3.1 KB > the 2000-char window — the
+    * full set lives in bench_detail.json, committed).
     */
-  val MaxLineBytes = 1400
+  val MaxLineBytes = 1780
 
   /** The driver-parsed JSON line. `medians` is (full query name, median
     * seconds) in stable order; a median of -1 marks a query whose every

@@ -25,6 +25,23 @@ object StreamDiag {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Per-job wall time + call site: attributes addBatch time to the
+    // individual Spark jobs a foreachBatch body runs (guide §1 measure
+    // first) — the gap between the sum of jobs and the batch's
+    // triggerExecution is driver-side work (planning, file moves).
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val start = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val cs = Option(e.properties).map(_.getProperty("callSite.short", "?")).getOrElse("?")
+        start.put(e.jobId, (System.nanoTime(), cs))
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(start.remove(e.jobId)).foreach { case (t0, cs) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms >= 20) System.err.println(f"[diagjob] job=${e.jobId} $ms%.0f ms  $cs")
+        }
+      }
+    })
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
